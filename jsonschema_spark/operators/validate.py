@@ -1,0 +1,131 @@
+"""Validation operators — the engine's `jsonschema validate` analogue.
+
+The reference loops instances through a compiled template
+(/root/reference/src/command_validate.cc:374-415). Here the compiled schema
+becomes Column expressions evaluated in a single pass over the DataFrame:
+
+- ``validate``    — fast mode: one boolean ``valid`` column, pure codegen
+  (the `--fast` / Mode::FastValidation analogue — main.cc:46-51)
+- ``annotate``    — exhaustive mode: ``valid`` + ``violations`` array column
+- ``violations``  — exploded violation rows in the standard Basic shape
+  (output_standard.cc:47-100): keywordLocation, absoluteKeywordLocation,
+  instanceLocation, error
+
+Only failing rows ever materialize violation structs (hot/cold split — the
+InstructionExtra analogue, evaluator_instruction.h:256-271).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from jsonschema_spark.plans.compiler import (
+    CompiledSchema,
+    VIOLS_DT,
+    compile_schema,
+    empty_viols,
+)
+from jsonschema_spark.plans.context import B
+
+
+def _as_compiled(schema: Union[dict, bool, CompiledSchema]) -> CompiledSchema:
+    if isinstance(schema, CompiledSchema):
+        return schema
+    return compile_schema(schema)
+
+
+_PARSE_FAIL_MSG = "The instance could not be parsed as JSON"
+
+
+def annotate(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    doc_col: Optional[str] = None,
+    valid_col: str = "valid",
+    violations_col: str = "violations",
+) -> DataFrame:
+    """Exhaustive validation: adds `valid` boolean + `violations` array."""
+    cs = _as_compiled(schema)
+    if doc_col is None:
+        compiled = cs.compile_flat(df.schema, mode="exhaustive")
+        ok, viols = B(compiled.ok), compiled.viols_col()
+    else:
+        v = F.try_parse_json(F.col(doc_col))
+        compiled = cs.compile_variant(v, mode="exhaustive")
+        # NULL document string == unparseable: both fail with the parse message
+        parse_ok = v.isNotNull()
+        ok = parse_ok & B(compiled.ok)
+        parse_viol = F.array(
+            F.struct(
+                F.lit("").alias("keywordLocation"),
+                F.lit(f"{cs.base_uri}#").alias("absoluteKeywordLocation"),
+                F.lit("").alias("instanceLocation"),
+                F.lit(_PARSE_FAIL_MSG).alias("error"),
+            )
+        ).cast(VIOLS_DT)
+        viols = F.when(~parse_ok, parse_viol).otherwise(compiled.viols_col())
+    return df.withColumns({valid_col: ok, violations_col: viols})
+
+
+def validate(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    doc_col: Optional[str] = None,
+    valid_col: str = "valid",
+) -> DataFrame:
+    """Fast validation: adds only the boolean verdict (no violation detail),
+    keeping the whole plan inside whole-stage codegen."""
+    cs = _as_compiled(schema)
+    if doc_col is None:
+        compiled = cs.compile_flat(df.schema, mode="fast")
+        ok = B(compiled.ok)
+    else:
+        v = F.try_parse_json(F.col(doc_col))
+        compiled = cs.compile_variant(v, mode="fast")
+        ok = v.isNotNull() & B(compiled.ok)
+    return df.withColumn(valid_col, ok)
+
+
+def violations(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    id_cols: Sequence[str],
+    doc_col: Optional[str] = None,
+) -> DataFrame:
+    """Violation rows: (id_cols..., keywordLocation, absoluteKeywordLocation,
+    instanceLocation, error) — one row per failed assertion, in evaluation
+    order. Only failing rows are exploded."""
+    annotated = annotate(df, schema, doc_col=doc_col)
+    exploded = (
+        annotated.filter(~F.col("valid"))
+        .select(*id_cols, F.posexplode("violations").alias("_pos", "_v"))
+        .select(
+            *id_cols,
+            F.col("_v.keywordLocation").alias("keywordLocation"),
+            F.col("_v.absoluteKeywordLocation").alias("absoluteKeywordLocation"),
+            F.col("_v.instanceLocation").alias("instanceLocation"),
+            F.col("_v.error").alias("error"),
+        )
+    )
+    return exploded
+
+
+def verdict_counts(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    doc_col: Optional[str] = None,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group (or global) pass/fail counts — the per-partition verdict
+    aggregate from the north_rule. One pass, map-side partial aggregation."""
+    v = validate(df, schema, doc_col=doc_col)
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(F.col("valid").cast("long")), F.lit(0)).alias("n_valid"),
+        F.coalesce(F.sum((~F.col("valid")).cast("long")), F.lit(0)).alias("n_invalid"),
+    ]
+    if by:
+        return v.groupBy(*by).agg(*agg)
+    return v.agg(*agg)

@@ -1,0 +1,716 @@
+"""Driver-side schema compiler: JSON Schema → Spark Column expressions.
+
+The reference compiles a schema into an instruction tree interpreted one
+instance at a time (/root/reference/vendor/blaze/src/compiler/compile.cc:202-497).
+We compile the same keyword semantics into *columnar* predicates: each
+keyword yields a boolean `ok` Column plus (in exhaustive mode) a violation
+array Column, composed bottom-up through the logical applicators. Catalyst
+then handles pushdown/pruning/codegen — no custom rules needed (SURVEY.md §4).
+
+Compile-time rewrites mirrored from the reference's postprocess pass
+(/root/reference/vendor/blaze/src/compiler/postprocess.h:393-630):
+- `$ref` inlining (always — the analogue of jump inlining; cycles rejected)
+- static type folding: on typed flat columns, `type` assertions and type
+  guards constant-fold to True/False at compile time (the analogue of the
+  fused `AssertionPropertyType*` instructions)
+- dead-code elimination: statically-true checks vanish from the plan
+- short-circuit conjunction: violation reporting follows the reference's
+  LogicalAnd first-failure semantics (evaluator_dispatch.h:1254-1267) —
+  the first failing child's errors are reported, then the parent's own entry
+  (golden shape: /root/reference/test/validate/fail_json.sh)
+
+Evaluation state the reference tracks per-instance (evaluate_path,
+instance_location — evaluator.h:217-276) is static here: keyword locations
+are compile-time strings; instance locations are strings except inside
+array loops, where they are built with `concat(loc, '/', i)`.
+
+Violation rows follow the standard Basic output shape
+(/root/reference/vendor/blaze/src/output/output_standard.cc:47-100).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from pyspark.sql import Column, functions as F, types as T
+
+from jsonschema_spark.functions.formats import FORMATS, format_ok
+from jsonschema_spark.functions.numeric import divisible_ok
+from jsonschema_spark.functions.strings import pattern_ok
+from jsonschema_spark.plans import messages as M
+from jsonschema_spark.plans.context import (
+    B,
+    Cond,
+    Ctx,
+    FlatColCtx,
+    FlatRowCtx,
+    VariantCtx,
+    and_,
+    not_,
+    or_,
+)
+
+VIOL_FIELDS = "keywordLocation:string,absoluteKeywordLocation:string,instanceLocation:string,error:string"
+VIOL_STRUCT_DT = f"struct<{VIOL_FIELDS}>"
+VIOLS_DT = f"array<{VIOL_STRUCT_DT}>"
+
+
+def empty_viols() -> Column:
+    return F.array().cast(VIOLS_DT)
+
+
+class SchemaError(ValueError):
+    pass
+
+
+@dataclass
+class Compiled:
+    """Result of compiling one schema node against a context."""
+
+    ok: Cond
+    viols: Optional[Column] = None  # None ⇔ statically no violations
+
+    def viols_col(self) -> Column:
+        return self.viols if self.viols is not None else empty_viols()
+
+
+@dataclass
+class Config:
+    base_uri: str = ""
+    mode: str = "exhaustive"  # 'fast' skips violation building entirely
+    format_assertion: bool = True
+    root: dict | bool = True
+    # True  = reference LogicalAnd semantics: report only the first failing
+    #         conjunct's violations (evaluator_dispatch.h:1254-1267)
+    # False = report every failing conjunct (SQL-oracle-friendly mode)
+    short_circuit: bool = True
+
+    @property
+    def want_viols(self) -> bool:
+        return self.mode != "fast"
+
+    def fast(self) -> "Config":
+        return Config(self.base_uri, "fast", self.format_assertion, self.root, self.short_circuit)
+
+
+def _viol(cfg: Config, kw: str, loc: Union[str, Column], error: Column) -> Column:
+    loc_col = F.lit(loc) if isinstance(loc, str) else loc
+    return F.array(
+        F.struct(
+            F.lit(kw).alias("keywordLocation"),
+            F.lit(f"{cfg.base_uri}#{kw}").alias("absoluteKeywordLocation"),
+            loc_col.alias("instanceLocation"),
+            error.alias("error"),
+        )
+    ).cast(VIOLS_DT)
+
+
+def _leaf(cfg: Config, cond: Cond, kw: str, ctx: Ctx, error_builder) -> Compiled:
+    """A leaf assertion: violation iff cond is false."""
+    if cond is True:
+        return Compiled(True)
+    if not cfg.want_viols:
+        return Compiled(cond)
+    err = error_builder()
+    v = _viol(cfg, kw, ctx.loc, err)
+    if cond is False:
+        return Compiled(False, v)
+    return Compiled(cond, F.when(B(cond), empty_viols()).otherwise(v))
+
+
+def _guarded(guard: Cond, inner: Compiled, cfg: Config) -> Compiled:
+    """Apply a type/presence precondition: if guard fails, vacuous pass
+    (EVALUATE_BEGIN precondition-skip, evaluator_dispatch.h:71-123)."""
+    if guard is True:
+        return inner
+    if guard is False or inner.ok is True:
+        return Compiled(True)
+    ok = or_(not_(guard), inner.ok)
+    if not cfg.want_viols or inner.viols is None:
+        return Compiled(ok)
+    return Compiled(ok, F.when(B(guard), inner.viols).otherwise(empty_viols()))
+
+
+def _and_combine(parts: list[Compiled], cfg: Config, own: Optional[tuple] = None) -> Compiled:
+    """Conjunction with reference short-circuit violation semantics: report
+    the first failing part's violations (plus the parent's own entry when
+    `own=(kw, ctx, error_builder)` is given)."""
+    live = [p for p in parts if p.ok is not True]
+    ok = and_(*[p.ok for p in live])
+    if ok is True:
+        return Compiled(True)
+    if not cfg.want_viols:
+        return Compiled(ok)
+    own_v = None
+    if own is not None:
+        kw, ctx, error_builder = own
+        own_v = _viol(cfg, kw, ctx.loc, error_builder())
+
+    def with_own(v: Column) -> Column:
+        return F.concat(v, own_v) if own_v is not None else v
+
+    if not cfg.short_circuit:
+        parts_v = [
+            F.when(not_(B(p.ok)), p.viols_col()).otherwise(empty_viols()) for p in live
+        ]
+        allv = F.concat(*parts_v) if len(parts_v) > 1 else parts_v[0]
+        viols = F.when(B(ok), empty_viols()).otherwise(with_own(allv))
+        return Compiled(ok, viols)
+
+    chain = None
+    for p in live:
+        fail = not_(B(p.ok))
+        v = with_own(p.viols_col())
+        chain = F.when(fail, v) if chain is None else chain.when(fail, v)
+    viols = chain.otherwise(empty_viols())
+    return Compiled(ok, viols)
+
+
+# ---------------------------------------------------------------------------
+# Keyword ordering — deterministic walker order (documented; the reference's
+# exact walker order lives in sourcemeta::core::SchemaWalker)
+# ---------------------------------------------------------------------------
+
+_KEYWORD_ORDER = [
+    "$ref",
+    "type",
+    "const",
+    "enum",
+    "required",
+    "dependentRequired",
+    "minProperties",
+    "maxProperties",
+    "properties",
+    "patternProperties",
+    "additionalProperties",
+    "propertyNames",
+    "dependentSchemas",
+    "minItems",
+    "maxItems",
+    "uniqueItems",
+    "prefixItems",
+    "items",
+    "contains",
+    "minLength",
+    "maxLength",
+    "pattern",
+    "format",
+    "minimum",
+    "maximum",
+    "exclusiveMinimum",
+    "exclusiveMaximum",
+    "multipleOf",
+    "allOf",
+    "anyOf",
+    "oneOf",
+    "not",
+    "if",
+]
+
+_TYPE_NAMES = {"null", "boolean", "integer", "number", "string", "array", "object"}
+
+
+def _ptr_escape(token: str) -> str:
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+def _resolve_ref(ref: str, cfg: Config) -> tuple[dict | bool, str]:
+    """Resolve a same-document `$ref` (fragment pointer or #/$defs/...)."""
+    if not ref.startswith("#"):
+        raise SchemaError(f"external $ref not supported without a resolver: {ref}")
+    pointer = ref[1:]
+    node: Union[dict, bool, list] = cfg.root
+    if pointer:
+        for raw in pointer.lstrip("/").split("/"):
+            token = raw.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, dict) and token in node:
+                node = node[token]
+            elif isinstance(node, list) and token.isdigit():
+                node = node[int(token)]
+            else:
+                raise SchemaError(f"cannot resolve $ref {ref}")
+    return node, pointer
+
+
+def compile_node(
+    schema: Union[dict, bool],
+    ctx: Ctx,
+    kw: str,
+    cfg: Config,
+    ref_stack: tuple = (),
+) -> Compiled:
+    """Compile one (sub)schema against a context. Assumes the value exists;
+    presence gating happens at the application site."""
+    if schema is True or schema == {}:
+        return Compiled(True)
+    if schema is False:
+        return _leaf(cfg, False, kw, ctx, M.msg_false_schema)
+    if not isinstance(schema, dict):
+        raise SchemaError(f"invalid schema node at {kw or '<root>'}")
+
+    parts: list[Compiled] = []
+    present_keys = [k for k in _KEYWORD_ORDER if k in schema]
+
+    for key in present_keys:
+        val = schema[key]
+        kwp = f"{kw}/{_ptr_escape(key)}"
+        if key == "$ref":
+            target, pointer = _resolve_ref(val, cfg)
+            if val in ref_stack:
+                raise SchemaError(f"recursive $ref not supported in v1: {val}")
+            sub = compile_node(target, ctx, kwp, cfg, ref_stack + (val,))
+            if sub.ok is not True:
+                parts.append(
+                    _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))
+                )
+        elif key == "type":
+            parts.append(_k_type(val, ctx, kwp, cfg))
+        elif key == "const":
+            parts.append(_leaf(cfg, ctx.eq_const(val), kwp, ctx, lambda c=ctx, v=val: M.msg_const(c, v)))
+        elif key == "enum":
+            parts.append(_k_enum(val, ctx, kwp, cfg))
+        elif key == "required":
+            parts.append(_k_required(val, ctx, kwp, cfg))
+        elif key == "dependentRequired":
+            parts.append(_k_dependent_required(val, ctx, kwp, cfg))
+        elif key == "minProperties":
+            g = ctx.is_type("object")
+            parts.append(_guarded(g, _leaf(cfg, ctx.obj_size() >= val, kwp, ctx, lambda c=ctx, v=val: M.msg_min_properties(c, v)), cfg))
+        elif key == "maxProperties":
+            g = ctx.is_type("object")
+            parts.append(_guarded(g, _leaf(cfg, ctx.obj_size() <= val, kwp, ctx, lambda c=ctx, v=val: M.msg_max_properties(c, v)), cfg))
+        elif key == "properties":
+            parts.append(_k_properties(val, ctx, kwp, cfg, ref_stack))
+        elif key == "patternProperties":
+            parts.append(_k_pattern_properties(val, ctx, kwp, cfg, ref_stack))
+        elif key == "additionalProperties":
+            parts.append(_k_additional_properties(schema, val, ctx, kwp, cfg, ref_stack))
+        elif key == "propertyNames":
+            parts.append(_k_property_names(val, ctx, kwp, cfg, ref_stack))
+        elif key == "dependentSchemas":
+            parts.append(_k_dependent_schemas(val, ctx, kwp, cfg, ref_stack))
+        elif key == "minItems":
+            g = ctx.is_type("array")
+            parts.append(_guarded(g, _leaf(cfg, ctx.arr_size() >= val, kwp, ctx, lambda c=ctx, v=val: M.msg_min_items(c, v)), cfg))
+        elif key == "maxItems":
+            g = ctx.is_type("array")
+            parts.append(_guarded(g, _leaf(cfg, ctx.arr_size() <= val, kwp, ctx, lambda c=ctx, v=val: M.msg_max_items(c, v)), cfg))
+        elif key == "uniqueItems":
+            if val:
+                parts.append(_k_unique_items(ctx, kwp, cfg))
+        elif key == "prefixItems":
+            parts.append(_k_prefix_items(val, ctx, kwp, cfg, ref_stack))
+        elif key == "items":
+            if isinstance(val, list):  # draft-7 tuple form
+                parts.append(_k_prefix_items(val, ctx, kwp, cfg, ref_stack))
+            else:
+                start = len(schema.get("prefixItems", [])) if isinstance(schema.get("prefixItems"), list) else 0
+                parts.append(_k_items(val, ctx, kwp, cfg, start, ref_stack))
+        elif key == "contains":
+            parts.append(_k_contains(schema, val, ctx, kwp, cfg, ref_stack))
+        elif key == "minLength":
+            g = ctx.is_type("string")
+            parts.append(_guarded(g, _leaf(cfg, F.length(ctx.str_val()) >= val, kwp, ctx, lambda c=ctx, v=val: M.msg_min_length(c, v)), cfg))
+        elif key == "maxLength":
+            g = ctx.is_type("string")
+            parts.append(_guarded(g, _leaf(cfg, F.length(ctx.str_val()) <= val, kwp, ctx, lambda c=ctx, v=val: M.msg_max_length(c, v)), cfg))
+        elif key == "pattern":
+            g = ctx.is_type("string")
+            parts.append(_guarded(g, _leaf(cfg, pattern_ok(ctx.str_val(), val), kwp, ctx, lambda c=ctx, v=val: M.msg_regex(c, v)), cfg))
+        elif key == "format":
+            if cfg.format_assertion and val in FORMATS:
+                g = ctx.is_type("string")
+                parts.append(_guarded(g, _leaf(cfg, format_ok(val, ctx.str_val()), kwp, ctx, lambda c=ctx, v=val: M.msg_format(c, v)), cfg))
+        elif key == "minimum":
+            g = ctx.is_type("number")
+            parts.append(_guarded(g, _leaf(cfg, ctx.num_val() >= float(val), kwp, ctx, lambda c=ctx, v=val: M.msg_greater_equal(c, v)), cfg))
+        elif key == "maximum":
+            g = ctx.is_type("number")
+            parts.append(_guarded(g, _leaf(cfg, ctx.num_val() <= float(val), kwp, ctx, lambda c=ctx, v=val: M.msg_less_equal(c, v)), cfg))
+        elif key == "exclusiveMinimum":
+            g = ctx.is_type("number")
+            parts.append(_guarded(g, _leaf(cfg, ctx.num_val() > float(val), kwp, ctx, lambda c=ctx, v=val: M.msg_greater(c, v)), cfg))
+        elif key == "exclusiveMaximum":
+            g = ctx.is_type("number")
+            parts.append(_guarded(g, _leaf(cfg, ctx.num_val() < float(val), kwp, ctx, lambda c=ctx, v=val: M.msg_less(c, v)), cfg))
+        elif key == "multipleOf":
+            g = ctx.is_type("number")
+            tag = ctx.tag()
+            is_int_col = tag == "integer" if isinstance(tag, str) else False
+            parts.append(_guarded(g, _leaf(cfg, divisible_ok(ctx.num_val(), val, is_int_col), kwp, ctx, lambda c=ctx, v=val: M.msg_multiple_of(c, v)), cfg))
+        elif key == "allOf":
+            parts.append(_k_all_of(val, ctx, kwp, cfg, ref_stack))
+        elif key == "anyOf":
+            parts.append(_k_any_of(val, ctx, kwp, cfg, ref_stack))
+        elif key == "oneOf":
+            parts.append(_k_one_of(val, ctx, kwp, cfg, ref_stack))
+        elif key == "not":
+            parts.append(_k_not(val, ctx, kwp, cfg, ref_stack))
+        elif key == "if":
+            parts.append(_k_conditional(schema, ctx, kw, cfg, ref_stack))
+
+    return _and_combine(parts, cfg)
+
+
+# --- individual keywords -----------------------------------------------------
+
+
+def _k_type(val, ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
+    types = [val] if isinstance(val, str) else list(val)
+    for t in types:
+        if t not in _TYPE_NAMES:
+            raise SchemaError(f"unknown type {t!r} at {kwp}")
+    cond = or_(*[ctx.is_type(t) for t in types])
+    exp = types[0] if len(types) == 1 else types
+    return _leaf(cfg, cond, kwp, ctx, lambda c=ctx, e=exp: M.msg_type(c, e))
+
+
+def _k_enum(val: list, ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
+    if not val:
+        return _leaf(cfg, False, kwp, ctx, lambda c=ctx: M.msg_enum_empty(c))
+    cond = or_(*[ctx.eq_const(v) for v in val])
+    return _leaf(cfg, cond, kwp, ctx, lambda c=ctx, v=val: M.msg_enum(c, v))
+
+
+def _k_required(val: list, ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
+    if not val:
+        return Compiled(True)
+    presents = [B(ctx.get_prop(n).present) for n in val]
+    statics = [ctx.get_prop(n).present for n in val]
+    if len(val) == 1:
+        inner = _leaf(cfg, statics[0], kwp, ctx, lambda n=val[0]: M.msg_required_single(n))
+    else:
+        cond = and_(*statics)
+        inner = _leaf(
+            cfg, cond, kwp, ctx,
+            lambda names=list(val), pc=statics: M.msg_required_multi(names, pc),
+        )
+    return _guarded(ctx.is_type("object"), inner, cfg)
+
+
+def _k_dependent_required(val: dict, ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
+    parts = []
+    for trigger, deps in val.items():
+        trig_present = ctx.get_prop(trigger).present
+        deps_present = and_(*[ctx.get_prop(d).present for d in deps])
+        cond = or_(not_(trig_present), deps_present)
+        missing = [d for d in deps]
+        parts.append(
+            _leaf(cfg, cond, kwp, ctx, lambda t=trigger, m=missing: M.msg_dependent_required(t, m))
+        )
+    return _guarded(ctx.is_type("object"), _and_combine(parts, cfg), cfg)
+
+
+def _apply_subschema(sub_schema, child: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    """Apply a subschema to a possibly-absent value (absent ⇒ vacuous pass)."""
+    sub = compile_node(sub_schema, child, kwp, cfg, ref_stack)
+    return _guarded(child.present, sub, cfg)
+
+
+def _k_properties(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    parts = []
+    for name, sub_schema in val.items():
+        child = ctx.get_prop(name)
+        parts.append(_apply_subschema(sub_schema, child, f"{kwp}/{_ptr_escape(name)}", cfg, ref_stack))
+    inner = _and_combine(parts, cfg, own=(kwp, ctx, lambda c=ctx, n=len(val): M.msg_properties(n)))
+    return _guarded(ctx.is_type("object"), inner, cfg)
+
+
+def _static_prop_names(ctx: Ctx) -> Optional[list[str]]:
+    return ctx.prop_names() if isinstance(ctx, FlatRowCtx) else None
+
+
+def _k_pattern_properties(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    import re as _re
+
+    static_names = _static_prop_names(ctx)
+    parts = []
+    for pattern, sub_schema in val.items():
+        kwpp = f"{kwp}/{_ptr_escape(pattern)}"
+        if static_names is not None:
+            rx = _re.compile(pattern)
+            for name in static_names:
+                if rx.search(name):
+                    child = ctx.get_prop(name)
+                    parts.append(_apply_subschema(sub_schema, child, kwpp, cfg, ref_stack))
+        else:
+            entries = ctx.obj_entries_factory()
+            if entries is None:
+                raise SchemaError("patternProperties unsupported for this context")
+            keys, prop_ctx = entries
+            matching = F.filter(keys, lambda k: pattern_ok(k, pattern))
+            ok = F.forall(matching, lambda k: B(compile_node(sub_schema, prop_ctx(k), kwpp, cfg, ref_stack).ok))
+            if cfg.want_viols:
+                per_key = F.flatten(
+                    F.transform(
+                        matching,
+                        lambda k: compile_node(sub_schema, prop_ctx(k), kwpp, cfg, ref_stack).viols_col(),
+                    )
+                ).cast(VIOLS_DT)
+                parts.append(Compiled(ok, per_key))
+            else:
+                parts.append(Compiled(ok))
+    inner = _and_combine(parts, cfg)
+    return _guarded(ctx.is_type("object"), inner, cfg)
+
+
+def _k_additional_properties(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    import re as _re
+
+    declared = set(schema.get("properties", {}) or {})
+    patterns = [p for p in (schema.get("patternProperties", {}) or {})]
+    static_names = _static_prop_names(ctx)
+
+    if static_names is not None:
+        extra = [
+            n
+            for n in static_names
+            if n not in declared and not any(_re.compile(p).search(n) for p in patterns)
+        ]
+        parts = []
+        for name in extra:
+            child = ctx.get_prop(name)
+            if val is False:
+                inner = _leaf(cfg, False, kwp, child, lambda n=name: M.msg_additional_property(n))
+                parts.append(_guarded(child.present, inner, cfg))
+            else:
+                parts.append(_apply_subschema(val, child, kwp, cfg, ref_stack))
+        return _guarded(ctx.is_type("object"), _and_combine(parts, cfg), cfg)
+
+    entries = ctx.obj_entries_factory()
+    if entries is None:
+        raise SchemaError("additionalProperties unsupported for this context")
+    keys, prop_ctx = entries
+    is_extra = lambda k: and_(  # noqa: E731
+        ~k.isin(list(declared)) if declared else True,
+        *[not_(pattern_ok(k, p)) for p in patterns],
+    )
+    extra_keys = F.filter(keys, lambda k: B(is_extra(k)))
+    if val is False:
+        ok = F.size(extra_keys) == 0
+        if cfg.want_viols:
+            viols = F.transform(
+                extra_keys,
+                lambda k: F.struct(
+                    F.lit(kwp).alias("keywordLocation"),
+                    F.lit(f"{cfg.base_uri}#{kwp}").alias("absoluteKeywordLocation"),
+                    _loc_concat(ctx, k).alias("instanceLocation"),
+                    M.msg_additional_property(k).alias("error"),
+                ),
+            ).cast(VIOLS_DT)
+            inner = Compiled(ok, F.when(B(ok), empty_viols()).otherwise(viols))
+        else:
+            inner = Compiled(ok)
+    else:
+        ok = F.forall(extra_keys, lambda k: B(compile_node(val, prop_ctx(k), kwp, cfg, ref_stack).ok))
+        if cfg.want_viols:
+            viols = F.flatten(
+                F.transform(extra_keys, lambda k: compile_node(val, prop_ctx(k), kwp, cfg, ref_stack).viols_col())
+            ).cast(VIOLS_DT)
+            inner = Compiled(ok, viols)
+        else:
+            inner = Compiled(ok)
+    return _guarded(ctx.is_type("object"), inner, cfg)
+
+
+def _loc_concat(ctx: Ctx, key: Column) -> Column:
+    base = F.lit(ctx.loc) if isinstance(ctx.loc, str) else ctx.loc
+    return F.concat(base, F.lit("/"), key)
+
+
+def _k_property_names(val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    keys = ctx.obj_keys()
+
+    def key_ctx(k: Column) -> Ctx:
+        return FlatColCtx(k, T.StringType(), _loc_concat(ctx, k))
+
+    ok = F.forall(keys, lambda k: B(compile_node(val, key_ctx(k), kwp, cfg, ref_stack).ok))
+    if cfg.want_viols:
+        viols = F.flatten(
+            F.transform(keys, lambda k: compile_node(val, key_ctx(k), kwp, cfg, ref_stack).viols_col())
+        ).cast(VIOLS_DT)
+        inner = Compiled(ok, F.when(B(ok), empty_viols()).otherwise(viols))
+    else:
+        inner = Compiled(ok)
+    return _guarded(ctx.is_type("object"), inner, cfg)
+
+
+def _k_dependent_schemas(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    parts = []
+    for trigger, sub_schema in val.items():
+        child = ctx.get_prop(trigger)
+        sub = compile_node(sub_schema, ctx, f"{kwp}/{_ptr_escape(trigger)}", cfg, ref_stack)
+        parts.append(_guarded(child.present, sub, cfg))
+    return _guarded(ctx.is_type("object"), _and_combine(parts, cfg), cfg)
+
+
+def _k_unique_items(ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
+    arr = ctx.arr()
+    canon = F.transform(arr, lambda x: F.to_json(x) if isinstance(ctx, VariantCtx) else x.cast("string"))
+    cond = F.size(F.array_distinct(canon)) == F.size(arr)
+    inner = _leaf(cfg, cond, kwp, ctx, lambda c=ctx: M.msg_unique_items(c))
+    return _guarded(ctx.is_type("array"), inner, cfg)
+
+
+def _k_prefix_items(val: list, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    factory = ctx.element_ctx_factory()
+    arr = ctx.arr()
+    parts = []
+    for i, sub_schema in enumerate(val):
+        elem = factory(F.try_element_at(arr, F.lit(i + 1)), F.lit(i))
+        has_elem = ctx.arr_size() > i
+        sub = compile_node(sub_schema, elem, f"{kwp}/{i}", cfg, ref_stack)
+        parts.append(_guarded(has_elem, sub, cfg))
+    inner = _and_combine(parts, cfg, own=(kwp, ctx, lambda n=len(val) + 1: M.msg_prefix_items(n)))
+    return _guarded(ctx.is_type("array"), inner, cfg)
+
+
+def _k_items(val, ctx: Ctx, kwp: str, cfg: Config, start: int, ref_stack) -> Compiled:
+    factory = ctx.element_ctx_factory()
+    arr = ctx.arr()
+
+    def elem_ok(x: Column, i: Column) -> Column:
+        c = compile_node(val, factory(x, i), kwp, cfg, ref_stack)
+        gated = or_(i < start, c.ok) if start else c.ok
+        return B(gated)
+
+    ok = F.forall(F.transform(arr, elem_ok), lambda b: b)
+    if cfg.want_viols:
+
+        def elem_viols(x: Column, i: Column) -> Column:
+            c = compile_node(val, factory(x, i), kwp, cfg, ref_stack)
+            v = c.viols_col()
+            if start:
+                v = F.when(i < start, empty_viols()).otherwise(v)
+            return v
+
+        own = _viol(cfg, kwp, ctx.loc, M.msg_items_from(start) if start else M.msg_items())
+        viols = F.when(
+            B(ok), empty_viols()
+        ).otherwise(F.concat(F.flatten(F.transform(arr, elem_viols)).cast(VIOLS_DT), own))
+        inner = Compiled(ok, viols)
+    else:
+        inner = Compiled(ok)
+    return _guarded(ctx.is_type("array"), inner, cfg)
+
+
+def _k_contains(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    minimum = schema.get("minContains", 1)
+    maximum = schema.get("maxContains")
+    factory = ctx.element_ctx_factory()
+    arr = ctx.arr()
+
+    def elem_ok(x: Column, i: Column) -> Column:
+        return B(compile_node(val, factory(x, i), kwp, cfg, ref_stack).ok)
+
+    count = F.size(F.filter(F.transform(arr, elem_ok), lambda b: b))
+    cond = count >= minimum if maximum is None else (count >= minimum) & (count <= maximum)
+    if minimum == 0 and maximum is None:
+        return Compiled(True)
+    inner = _leaf(cfg, cond, kwp, ctx, lambda mi=minimum, ma=maximum: M.msg_contains(mi, ma))
+    return _guarded(ctx.is_type("array"), inner, cfg)
+
+
+def _k_all_of(val: list, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    parts = [compile_node(s, ctx, f"{kwp}/{i}", cfg, ref_stack) for i, s in enumerate(val)]
+    return _and_combine(parts, cfg, own=(kwp, ctx, lambda c=ctx, n=len(val): M.msg_all_of(c, n)))
+
+
+def _k_any_of(val: list, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    parts = [compile_node(s, ctx, f"{kwp}/{i}", cfg, ref_stack) for i, s in enumerate(val)]
+    ok = or_(*[p.ok for p in parts])
+    if ok is True or not cfg.want_viols:
+        return Compiled(ok)
+    own = _viol(cfg, kwp, ctx.loc, M.msg_any_of(ctx, len(val)))
+    all_viols = F.concat(*[p.viols_col() for p in parts], own)
+    return Compiled(ok, F.when(B(ok), empty_viols()).otherwise(all_viols))
+
+
+def _k_one_of(val: list, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    parts = [compile_node(s, ctx, f"{kwp}/{i}", cfg, ref_stack) for i, s in enumerate(val)]
+    count = None
+    for p in parts:
+        c = B(p.ok).cast("int")
+        count = c if count is None else count + c
+    ok = count == 1
+    if not cfg.want_viols:
+        return Compiled(ok)
+    own = _viol(cfg, kwp, ctx.loc, M.msg_one_of(ctx, len(val)))
+    branch_viols = F.concat(*[p.viols_col() for p in parts], own)
+    viols = (
+        F.when(B(ok), empty_viols())
+        .when(count == 0, branch_viols)
+        .otherwise(own)
+    )
+    return Compiled(ok, viols)
+
+
+def _k_not(val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    # compile the negated child in fast mode: its violations are meaningless
+    sub_cfg = cfg.fast()
+    sub = compile_node(val, ctx, kwp, sub_cfg, ref_stack)
+    return _leaf(cfg, not_(sub.ok), kwp, ctx, lambda c=ctx: M.msg_not(c))
+
+
+def _k_conditional(schema: dict, ctx: Ctx, kw: str, cfg: Config, ref_stack) -> Compiled:
+    fast_cfg = cfg.fast()
+    cond = compile_node(schema["if"], ctx, f"{kw}/if", fast_cfg, ref_stack)
+    then_c = compile_node(schema["then"], ctx, f"{kw}/then", cfg, ref_stack) if "then" in schema else Compiled(True)
+    else_c = compile_node(schema["else"], ctx, f"{kw}/else", cfg, ref_stack) if "else" in schema else Compiled(True)
+    if isinstance(cond.ok, bool):
+        # constant-condition folding (postprocess.h:601-624 analogue)
+        chosen = then_c if cond.ok else else_c
+        if chosen.ok is True or not cfg.want_viols:
+            return Compiled(chosen.ok)
+        own = _viol(cfg, f"{kw}/if", ctx.loc, M.msg_conditional(ctx))
+        return Compiled(chosen.ok, F.when(B(chosen.ok), empty_viols()).otherwise(F.concat(chosen.viols_col(), own)))
+    ok = F.when(B(cond.ok), B(then_c.ok)).otherwise(B(else_c.ok))
+    if not cfg.want_viols:
+        return Compiled(ok)
+    own = _viol(cfg, f"{kw}/if", ctx.loc, M.msg_conditional(ctx))
+    viols = (
+        F.when(B(cond.ok) & ~B(then_c.ok), F.concat(then_c.viols_col(), own))
+        .when(~B(cond.ok) & ~B(else_c.ok), F.concat(else_c.viols_col(), own))
+        .otherwise(empty_viols())
+    )
+    return Compiled(ok, viols)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledSchema:
+    """Driver-side compiled plan (the Template analogue, evaluator.h:38-44).
+
+    Pure-Python + Column-expression object; broadcastable by closure capture
+    (the schema dict is tiny — executors only ever see generated expressions).
+    """
+
+    schema: Union[dict, bool]
+    base_uri: str = ""
+    format_assertion: bool = True
+
+    def __post_init__(self):
+        if isinstance(self.schema, dict):
+            self.base_uri = self.schema.get("$id", self.base_uri)
+
+    def _cfg(self, mode: str) -> Config:
+        return Config(self.base_uri, mode, self.format_assertion, self.schema)
+
+    def compile_flat(self, df_schema: T.StructType, mode: str = "exhaustive") -> Compiled:
+        """Compile against a flat DataFrame row (columns = properties)."""
+        ctx = FlatRowCtx(df_schema)
+        return compile_node(self.schema, ctx, "", self._cfg(mode))
+
+    def compile_variant(self, doc_col: Column, mode: str = "exhaustive") -> Compiled:
+        """Compile against a VARIANT column holding parsed JSON documents."""
+        ctx = VariantCtx(doc_col, "")
+        return compile_node(self.schema, ctx, "", self._cfg(mode))
+
+
+def compile_schema(schema: Union[dict, bool], base_uri: str = "", format_assertion: bool = True) -> CompiledSchema:
+    return CompiledSchema(schema, base_uri, format_assertion)

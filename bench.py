@@ -1,0 +1,94 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "docs_per_sec": ..., "cores": ...}.
+
+The flagship measurement is fast-mode validation throughput over a
+synthetic Common-Crawl-style pages table generated at N rows (no I/O —
+isolates the engine's validation pass, the reference's
+`validate --benchmark --loop` analogue, command_validate.cc:83-133),
+plus the sf-dir operator queries from __spark_entry__.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from jsonschema_spark import validate, violations  # noqa: E402
+from jsonschema_spark.session import get_spark  # noqa: E402
+from jsonschema_spark.sources.pages import WEBPAGE_SCHEMA, pages_df  # noqa: E402
+
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "2000000"))
+
+
+def _run(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark("bench", cores=cores)
+
+    # warm the JVM/codegen path once
+    _run(pages_df(spark, 10000).select(F.count(F.lit(1))))
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # flagship: fast validation over N synthetic pages, single codegen pass
+    flat_schema = {k: v for k, v in WEBPAGE_SCHEMA.items() if k != "required"}
+    flat_schema["required"] = ["url", "warc_ts", "text", "lang"]
+    bench(
+        "validate_pages_fast",
+        lambda: _run(
+            validate(pages_df(spark, PAGES_ROWS), WEBPAGE_SCHEMA)
+            .groupBy("valid")
+            .count()
+        ),
+    )
+    # exhaustive violations explode over a quarter of the pages
+    bench(
+        "violations_pages",
+        lambda: _run(violations(pages_df(spark, PAGES_ROWS // 4), WEBPAGE_SCHEMA, id_cols=["url"])),
+    )
+
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        bench(name, lambda fn=fn: _run(fn(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(PAGES_ROWS / timings["validate_pages_fast"]) if timings.get("validate_pages_fast") else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cores,
+                "pages_rows": PAGES_ROWS,
+                "docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

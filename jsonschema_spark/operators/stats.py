@@ -1,0 +1,115 @@
+"""Table-level column statistics — one-pass profiles, quantiles, drift.
+
+The reference has no table-level aggregation (SURVEY.md §2.6); these
+operators generalize its per-row checks to table scale per the north_rule:
+per-partition one-pass sketches (count / null-rate / min-max / distinct),
+quantiles, and KS-style categorical drift against a baseline split.
+
+Two variants throughout:
+- ``exact=True``  — exact aggregates, used by the DuckDB-oracle correctness
+  gate (count_distinct, exact percentile).
+- ``exact=False`` — sketch versions for the 100 TB path
+  (``approx_count_distinct`` = HyperLogLog++, ``percentile_approx`` =
+  t-digest-style). Mergeable, map-side partial, no extra shuffle beyond the
+  final single-row reduce (Spark runs these as partial+final aggregates —
+  the treeAggregate analogue is built into whole-stage agg).
+
+All aggregates for a profile run in ONE pass over the table (one ``agg``),
+so a 100 TB profile costs a single scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def profile_long(df: DataFrame, cols: Optional[Sequence[str]] = None, exact: bool = True) -> DataFrame:
+    """Per-column profile in long format:
+    (column, n, n_null, n_distinct, min_v:string, max_v:string).
+
+    One aggregation pass; ``exact=False`` swaps count_distinct for HLL++.
+    """
+    names = list(cols) if cols is not None else [f.name for f in df.schema.fields]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        col = F.col(c)
+        distinct = F.count_distinct(col) if exact else F.approx_count_distinct(col)
+        aggs += [
+            F.count(col).alias(f"{c}__nn"),
+            distinct.alias(f"{c}__nd"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+            )
+            for c in names
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def numeric_quantiles(
+    df: DataFrame, col: str, ps: Sequence[float] = (0.25, 0.5, 0.75), exact: bool = True
+) -> DataFrame:
+    """Quantiles of a numeric column → rows (pct:int, milli:bigint).
+
+    The value is reported as ``floor(value*1000)`` so exact mode compares
+    bit-stable against the SQL oracle (both engines use linear interpolation;
+    the milli-floor absorbs float formatting, not semantics). ``exact=False``
+    uses ``percentile_approx`` (t-digest-style sketch) for the scale path.
+    """
+    src = F.col(col).cast("double")
+    if exact:
+        q = F.percentile(src, F.lit(list(ps)))
+    else:
+        q = F.percentile_approx(src, F.lit(list(ps)), F.lit(10000))
+    one = df.agg(q.alias("qs"))
+    pcts = [int(round(p * 100)) for p in ps]
+    pairs = F.arrays_zip(F.lit(pcts).alias("pct"), F.col("qs").alias("v"))
+    return (
+        one.select(F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.pct").alias("pct"),
+            F.floor(F.col("r.v") * 1000).cast("long").alias("milli"),
+        )
+    )
+
+
+def category_drift(df: DataFrame, col: str, split: Column) -> DataFrame:
+    """Categorical distribution drift between two row populations of the
+    same table (baseline = ``split`` true, current = false) — the KS-style
+    check from the north_rule, in exact integer arithmetic:
+
+    per category: (category, n_base, n_cur, diff_ppm) where diff_ppm =
+    floor(|n_base*tot_cur - n_cur*tot_base| * 1e6 / (tot_base*tot_cur)) —
+    the L1 share difference in parts-per-million, exactly (no float).
+
+    One pass: conditional-sum aggregation, then totals via a single-row
+    cross join (broadcast — no shuffle of the grouped result).
+    """
+    grouped = df.groupBy(F.col(col).alias("category")).agg(
+        F.sum(F.when(split, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(split, 0).otherwise(1)).alias("n_cur"),
+    )
+    totals = grouped.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_cur").alias("tot_cur")
+    )
+    j = grouped.crossJoin(F.broadcast(totals))
+    diff = F.abs(F.col("n_base") * F.col("tot_cur") - F.col("n_cur") * F.col("tot_base"))
+    return j.select(
+        "category",
+        "n_base",
+        "n_cur",
+        F.floor(diff * 1000000 / (F.col("tot_base") * F.col("tot_cur"))).cast("long").alias("diff_ppm"),
+    )

@@ -45,15 +45,19 @@ def annotate(
     doc_col: Optional[str] = None,
     valid_col: str = "valid",
     violations_col: str = "violations",
+    short_circuit: bool = True,
 ) -> DataFrame:
-    """Exhaustive validation: adds `valid` boolean + `violations` array."""
+    """Exhaustive validation: adds `valid` boolean + `violations` array.
+
+    ``short_circuit=True`` follows the reference's LogicalAnd first-failure
+    reporting; ``False`` reports every failing conjunct (oracle-friendly)."""
     cs = _as_compiled(schema)
     if doc_col is None:
-        compiled = cs.compile_flat(df.schema, mode="exhaustive")
+        compiled = cs.compile_flat(df.schema, mode="exhaustive", short_circuit=short_circuit)
         ok, viols = B(compiled.ok), compiled.viols_col()
     else:
         v = F.try_parse_json(F.col(doc_col))
-        compiled = cs.compile_variant(v, mode="exhaustive")
+        compiled = cs.compile_variant(v, mode="exhaustive", short_circuit=short_circuit)
         # NULL document string == unparseable: both fail with the parse message
         parse_ok = v.isNotNull()
         ok = parse_ok & B(compiled.ok)
@@ -93,11 +97,12 @@ def violations(
     schema: Union[dict, bool, CompiledSchema],
     id_cols: Sequence[str],
     doc_col: Optional[str] = None,
+    short_circuit: bool = True,
 ) -> DataFrame:
     """Violation rows: (id_cols..., keywordLocation, absoluteKeywordLocation,
     instanceLocation, error) — one row per failed assertion, in evaluation
     order. Only failing rows are exploded."""
-    annotated = annotate(df, schema, doc_col=doc_col)
+    annotated = annotate(df, schema, doc_col=doc_col, short_circuit=short_circuit)
     exploded = (
         annotated.filter(~F.col("valid"))
         .select(*id_cols, F.posexplode("violations").alias("_pos", "_v"))

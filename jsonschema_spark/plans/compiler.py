@@ -698,18 +698,22 @@ class CompiledSchema:
         if isinstance(self.schema, dict):
             self.base_uri = self.schema.get("$id", self.base_uri)
 
-    def _cfg(self, mode: str) -> Config:
-        return Config(self.base_uri, mode, self.format_assertion, self.schema)
+    def _cfg(self, mode: str, short_circuit: bool = True) -> Config:
+        return Config(self.base_uri, mode, self.format_assertion, self.schema, short_circuit)
 
-    def compile_flat(self, df_schema: T.StructType, mode: str = "exhaustive") -> Compiled:
+    def compile_flat(
+        self, df_schema: T.StructType, mode: str = "exhaustive", short_circuit: bool = True
+    ) -> Compiled:
         """Compile against a flat DataFrame row (columns = properties)."""
         ctx = FlatRowCtx(df_schema)
-        return compile_node(self.schema, ctx, "", self._cfg(mode))
+        return compile_node(self.schema, ctx, "", self._cfg(mode, short_circuit))
 
-    def compile_variant(self, doc_col: Column, mode: str = "exhaustive") -> Compiled:
+    def compile_variant(
+        self, doc_col: Column, mode: str = "exhaustive", short_circuit: bool = True
+    ) -> Compiled:
         """Compile against a VARIANT column holding parsed JSON documents."""
         ctx = VariantCtx(doc_col, "")
-        return compile_node(self.schema, ctx, "", self._cfg(mode))
+        return compile_node(self.schema, ctx, "", self._cfg(mode, short_circuit))
 
 
 def compile_schema(schema: Union[dict, bool], base_uri: str = "", format_assertion: bool = True) -> CompiledSchema:

@@ -174,6 +174,90 @@ def q_binary_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup family (documents) ------------------------------------------------
+# unigram shingles on this synthetic corpus (32-word vocabulary → real overlap)
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import minhash_signature
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signature(F.col("text"), k=12, shingle_n=1)
+    return d.select("doc_id", F.posexplode(sig).alias("seed", "mh")).withColumn(
+        "seed", F.col("seed").cast("long")
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text", k=12, bands=6, shingle_n=1)
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=1, min_ppm=990000)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import simhash
+
+    return _docs(spark, sf_dir).select("doc_id", simhash(F.col("text"), 32).alias("sim"))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", bits=32, n_bands=4, max_hamming=3)
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", min_cos_micro=450000)
+
+
+# --- similarity search (embeddings) -------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.similarity import topk_bruteforce
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return topk_bruteforce(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.similarity import topk_signlsh
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return topk_signlsh(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, sign_bits=8)
+
+
+# --- text analysis (documents) -------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.textstats import text_quality
+
+    out = text_quality(_docs(spark, sf_dir), "doc_id", "text")
+    return out.withColumn("is_quality", F.col("is_quality").cast("int"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.textstats import langid
+
+    return langid(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -279,6 +363,173 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
 FROM events GROUP BY 1, 2
 """
 
+# --- dedup / similarity / textstats oracle fragments ---------------------------
+# portable 56-bit hash (md5-prefix), identical to dedup.hash56
+
+
+def _h56(s: str) -> str:
+    return f"('0x'||substr(md5({s}),1,14))::BIGINT"
+
+
+_TOKS = (
+    "CASE WHEN length(trim(text))=0 THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+_DOC_TOKS = f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"
+# unigram shingles = distinct tokens
+_DOC_SH = f"{_DOC_TOKS}, sh AS (SELECT doc_id, list_distinct(toks) AS s FROM t)"
+
+_MINHASH_SIG_SQL = f"""
+{_DOC_SH}
+SELECT doc_id, j::BIGINT AS seed,
+       list_min([{_h56("j::VARCHAR||':'||x")} for x in s]) AS mh
+FROM sh, (SELECT unnest(range(0, 12)) AS j)
+"""
+
+_SIG12 = "[" + ", ".join(
+    "list_min([" + _h56(f"'{j}:'||x") + " for x in s])" for j in range(12)
+) + "]"
+
+_MINHASH_PAIRS_SQL = f"""
+{_DOC_SH},
+sig AS (SELECT doc_id, {_SIG12} AS sig FROM sh WHERE len(s) > 0),
+bands AS (
+  SELECT doc_id, b.j AS band,
+         sig[2*b.j+1]::VARCHAR || '_' || sig[2*b.j+2]::VARCHAR AS band_key
+  FROM sig, (SELECT unnest(range(0, 6)) AS j) b
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+_JACCARD_SQL = f"""
+{_DOC_SH},
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       floor(n_common * 1000000 / (sa.n + sb.n - n_common))::BIGINT AS jaccard_ppm
+FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE floor(n_common * 1000000 / (sa.n + sb.n - n_common))::BIGINT >= 990000
+"""
+
+_SIMHASH_EXPR = (
+    "list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs) "
+    "THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)])::BIGINT"
+)
+_SIMHASH_BASE = f"""
+{_DOC_TOKS},
+h AS (SELECT doc_id, list_transform(toks, x -> {_h56("x")}) AS hs FROM t),
+simt AS (SELECT doc_id, coalesce({_SIMHASH_EXPR}, 0) AS sim FROM h)
+"""
+
+_SIMHASH_SQL = f"{_SIMHASH_BASE} SELECT doc_id, sim FROM simt"
+
+_SIMHASH_PAIRS_SQL = f"""
+{_SIMHASH_BASE},
+bands AS (
+  SELECT doc_id, sim, b.j AS band, (sim >> (8*b.j)) & 255 AS key
+  FROM simt, (SELECT unnest(range(0, 4)) AS j) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming::BIGINT AS hamming FROM pairs WHERE hamming <= 3
+"""
+
+_QEMB = "WITH q AS (SELECT vec_id, [floor(x::DOUBLE*100)::BIGINT for x in embedding] AS qe FROM embeddings)"
+_COS_MICRO = (
+    "floor(1000000.0 * list_sum([a.qe[i]*b.qe[i] for i in range(1,65)])::DOUBLE / "
+    "sqrt((list_sum([a.qe[i]*a.qe[i] for i in range(1,65)]) * "
+    "list_sum([b.qe[i]*b.qe[i] for i in range(1,65)]))::DOUBLE))::BIGINT"
+)
+
+_EMB_PAIRS_SQL = f"""
+{_QEMB}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_MICRO} AS cos_micro
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE {_COS_MICRO} >= 450000
+"""
+
+_ANN_TOPK_SQL = f"""
+{_QEMB},
+s AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_COS_MICRO} AS cos_micro
+  FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+)
+SELECT q_id, neighbor_id, rnk::BIGINT AS rnk, cos_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id ASC) AS rnk
+  FROM s) WHERE rnk <= 5
+"""
+
+_SIGN_BUCKET = "list_sum([CASE WHEN {v}.embedding[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END for i in range(0,8)])"
+
+_ANN_TOPK_LSH_SQL = f"""
+{_QEMB},
+qb AS (SELECT q.*, {_SIGN_BUCKET.format(v="e")} AS bkt
+       FROM q JOIN embeddings e USING (vec_id)),
+s AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_COS_MICRO} AS cos_micro
+  FROM qb a JOIN qb b ON a.vec_id < 10 AND b.vec_id != a.vec_id AND a.bkt = b.bkt
+)
+SELECT q_id, neighbor_id, rnk::BIGINT AS rnk, cos_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id ASC) AS rnk
+  FROM s) WHERE rnk <= 5
+"""
+
+_STOPWORDS_SQL = "('the','a','and','of','to','in','is','it')"
+
+_TEXT_QUALITY_SQL = f"""
+{_DOC_TOKS},
+m AS (
+  SELECT d.doc_id, len(t.toks) AS n_tokens,
+         coalesce(list_sum(list_transform(t.toks, x -> length(x)))::BIGINT, 0) AS sum_token_len,
+         floor(length(regexp_replace(regexp_replace(d.text, '[\\p{{L}}\\p{{N}}]', '', 'g'), '\\s', '', 'g'))
+               * 1000000 / greatest(length(d.text), 1))::BIGINT AS punct_ppm,
+         floor(len(list_filter(t.toks, x -> x IN {_STOPWORDS_SQL}))
+               * 1000000 / greatest(len(t.toks), 1))::BIGINT AS stopword_ppm
+  FROM documents d JOIN t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens, sum_token_len, punct_ppm, stopword_ppm,
+       CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 AND punct_ppm < 300000 AND stopword_ppm > 0
+            THEN 1 ELSE 0 END AS is_quality
+FROM m
+"""
+
+
+def _langid_sql() -> str:
+    from jsonschema_spark.operators.textstats import LANG_MARKERS
+
+    scores = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    ordered = sorted(scores)
+    best = f"greatest({', '.join(scores[lg] for lg in ordered)})"
+    pred = "CASE " + " ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in ordered
+    ) + " END"
+    return f"""
+{_DOC_TOKS}
+SELECT doc_id, {pred} AS pred_lang, {best}::BIGINT AS score FROM t
+"""
+
+
+_FINGERPRINT_SQL = f"""
+{_DOC_TOKS}
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> {_h56("x")})),
+                   (acc, h) -> (acc*31 + h) % 1000000007) AS fp
+FROM t
+"""
+
 
 # ---------------------------------------------------------------------------
 # Contract functions
@@ -307,6 +558,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orders_customer": q_referential_orders_customer,
         "events_hourly": q_events_hourly,
         "binary_sha256": q_binary_sha256,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -348,4 +610,15 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "binary_sha256": """
             SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS sha FROM documents""",
+        "dedup_minhash_sig": _MINHASH_SIG_SQL,
+        "dedup_minhash_pairs": _MINHASH_PAIRS_SQL,
+        "dedup_jaccard_pairs": _JACCARD_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "dedup_embedding_pairs": _EMB_PAIRS_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "langid": _langid_sql(),
+        "fingerprint": _FINGERPRINT_SQL,
     }

@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's per-row ``uniqueItems`` (SURVEY.md §2.6), these are
+the table-scale dedup family a 100 TB corpus pipeline needs: exact
+(hash-groupBy), MinHash + LSH banding, SimHash with hamming banding, word
+n-gram Jaccard, and quantized-embedding cosine near-dup.
+
+Engine-portability: every hash is the *portable 56-bit md5 prefix*
+(``conv(substr(md5(s),1,14),16,10)``) so the DuckDB oracle computes the
+exact same signatures; ratios are reported in integer parts-per-million to
+keep value-hashes bit-stable across engines.
+
+Scale notes (100 TB path):
+- everything is expression-only (no Python): codegen end-to-end;
+- LSH banding turns the O(n²) pair space into per-bucket joins; the band
+  join keys are high-entropy hashes, so the shuffle is uniform unless the
+  corpus has giant exact-dup clusters — for those, exact-dedup FIRST (cheap
+  groupBy on full-text hash), then MinHash on the survivors;
+- signatures are one `select` over the scan — no shuffle until the
+  candidate join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def hash56(col: Column) -> Column:
+    """Portable 56-bit hash: first 14 hex chars of md5, base-16 → long.
+    Identical in Spark and DuckDB (and any engine with md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    t = F.split(F.trim(F.lower(text)), TOKEN_RE)
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(t)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined)."""
+    toks = tokens(text)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per distinct text (hash-groupBy —
+    one shuffle on a uniform 128-bit key; no skew by construction)."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_key")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def _minhash_one(sh: Column, j: int) -> Column:
+    prefix = f"{j}:"
+    return F.array_min(F.transform(sh, lambda s: hash56(F.concat(F.lit(prefix), s))))
+
+
+def minhash_signature(text: Column, k: int = 12, shingle_n: int = 3) -> Column:
+    """Array of k MinHash values: min over shingles of hash56(seed:shingle)."""
+    sh = word_shingles(text, shingle_n)
+    return F.array(*[_minhash_one(sh, j) for j in range(k)])
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of (band_idx, band_key) structs; band_key = joined slice."""
+    entries = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        key = F.array_join(F.transform(sl, lambda x: x.cast("string")), "_")
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return F.array(*entries)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band → (id_a, id_b,
+    n_shared_bands). Null/shingle-less docs never produce candidates.
+
+    Plan: one scan → signature select → explode bands (k/bands values per
+    band) → self-equi-join on (band, band_key) — a hash join on uniform
+    keys; AQE handles residual bucket skew."""
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), k, shingle_n).alias("_sig"),
+        (F.size(word_shingles(F.col(text_col), shingle_n)) > 0).alias("_has"),
+    ).filter(F.col("_has"))
+    bandsdf = sig.select(
+        "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows_per_band)).alias("b")
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_ppm: int = 0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle:
+    (id_a, id_b, n_common, jaccard_ppm). jaccard_ppm =
+    floor(1e6 * |A∩B| / (|A|+|B|-|A∩B|)) — integer-exact.
+
+    Plan: explode distinct shingles → self-join on shingle (the inverted-
+    index join) → pair-count agg → join back per-doc set sizes. At corpus
+    scale run this only on LSH candidates; standalone it is quadratic in
+    the hot-shingle bucket (document frequency cutoffs recommended)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
+    inv = sh.select("_id", F.explode("_sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.floor(
+                F.col("n_common") * 1000000 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return out.filter(F.col("jaccard_ppm") >= min_ppm) if min_ppm else out
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over the token multiset: bit b set iff strictly more token
+    hashes have bit b set than clear."""
+    hs = F.transform(tokens(text), lambda t: hash56(t))
+    n = F.size(hs)
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter(hs, _bit_set(b)))
+        total = total + F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return total
+
+
+def _bit_set(b: int):
+    return lambda h: F.shiftrightunsigned(h, b).bitwiseAND(1) == 1
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: docs sharing ≥1 of n_bands
+    byte-chunks, with hamming(sim_a, sim_b) ≤ max_hamming →
+    (id_a, id_b, hamming). Banding guarantees recall for
+    hamming < n_bands (pigeonhole)."""
+    chunk = bits // n_bands
+    mask = (1 << chunk) - 1
+    sim = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_sim"))
+    bandsdf = sim.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_sim"), i * chunk).bitwiseAND(mask).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_sim", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+
+def quantize_embedding(vec: Column, scale: int = 100) -> Column:
+    """float array → integer array (floor(x*scale)) for exact cross-engine
+    arithmetic."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine_micro(a: Column, b: Column) -> Column:
+    """floor(1e6 * cos(a,b)) on quantized vectors — deterministic IEEE
+    double ops on exact integer inputs, identical across engines."""
+    d = dot_q(a, b).cast("double")
+    na, nb = dot_q(a, a), dot_q(b, b)
+    return F.floor(F.lit(1000000.0) * d / F.sqrt((na * nb).cast("double"))).cast("long")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, min_cos_micro: int = 450000, scale: int = 100
+) -> DataFrame:
+    """All pairs with quantized cosine ≥ threshold → (id_a, id_b,
+    cos_micro). Brute-force O(n²) — correct baseline; at corpus scale
+    prefilter with sign-LSH buckets (similarity.topk_signlsh) first."""
+    q = df.select(
+        F.col(id_col).alias("_id"), quantize_embedding(F.col(vec_col), scale).alias("_q")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    pairs = a.join(b, F.col("a._id") < F.col("b._id")).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        cosine_micro(F.col("a._q"), F.col("b._q")).alias("cos_micro"),
+    )
+    return pairs.filter(F.col("cos_micro") >= min_cos_micro)

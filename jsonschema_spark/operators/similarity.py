@@ -1,0 +1,88 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the correctness baseline; the scale path is a
+sign-LSH bucketed variant (random-hyperplane sketch degenerates to
+coordinate signs for the first ``sign_bits`` dims — deterministic and
+engine-portable). Both are pure DataFrame plans:
+
+- queries are broadcast (small side) → no shuffle of the corpus;
+- ranking = window row_number per query, partial top-k pushed map-side by
+  AQE when k << partition size;
+- all scoring in quantized-integer space (dedup.cosine_micro) so results
+  hash-match the SQL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from jsonschema_spark.operators.dedup import cosine_micro, quantize_embedding
+
+
+def _scored(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col), scale).alias("_cq")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), quantize_embedding(F.col(vec_col), scale).alias("_qq")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", cosine_micro(F.col("_qq"), F.col("_cq")).alias("cos_micro"))
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_micro").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "rnk", "cos_micro")
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5, scale: int = 100
+) -> DataFrame:
+    """Exact top-k by quantized cosine → (q_id, neighbor_id, rnk,
+    cos_micro); ties broken by neighbor_id (deterministic)."""
+    return _topk(_scored(corpus, queries, id_col, vec_col, scale), k)
+
+
+def sign_bucket(vec: Column, sign_bits: int = 8) -> Column:
+    """LSH bucket = sign bits of the first ``sign_bits`` coordinates."""
+    total = F.lit(0).cast("long")
+    for i in range(sign_bits):
+        total = total + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return total
+
+
+def topk_signlsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    sign_bits: int = 8,
+    scale: int = 100,
+) -> DataFrame:
+    """Bucketed ANN: candidates restricted to the query's sign-LSH bucket,
+    then exact rescoring + top-k inside the bucket. At corpus scale the
+    bucket join replaces the broadcast-crossJoin with a hash join keyed on
+    the bucket (2^sign_bits-way partition pruning of the pair space)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_embedding(F.col(vec_col), scale).alias("_cq"),
+        sign_bucket(F.col(vec_col), sign_bits).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_embedding(F.col(vec_col), scale).alias("_qq"),
+        sign_bucket(F.col(vec_col), sign_bits).alias("_qbkt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), (F.col("_bkt") == F.col("_qbkt")) & (F.col("q_id") != F.col("neighbor_id")))
+        .select("q_id", "neighbor_id", cosine_micro(F.col("_qq"), F.col("_cq")).alias("cos_micro"))
+    )
+    return _topk(scored, k)

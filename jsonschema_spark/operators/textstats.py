@@ -1,0 +1,107 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All ratios are integer parts-per-million over exact integer counts, so the
+DuckDB oracle hash-matches. Everything is JVM expressions (split/filter/
+aggregate) — zero Python in the hot path; one `select` per document pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from jsonschema_spark.operators.dedup import hash56, tokens
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+# tiny marker-word profiles for the n-gram-free language-ID heuristic;
+# deterministic over any vocabulary (scores may tie → ordered tie-break)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "das", "ist"],
+    "en": ["the", "and", "of", "to", "is", "it"],
+    "es": ["el", "la", "de", "que", "es", "los"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+FP_PRIME = 1000000007
+FP_MULT = 31
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def sum_token_len(text: Column) -> Column:
+    return F.aggregate(
+        F.transform(tokens(text), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def punct_ppm(text: Column) -> Column:
+    """Non-alphanumeric, non-space code points per million."""
+    stripped = F.regexp_replace(F.regexp_replace(text, r"[\p{L}\p{N}]", ""), r"\s", "")
+    return F.floor(F.length(stripped) * 1000000 / F.greatest(F.length(text), F.lit(1))).cast("long")
+
+
+def stopword_ppm(text: Column) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.floor(hits * 1000000 / F.greatest(F.size(toks), F.lit(1))).cast("long")
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, sum_token_len, punct_ppm, stopword_ppm, is_quality) —
+    heuristic quality gate: enough tokens, sane punctuation density,
+    some stopword mass (natural language, not boilerplate)."""
+    t = F.col(text_col)
+    n = token_count(t)
+    pp = punct_ppm(t)
+    sp = stopword_ppm(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        sum_token_len(t).alias("sum_token_len"),
+        pp.alias("punct_ppm"),
+        sp.alias("stopword_ppm"),
+        ((n >= 5) & (n <= 100000) & (pp < 300000) & (sp > 0)).alias("is_quality"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: per-language hit count over the token
+    multiset; argmax with language-name-ascending tie-break →
+    (doc_id, pred_lang, score)."""
+    toks = tokens(F.col(text_col))
+
+    def score(ws: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+
+    scores = {lang: score(ws) for lang, ws in LANG_MARKERS.items()}
+    ordered = sorted(scores)  # tie-break: first language in asc order wins
+    best_lang = F.lit(ordered[0])
+    best_score = scores[ordered[0]]
+    for lang in ordered[1:]:
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return df.select(
+        F.col(id_col).alias("doc_id"), best_lang.alias("pred_lang"), best_score.cast("long").alias("score")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over token hash56s:
+    fold(acc*31 + h) mod 1e9+7 — an order-sensitive document fingerprint
+    (content AND sequence), unlike the order-free MinHash."""
+    hs = F.transform(tokens(text), lambda t: hash56(t))
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_MULT + h) % FP_PRIME,
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))

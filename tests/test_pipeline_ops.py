@@ -1,0 +1,108 @@
+"""Semantics tests for the training-data pipeline operators (dedup,
+similarity, textstats) on planted fixtures — the oracle harness checks
+engine parity; these check the *math* is right."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from jsonschema_spark.operators.similarity import topk_bruteforce, topk_signlsh
+from jsonschema_spark.operators.textstats import fingerprints, langid, text_quality
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+        (4, "completely different words about spark engines and parquet columns here"),
+        (5, "el perro y el gato y la casa de la madre es blanca"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(docs):
+    kept = {r["keep_id"]: r["n_copies"] for r in dedup_exact(docs, "text", "doc_id").collect()}
+    assert kept[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in kept and kept[3] == 1
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=6).collect()}
+    assert pairs[(1, 2)] == 6  # identical docs share every band
+    assert (1, 3) in pairs  # near dup shares at least one band
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_jaccard_pairs_exact_values(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard_ppm"] for r in jaccard_pairs(docs, "doc_id", "text", shingle_n=3).collect()}
+    assert out[(1, 2)] == 1000000
+    # doc1/doc3: 11 shingles each, 10 common → 10/12
+    assert out[(1, 3)] == int(10 * 1000000 / 12)
+    assert (1, 4) not in out
+
+
+def test_simhash_pairs(docs):
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and out[(1, 3)] <= 10
+    assert (1, 4) not in out
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup(vecs):
+    out = {(r["id_a"], r["id_b"]): r["cos_micro"] for r in embedding_near_dup_pairs(vecs, "vec_id", "embedding", min_cos_micro=900000).collect()}
+    assert list(out) == [(1, 2)]
+    assert out[(1, 2)] > 990000
+
+
+def test_topk_bruteforce_ranks_by_cosine(vecs):
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = [(r["neighbor_id"], r["rnk"]) for r in topk_bruteforce(vecs, q, "vec_id", "embedding", k=3).orderBy("rnk").collect()]
+    assert out[0] == (2, 1)  # closest
+    assert out[-1] == (4, 3)  # opposite vector last
+
+
+def test_topk_signlsh_restricts_to_bucket(vecs):
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = {r["neighbor_id"] for r in topk_signlsh(vecs, q, "vec_id", "embedding", k=3, sign_bits=4).collect()}
+    # sign buckets: v1=(+,+,+,+)→15 with >=0 ... v4 has bit0 clear → different bucket
+    assert 4 not in out and 2 in out
+
+
+def test_text_quality_counts(docs):
+    r = {x["doc_id"]: x for x in text_quality(docs, "doc_id", "text").collect()}
+    assert r[1]["n_tokens"] == 13
+    assert r[1]["stopword_ppm"] > 0 and bool(r[1]["is_quality"])
+
+
+def test_langid_markers(docs):
+    preds = {r["doc_id"]: r["pred_lang"] for r in langid(docs, "doc_id", "text").collect()}
+    assert preds[1] == "en"
+    assert preds[5] == "es"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprints(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[3] and fp[1] != fp[2]

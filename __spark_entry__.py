@@ -188,16 +188,33 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-duplicates (first token dropped) of the
+    first 50 docs — gives the pair queries real positives while 3-gram
+    shingling keeps the candidate space scale-sane (no degenerate
+    buckets, unlike unigrams on this tiny synthetic vocabulary)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+\s*", "").alias("text"),
+    )
+    return d.unionAll(mut)
+
+
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text", k=12, bands=6, shingle_n=1)
+    return minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir), "doc_id", "text", k=12, bands=6, shingle_n=3
+    )
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", shingle_n=1, min_ppm=990000)
+    return jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), "doc_id", "text", shingle_n=3, min_ppm=500000
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,8 +393,23 @@ _TOKS = (
     "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 )
 _DOC_TOKS = f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"
-# unigram shingles = distinct tokens
+# unigram shingles = distinct tokens (signature query: per-doc, never joins)
 _DOC_SH = f"{_DOC_TOKS}, sh AS (SELECT doc_id, list_distinct(toks) AS s FROM t)"
+
+# documents ∪ planted near-dups, 3-gram shingles (pair queries)
+_AUG = (
+    "aug AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s*', '') "
+    "FROM documents WHERE doc_id < 50)"
+)
+_AUG_TOKS = _TOKS.replace("text", "aug.text")
+_AUG_SH = f"""WITH {_AUG},
+t AS (SELECT doc_id, {_AUG_TOKS} AS toks FROM aug),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-2+1)])
+            ELSE []::VARCHAR[] END AS s FROM t)"""
 
 _MINHASH_SIG_SQL = f"""
 {_DOC_SH}
@@ -391,7 +423,7 @@ _SIG12 = "[" + ", ".join(
 ) + "]"
 
 _MINHASH_PAIRS_SQL = f"""
-{_DOC_SH},
+{_AUG_SH},
 sig AS (SELECT doc_id, {_SIG12} AS sig FROM sh WHERE len(s) > 0),
 bands AS (
   SELECT doc_id, b.j AS band,
@@ -404,7 +436,7 @@ GROUP BY 1, 2
 """
 
 _JACCARD_SQL = f"""
-{_DOC_SH},
+{_AUG_SH},
 sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
 inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
 common AS (
@@ -414,7 +446,7 @@ common AS (
 SELECT id_a, id_b, n_common,
        floor(n_common * 1000000 / (sa.n + sb.n - n_common))::BIGINT AS jaccard_ppm
 FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE floor(n_common * 1000000 / (sa.n + sb.n - n_common))::BIGINT >= 990000
+WHERE floor(n_common * 1000000 / (sa.n + sb.n - n_common))::BIGINT >= 500000
 """
 
 _SIMHASH_EXPR = (

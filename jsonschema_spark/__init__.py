@@ -24,6 +24,18 @@ from jsonschema_spark.operators.validate import (
     verdict_counts,
 )
 from jsonschema_spark.plans.compiler import compile_schema, CompiledSchema
+from jsonschema_spark.plans.codegen import struct_type_for
+from jsonschema_spark.plans.inspect import explain_schema, inspect_schema
+from jsonschema_spark.plans.lint import lint_fix, lint_schema
+from jsonschema_spark.plans.metaschema import is_valid_schema, metaschema_errors
+from jsonschema_spark.plans.serialize import (
+    dump_plan,
+    load_plan,
+    plan_from_json,
+    plan_to_json,
+    schema_fingerprint,
+)
+from jsonschema_spark.operators.testrunner import run_suite, run_suites
 
 __version__ = "0.1.0"
 
@@ -34,5 +46,19 @@ __all__ = [
     "verdict_counts",
     "compile_schema",
     "CompiledSchema",
+    "struct_type_for",
+    "explain_schema",
+    "inspect_schema",
+    "lint_schema",
+    "lint_fix",
+    "is_valid_schema",
+    "metaschema_errors",
+    "plan_to_json",
+    "plan_from_json",
+    "dump_plan",
+    "load_plan",
+    "schema_fingerprint",
+    "run_suite",
+    "run_suites",
     "__version__",
 ]

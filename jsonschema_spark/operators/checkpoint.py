@@ -1,0 +1,126 @@
+"""Resumable validation runs — per-partition manifest with lineage + metrics.
+
+The north_rule requires runs resumable from a checkpointed per-partition
+manifest (the analogue of the reference's precompiled-template hand-off,
+SURVEY.md §3.3). Model:
+
+- the input is partitioned by a coarse column (e.g. ``days(warc_ts)`` —
+  Iceberg-style partition spec);
+- one manifest JSON per partition value, written AFTER that partition's
+  output commits: ``{partition, n_rows, n_valid, n_invalid, min_id,
+  max_id, schema_fingerprint, input_path, engine_version}``;
+- on restart, completed partitions are read from the manifest dir and
+  filtered out of the scan *before* the job runs — partition pruning makes
+  the skip free (the filter reaches the source; no data read for done
+  partitions);
+- a changed schema fingerprint invalidates all manifests (full rerun).
+
+The whole TODO set still runs as ONE Spark job (no driver-side
+per-partition loop): filter → validate → write partitioned → per-partition
+metrics agg → manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.plans.serialize import schema_fingerprint
+
+ENGINE_VERSION = "0.1.0"
+
+
+@dataclass
+class RunResult:
+    processed_partitions: list
+    skipped_partitions: list
+    metrics: dict
+
+
+def _manifest_path(manifest_dir: str, value) -> str:
+    return os.path.join(manifest_dir, f"part-{value}.json")
+
+
+def load_completed(manifest_dir: str, fingerprint: str) -> list:
+    """Partition values with a manifest matching the schema fingerprint."""
+    if not os.path.isdir(manifest_dir):
+        return []
+    done = []
+    for name in os.listdir(manifest_dir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(manifest_dir, name)) as f:
+            m = json.load(f)
+        if m.get("schema_fingerprint") == fingerprint:
+            done.append(m["partition"])
+    return done
+
+
+def run_validation_checkpointed(
+    df: DataFrame,
+    schema: Union[dict, bool],
+    partition_col: str,
+    out_dir: str,
+    manifest_dir: str,
+    input_path: Optional[str] = None,
+) -> RunResult:
+    """Validate ``df`` partition-wise with resume-on-restart.
+
+    Completed partitions (matching manifests) are pruned from the scan;
+    the remainder runs as one job writing verdict-annotated output
+    partitioned by ``partition_col``, then one aggregate pass emits
+    per-partition metrics manifests.
+    """
+    fp = schema_fingerprint(schema)
+    done = load_completed(manifest_dir, fp)
+    todo_df = df.filter(~F.col(partition_col).isin(done)) if done else df
+
+    annotated = validate(todo_df, schema)
+    (
+        annotated.write.partitionBy(partition_col)
+        .mode("append")
+        .parquet(out_dir)
+    )
+
+    metrics_rows = (
+        # one aggregate pass over the already-written output — re-reading
+        # the committed files (not the input) makes the manifest reflect
+        # exactly what landed on disk
+        annotated.sparkSession.read.parquet(out_dir)
+        .filter(~F.col(partition_col).isin(done) if done else F.lit(True))
+        .groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+        )
+        .collect()
+    )
+
+    os.makedirs(manifest_dir, exist_ok=True)
+    processed = []
+    metrics = {}
+    for r in metrics_rows:
+        value = r[partition_col]
+        m = {
+            "partition": value,
+            "partition_col": partition_col,
+            "n_rows": r["n_rows"],
+            "n_valid": r["n_valid"],
+            "n_invalid": r["n_invalid"],
+            "schema_fingerprint": fp,
+            "input_path": input_path,
+            "engine_version": ENGINE_VERSION,
+        }
+        tmp = _manifest_path(manifest_dir, value) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, _manifest_path(manifest_dir, value))  # atomic commit
+        processed.append(value)
+        metrics[str(value)] = {"n_rows": r["n_rows"], "n_valid": r["n_valid"]}
+    return RunResult(processed, done, metrics)

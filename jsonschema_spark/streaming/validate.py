@@ -1,0 +1,79 @@
+"""Structured-Streaming validation — continuous verdicts over a stream.
+
+The compiled schema is pure Column expressions, so the SAME plan runs on
+a streaming DataFrame unchanged (`validate`/`annotate` are
+stream-compatible by construction — stateless projections). This module
+adds the stateful stream pieces: watermarked windowed verdict aggregation
+(late-data-tolerant per-window pass/fail counts) and a violation stream.
+
+At scale: the windowed agg is the only stateful operator; state size =
+(#windows in watermark horizon × #groups) counters, bounded by the
+watermark. Output mode 'update' for live dashboards, 'append' for sinks
+that need finalized windows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from jsonschema_spark.operators.validate import annotate, validate
+from jsonschema_spark.plans.compiler import CompiledSchema
+
+
+def validate_stream(
+    sdf: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    doc_col: Optional[str] = None,
+    valid_col: str = "valid",
+) -> DataFrame:
+    """Add the boolean verdict to a streaming DataFrame (stateless)."""
+    return validate(sdf, schema, doc_col=doc_col, valid_col=valid_col)
+
+
+def windowed_verdict_counts(
+    sdf: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    ts_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    by: Sequence[str] = (),
+    doc_col: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling-window pass/fail counts with a watermark for late data:
+    (window_start, window_end, by..., n_rows, n_valid, n_invalid)."""
+    v = validate(sdf, schema, doc_col=doc_col)
+    agg = (
+        v.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *by)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+        )
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *by,
+        "n_rows",
+        "n_valid",
+        "n_invalid",
+    )
+
+
+def violation_stream(
+    sdf: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    id_cols: Sequence[str],
+    doc_col: Optional[str] = None,
+) -> DataFrame:
+    """Streaming violation rows (stateless explode of failing rows)."""
+    annotated = annotate(sdf, schema, doc_col=doc_col)
+    return (
+        annotated.filter(~F.col("valid"))
+        .select(*id_cols, F.explode("violations").alias("_v"))
+        .select(*id_cols, "_v.keywordLocation", "_v.absoluteKeywordLocation",
+                "_v.instanceLocation", "_v.error")
+    )

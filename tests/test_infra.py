@@ -1,0 +1,235 @@
+"""Tests for referential blooms, checkpoint resume, streaming, readers,
+test runner, lint/metaschema/codegen/inspect/serialize, multimodal."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.checkpoint import run_validation_checkpointed
+from jsonschema_spark.operators.referential import (
+    anti_join_orphans,
+    build_bloom,
+    bloom_might_contain,
+    referential_violations,
+    salted_counts,
+)
+from jsonschema_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+from jsonschema_spark.operators.testrunner import run_suite
+from jsonschema_spark.plans.codegen import struct_type_for
+from jsonschema_spark.plans.inspect import inspect_schema
+from jsonschema_spark.plans.lint import lint_fix, lint_schema
+from jsonschema_spark.plans.metaschema import is_valid_schema, metaschema_errors
+from jsonschema_spark.plans.serialize import (
+    load_plan,
+    dump_plan,
+    plan_from_json,
+    plan_to_json,
+    schema_fingerprint,
+)
+from jsonschema_spark.plans.compiler import compile_schema
+from jsonschema_spark.sources.readers import read_instances, read_jsonl
+from jsonschema_spark.streaming.validate import windowed_verdict_counts
+
+
+# --- referential -------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_parity(spark):
+    dim = spark.range(0, 500).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    fact = spark.range(0, 1000).select(
+        F.col("id"), F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bloom = build_bloom(dim, "k", expected=500, fpp=0.001)
+    probed = fact.withColumn("maybe", bloom_might_contain(spark, bloom, F.col("k"))).collect()
+    for r in probed:
+        if int(r["k"].split("-")[1]) < 500:
+            assert r["maybe"] is True  # bloom NEVER misses a member
+    exact = {r["id"] for r in anti_join_orphans(fact, "k", dim, "k").collect()}
+    with_bloom = {r["id"] for r in referential_violations(spark, fact, "k", dim, "k", bloom).collect()}
+    assert exact == with_bloom == set(range(500, 1000))
+
+
+def test_salted_counts_match_plain(spark):
+    df = spark.createDataFrame([("hot",)] * 50 + [("cold",)] * 3, "k string")
+    got = {r["k"]: r["n"] for r in salted_counts(df, "k", n_salts=8).collect()}
+    assert got == {"hot": 50, "cold": 3}
+
+
+# --- checkpoint resume --------------------------------------------------------
+
+
+def test_checkpoint_resume_skips_done(spark, tmp_path):
+    schema = {"properties": {"v": {"type": "integer", "minimum": 0}}}
+    df = spark.range(0, 100).select(
+        (F.col("id") % 4).alias("day"), (F.col("id") - 50).alias("v")
+    )
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifests")
+    r1 = run_validation_checkpointed(df.filter(F.col("day") < 2), schema, "day", out, man)
+    assert sorted(r1.processed_partitions) == [0, 1] and r1.skipped_partitions == []
+    r2 = run_validation_checkpointed(df, schema, "day", out, man)
+    assert sorted(r2.processed_partitions) == [2, 3]
+    assert sorted(r2.skipped_partitions) == [0, 1]
+    total = spark.read.parquet(out)
+    assert total.count() == 100  # no partition written twice
+    with open(os.path.join(man, "part-0.json")) as f:
+        m = json.load(f)
+    assert m["n_rows"] == 25 and m["schema_fingerprint"] == schema_fingerprint(schema)
+    # changed schema fingerprint ⇒ everything reruns
+    r3 = run_validation_checkpointed(
+        df, {"properties": {"v": {"minimum": 1}}}, "day", str(tmp_path / "out2"), str(tmp_path / "man2")
+    )
+    assert len(r3.processed_partitions) == 4
+
+
+# --- streaming ----------------------------------------------------------------
+
+
+def test_streaming_windowed_verdicts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    batch = spark.createDataFrame(
+        [(i, f"2021-06-01 0{i % 3}:15:00", "ok" if i % 2 else "") for i in range(30)],
+        "id long, ts_s string, text string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    batch.write.parquet(src)
+    schema = {"properties": {"text": {"minLength": 1}}}
+    sdf = spark.readStream.schema(batch.schema).parquet(src)
+    out = windowed_verdict_counts(sdf, schema, "ts", window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("verdicts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r["window_start"]): (r["n_rows"], r["n_valid"]) for r in spark.sql("select * from verdicts").collect()}
+    assert len(rows) == 3
+    assert rows["2021-06-01 00:00:00"] == (10, 5)
+
+
+# --- readers ------------------------------------------------------------------
+
+
+def test_readers_jsonl_and_dir(spark, tmp_path):
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text('{"a": 1}\n\n{"a": 2}\n')
+    assert read_jsonl(spark, str(jl)).count() == 2
+    d = tmp_path / "tree" / "sub"
+    d.mkdir(parents=True)
+    (d / "one.json").write_text('{"a": 1}')
+    (d / "skip.txt").write_text("nope")
+    df = read_instances(spark, str(tmp_path / "tree"))
+    rows = df.collect()
+    assert len(rows) == 1 and json.loads(rows[0]["doc"]) == {"a": 1}
+
+
+# --- test runner --------------------------------------------------------------
+
+
+def test_run_suite_reports(spark):
+    suite = {
+        "target": {"required": ["a"], "properties": {"a": {"type": "integer"}}},
+        "tests": [
+            {"description": "good", "valid": True, "data": {"a": 1}},
+            {"description": "bad type", "valid": False, "data": {"a": "x"}},
+            {"description": "wrong expectation", "valid": True, "data": {}},
+        ],
+    }
+    rep = run_suite(spark, suite)["results"]
+    assert rep["summary"] == {"tests": 3, "passed": 2, "failed": 1}
+    failing = [t for t in rep["tests"] if t["status"] == "failed"][0]
+    assert failing["name"] == "wrong expectation" and failing["errors"]
+
+
+# --- lint / metaschema / codegen / inspect / serialize ------------------------
+
+
+def test_lint_rules_and_fix():
+    schema = {
+        "type": "string",
+        "enum": ["a", "a", "b"],
+        "allOf": [{"minLength": 5, "maxLength": 2}],
+        "if": {"type": "string"},
+    }
+    rules = {f["rule"] for f in lint_schema(schema)}
+    assert {"enum_with_type", "duplicate_enum_values", "unsatisfiable_bounds",
+            "single_branch_combinator", "if_without_consequence"} <= rules
+    fixed = lint_fix(schema)
+    assert "type" not in fixed and fixed["enum"] == ["a", "b"]
+    assert "allOf" not in fixed and fixed["minLength"] == 5 and "if" not in fixed
+
+
+def test_metaschema_errors():
+    assert is_valid_schema({"type": "string", "minLength": 0})
+    errs = metaschema_errors({"type": "str", "minLength": -1, "pattern": "("})
+    assert len(errs) == 3
+    assert not is_valid_schema({"properties": {"a": {"enum": "notalist"}}})
+
+
+def test_codegen_struct_type():
+    st = struct_type_for(
+        {
+            "type": "object",
+            "required": ["id"],
+            "properties": {
+                "id": {"type": "integer"},
+                "name": {"type": "string"},
+                "scores": {"type": "array", "items": {"type": "number"}},
+                "nested": {"type": "object", "properties": {"flag": {"type": "boolean"}}},
+            },
+        }
+    )
+    assert st["id"].dataType.typeName() == "long" and not st["id"].nullable
+    assert st["name"].nullable
+    assert st["scores"].dataType.elementType.typeName() == "double"
+    assert st["nested"].dataType["flag"].dataType.typeName() == "boolean"
+
+
+def test_inspect_strategies(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    entries = inspect_schema(
+        {"type": "object", "properties": {"lang": {"type": "string", "pattern": "^[a-z]+$"}}},
+        docs.schema,
+    )
+    by_loc = {e["keywordLocation"]: e["strategy"] for e in entries}
+    assert by_loc["/properties/lang/type"] == "static"
+    assert by_loc["/properties/lang/pattern"] == "column"
+    assert by_loc["/properties"] == "applicator"
+
+
+def test_plan_serialize_roundtrip(tmp_path):
+    cs = compile_schema({"$id": "https://x/s.json", "type": "object"})
+    doc = plan_to_json(cs)
+    cs2 = plan_from_json(doc)
+    assert cs2.base_uri == "https://x/s.json" and cs2.schema == cs.schema
+    p = str(tmp_path / "plan.json")
+    dump_plan(cs, p)
+    assert load_plan(p).schema == cs.schema
+    doc["schema"]["type"] = "string"
+    with pytest.raises(Exception, match="fingerprint"):
+        plan_from_json(doc)
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def test_multimodal_features_and_frames(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    media = media_from_documents(docs)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    img = [r for r in rows if r["kind"] == "image"][0]
+    assert img["width"] and img["height"] and img["duration_ms"] is None
+    assert img["n_bytes"] > 0 and len(img["sha"]) == 64
+    # determinism: second run identical
+    assert feats.exceptAll(extract_features(media)).count() == 0
+    frames = frame_sample_plan(media, every_ms=60000)
+    vid = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in vid)

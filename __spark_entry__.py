@@ -179,12 +179,17 @@ def q_binary_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_spark.operators.dedup import minhash_signature
+    from jsonschema_spark.operators.dedup import minhash_signatures_df
 
-    d = _docs(spark, sf_dir)
-    sig = minhash_signature(F.col("text"), k=12, shingle_n=1)
-    return d.select("doc_id", F.posexplode(sig).alias("seed", "mh")).withColumn(
-        "seed", F.col("seed").cast("long")
+    sig = minhash_signatures_df(_docs(spark, sf_dir), "doc_id", "text", k=12, shingle_n=1)
+    entries = F.array(
+        *[
+            F.struct(F.lit(j).cast("long").alias("seed"), F.col(f"mh{j}").alias("mh"))
+            for j in range(12)
+        ]
+    )
+    return sig.select(F.col("_id").alias("doc_id"), F.explode(entries).alias("e")).select(
+        "doc_id", "e.seed", "e.mh"
     )
 
 
@@ -416,6 +421,7 @@ _MINHASH_SIG_SQL = f"""
 SELECT doc_id, j::BIGINT AS seed,
        list_min([{_h56("j::VARCHAR||':'||x")} for x in s]) AS mh
 FROM sh, (SELECT unnest(range(0, 12)) AS j)
+WHERE len(s) > 0
 """
 
 _SIG12 = "[" + ", ".join(

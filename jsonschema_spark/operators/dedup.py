@@ -69,9 +69,32 @@ def _minhash_one(sh: Column, j: int) -> Column:
 
 
 def minhash_signature(text: Column, k: int = 12, shingle_n: int = 3) -> Column:
-    """Array of k MinHash values: min over shingles of hash56(seed:shingle)."""
+    """Array of k MinHash values: min over shingles of hash56(seed:shingle).
+
+    Expression form — fine for small k×shingle counts; the table-scale
+    path is ``minhash_signatures_df`` (explode → map-side partial min agg),
+    which evaluates each shingle hash exactly once."""
     sh = word_shingles(text, shingle_n)
     return F.array(*[_minhash_one(sh, j) for j in range(k)])
+
+
+def minhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 12, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signatures as columns mh0..mh{k-1} — the scale
+    shape: explode distinct shingles once, hash k ways per shingle row,
+    then ONE aggregation (map-side partial mins compress each partition
+    to one row per doc before the shuffle). Docs with no shingles drop
+    out (they cannot participate in similarity)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
+    )
+    hashed = sh.select(
+        "_id",
+        *[hash56(F.concat(F.lit(f"{j}:"), F.col("_s"))).alias(f"mh{j}") for j in range(k)],
+    )
+    return hashed.groupBy("_id").agg(*[F.min(f"mh{j}").alias(f"mh{j}") for j in range(k)])
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -99,13 +122,18 @@ def minhash_lsh_pairs(
     band) → self-equi-join on (band, band_key) — a hash join on uniform
     keys; AQE handles residual bucket skew."""
     rows_per_band = k // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), k, shingle_n).alias("_sig"),
-        (F.size(word_shingles(F.col(text_col), shingle_n)) > 0).alias("_has"),
-    ).filter(F.col("_has"))
+    sig = minhash_signatures_df(df, id_col, text_col, k, shingle_n)
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
     bandsdf = sig.select(
-        "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows_per_band)).alias("b")
+        "_id", F.explode(F.array(*band_entries)).alias("b")
     ).select("_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     return (
@@ -137,10 +165,10 @@ def jaccard_pairs(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     )
     sizes = sh.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
-    inv = sh.select("_id", F.explode("_sh").alias("s"))
+    inv = sh.select("_id", F.explode("_sh").alias("g"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -254,11 +282,15 @@ def embedding_near_dup_pairs(
     prefilter with sign-LSH buckets (similarity.topk_signlsh) first."""
     q = df.select(
         F.col(id_col).alias("_id"), quantize_embedding(F.col(vec_col), scale).alias("_q")
-    )
+    ).withColumn("_nrm", dot_q(F.col("_q"), F.col("_q")))  # norm once per vector, not per pair
     a, b = q.alias("a"), q.alias("b")
+    cos = F.floor(
+        F.lit(1000000.0) * dot_q(F.col("a._q"), F.col("b._q")).cast("double")
+        / F.sqrt((F.col("a._nrm") * F.col("b._nrm")).cast("double"))
+    ).cast("long")
     pairs = a.join(b, F.col("a._id") < F.col("b._id")).select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
-        cosine_micro(F.col("a._q"), F.col("b._q")).alias("cos_micro"),
+        cos.alias("cos_micro"),
     )
     return pairs.filter(F.col("cos_micro") >= min_cos_micro)

@@ -17,19 +17,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from jsonschema_spark.operators.dedup import cosine_micro, quantize_embedding
+from jsonschema_spark.operators.dedup import dot_q, quantize_embedding
+
+
+def _cos_micro_pre(qq: Column, cq: Column, qn: Column, cn: Column) -> Column:
+    """cosine with per-vector norms precomputed (norms cost O(n), not
+    O(n·pairs)); float op order matches dedup.cosine_micro exactly."""
+    return F.floor(
+        F.lit(1000000.0) * dot_q(qq, cq).cast("double") / F.sqrt((qn * cn).cast("double"))
+    ).cast("long")
 
 
 def _scored(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize_embedding(F.col(vec_col), scale).alias("_cq")
-    )
+    ).withColumn("_cn", dot_q(F.col("_cq"), F.col("_cq")))
     q = queries.select(
         F.col(id_col).alias("q_id"), quantize_embedding(F.col(vec_col), scale).alias("_qq")
-    )
+    ).withColumn("_qn", dot_q(F.col("_qq"), F.col("_qq")))
     return (
         c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine_micro(F.col("_qq"), F.col("_cq")).alias("cos_micro"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            _cos_micro_pre(F.col("_qq"), F.col("_cq"), F.col("_qn"), F.col("_cn")).alias("cos_micro"),
+        )
     )
 
 
@@ -75,14 +87,18 @@ def topk_signlsh(
         F.col(id_col).alias("neighbor_id"),
         quantize_embedding(F.col(vec_col), scale).alias("_cq"),
         sign_bucket(F.col(vec_col), sign_bits).alias("_bkt"),
-    )
+    ).withColumn("_cn", dot_q(F.col("_cq"), F.col("_cq")))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         quantize_embedding(F.col(vec_col), scale).alias("_qq"),
         sign_bucket(F.col(vec_col), sign_bits).alias("_qbkt"),
-    )
+    ).withColumn("_qn", dot_q(F.col("_qq"), F.col("_qq")))
     scored = (
         c.join(F.broadcast(q), (F.col("_bkt") == F.col("_qbkt")) & (F.col("q_id") != F.col("neighbor_id")))
-        .select("q_id", "neighbor_id", cosine_micro(F.col("_qq"), F.col("_cq")).alias("cos_micro"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            _cos_micro_pre(F.col("_qq"), F.col("_cq"), F.col("_qn"), F.col("_cn")).alias("cos_micro"),
+        )
     )
     return _topk(scored, k)

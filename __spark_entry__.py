@@ -105,6 +105,49 @@ def q_validate_events_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NESTED_ORDER_SCHEMA = {
+    "$id": "https://example.com/order-doc.schema.json",
+    "type": "object",
+    "required": ["id", "status", "amounts"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 1},
+        "status": {"type": "string", "enum": ["F", "O", "P"]},
+        "amounts": {
+            "type": "array",
+            "minItems": 2,
+            "items": {"type": "number", "exclusiveMinimum": 0},
+            "contains": {"minimum": 100000},
+        },
+        "meta": {
+            "type": "object",
+            "required": ["priority"],
+            "properties": {"priority": {"type": "string", "pattern": "^[1-3]-"}},
+        },
+    },
+}
+
+
+def q_validate_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-path engine over synthesized nested JSON documents (object →
+    array items / contains / nested object pattern), verdict counts by
+    status; the oracle evaluates the same predicates on the flat columns."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.array(F.col("o_totalprice"), F.col("o_totalprice") * 2).alias("amounts"),
+            F.struct(F.col("o_orderpriority").alias("priority")).alias("meta"),
+        )
+    )
+    v = validate(o.withColumn("doc", doc), NESTED_ORDER_SCHEMA, doc_col="doc")
+    return v.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+    )
+
+
 def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_long(_docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"])
 
@@ -587,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_docs_by_lang": q_validate_docs_by_lang,
         "violations_docs": q_violations_docs,
         "validate_events_payload": q_validate_events_payload,
+        "validate_nested_orders": q_validate_nested_orders,
         "profile_docs": q_profile_docs,
         "quantiles_n_chars": q_quantiles_n_chars,
         "drift_lang": q_drift_lang,
@@ -628,6 +672,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN {_EVENTS_VALID_SQL} THEN 1 ELSE 0 END) AS n_valid,
                    sum(CASE WHEN {_EVENTS_VALID_SQL} THEN 0 ELSE 1 END) AS n_invalid
             FROM events GROUP BY event_type""",
+        "validate_nested_orders": """
+            SELECT o_orderstatus AS status, count(*) AS n_rows,
+                   sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
+                   sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_invalid
+            FROM (SELECT o_orderstatus,
+                         (o_orderkey >= 1
+                          AND o_orderstatus IN ('F','O','P')
+                          AND o_totalprice > 0 AND o_totalprice * 2 > 0
+                          AND (o_totalprice >= 100000 OR o_totalprice * 2 >= 100000)
+                          AND regexp_matches(o_orderpriority, '^[1-3]-')) AS ok
+                  FROM orders)
+            GROUP BY 1""",
         "profile_docs": _PROFILE_SQL,
         "quantiles_n_chars": _QUANTILES_SQL,
         "drift_lang": _DRIFT_SQL,

@@ -233,3 +233,25 @@ def test_multimodal_features_and_frames(spark):
     frames = frame_sample_plan(media, every_ms=60000)
     vid = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in vid)
+
+
+# --- per-row invariant (byte-identical text per url) --------------------------
+
+
+def test_text_invariant_jvm_and_arrow(spark):
+    from jsonschema_spark.operators.invariants import text_invariant_violations
+    from jsonschema_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 2000)
+    assert text_invariant_violations(pages, mode="jvm").count() == 0
+    assert text_invariant_violations(pages, mode="arrow").count() == 0
+    # plant a corruption: html edited → both modes flag exactly those rows
+    corrupted = pages.withColumn(
+        "html",
+        F.when(F.col("text").isNotNull() & (F.length("text") > 0),
+               F.encode(F.concat(F.lit("<html><body>X"), F.col("text"), F.lit("</body></html>")), "UTF-8"))
+        .otherwise(F.col("html")),
+    )
+    n_bad = corrupted.filter(F.col("text").isNotNull() & (F.length("text") > 0)).count()
+    assert text_invariant_violations(corrupted, mode="jvm").count() == n_bad
+    assert text_invariant_violations(corrupted, mode="arrow").count() == n_bad

@@ -36,6 +36,8 @@ from jsonschema_spark.plans.serialize import (
     schema_fingerprint,
 )
 from jsonschema_spark.operators.testrunner import run_suite, run_suites
+from jsonschema_spark.plans.bundle import bundle
+from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
 
 __version__ = "0.1.0"
 
@@ -60,5 +62,8 @@ __all__ = [
     "schema_fingerprint",
     "run_suite",
     "run_suites",
+    "bundle",
+    "upgrade_schema",
+    "needs_upgrade",
     "__version__",
 ]

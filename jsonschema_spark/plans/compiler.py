@@ -85,13 +85,21 @@ class Config:
     #         conjunct's violations (evaluator_dispatch.h:1254-1267)
     # False = report every failing conjunct (SQL-oracle-friendly mode)
     short_circuit: bool = True
+    # uri → schema dict registry for external $ref (the bundle/resolver
+    # analogue, /root/reference/src/resolver.h); local-only when None
+    resolver: Optional[dict] = None
 
     @property
     def want_viols(self) -> bool:
         return self.mode != "fast"
 
     def fast(self) -> "Config":
-        return Config(self.base_uri, "fast", self.format_assertion, self.root, self.short_circuit)
+        return Config(self.base_uri, "fast", self.format_assertion, self.root,
+                      self.short_circuit, self.resolver)
+
+    def with_root(self, root, base_uri: str) -> "Config":
+        return Config(base_uri, self.mode, self.format_assertion, root,
+                      self.short_circuit, self.resolver)
 
 
 def _viol(cfg: Config, kw: str, loc: Union[str, Column], error: Column) -> Column:
@@ -206,7 +214,14 @@ _KEYWORD_ORDER = [
     "oneOf",
     "not",
     "if",
+    # evaluated after every other applicator, like the reference
+    "unevaluatedProperties",
+    "unevaluatedItems",
 ]
+
+# dynamic-scope keywords need the runtime resource stack
+# (ControlDynamicAnchorJump, dispatch.h:1523-1549) — out of scope in v1
+_DYNAMIC_KEYWORDS = ("$dynamicRef", "$recursiveRef", "$dynamicAnchor", "$recursiveAnchor")
 
 _TYPE_NAMES = {"null", "boolean", "integer", "number", "string", "array", "object"}
 
@@ -215,12 +230,8 @@ def _ptr_escape(token: str) -> str:
     return token.replace("~", "~0").replace("/", "~1")
 
 
-def _resolve_ref(ref: str, cfg: Config) -> tuple[dict | bool, str]:
-    """Resolve a same-document `$ref` (fragment pointer or #/$defs/...)."""
-    if not ref.startswith("#"):
-        raise SchemaError(f"external $ref not supported without a resolver: {ref}")
-    pointer = ref[1:]
-    node: Union[dict, bool, list] = cfg.root
+def _walk_pointer(root, pointer: str, ref: str):
+    node: Union[dict, bool, list] = root
     if pointer:
         for raw in pointer.lstrip("/").split("/"):
             token = raw.replace("~1", "/").replace("~0", "~")
@@ -230,7 +241,30 @@ def _resolve_ref(ref: str, cfg: Config) -> tuple[dict | bool, str]:
                 node = node[int(token)]
             else:
                 raise SchemaError(f"cannot resolve $ref {ref}")
-    return node, pointer
+    return node
+
+
+def _resolve_ref(ref: str, cfg: Config) -> tuple[dict | bool, Config]:
+    """Resolve a `$ref`: same-document fragments directly; absolute URIs
+    through the resolver registry (the bundle/remote-resolution analogue —
+    the target document becomes the new resolution root, so its own
+    fragments resolve within it)."""
+    if ref.startswith("#"):
+        return _walk_pointer(cfg.root, ref[1:], ref), cfg
+    uri, _, fragment = ref.partition("#")
+    registry = cfg.resolver or {}
+    target = registry.get(uri)
+    if target is None and cfg.base_uri:
+        # relative reference against the base URI
+        from urllib.parse import urljoin
+
+        absolute = urljoin(cfg.base_uri, uri)
+        target = registry.get(absolute)
+        uri = absolute if target is not None else uri
+    if target is None:
+        raise SchemaError(f"external $ref not in resolver registry: {ref}")
+    node = _walk_pointer(target, fragment, ref)
+    return node, cfg.with_root(target, uri)
 
 
 def compile_node(
@@ -248,6 +282,9 @@ def compile_node(
         return _leaf(cfg, False, kw, ctx, M.msg_false_schema)
     if not isinstance(schema, dict):
         raise SchemaError(f"invalid schema node at {kw or '<root>'}")
+    for dyn in _DYNAMIC_KEYWORDS:
+        if dyn in schema:
+            raise SchemaError(f"{dyn} requires dynamic-scope resolution — unsupported in v1")
 
     parts: list[Compiled] = []
     present_keys = [k for k in _KEYWORD_ORDER if k in schema]
@@ -256,10 +293,11 @@ def compile_node(
         val = schema[key]
         kwp = f"{kw}/{_ptr_escape(key)}"
         if key == "$ref":
-            target, pointer = _resolve_ref(val, cfg)
-            if val in ref_stack:
+            target, sub_cfg = _resolve_ref(val, cfg)
+            ref_key = (cfg.base_uri, val)
+            if ref_key in ref_stack:
                 raise SchemaError(f"recursive $ref not supported in v1: {val}")
-            sub = compile_node(target, ctx, kwp, cfg, ref_stack + (val,))
+            sub = compile_node(target, ctx, kwp, sub_cfg, ref_stack + (ref_key,))
             if sub.ok is not True:
                 parts.append(
                     _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))
@@ -349,6 +387,10 @@ def compile_node(
             parts.append(_k_not(val, ctx, kwp, cfg, ref_stack))
         elif key == "if":
             parts.append(_k_conditional(schema, ctx, kw, cfg, ref_stack))
+        elif key == "unevaluatedProperties":
+            parts.append(_k_unevaluated_properties(schema, val, ctx, kwp, cfg, ref_stack))
+        elif key == "unevaluatedItems":
+            parts.append(_k_unevaluated_items(schema, val, ctx, kwp, cfg, ref_stack))
 
     return _and_combine(parts, cfg)
 
@@ -456,10 +498,18 @@ def _k_pattern_properties(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack)
 
 
 def _k_additional_properties(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
-    import re as _re
-
     declared = set(schema.get("properties", {}) or {})
     patterns = [p for p in (schema.get("patternProperties", {}) or {})]
+    return _k_extra_properties(declared, patterns, val, ctx, kwp, cfg, ref_stack)
+
+
+def _k_extra_properties(
+    declared: set, patterns: list, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack
+) -> Compiled:
+    """Shared body of additionalProperties and (static) unevaluatedProperties:
+    apply ``val`` to every property not in ``declared`` / matching ``patterns``."""
+    import re as _re
+
     static_names = _static_prop_names(ctx)
 
     if static_names is not None:
@@ -677,6 +727,96 @@ def _k_conditional(schema: dict, ctx: Ctx, kw: str, cfg: Config, ref_stack) -> C
     return Compiled(ok, viols)
 
 
+# --- unevaluatedProperties / unevaluatedItems — static subset ----------------
+#
+# The reference needs runtime evaluation marks with checkpoint/rewind for
+# these (evaluator.h:217-276); its compiler also statically analyses which
+# schemas can skip tracking (unevaluated.cc, the `track` bit). We implement
+# exactly the statically-decidable subset: when every property/item
+# evaluation is CONJUNCTIVE (the node itself, allOf children, $ref targets),
+# the evaluated set is known at compile time and unevaluated* reduces to
+# additionalProperties / items-from-k. Disjunctive evaluation (anyOf branches
+# evaluating properties, contains marking items) raises SchemaError.
+
+_BRANCHING_KEYS = ("anyOf", "oneOf", "not", "if", "then", "else", "dependentSchemas")
+
+
+def _subtree_mentions(node, keys: tuple) -> bool:
+    if isinstance(node, dict):
+        if any(k in node for k in keys):
+            return True
+        return any(_subtree_mentions(v, keys) for v in node.values())
+    if isinstance(node, list):
+        return any(_subtree_mentions(x, keys) for x in node)
+    return False
+
+
+def _conjunctive_contributors(schema, cfg: Config, seen: tuple = ()) -> list:
+    """The node plus transitive allOf / $ref children — subschemas whose
+    annotations are always evaluated when the node is."""
+    out = [schema]
+    if not isinstance(schema, dict):
+        return out
+    for sub in schema.get("allOf") or []:
+        if isinstance(sub, dict):
+            out.extend(_conjunctive_contributors(sub, cfg, seen))
+    ref = schema.get("$ref")
+    if isinstance(ref, str) and ref not in seen:
+        target, sub_cfg = _resolve_ref(ref, cfg)
+        out.extend(_conjunctive_contributors(target, sub_cfg, seen + (ref,)))
+    return out
+
+
+def _k_unevaluated_properties(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    names: set = set()
+    patterns: list = []
+    for c in _conjunctive_contributors(schema, cfg):
+        if not isinstance(c, dict):
+            continue
+        if "additionalProperties" in c:
+            # every remaining property is already evaluated (or rejected)
+            return Compiled(True)
+        names.update((c.get("properties") or {}).keys())
+        patterns.extend((c.get("patternProperties") or {}).keys())
+        for k in _BRANCHING_KEYS:
+            v = c.get(k)
+            if v is not None and _subtree_mentions(
+                v, ("properties", "patternProperties", "additionalProperties", "unevaluatedProperties")
+            ):
+                raise SchemaError(
+                    "unevaluatedProperties with property-evaluating disjunctive "
+                    "branches requires runtime evaluation marks — unsupported in v1"
+                )
+    return _k_extra_properties(names, patterns, val, ctx, kwp, cfg, ref_stack)
+
+
+def _k_unevaluated_items(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    prefix = 0
+    for c in _conjunctive_contributors(schema, cfg):
+        if not isinstance(c, dict):
+            continue
+        items = c.get("items")
+        if items is not None and not isinstance(items, list):
+            return Compiled(True)  # `items` already evaluates every element
+        if "contains" in c:
+            raise SchemaError(
+                "unevaluatedItems alongside contains requires runtime marks — unsupported in v1"
+            )
+        pi = items if isinstance(items, list) else c.get("prefixItems")
+        if isinstance(pi, list):
+            prefix = max(prefix, len(pi))
+        for k in _BRANCHING_KEYS:
+            v = c.get(k)
+            if v is not None and _subtree_mentions(
+                v, ("items", "prefixItems", "contains", "unevaluatedItems")
+            ):
+                raise SchemaError(
+                    "unevaluatedItems with item-evaluating disjunctive branches "
+                    "requires runtime marks — unsupported in v1"
+                )
+    return _k_items(val, ctx, kwp, cfg, prefix, ref_stack)
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -693,13 +833,15 @@ class CompiledSchema:
     schema: Union[dict, bool]
     base_uri: str = ""
     format_assertion: bool = True
+    resolver: Optional[dict] = None  # uri → schema registry for external $ref
 
     def __post_init__(self):
         if isinstance(self.schema, dict):
             self.base_uri = self.schema.get("$id", self.base_uri)
 
     def _cfg(self, mode: str, short_circuit: bool = True) -> Config:
-        return Config(self.base_uri, mode, self.format_assertion, self.schema, short_circuit)
+        return Config(self.base_uri, mode, self.format_assertion, self.schema,
+                      short_circuit, self.resolver)
 
     def compile_flat(
         self, df_schema: T.StructType, mode: str = "exhaustive", short_circuit: bool = True
@@ -716,5 +858,10 @@ class CompiledSchema:
         return compile_node(self.schema, ctx, "", self._cfg(mode, short_circuit))
 
 
-def compile_schema(schema: Union[dict, bool], base_uri: str = "", format_assertion: bool = True) -> CompiledSchema:
-    return CompiledSchema(schema, base_uri, format_assertion)
+def compile_schema(
+    schema: Union[dict, bool],
+    base_uri: str = "",
+    format_assertion: bool = True,
+    resolver: Optional[dict] = None,
+) -> CompiledSchema:
+    return CompiledSchema(schema, base_uri, format_assertion, resolver)

@@ -36,7 +36,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # 8g: measured sweet spot on this host — larger heaps pay a long
+        # G1 heap-expansion/page-fault transient at high thread counts
+        # (24g heap: first post-warm run 70s, third run 2.5s)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in (extra_conf or {}).items():

@@ -27,28 +27,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULT_PATH = "/tmp/jsonschema_spark_bench/scaling_report.json"
-JOBS = ("validate_fast", "violations", "minhash_pairs")
+JOBS = ("validate_fast", "violations", "dedup_url")
 
 
 def measure_one(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
     from bench import PAGES_ROWS, _ensure_pages
     from jsonschema_spark import validate, violations
-    from jsonschema_spark.operators.dedup import minhash_lsh_pairs
     from jsonschema_spark.session import get_spark
     from jsonschema_spark.sources.pages import WEBPAGE_SCHEMA
 
     spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=max(cores * 2, 16))
     pages = spark.read.parquet(_ensure_pages(spark))
-    sf_docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 
     jobs = {
         "validate_fast": lambda: validate(pages, WEBPAGE_SCHEMA).groupBy("valid").count().collect(),
         "violations": lambda: violations(pages, WEBPAGE_SCHEMA, id_cols=["url"]).count(),
-        "minhash_pairs": lambda: minhash_lsh_pairs(sf_docs, "doc_id", "text", k=12, bands=6).count(),
+        # real shuffle that scales with the input: exact url dedup
+        "dedup_url": lambda: pages.groupBy(F.md5("url")).count().filter(F.col("count") > 1).count(),
     }
     out = {"cores": cores, "pages_rows": PAGES_ROWS, "timings": {}}
     for name, fn in jobs.items():
-        fn()  # warm: codegen + OS page cache
+        fn()
+        fn()  # two warm runs: codegen, OS page cache, JVM heap expansion
         t0 = time.perf_counter()
         fn()
         out["timings"][name] = round(time.perf_counter() - t0, 3)
@@ -57,8 +59,11 @@ def measure_one(cores: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # default 4 → 16: this host exposes 32 vCPUs but sustains only ~13-16
+    # effective cores (measured with a multiprocessing burn), so 4→16 is
+    # the largest honest N→4N pair; pass "8 32" to measure the vCPU pair
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     env = dict(os.environ)
     samples: dict[int, dict[str, list]] = {n: {j: [] for j in JOBS}, n4: {j: [] for j in JOBS}}

@@ -1,0 +1,97 @@
+"""Dialect upgrade, external-$ref resolver/bundle, static unevaluated*."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark import validate, verdict_counts
+from jsonschema_spark.plans.bundle import bundle
+from jsonschema_spark.plans.compiler import SchemaError, compile_schema
+from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
+
+
+def test_upgrade_rewrites():
+    legacy = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "definitions": {"pos": {"type": "integer", "minimum": 0, "exclusiveMinimum": True}},
+        "properties": {
+            "a": {"$ref": "#/definitions/pos"},
+            "b": {"items": [{"type": "string"}], "additionalItems": {"type": "integer"}},
+        },
+        "dependencies": {"a": ["b"], "c": {"required": ["d"]}},
+    }
+    assert needs_upgrade(legacy)
+    up = upgrade_schema(legacy)
+    assert "definitions" not in up and "pos" in up["$defs"]
+    assert up["properties"]["a"]["$ref"] == "#/$defs/pos"
+    assert up["$defs"]["pos"]["exclusiveMinimum"] == 0 and "minimum" not in up["$defs"]["pos"]
+    b = up["properties"]["b"]
+    assert b["prefixItems"] == [{"type": "string"}] and b["items"] == {"type": "integer"}
+    assert up["dependentRequired"] == {"a": ["b"]}
+    assert up["dependentSchemas"] == {"c": {"required": ["d"]}}
+    assert not needs_upgrade(up)
+
+
+def test_external_ref_via_resolver(spark):
+    registry = {
+        "https://example.com/lang.json": {"enum": ["en", "de"]},
+    }
+    schema = {"properties": {"lang": {"$ref": "https://example.com/lang.json"}}}
+    df = spark.createDataFrame([("en",), ("xx",)], "lang string")
+    cs = compile_schema(schema, resolver=registry)
+    rows = validate(df, cs).collect()
+    got = {r["lang"]: r["valid"] for r in rows}
+    assert got == {"en": True, "xx": False}
+
+
+def test_external_ref_without_resolver_raises(spark):
+    df = spark.createDataFrame([("x",)], "lang string")
+    with pytest.raises(SchemaError, match="resolver"):
+        validate(df, {"properties": {"lang": {"$ref": "https://nope/x.json"}}}).collect()
+
+
+def test_bundle_inlines_and_validates(spark):
+    registry = {
+        "https://example.com/lang.json": {"$ref": "https://example.com/codes.json"},
+        "https://example.com/codes.json": {"$defs": {"c": {"enum": ["en", "de"]}},
+                                           "$ref": "#/$defs/c"},
+    }
+    schema = {"properties": {"lang": {"$ref": "https://example.com/lang.json"}}}
+    closed = bundle(schema, registry)
+    # fully closed: compiles with NO resolver
+    df = spark.createDataFrame([("de",), ("zz",)], "lang string")
+    got = {r["lang"]: r["valid"] for r in validate(df, closed).collect()}
+    assert got == {"de": True, "zz": False}
+
+
+def test_unevaluated_properties_static(spark):
+    schema = {
+        "allOf": [{"properties": {"a": {"type": "integer"}}}],
+        "properties": {"b": {"type": "integer"}},
+        "unevaluatedProperties": False,
+    }
+    df = spark.createDataFrame([(1, 2, None), (1, 2, 3)], "a long, b long, c long")
+    got = [r["valid"] for r in validate(df, schema).collect()]
+    assert got == [True, False]  # c present ⇒ unevaluated ⇒ fail
+
+
+def test_unevaluated_properties_branching_unsupported(spark):
+    schema = {
+        "anyOf": [{"properties": {"a": {"type": "integer"}}}],
+        "unevaluatedProperties": False,
+    }
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(SchemaError, match="runtime evaluation marks"):
+        validate(df, schema).collect()
+
+
+def test_unevaluated_items_static(spark):
+    schema = {
+        "properties": {
+            "xs": {"prefixItems": [{"type": "integer"}], "unevaluatedItems": {"type": "integer"}}
+        }
+    }
+    docs = spark.createDataFrame(
+        [(1, '{"xs": [1, 2, 3]}'), (2, '{"xs": [1, "x"]}')], "id long, doc string"
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False}

@@ -135,6 +135,9 @@ def minhash_lsh_pairs(
     bandsdf = sig.select(
         "_id", F.explode(F.array(*band_entries)).alias("b")
     ).select("_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    # materialize once: both self-join sides read the checkpoint instead of
+    # recomputing the signature aggregation (tiny: k longs per doc)
+    bandsdf = bandsdf.localCheckpoint(eager=True)
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a._id") < F.col("b._id")))
@@ -164,6 +167,7 @@ def jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
     )
+    sh = sh.localCheckpoint(eager=True)  # shingle arrays computed once
     sizes = sh.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
     inv = sh.select("_id", F.explode("_sh").alias("g"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -210,6 +214,30 @@ def _bit_set(b: int):
     return lambda h: F.shiftrightunsigned(h, b).bitwiseAND(1) == 1
 
 
+def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash as a DataFrame (_id, _sim) — the scale shape:
+    explode tokens, hash each ONCE, then ``bits`` conditional ±1 sums in a
+    single codegen aggregation (bit b set ⟺ more ones than zeros ⟺
+    Σ±1 > 0). ~10× faster than the expression form, which runs ``bits``
+    interpreted higher-order passes per row. Docs with no tokens drop out
+    (they cannot be near-duplicates of anything)."""
+    h = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).select("_id", hash56(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    g = h.groupBy("_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return g.select("_id", sim.alias("_sim"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -224,7 +252,7 @@ def simhash_pairs(
     hamming < n_bands (pigeonhole)."""
     chunk = bits // n_bands
     mask = (1 << chunk) - 1
-    sim = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_sim"))
+    sim = simhash_df(df, id_col, text_col, bits).localCheckpoint(eager=True)
     bandsdf = sim.select(
         "_id",
         "_sim",
@@ -248,9 +276,9 @@ def simhash_pairs(
             F.col("b._id").alias("id_b"),
             F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim"))).alias("hamming"),
         )
-        .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    # filter before distinct: dedup shuffles only surviving pairs
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 # --- embedding cosine near-dup ------------------------------------------------
@@ -278,19 +306,55 @@ def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, min_cos_micro: int = 450000, scale: int = 100
 ) -> DataFrame:
     """All pairs with quantized cosine ≥ threshold → (id_a, id_b,
-    cos_micro). Brute-force O(n²) — correct baseline; at corpus scale
-    prefilter with sign-LSH buckets (similarity.topk_signlsh) first."""
+    cos_micro).
+
+    Block-matmul design: the quantized corpus matrix is broadcast
+    (n×d int64 — 100k×64 ≈ 50 MB); each partition scores its rows against
+    the whole matrix with one numpy integer matmul (exact) inside
+    mapInPandas. This is the vectorized path — Catalyst's higher-order
+    ``aggregate`` folds are per-element interpreted and ~10× slower.
+    Beyond broadcastable corpus sizes, prefilter with sign-LSH buckets
+    (similarity.topk_signlsh) so each block only scores its bucket."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     q = df.select(
         F.col(id_col).alias("_id"), quantize_embedding(F.col(vec_col), scale).alias("_q")
-    ).withColumn("_nrm", dot_q(F.col("_q"), F.col("_q")))  # norm once per vector, not per pair
-    a, b = q.alias("a"), q.alias("b")
-    cos = F.floor(
-        F.lit(1000000.0) * dot_q(F.col("a._q"), F.col("b._q")).cast("double")
-        / F.sqrt((F.col("a._nrm") * F.col("b._nrm")).cast("double"))
-    ).cast("long")
-    pairs = a.join(b, F.col("a._id") < F.col("b._id")).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        cos.alias("cos_micro"),
     )
-    return pairs.filter(F.col("cos_micro") >= min_cos_micro)
+    local = q.collect()
+    ids = np.array([r["_id"] for r in local], dtype=np.int64)
+    mat = np.array([r["_q"] for r in local], dtype=np.int64)
+    norms = (mat * mat).sum(axis=1)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_micro", T.LongType()),
+        ]
+    )
+
+    def score(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+            a_norms = (a_mat * a_mat).sum(axis=1)
+            dots = a_mat @ b_mat.T  # exact int64
+            # float op order matches the Column/SQL formula exactly:
+            # floor(1e6 * dot / sqrt(na*nb))
+            cos = np.floor(
+                (1000000.0 * dots) / np.sqrt((a_norms[:, None] * b_norms[None, :]).astype(np.float64))
+            ).astype(np.int64)
+            mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= min_cos_micro)
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cos_micro": cos[ai, bj]}
+            )
+
+    return q.mapInPandas(score, out_schema)

@@ -323,6 +323,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing through mapInPandas (stub decoder).
+
+    The sha/byte-length are SQL-checkable, but width/height/duration come
+    from the deterministic stub decoder, so this entry ships without an
+    oracle (driver records the weaker rows-only check)."""
+    from jsonschema_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -651,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
     }
 
 

@@ -39,7 +39,13 @@ def _rx(col: Column, pattern: str) -> Column:
 
 # --- component regexes (shared text between Spark and DuckDB) ---------------
 
-_DATE = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+# month-aware day ranges; Feb admits 29 every year (leap-year arithmetic is
+# the one RFC 3339 full-date rule a regex can't carry — documented approx.)
+_DATE = (
+    r"\d{4}-((0[13578]|1[02])-(0[1-9]|[12]\d|3[01])"
+    r"|(0[469]|11)-(0[1-9]|[12]\d|30)"
+    r"|02-(0[1-9]|1\d|2\d))"
+)
 _TIME = r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
 _TZ = r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)"
 RE_DATE_TIME = f"^{_DATE}[Tt]{_TIME}{_TZ}$"

@@ -63,6 +63,19 @@ def windowed_verdict_counts(
     )
 
 
+def stream_dedup_exact(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful cross-microbatch exact dedup: keep the first row per key
+    within the watermark horizon (`dropDuplicatesWithinWatermark` — state
+    per key, expired by the watermark, so memory is bounded by the key
+    arrival rate × horizon, not the stream length)."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def violation_stream(
     sdf: DataFrame,
     schema: Union[dict, bool, CompiledSchema],

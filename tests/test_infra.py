@@ -255,3 +255,24 @@ def test_text_invariant_jvm_and_arrow(spark):
     n_bad = corrupted.filter(F.col("text").isNotNull() & (F.length("text") > 0)).count()
     assert text_invariant_violations(corrupted, mode="jvm").count() == n_bad
     assert text_invariant_violations(corrupted, mode="arrow").count() == n_bad
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from jsonschema_spark.streaming.validate import stream_dedup_exact
+
+    src = str(tmp_path / "dedup_src")
+    batch = spark.createDataFrame(
+        [(i % 7, f"2021-06-01 00:{i:02d}:00") for i in range(20)],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    q = (
+        stream_dedup_exact(sdf, ["k"], "ts", watermark="10 minutes")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select k, count(*) c from dedup_out group by k").collect()
+    assert {r["k"] for r in rows} == set(range(7))
+    assert all(r["c"] == 1 for r in rows)

@@ -68,6 +68,7 @@ def run_validation_checkpointed(
     out_dir: str,
     manifest_dir: str,
     input_path: Optional[str] = None,
+    sketch_col: Optional[str] = None,
 ) -> RunResult:
     """Validate ``df`` partition-wise with resume-on-restart.
 
@@ -98,6 +99,17 @@ def run_validation_checkpointed(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("valid").cast("long")).alias("n_valid"),
             F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+            # per-partition sketch state (north_rule lineage): HLL++
+            # distinct estimate + min/max of the tracked column
+            *(
+                [
+                    F.approx_count_distinct(sketch_col).alias("sk_distinct"),
+                    F.min(sketch_col).cast("string").alias("sk_min"),
+                    F.max(sketch_col).cast("string").alias("sk_max"),
+                ]
+                if sketch_col
+                else []
+            ),
         )
         .collect()
     )
@@ -117,6 +129,13 @@ def run_validation_checkpointed(
             "input_path": input_path,
             "engine_version": ENGINE_VERSION,
         }
+        if sketch_col:
+            m["sketch"] = {
+                "column": sketch_col,
+                "approx_distinct": r["sk_distinct"],
+                "min": r["sk_min"],
+                "max": r["sk_max"],
+            }
         tmp = _manifest_path(manifest_dir, value) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)

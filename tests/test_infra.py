@@ -70,7 +70,7 @@ def test_checkpoint_resume_skips_done(spark, tmp_path):
         (F.col("id") % 4).alias("day"), (F.col("id") - 50).alias("v")
     )
     out, man = str(tmp_path / "out"), str(tmp_path / "manifests")
-    r1 = run_validation_checkpointed(df.filter(F.col("day") < 2), schema, "day", out, man)
+    r1 = run_validation_checkpointed(df.filter(F.col("day") < 2), schema, "day", out, man, sketch_col="v")
     assert sorted(r1.processed_partitions) == [0, 1] and r1.skipped_partitions == []
     r2 = run_validation_checkpointed(df, schema, "day", out, man)
     assert sorted(r2.processed_partitions) == [2, 3]
@@ -80,6 +80,7 @@ def test_checkpoint_resume_skips_done(spark, tmp_path):
     with open(os.path.join(man, "part-0.json")) as f:
         m = json.load(f)
     assert m["n_rows"] == 25 and m["schema_fingerprint"] == schema_fingerprint(schema)
+    assert m["sketch"]["column"] == "v" and m["sketch"]["approx_distinct"] >= 20
     # changed schema fingerprint ⇒ everything reruns
     r3 = run_validation_checkpointed(
         df, {"properties": {"v": {"minimum": 1}}}, "day", str(tmp_path / "out2"), str(tmp_path / "man2")
@@ -276,3 +277,13 @@ def test_stream_dedup_exact(spark, tmp_path):
     rows = spark.sql("select k, count(*) c from dedup_out group by k").collect()
     assert {r["k"] for r in rows} == set(range(7))
     assert all(r["c"] == 1 for r in rows)
+
+
+def test_reader_jsonl_gz(spark, tmp_path):
+    import gzip
+
+    gz = tmp_path / "docs.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+    df = read_instances(spark, str(gz))
+    assert df.count() == 3  # Spark decodes the gzip codec transparently

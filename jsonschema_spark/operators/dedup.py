@@ -39,13 +39,19 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined)."""
+    """Distinct word n-grams (space-joined).
+
+    Built from n whole-array slices zipped elementwise — O(tokens) work
+    per row. (The naive per-position ``slice`` inside ``transform`` is an
+    interpreted O(tokens²) per row: higher-order lambdas are not
+    codegen'd.)"""
     toks = tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
     sz = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), sz - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    cols = [F.slice(toks, i + 1, sz - (n - 1)).alias(f"g{i}") for i in range(n)]
+    zipped = F.arrays_zip(*cols)
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)]))
     return F.when(sz >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 

@@ -19,6 +19,7 @@ documents are handled via Spark 4 VARIANT (see plans/context.py).
 
 from jsonschema_spark.operators.validate import (
     annotate,
+    standard_output,
     validate,
     violations,
     verdict_counts,
@@ -46,6 +47,7 @@ __all__ = [
     "validate",
     "violations",
     "verdict_counts",
+    "standard_output",
     "compile_schema",
     "CompiledSchema",
     "struct_type_for",

@@ -117,6 +117,36 @@ def violations(
     return exploded
 
 
+def standard_output(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    doc_col: Optional[str] = None,
+    fmt: str = "basic",
+    out_col: str = "report",
+) -> DataFrame:
+    """Standard JSON output column — the `--json` analogue
+    (output_standard.cc:47-100): fmt='flag' → {"valid": bool};
+    fmt='basic' → {"valid": bool, "errors": [{keywordLocation,
+    absoluteKeywordLocation, instanceLocation, error}, ...]} (errors
+    omitted for valid rows, matching the reference's Flag/Basic shapes)."""
+    if fmt == "flag":
+        v = validate(df, schema, doc_col=doc_col)
+        report = F.to_json(F.struct(F.col("valid").alias("valid")))
+        return v.withColumn(out_col, report).drop("valid")
+    if fmt != "basic":
+        raise ValueError(f"unknown output format {fmt!r} (flag|basic)")
+    a = annotate(df, schema, doc_col=doc_col)
+    report = F.when(
+        F.col("valid"),
+        F.to_json(F.struct(F.col("valid").alias("valid"))),
+    ).otherwise(
+        F.to_json(
+            F.struct(F.col("valid").alias("valid"), F.col("violations").alias("errors"))
+        )
+    )
+    return a.withColumn(out_col, report).drop("valid", "violations")
+
+
 def verdict_counts(
     df: DataFrame,
     schema: Union[dict, bool, CompiledSchema],

@@ -229,3 +229,21 @@ def test_timestamp_column_as_datetime_string(spark):
     df = spark.sql("select timestamp'2021-06-01 12:00:00' as warc_ts")
     schema = {"properties": {"warc_ts": {"type": "string", "format": "date-time"}}}
     assert validate(df, schema).collect()[0].valid is True
+
+
+def test_standard_output_shapes(spark):
+    import json as _json
+
+    from jsonschema_spark import standard_output
+
+    df = spark.createDataFrame([("en",), ("zz",)], "lang string")
+    schema = {"$id": "https://x/s.json", "properties": {"lang": {"enum": ["en"]}}}
+    out = {r["lang"]: _json.loads(r["report"]) for r in standard_output(df, schema).collect()}
+    assert out["en"] == {"valid": True}
+    assert out["zz"]["valid"] is False
+    errs = out["zz"]["errors"]
+    assert errs and errs[-1]["keywordLocation"] == "/properties"
+    assert errs[0]["instanceLocation"] == "/lang"
+    assert errs[0]["absoluteKeywordLocation"].startswith("https://x/s.json#")
+    flag = {r["lang"]: _json.loads(r["report"]) for r in standard_output(df, schema, fmt="flag").collect()}
+    assert flag == {"en": {"valid": True}, "zz": {"valid": False}}

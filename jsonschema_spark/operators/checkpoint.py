@@ -83,8 +83,12 @@ def run_validation_checkpointed(
 
     annotated = validate(todo_df, schema)
     (
+        # dynamic partition overwrite: re-processed partitions (e.g. after a
+        # schema-fingerprint change) REPLACE their stale output instead of
+        # appending duplicates; untouched partitions are left alone
         annotated.write.partitionBy(partition_col)
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(out_dir)
     )
 

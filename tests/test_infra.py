@@ -81,11 +81,13 @@ def test_checkpoint_resume_skips_done(spark, tmp_path):
         m = json.load(f)
     assert m["n_rows"] == 25 and m["schema_fingerprint"] == schema_fingerprint(schema)
     assert m["sketch"]["column"] == "v" and m["sketch"]["approx_distinct"] >= 20
-    # changed schema fingerprint ⇒ everything reruns
+    # changed schema fingerprint ⇒ everything reruns, REPLACING stale
+    # partition output (dynamic overwrite — no duplicate rows)
     r3 = run_validation_checkpointed(
-        df, {"properties": {"v": {"minimum": 1}}}, "day", str(tmp_path / "out2"), str(tmp_path / "man2")
+        df, {"properties": {"v": {"minimum": 1}}}, "day", out, man
     )
     assert len(r3.processed_partitions) == 4
+    assert spark.read.parquet(out).count() == 100
 
 
 # --- streaming ----------------------------------------------------------------

@@ -244,13 +244,36 @@ def _walk_pointer(root, pointer: str, ref: str):
     return node
 
 
+def _find_anchor(node, name: str):
+    if isinstance(node, dict):
+        if node.get("$anchor") == name:
+            return node
+        for v in node.values():
+            hit = _find_anchor(v, name)
+            if hit is not None:
+                return hit
+    elif isinstance(node, list):
+        for x in node:
+            hit = _find_anchor(x, name)
+            if hit is not None:
+                return hit
+    return None
+
+
 def _resolve_ref(ref: str, cfg: Config) -> tuple[dict | bool, Config]:
-    """Resolve a `$ref`: same-document fragments directly; absolute URIs
-    through the resolver registry (the bundle/remote-resolution analogue —
-    the target document becomes the new resolution root, so its own
-    fragments resolve within it)."""
+    """Resolve a `$ref`: same-document fragments directly — JSON Pointers
+    (`#/...`) or `$anchor` names (`#name`); absolute URIs through the
+    resolver registry (the bundle/remote-resolution analogue — the target
+    document becomes the new resolution root, so its own fragments
+    resolve within it)."""
     if ref.startswith("#"):
-        return _walk_pointer(cfg.root, ref[1:], ref), cfg
+        fragment = ref[1:]
+        if fragment and not fragment.startswith("/"):
+            hit = _find_anchor(cfg.root, fragment)
+            if hit is None:
+                raise SchemaError(f"cannot resolve $anchor reference {ref}")
+            return hit, cfg
+        return _walk_pointer(cfg.root, fragment, ref), cfg
     uri, _, fragment = ref.partition("#")
     registry = cfg.resolver or {}
     target = registry.get(uri)

@@ -64,6 +64,18 @@ def _upgrade_node(node) -> None:
         flag = node.pop("exclusiveMaximum")
         if flag and "maximum" in node:
             node["exclusiveMaximum"] = node.pop("maximum")
+    # draft-3: extends → allOf, divisibleBy → multipleOf, disallow → not
+    if "extends" in node:
+        ext = node.pop("extends")
+        subs = ext if isinstance(ext, list) else [ext]
+        node.setdefault("allOf", []).extend(subs)
+    if "divisibleBy" in node and "multipleOf" not in node:
+        node["multipleOf"] = node.pop("divisibleBy")
+    if "disallow" in node and "not" not in node:
+        dis = node.pop("disallow")
+        types = [t for t in (dis if isinstance(dis, list) else [dis]) if isinstance(t, str)]
+        if types:
+            node["not"] = {"type": types if len(types) > 1 else types[0]}
     # dependencies → dependentRequired / dependentSchemas
     if isinstance(node.get("dependencies"), dict):
         deps = node.pop("dependencies")
@@ -96,7 +108,8 @@ def upgrade_schema(schema: Union[dict, bool]) -> Union[dict, bool]:
     return out
 
 
-_LEGACY_MARKERS = ("definitions", "additionalItems", "dependencies", "id")
+_LEGACY_MARKERS = ("definitions", "additionalItems", "dependencies", "id",
+                   "extends", "disallow", "divisibleBy")
 
 
 def needs_upgrade(schema: Union[dict, bool]) -> bool:

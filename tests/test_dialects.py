@@ -95,3 +95,26 @@ def test_unevaluated_items_static(spark):
     )
     got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
     assert got == {1: True, 2: False}
+
+
+def test_upgrade_draft3_keywords():
+    legacy = {
+        "extends": {"required": ["a"]},
+        "divisibleBy": 3,
+        "disallow": ["string", "null"],
+    }
+    assert needs_upgrade(legacy)
+    up = upgrade_schema(legacy)
+    assert up["allOf"] == [{"required": ["a"]}]
+    assert up["multipleOf"] == 3 and "divisibleBy" not in up
+    assert up["not"] == {"type": ["string", "null"]}
+
+
+def test_anchor_ref(spark):
+    schema = {
+        "$defs": {"code": {"$anchor": "langcode", "enum": ["en", "de"]}},
+        "properties": {"lang": {"$ref": "#langcode"}},
+    }
+    df = spark.createDataFrame([("en",), ("xx",)], "lang string")
+    got = {r["lang"]: r["valid"] for r in validate(df, schema).collect()}
+    assert got == {"en": True, "xx": False}

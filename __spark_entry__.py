@@ -429,8 +429,8 @@ _QUANTILES_SQL = " UNION ALL ".join(
 _DRIFT_SQL = """
 WITH g AS (
   SELECT lang AS category,
-         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
-         sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_cur
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_cur
   FROM documents GROUP BY lang
 ), t AS (SELECT sum(n_base) AS tot_base, sum(n_cur) AS tot_cur FROM g)
 SELECT category, n_base, n_cur,
@@ -440,7 +440,7 @@ FROM g, t
 
 _EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-       count(*) AS n_events, sum(floor(value * 1000)::BIGINT) AS value_milli
+       count(*) AS n_events, sum(floor(value * 1000)::BIGINT)::BIGINT AS value_milli
 FROM events GROUP BY 1, 2
 """
 
@@ -675,24 +675,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "validate_docs_counts": f"""
             SELECT count(*) AS n_rows,
-                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END) AS n_valid,
-                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 0 ELSE 1 END) AS n_invalid
+                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 0 ELSE 1 END)::BIGINT AS n_invalid
             FROM documents""",
         "validate_docs_by_lang": f"""
             SELECT lang, count(*) AS n_rows,
-                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END) AS n_valid,
-                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 0 ELSE 1 END) AS n_invalid
+                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+                   sum(CASE WHEN {_DOCS_VALID_SQL} THEN 0 ELSE 1 END)::BIGINT AS n_invalid
             FROM documents GROUP BY lang""",
         "violations_docs": _VIOL_SQL,
         "validate_events_payload": f"""
             SELECT event_type, count(*) AS n_rows,
-                   sum(CASE WHEN {_EVENTS_VALID_SQL} THEN 1 ELSE 0 END) AS n_valid,
-                   sum(CASE WHEN {_EVENTS_VALID_SQL} THEN 0 ELSE 1 END) AS n_invalid
+                   sum(CASE WHEN {_EVENTS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+                   sum(CASE WHEN {_EVENTS_VALID_SQL} THEN 0 ELSE 1 END)::BIGINT AS n_invalid
             FROM events GROUP BY event_type""",
         "validate_nested_orders": """
             SELECT o_orderstatus AS status, count(*) AS n_rows,
-                   sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
-                   sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_invalid
+                   sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+                   sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_invalid
             FROM (SELECT o_orderstatus,
                          (o_orderkey >= 1
                           AND o_orderstatus IN ('F','O','P')

@@ -79,20 +79,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(PAGES_ROWS / timings["validate_pages_fast"]) if timings.get("validate_pages_fast") else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cores": cores,
-                "pages_rows": PAGES_ROWS,
-                "docs_per_sec": docs_per_sec,
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "pages_rows": PAGES_ROWS,
+        "docs_per_sec": docs_per_sec,
+    }
+    # attach the latest N→4N scaling evidence (scripts/scaling.py output)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling_2_8.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling"] = {
+            "pair": f"local[{sc['n_cores']}] -> local[{sc['n4_cores']}]",
+            "efficiency": sc["scaling_efficiency"],
+            "protocol": sc.get("protocol"),
+            "docs_per_sec_n4": sc.get("docs_per_sec_n4"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

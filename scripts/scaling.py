@@ -11,7 +11,7 @@ warms every job once (codegen + page cache) then times it once; the
 per-level result is the MEDIAN across rounds, which cancels slow-host
 windows that hit both levels equally.
 
-Usage: python scripts/scaling.py [N] [N4] [rounds]   (default 8 32 3)
+Usage: python scripts/scaling.py [N] [N4] [rounds]   (default 4 16 3)
        python scripts/scaling.py --one <cores>       (internal: one JVM)
 """
 

@@ -152,6 +152,36 @@ def q_validate_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROPS_LOOP_SCHEMA = {
+    "$id": "https://example.com/props-loop.schema.json",
+    "type": "object",
+    "patternProperties": {"^v_": {"type": "number", "maximum": 250}},
+    "propertyNames": {"pattern": "^(v_[a-z]+|note)$"},
+    "additionalProperties": {"type": "string"},
+}
+
+
+def q_validate_pattern_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-path property loops (patternProperties / propertyNames /
+    additionalProperties) over dynamic-keyed JSON built from events:
+    key = v_<event_type> (X_error for error events). Valid ⟺ not error
+    and value ≤ 250 — the oracle re-derives that from the flat columns."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    key = F.when(F.col("event_type") == "error", F.lit("X_error")).otherwise(
+        F.concat(F.lit("v_"), F.col("event_type"))
+    )
+    doc = F.concat(
+        F.lit('{"'), key, F.lit('": '), F.col("value").cast("string"),
+        F.lit(', "note": "'), F.col("event_type"), F.lit('"}'),
+    )
+    v = validate(ev.withColumn("doc", doc), PROPS_LOOP_SCHEMA, doc_col="doc")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+    )
+
+
 def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_long(_docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"])
 
@@ -647,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_docs": q_violations_docs,
         "validate_events_payload": q_validate_events_payload,
         "validate_nested_orders": q_validate_nested_orders,
+        "validate_pattern_props": q_validate_pattern_props,
         "profile_docs": q_profile_docs,
         "quantiles_n_chars": q_quantiles_n_chars,
         "drift_lang": q_drift_lang,
@@ -701,6 +732,11 @@ def oracle_sql() -> dict[str, str]:
                           AND regexp_matches(o_orderpriority, '^[1-3]-')) AS ok
                   FROM orders)
             GROUP BY 1""",
+        "validate_pattern_props": """
+            SELECT event_type, count(*) AS n_rows,
+                   sum(CASE WHEN event_type != 'error' AND value <= 250 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+                   sum(CASE WHEN event_type != 'error' AND value <= 250 THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+            FROM events GROUP BY 1""",
         "profile_docs": _PROFILE_SQL,
         "quantiles_n_chars": _QUANTILES_SQL,
         "drift_lang": _DRIFT_SQL,

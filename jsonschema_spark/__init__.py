@@ -19,6 +19,7 @@ documents are handled via Spark 4 VARIANT (see plans/context.py).
 
 from jsonschema_spark.operators.validate import (
     annotate,
+    property_verdicts,
     standard_output,
     validate,
     violations,
@@ -48,6 +49,7 @@ __all__ = [
     "violations",
     "verdict_counts",
     "standard_output",
+    "property_verdicts",
     "compile_schema",
     "CompiledSchema",
     "struct_type_for",

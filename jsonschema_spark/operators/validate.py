@@ -117,6 +117,41 @@ def violations(
     return exploded
 
 
+def property_verdicts(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    doc_col: Optional[str] = None,
+    prefix: str = "ok_",
+) -> DataFrame:
+    """Per-property boolean verdict columns (``ok_<name>``) — the
+    data-quality-dashboard projection: each schema property's subschema
+    (plus its required bit) evaluated independently, all in the same
+    single pass. A property column is True when the value is absent-and-
+    not-required or present-and-valid."""
+    from jsonschema_spark.plans.compiler import _apply_subschema, and_
+    from jsonschema_spark.plans.context import B, FlatRowCtx, VariantCtx
+
+    cs = _as_compiled(schema)
+    node = cs.schema if isinstance(cs.schema, dict) else {}
+    props = node.get("properties", {}) or {}
+    required = set(node.get("required", []) or [])
+    cfg = cs._cfg("fast")
+    if doc_col is None:
+        ctx = FlatRowCtx(df.schema)
+    else:
+        ctx = VariantCtx(F.try_parse_json(F.col(doc_col)), "")
+    cols = {}
+    for name, sub_schema in props.items():
+        child = ctx.get_prop(name)
+        ok = _apply_subschema(sub_schema, child, f"/properties/{name}", cfg, ()).ok
+        if name in required:
+            ok = and_(ok, child.present)
+        cols[f"{prefix}{name}"] = B(ok)
+    for name in required - set(props):
+        cols[f"{prefix}{name}"] = B(ctx.get_prop(name).present)
+    return df.withColumns(cols)
+
+
 def standard_output(
     df: DataFrame,
     schema: Union[dict, bool, CompiledSchema],

@@ -247,3 +247,24 @@ def test_standard_output_shapes(spark):
     assert errs[0]["absoluteKeywordLocation"].startswith("https://x/s.json#")
     flag = {r["lang"]: _json.loads(r["report"]) for r in standard_output(df, schema, fmt="flag").collect()}
     assert flag == {"en": {"valid": True}, "zz": {"valid": False}}
+
+
+def test_property_verdicts(spark):
+    from jsonschema_spark import property_verdicts
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "zz", 10), (3, "en", -5), (None, "en", 10)],
+        "doc_id long, lang string, n long",
+    )
+    schema = {
+        "required": ["doc_id"],
+        "properties": {
+            "lang": {"enum": ["en", "de"]},
+            "n": {"minimum": 0},
+        },
+    }
+    byid = {(r["doc_id"], r["lang"], r["n"]): (r["ok_doc_id"], r["ok_lang"], r["ok_n"]) for r in property_verdicts(df, schema).collect()}
+    assert byid[(1, "en", 10)] == (True, True, True)
+    assert byid[(2, "zz", 10)] == (True, False, True)
+    assert byid[(3, "en", -5)] == (True, True, False)
+    assert byid[(None, "en", 10)][0] is False  # required doc_id missing

@@ -109,6 +109,15 @@ def q_validate_events_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-path violation rows with exact reference message wording
+    (dynamic type tags via schema_of_variant)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return violations(
+        ev, EVENTS_PAYLOAD_SCHEMA, id_cols=["event_id"], doc_col="props", short_circuit=False
+    )
+
+
 NESTED_ORDER_SCHEMA = {
     "$id": "https://example.com/order-doc.schema.json",
     "type": "object",
@@ -678,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_payload": q_validate_events_payload,
         "validate_nested_orders": q_validate_nested_orders,
         "validate_pattern_props": q_validate_pattern_props,
+        "violations_events": q_violations_events,
         "profile_docs": q_profile_docs,
         "quantiles_n_chars": q_quantiles_n_chars,
         "drift_lang": q_drift_lang,
@@ -732,6 +742,21 @@ def oracle_sql() -> dict[str, str]:
                           AND regexp_matches(o_orderpriority, '^[1-3]-')) AS ok
                   FROM orders)
             GROUP BY 1""",
+        "violations_events": """
+            WITH f AS (SELECT event_id, try_cast(props ->> '$.k' AS BIGINT) AS k
+                       FROM events
+                       WHERE try_cast(props ->> '$.k' AS BIGINT) > 50)
+            SELECT event_id, '/properties/k/maximum' AS keywordLocation,
+                   'https://example.com/event-payload.schema.json#/properties/k/maximum' AS absoluteKeywordLocation,
+                   '/k' AS instanceLocation,
+                   'The integer value ' || k::VARCHAR ||
+                   ' was expected to be less than or equal to the integer 50' AS error
+            FROM f
+            UNION ALL
+            SELECT event_id, '/properties',
+                   'https://example.com/event-payload.schema.json#/properties', '',
+                   'The object value was expected to validate against the single defined property subschema'
+            FROM f""",
         "validate_pattern_props": """
             SELECT event_type, count(*) AS n_rows,
                    sum(CASE WHEN event_type != 'error' AND value <= 250 THEN 1 ELSE 0 END)::BIGINT AS n_valid,

@@ -309,9 +309,13 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_spark.operators.dedup import simhash
+    """Scale-shaped SimHash (explode → one codegen aggregation) — the
+    expression form ``dedup.simhash`` stays available as a per-column
+    fallback but runs 32 interpreted higher-order passes per row."""
+    from jsonschema_spark.operators.dedup import simhash_df
 
-    return _docs(spark, sf_dir).select("doc_id", simhash(F.col("text"), 32).alias("sim"))
+    sim = simhash_df(_docs(spark, sf_dir), "doc_id", "text", bits=32)
+    return sim.select(F.col("_id").alias("doc_id"), F.col("_sim").alias("sim"))
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,10 +561,12 @@ _SIMHASH_EXPR = (
     "list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs) "
     "THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)])::BIGINT"
 )
+# token-less / null-text docs are dropped (len(hs) > 0), mirroring
+# simhash_df's explode semantics — they cannot be near-dups of anything
 _SIMHASH_BASE = f"""
 {_DOC_TOKS},
 h AS (SELECT doc_id, list_transform(toks, x -> {_h56("x")}) AS hs FROM t),
-simt AS (SELECT doc_id, coalesce({_SIMHASH_EXPR}, 0) AS sim FROM h)
+simt AS (SELECT doc_id, coalesce({_SIMHASH_EXPR}, 0) AS sim FROM h WHERE len(hs) > 0)
 """
 
 _SIMHASH_SQL = f"{_SIMHASH_BASE} SELECT doc_id, sim FROM simt"

@@ -79,7 +79,15 @@ def run_validation_checkpointed(
     """
     fp = schema_fingerprint(schema)
     done = load_completed(manifest_dir, fp)
-    todo_df = df.filter(~F.col(partition_col).isin(done)) if done else df
+    # Null-safe skip filter: `~isin(done)` alone is NULL for NULL partition
+    # values, silently dropping those rows on resumed runs. Policy: a NULL
+    # partition value is never considered "done" (its manifest key is not
+    # representable), so NULL-partition rows are (re)processed every run.
+    todo_df = (
+        df.filter(F.col(partition_col).isNull() | ~F.col(partition_col).isin(done))
+        if done
+        else df
+    )
 
     annotated = validate(todo_df, schema)
     (
@@ -97,7 +105,11 @@ def run_validation_checkpointed(
         # the committed files (not the input) makes the manifest reflect
         # exactly what landed on disk
         annotated.sparkSession.read.parquet(out_dir)
-        .filter(~F.col(partition_col).isin(done) if done else F.lit(True))
+        .filter(
+            (F.col(partition_col).isNull() | ~F.col(partition_col).isin(done))
+            if done
+            else F.lit(True)
+        )
         .groupBy(partition_col)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

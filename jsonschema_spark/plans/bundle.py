@@ -51,9 +51,14 @@ def _rewrite(node, mapping: dict[str, str]) -> None:
 
 
 def _rewrite_local(node, prefix: str) -> None:
+    """Rebase an inlined document's fragment-pointer refs (``#/...`` or
+    bare ``#``) under its new ``$defs/<slug>`` home. Plain-name ``#anchor``
+    refs are left untouched: ``$anchor`` resolution is document-wide, so
+    the anchor stays resolvable after inlining (prefixing would forge a
+    broken pointer like ``#/$defs/<slug>name``)."""
     if isinstance(node, dict):
         ref = node.get("$ref")
-        if isinstance(ref, str) and ref.startswith("#"):
+        if isinstance(ref, str) and (ref == "#" or ref.startswith("#/")):
             node["$ref"] = prefix + ref[1:]
         for v in node.values():
             _rewrite_local(v, prefix)

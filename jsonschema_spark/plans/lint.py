@@ -103,7 +103,14 @@ _FIXABLE = {"enum_with_type", "const_with_type", "const_with_enum", "duplicate_e
 
 def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
     """Apply the auto-fixable subset (the `lint --fix` analogue);
-    returns a new schema."""
+    returns a new schema.
+
+    Fix rules are applied at SCHEMA positions only — the walker recurses
+    through keyword-aware applicator locations (same dispatch as ``_walk``),
+    never into the entries of ``properties``/``patternProperties``/``$defs``
+    maps as if they were keywords, and never into ``const``/``enum``/
+    ``default`` data values (a property literally named "enum" must keep
+    its sibling definitions untouched)."""
     if not isinstance(schema, dict):
         return schema
     out = copy.deepcopy(schema)
@@ -132,12 +139,18 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
                     node.setdefault(k, v)
         if "if" in node and "then" not in node and "else" not in node:
             node.pop("if")
-        for v in list(node.values()):
-            if isinstance(v, dict):
-                fix(v)
-            elif isinstance(v, list):
-                for x in v:
-                    fix(x) if isinstance(x, dict) else None
+        for key in ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions"):
+            if isinstance(node.get(key), dict):
+                for sub in node[key].values():
+                    fix(sub)
+        for key in ("items", "additionalProperties", "propertyNames", "not", "contains",
+                    "if", "then", "else", "unevaluatedProperties", "unevaluatedItems"):
+            if isinstance(node.get(key), dict):
+                fix(node[key])
+        for key in ("allOf", "anyOf", "oneOf", "prefixItems"):
+            if isinstance(node.get(key), list):
+                for x in node[key]:
+                    fix(x)
         return node
 
     return fix(out)

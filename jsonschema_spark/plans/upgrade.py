@@ -24,19 +24,55 @@ from typing import Union
 DIALECT_2020 = "https://json-schema.org/draft/2020-12/schema"
 
 
+# Keyword positions holding subschemas — the walker recurses ONLY through
+# these (never into `properties` map entries as keywords, never into
+# const/enum/default data values; a property named "definitions" is data,
+# not a keyword).
+_SCHEMA_MAPS = ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions")
+_SCHEMA_VALUES = ("items", "additionalItems", "additionalProperties", "propertyNames",
+                  "not", "contains", "if", "then", "else",
+                  "unevaluatedProperties", "unevaluatedItems")
+_SCHEMA_LISTS = ("allOf", "anyOf", "oneOf", "prefixItems", "extends")
+
+
+def _walk_schema(node, fn) -> None:
+    """Apply ``fn`` to ``node`` then recurse through schema positions only."""
+    if not isinstance(node, dict):
+        return
+    fn(node)
+    for key in _SCHEMA_MAPS:
+        if isinstance(node.get(key), dict):
+            for sub in node[key].values():
+                _walk_schema(sub, fn)
+    for key in _SCHEMA_VALUES:
+        v = node.get(key)
+        if isinstance(v, dict):
+            _walk_schema(v, fn)
+        elif isinstance(v, list):  # legacy tuple `items` / `extends` list
+            for x in v:
+                _walk_schema(x, fn)
+    for key in _SCHEMA_LISTS:
+        if isinstance(node.get(key), list):
+            for x in node[key]:
+                _walk_schema(x, fn)
+    # draft-7 `dependencies`: schema-valued entries only (list values are
+    # property-name lists, not schemas)
+    if isinstance(node.get("dependencies"), dict):
+        for v in node["dependencies"].values():
+            if isinstance(v, dict):
+                _walk_schema(v, fn)
+
+
 def _rewrite_refs(node, mapping: dict[str, str]):
-    if isinstance(node, dict):
-        for k, v in list(node.items()):
-            if k == "$ref" and isinstance(v, str):
-                for old, new in mapping.items():
-                    if v == old or v.startswith(old + "/"):
-                        node[k] = new + v[len(old):]
-                        break
-            else:
-                _rewrite_refs(v, mapping)
-    elif isinstance(node, list):
-        for x in node:
-            _rewrite_refs(x, mapping)
+    def fn(n):
+        v = n.get("$ref")
+        if isinstance(v, str):
+            for old, new in mapping.items():
+                if v == old or v.startswith(old + "/"):
+                    n["$ref"] = new + v[len(old):]
+                    break
+
+    _walk_schema(node, fn)
 
 
 def _upgrade_node(node) -> None:
@@ -89,20 +125,19 @@ def _upgrade_node(node) -> None:
             node.setdefault("dependentRequired", {}).update(dreq)
         if dsch:
             node.setdefault("dependentSchemas", {}).update(dsch)
-    for v in node.values():
-        if isinstance(v, dict):
-            _upgrade_node(v)
-        elif isinstance(v, list):
-            for x in v:
-                _upgrade_node(x)
 
 
 def upgrade_schema(schema: Union[dict, bool]) -> Union[dict, bool]:
-    """Normalize a legacy-draft schema to the 2020-12 subset."""
+    """Normalize a legacy-draft schema to the 2020-12 subset.
+
+    The rewrite walks SCHEMA positions only (``_walk_schema``): keyword
+    renames never apply inside ``properties`` map entries (a property
+    named "definitions" stays "definitions") or inside ``const``/``enum``
+    data values."""
     if not isinstance(schema, dict):
         return schema
     out = copy.deepcopy(schema)
-    _upgrade_node(out)
+    _walk_schema(out, _upgrade_node)
     _rewrite_refs(out, {"#/definitions": "#/$defs"})
     out["$schema"] = DIALECT_2020
     return out
@@ -119,14 +154,12 @@ def needs_upgrade(schema: Union[dict, bool]) -> bool:
     if dialect and "2020-12" not in dialect:
         return True
 
-    def scan(node) -> bool:
-        if isinstance(node, dict):
-            if any(k in node for k in _LEGACY_MARKERS) or isinstance(node.get("items"), list) \
-               or isinstance(node.get("exclusiveMinimum"), bool) or isinstance(node.get("exclusiveMaximum"), bool):
-                return True
-            return any(scan(v) for v in node.values())
-        if isinstance(node, list):
-            return any(scan(x) for x in node)
-        return False
+    hits: list[bool] = []
 
-    return scan(schema)
+    def fn(node):
+        if any(k in node for k in _LEGACY_MARKERS) or isinstance(node.get("items"), list) \
+           or isinstance(node.get("exclusiveMinimum"), bool) or isinstance(node.get("exclusiveMaximum"), bool):
+            hits.append(True)
+
+    _walk_schema(schema, fn)
+    return bool(hits)

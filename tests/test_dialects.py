@@ -110,6 +110,43 @@ def test_upgrade_draft3_keywords():
     assert up["not"] == {"type": ["string", "null"]}
 
 
+def test_upgrade_walker_is_schema_location_aware():
+    """Keyword renames must not apply inside properties-map entries (a
+    property NAMED 'definitions'/'dependencies' is data) or inside
+    const/enum data values."""
+    legacy = {
+        "properties": {
+            "definitions": {"type": "object"},
+            "dependencies": {"type": "string"},
+        },
+        "const": {"id": "x", "definitions": {"a": 1}},
+    }
+    up = upgrade_schema(legacy)
+    assert set(up["properties"]) == {"definitions", "dependencies"}
+    assert "dependentSchemas" not in up["properties"]
+    assert up["const"] == {"id": "x", "definitions": {"a": 1}}
+    # and the marker scan must not fire on those either
+    assert not needs_upgrade({"$schema": "https://json-schema.org/draft/2020-12/schema",
+                              "properties": {"definitions": {"type": "object"}},
+                              "const": {"id": 1}})
+
+
+def test_bundle_preserves_anchor_refs(spark):
+    """An inlined document's '#name' anchor refs must stay plain-name refs
+    (anchors resolve document-wide); only '#/' pointer refs get rebased."""
+    registry = {
+        "https://example.com/geo.json": {
+            "$defs": {"lat": {"$anchor": "pos", "enum": ["en", "de"]}},
+            "$ref": "#pos",
+        },
+    }
+    schema = {"properties": {"lang": {"$ref": "https://example.com/geo.json"}}}
+    closed = bundle(schema, registry)
+    df = spark.createDataFrame([("en",), ("zz",)], "lang string")
+    got = {r["lang"]: r["valid"] for r in validate(df, closed).collect()}
+    assert got == {"en": True, "zz": False}
+
+
 def test_anchor_ref(spark):
     schema = {
         "$defs": {"code": {"$anchor": "langcode", "enum": ["en", "de"]}},

@@ -168,6 +168,42 @@ def test_lint_rules_and_fix():
     assert "allOf" not in fixed and fixed["minLength"] == 5 and "if" not in fixed
 
 
+def test_lint_fix_ignores_data_positions():
+    """Properties literally named 'enum'/'const'/'type' are data, not
+    keywords — fix() must leave their sibling definitions alone; const/enum
+    data values are never treated as schema nodes."""
+    schema = {
+        "properties": {
+            "enum": {"type": "string"},
+            "type": {"type": "integer"},
+            "const": {"type": "boolean"},
+        },
+        "const": {"enum": ["keep"], "type": "me"},
+    }
+    fixed = lint_fix(schema)
+    assert fixed["properties"]["type"] == {"type": "integer"}
+    assert fixed["properties"]["enum"] == {"type": "string"}
+    assert fixed["properties"]["const"] == {"type": "boolean"}
+    assert fixed["const"] == {"enum": ["keep"], "type": "me"}
+
+
+def test_checkpoint_null_partition_rows_never_dropped(spark, tmp_path):
+    """NULL partition values must survive resumed runs (the naive
+    ~isin(done) filter is NULL for them and silently drops the rows)."""
+    schema = {"properties": {"v": {"type": "integer", "minimum": 0}}}
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (None, 4), (None, -5)], "day int, v int"
+    )
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    run_validation_checkpointed(df.filter(F.col("day") == 0), schema, "day", out, man)
+    r2 = run_validation_checkpointed(df, schema, "day", out, man)
+    assert r2.skipped_partitions == [0]
+    # NULL-partition rows were processed on the resumed run, not dropped
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert got.filter(F.col("day").isNull()).count() == 2
+
+
 def test_metaschema_errors():
     assert is_valid_schema({"type": "string", "minLength": 0})
     errs = metaschema_errors({"type": "str", "minLength": -1, "pattern": "("})

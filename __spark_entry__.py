@@ -191,6 +191,237 @@ def q_validate_pattern_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Keyword-family coverage queries (SURVEY §2.2): every keyword group gets a
+# green CORRECTNESS row, not just a pytest. Each schema is planted so the
+# synthetic data produces a real pass/fail split on every branch.
+# ---------------------------------------------------------------------------
+
+COMBO_BASE = "https://example.com/combo.schema.json"
+
+COMBO_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": COMBO_BASE,
+    "type": "object",
+    "allOf": [
+        {"not": {"properties": {"lang": {"const": "zh"}}}},
+        {"dependentRequired": {"source": ["n_chars"]}},
+    ],
+    "anyOf": [
+        {"properties": {"source": {"pattern": "^src1"}}},
+        {"properties": {"n_chars": {"minimum": 200}}},
+    ],
+    "oneOf": [
+        {"properties": {"n_chars": {"multipleOf": 2}}},
+        {"properties": {"n_chars": {"minimum": 300}}},
+    ],
+    "if": {"properties": {"lang": {"const": "en"}}},
+    "then": {"properties": {"n_chars": {"minimum": 100}}},
+    "else": {"properties": {"n_chars": {"maximum": 500}}},
+    "dependentSchemas": {"text": {"properties": {"n_chars": {"minimum": 50}}}},
+}
+
+
+def q_validate_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allOf/anyOf/oneOf/not/if-then-else + const + dependentRequired +
+    dependentSchemas in one flat-path compile (Group D, dispatch.h:1207-1435)."""
+    return verdict_counts(_docs(spark, sf_dir), COMBO_SCHEMA, by=["lang"])
+
+
+def q_violations_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation rows for the combinator schema (exhaustive, all failing
+    conjuncts) — exercises the anyOf all-branch reporting, the oneOf
+    zero-vs-many split, and the conditional's /if own-entry."""
+    return violations(
+        _docs(spark, sf_dir), COMBO_SCHEMA, id_cols=["doc_id"], short_circuit=False
+    )
+
+
+LADDER_BASE = "https://example.com/lineitem-ladder.schema.json"
+
+LADDER_SCHEMA = {
+    "$id": LADDER_BASE,
+    "type": "object",
+    "properties": {
+        # the four multipleOf exactness-ladder branches (json_value.cc:801-857):
+        "l_orderkey": {"type": "integer", "multipleOf": 3},        # int % int
+        "l_quantity": {"type": "number", "multipleOf": 2},         # real / int divisor
+        "l_extendedprice": {"type": "number", "multipleOf": 0.25},  # pow-2 scaling
+        "l_discount": {"type": "number", "multipleOf": 0.03},      # decimal pudf
+    },
+}
+
+
+def q_validate_multipleof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.validate import property_verdicts
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    pv = property_verdicts(li, LADDER_SCHEMA)
+    return pv.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("ok_l_orderkey").cast("long")).alias("n_div3"),
+        F.sum(F.col("ok_l_quantity").cast("long")).alias("n_div2"),
+        F.sum(F.col("ok_l_extendedprice").cast("long")).alias("n_div_quarter"),
+        F.sum(F.col("ok_l_discount").cast("long")).alias("n_div_3cent"),
+    )
+
+
+UNIQ_BASE = "https://example.com/uniq.schema.json"
+
+UNIQ_SCHEMA = {
+    "$id": UNIQ_BASE,
+    "$defs": {"poscode": {"$anchor": "pos", "type": "integer", "minimum": 1}},
+    "type": "object",
+    "required": ["codes", "seq", "key"],
+    "properties": {
+        "codes": {"type": "array", "uniqueItems": True},
+        "seq": {
+            "type": "array",
+            "prefixItems": [{"const": "hdr"}, {"$ref": "#pos"}],
+            "items": {"type": "integer", "maximum": 100},
+        },
+        "key": {"$ref": "#/$defs/poscode"},
+    },
+}
+
+
+def q_validate_uniq_prefix_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-path uniqueItems + prefixItems + items-from-k + $ref (pointer
+    AND $anchor forms) + const over synthesized mixed-type JSON docs.
+
+    Planted failures: codes duplicates when orderkey%5==0; seq[1] < 1 when
+    orderkey%50==0; seq[2] > 100 when orderkey%150 > 100."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    second = F.when(
+        F.col("o_orderkey") % 5 == 0, F.col("o_orderstatus")
+    ).otherwise(F.substring(F.col("o_orderpriority"), 1, 1))
+    doc = F.concat(
+        F.lit('{"codes": ["'), F.col("o_orderstatus"), F.lit('", "'), second,
+        F.lit('"], "seq": ["hdr", '), (F.col("o_orderkey") % 50).cast("string"),
+        F.lit(", "), (F.col("o_orderkey") % 150).cast("string"),
+        F.lit('], "key": '), F.col("o_orderkey").cast("string"), F.lit("}"),
+    )
+    v = validate(o.withColumn("doc", doc), UNIQ_SCHEMA, doc_col="doc")
+    return v.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+    )
+
+
+RECURSE_BASE = "https://example.com/thread.schema.json"
+
+RECURSE_SCHEMA = {
+    "$id": RECURSE_BASE,
+    "$defs": {
+        "node": {
+            "type": "object",
+            "required": ["v"],
+            "properties": {
+                "v": {"type": "integer", "minimum": 0},
+                "reply": {"$ref": "#/$defs/node"},
+            },
+        }
+    },
+    "$ref": "#/$defs/node",
+}
+
+
+def q_validate_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-recursive $ref (comment-thread shape) on the tree path — the
+    compiler unrolls the reference to max_ref_depth (default 6); fixture
+    threads nest 1–4 levels, so validation is exact. Planted failures:
+    v < 0 at every level when event_id % 97 < 3."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    levels = (F.col("event_id") % 4).cast("int")
+    v = (F.col("event_id") % 97 - 3).cast("string")
+    unit = F.concat(F.lit('{"v": '), v, F.lit(', "reply": '))
+    doc = F.concat(
+        F.repeat(unit, levels),
+        F.lit('{"v": '), v, F.lit("}"),
+        F.repeat(F.lit("}"), levels),
+    )
+    val = validate(ev.withColumn("doc", doc), RECURSE_SCHEMA, doc_col="doc")
+    return val.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+    )
+
+
+_RECURSE_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       sum(CASE WHEN (event_id % 97) >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN (event_id % 97) >= 3 THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM events GROUP BY 1
+"""
+
+
+# format-family fixtures: three literals per format, selected per row by
+# event_id % 3. Every literal is dialect-safe (Java∩RE2 regex subset), so
+# the SAME regex text runs on both engines; the count per format proves the
+# template pair agrees. ("regex" is compile-try in Spark; its oracle uses a
+# bracket-balance check that agrees on these fixtures — documented approx.)
+_FMT_TRIPLES: dict[str, tuple[str, str, str]] = {
+    "uri": ("https://example.com/a?b=1", "ftp://host/path#frag", "http://exa mple.com/"),
+    "uri-reference": ("/path/to?q=1", "../rel/ref", "%2"),
+    "iri": ("mailto:user@example.com", "urn:isbn:0451450523", "not a uri"),
+    "iri-reference": ("//host/x", "frag", " spaced ref"),
+    "uri-template": ("/users/{id}", "/map{?x,y}", "/bad{unclosed"),
+    "date-time": ("2024-02-29T12:30:45Z", "2021-06-01t23:59:60+05:30", "2021-13-01T00:00:00Z"),
+    "date": ("2023-04-30", "2020-02-29", "2021-02-30"),
+    "time": ("23:59:59Z", "00:00:00+09:30", "24:00:00Z"),
+    "partial-time": ("12:34:56", "23:59:60", "12:34:56Z"),
+    "duration": ("P3Y6M4DT12H30M5S", "PT0.5S", "P"),
+    "ipv4": ("192.168.0.1", "255.255.255.255", "256.1.1.1"),
+    "ipv6": ("2001:db8::8a2e:370:7334", "::1", "fe80:::1"),
+    "hostname": ("example.com", "a-b.c-d.e", "host-.example.com"),
+    "idn-hostname": ("example.com", "xn--bcher-kva.example", "-bad.example"),
+    "email": ("user.name@example.com", "u+tag@sub.example.org", "u@@example.com"),
+    "idn-email": ("a@b.co", "x_y@ex.com", "no-at-sign"),
+    "uuid": (
+        "123e4567-e89b-12d3-a456-426614174000",
+        "00000000-0000-0000-0000-000000000000",
+        "123e4567e89b12d3a456426614174000",
+    ),
+    "json-pointer": ("/a/b~1c", "", "a/b"),
+    "relative-json-pointer": ("0#", "2/a/b", "/a"),
+    "color": ("#fff", "maroon", "#ff"),
+    "regex": ("^a[b-d]+$", "x|y", "(ab"),
+}
+
+
+def q_validate_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 21 logical string formats (§2.4) in one pass: per-format valid
+    counts over fixture strings cycled by event_id."""
+    from jsonschema_spark.functions.formats import format_ok
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    fmts = sorted(_FMT_TRIPLES)
+    sel = {
+        f: F.element_at(
+            F.array(*[F.lit(x) for x in _FMT_TRIPLES[f]]),
+            (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+        )
+        for f in fmts
+    }
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(format_ok(f, sel[f]).cast("long")).alias(f"_ok{i}") for i, f in enumerate(fmts)],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("fmt"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_ok{i}").alias("n_ok"),
+            )
+            for i, f in enumerate(fmts)
+        ]
+    )
+    return agg.select(F.explode(entries).alias("e")).select("e.fmt", "e.n_rows", "e.n_ok")
+
+
 def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_long(_docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"])
 
@@ -481,6 +712,175 @@ SELECT category, n_base, n_cur,
 FROM g, t
 """
 
+# --- keyword-family oracles ----------------------------------------------------
+
+# per-keyword boolean mirrors of COMBO_SCHEMA (absent/null ⇒ vacuous pass)
+_COMBO_FLAGS = """
+  SELECT doc_id, text, lang, source, n_chars,
+         (lang IS NOT NULL AND lang <> 'zh')                 AS b_not,
+         (source IS NULL OR n_chars IS NOT NULL)             AS b_dep,
+         (source IS NULL OR regexp_matches(source, '^src1')) AS b_any1,
+         (n_chars IS NULL OR n_chars % 2 = 0)                AS b_one1,
+         (n_chars IS NULL OR n_chars >= 300)                 AS b_one2,
+         (n_chars IS NULL OR n_chars >= 200)                 AS b_any2,
+         (lang IS NULL OR lang = 'en')                       AS b_if,
+         (n_chars IS NULL OR n_chars >= 100)                 AS b_then,
+         (n_chars IS NULL OR n_chars <= 500)                 AS b_else,
+         (text IS NULL OR n_chars IS NULL OR n_chars >= 50)  AS b_dsch
+  FROM documents
+"""
+
+_COMBO_VALID = """
+  (b_not AND b_dep AND (b_any1 OR b_any2)
+   AND ((CASE WHEN b_one1 THEN 1 ELSE 0 END + CASE WHEN b_one2 THEN 1 ELSE 0 END) = 1)
+   AND (CASE WHEN b_if THEN b_then ELSE b_else END)
+   AND b_dsch)
+"""
+
+_COMBINATORS_SQL = f"""
+WITH f AS ({_COMBO_FLAGS})
+SELECT lang, count(*) AS n_rows,
+       sum(CASE WHEN {_COMBO_VALID} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN {_COMBO_VALID} THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM f GROUP BY lang
+"""
+
+_SINGLE_PROP = "The object value was expected to validate against the single defined property subschema"
+
+_VIOL_COMBO_SQL = f"""
+WITH f0 AS ({_COMBO_FLAGS}),
+f AS (SELECT *,
+        (CASE WHEN b_one1 THEN 1 ELSE 0 END + CASE WHEN b_one2 THEN 1 ELSE 0 END) AS one_cnt,
+        (NOT b_any1 AND NOT b_any2) AS f_any
+      FROM f0)
+SELECT doc_id, '/allOf/0/not' AS keywordLocation,
+       '{COMBO_BASE}#/allOf/0/not' AS absoluteKeywordLocation, '' AS instanceLocation,
+       'The object value was expected to not validate against the given subschema, but it did' AS error
+FROM f WHERE NOT b_not
+UNION ALL
+SELECT doc_id, '/allOf/1/dependentRequired', '{COMBO_BASE}#/allOf/1/dependentRequired', '',
+       'Because the object value defined the property "source", it was also expected to define the property "n_chars"'
+FROM f WHERE NOT b_dep
+UNION ALL
+SELECT doc_id, '/allOf', '{COMBO_BASE}#/allOf', '',
+       'The object value was expected to validate against the 2 given subschemas'
+FROM f WHERE NOT b_not OR NOT b_dep
+UNION ALL
+SELECT doc_id, '/anyOf/0/properties/source/pattern', '{COMBO_BASE}#/anyOf/0/properties/source/pattern', '/source',
+       'The string value "' || source || '" was expected to match the regular expression "^src1"'
+FROM f WHERE f_any
+UNION ALL
+SELECT doc_id, '/anyOf/0/properties', '{COMBO_BASE}#/anyOf/0/properties', '', '{_SINGLE_PROP}'
+FROM f WHERE f_any
+UNION ALL
+SELECT doc_id, '/anyOf/1/properties/n_chars/minimum', '{COMBO_BASE}#/anyOf/1/properties/n_chars/minimum', '/n_chars',
+       'The integer value ' || n_chars::VARCHAR || ' was expected to be greater than or equal to the integer 200'
+FROM f WHERE f_any
+UNION ALL
+SELECT doc_id, '/anyOf/1/properties', '{COMBO_BASE}#/anyOf/1/properties', '', '{_SINGLE_PROP}'
+FROM f WHERE f_any
+UNION ALL
+SELECT doc_id, '/anyOf', '{COMBO_BASE}#/anyOf', '',
+       'The object value was expected to validate against at least one of the 2 given subschemas'
+FROM f WHERE f_any
+UNION ALL
+SELECT doc_id, '/oneOf/0/properties/n_chars/multipleOf', '{COMBO_BASE}#/oneOf/0/properties/n_chars/multipleOf', '/n_chars',
+       'The integer value ' || n_chars::VARCHAR || ' was expected to be divisible by the integer 2'
+FROM f WHERE one_cnt = 0
+UNION ALL
+SELECT doc_id, '/oneOf/0/properties', '{COMBO_BASE}#/oneOf/0/properties', '', '{_SINGLE_PROP}'
+FROM f WHERE one_cnt = 0
+UNION ALL
+SELECT doc_id, '/oneOf/1/properties/n_chars/minimum', '{COMBO_BASE}#/oneOf/1/properties/n_chars/minimum', '/n_chars',
+       'The integer value ' || n_chars::VARCHAR || ' was expected to be greater than or equal to the integer 300'
+FROM f WHERE one_cnt = 0
+UNION ALL
+SELECT doc_id, '/oneOf/1/properties', '{COMBO_BASE}#/oneOf/1/properties', '', '{_SINGLE_PROP}'
+FROM f WHERE one_cnt = 0
+UNION ALL
+SELECT doc_id, '/oneOf', '{COMBO_BASE}#/oneOf', '',
+       'The object value was expected to validate against one and only one of the 2 given subschemas'
+FROM f WHERE one_cnt <> 1
+UNION ALL
+SELECT doc_id, '/then/properties/n_chars/minimum', '{COMBO_BASE}#/then/properties/n_chars/minimum', '/n_chars',
+       'The integer value ' || n_chars::VARCHAR || ' was expected to be greater than or equal to the integer 100'
+FROM f WHERE b_if AND NOT b_then
+UNION ALL
+SELECT doc_id, '/then/properties', '{COMBO_BASE}#/then/properties', '', '{_SINGLE_PROP}'
+FROM f WHERE b_if AND NOT b_then
+UNION ALL
+SELECT doc_id, '/else/properties/n_chars/maximum', '{COMBO_BASE}#/else/properties/n_chars/maximum', '/n_chars',
+       'The integer value ' || n_chars::VARCHAR || ' was expected to be less than or equal to the integer 500'
+FROM f WHERE NOT b_if AND NOT b_else
+UNION ALL
+SELECT doc_id, '/else/properties', '{COMBO_BASE}#/else/properties', '', '{_SINGLE_PROP}'
+FROM f WHERE NOT b_if AND NOT b_else
+UNION ALL
+SELECT doc_id, '/if', '{COMBO_BASE}#/if', '',
+       'The object value was expected to validate against the given conditional'
+FROM f WHERE (b_if AND NOT b_then) OR (NOT b_if AND NOT b_else)
+UNION ALL
+SELECT doc_id, '/dependentSchemas/text/properties/n_chars/minimum',
+       '{COMBO_BASE}#/dependentSchemas/text/properties/n_chars/minimum', '/n_chars',
+       'The integer value ' || n_chars::VARCHAR || ' was expected to be greater than or equal to the integer 50'
+FROM f WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars < 50
+UNION ALL
+SELECT doc_id, '/dependentSchemas/text/properties', '{COMBO_BASE}#/dependentSchemas/text/properties', '', '{_SINGLE_PROP}'
+FROM f WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars < 50
+"""
+
+
+def _multipleof_sql() -> str:
+    from jsonschema_spark.functions.numeric import divisible_duckdb
+
+    frags = {
+        "n_div3": divisible_duckdb("l_orderkey", 3, True),
+        "n_div2": divisible_duckdb("l_quantity", 2, False),
+        "n_div_quarter": divisible_duckdb("l_extendedprice", 0.25, False),
+        "n_div_3cent": divisible_duckdb("l_discount", 0.03, False),
+    }
+    sums = ", ".join(
+        f"sum(CASE WHEN {sql} THEN 1 ELSE 0 END)::BIGINT AS {name}" for name, sql in frags.items()
+    )
+    return f"SELECT count(*) AS n_rows, {sums} FROM lineitem"
+
+
+_UNIQ_SQL = """
+SELECT o_orderstatus AS status, count(*) AS n_rows,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM (SELECT o_orderstatus,
+             ((o_orderkey % 5) <> 0           -- codes uniqueItems
+              AND (o_orderkey % 50) <> 0      -- seq[1] $ref #pos minimum 1
+              AND (o_orderkey % 150) <= 100   -- items-from-2 maximum 100
+             ) AS ok
+      FROM orders)
+GROUP BY 1
+"""
+
+
+def _formats_sql() -> str:
+    from jsonschema_spark.functions.formats import format_duckdb
+
+    # bracket-balance stand-in for the compile-try 'regex' format (agrees on
+    # the three fixture literals; DuckDB cannot compile-try)
+    balance = (
+        "(length(s) - length(replace(s, '(', '')) = length(s) - length(replace(s, ')', ''))"
+        " AND length(s) - length(replace(s, '[', '')) = length(s) - length(replace(s, ']', '')))"
+    )
+    parts = []
+    for f in sorted(_FMT_TRIPLES):
+        a, b, c = (x.replace("'", "''") for x in _FMT_TRIPLES[f])
+        sel = f"CASE (event_id % 3) WHEN 0 THEN '{a}' WHEN 1 THEN '{b}' ELSE '{c}' END"
+        pred = balance if f == "regex" else format_duckdb(f, "s")
+        parts.append(
+            f"SELECT '{f}' AS fmt, count(*) AS n_rows, "
+            f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS n_ok "
+            f"FROM (SELECT {sel} AS s FROM events)"
+        )
+    return " UNION ALL ".join(parts)
+
+
 _EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*) AS n_events, sum(floor(value * 1000)::BIGINT)::BIGINT AS value_milli
@@ -694,6 +1094,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_nested_orders": q_validate_nested_orders,
         "validate_pattern_props": q_validate_pattern_props,
         "violations_events": q_violations_events,
+        "validate_combinators": q_validate_combinators,
+        "violations_combinators": q_violations_combinators,
+        "validate_multipleof": q_validate_multipleof,
+        "validate_uniq_prefix_ref": q_validate_uniq_prefix_ref,
+        "validate_recursive": q_validate_recursive,
+        "validate_formats": q_validate_formats,
         "profile_docs": q_profile_docs,
         "quantiles_n_chars": q_quantiles_n_chars,
         "drift_lang": q_drift_lang,
@@ -763,6 +1169,12 @@ def oracle_sql() -> dict[str, str]:
                    'https://example.com/event-payload.schema.json#/properties', '',
                    'The object value was expected to validate against the single defined property subschema'
             FROM f""",
+        "validate_combinators": _COMBINATORS_SQL,
+        "violations_combinators": _VIOL_COMBO_SQL,
+        "validate_multipleof": _multipleof_sql(),
+        "validate_uniq_prefix_ref": _UNIQ_SQL,
+        "validate_recursive": _RECURSE_SQL,
+        "validate_formats": _formats_sql(),
         "validate_pattern_props": """
             SELECT event_type, count(*) AS n_rows,
                    sum(CASE WHEN event_type != 'error' AND value <= 250 THEN 1 ELSE 0 END)::BIGINT AS n_valid,

@@ -189,4 +189,6 @@ def format_ok(fmt: str, col: Column) -> Column:
 
 
 def format_duckdb(fmt: str, col_sql: str) -> str:
-    return FORMATS[fmt].duckdb.format(c=col_sql)
+    # plain replace, NOT str.format: the templates embed regex quantifier
+    # braces ({1,4}) that str.format would treat as replacement fields
+    return FORMATS[fmt].duckdb.replace("{c}", col_sql)

@@ -155,27 +155,88 @@ def minhash_lsh_pairs(
 # --- n-gram Jaccard ---------------------------------------------------------
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(_id, _sh) distinct-shingle arrays, checkpointed once (both sides of
+    any self-join read the checkpoint instead of recomputing)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    return sh.localCheckpoint(eager=True)
+
+
+def _score_candidate_pairs(sh: DataFrame, pairs: DataFrame, min_ppm: int) -> DataFrame:
+    """Exact Jaccard for the given (id_a, id_b) candidate pairs, from the
+    full shingle sets (array_intersect — candidate count × set size work,
+    not inverted-index quadratic)."""
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).alias("n_common"),
+            F.size("_sha").alias("_na"),
+            F.size("_shb").alias("_nb"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+    out = j.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.floor(
+            F.col("n_common") * 1000000 / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+        )
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+    return out.filter(F.col("jaccard_ppm") >= min_ppm) if min_ppm else out
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     min_ppm: int = 0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle:
     (id_a, id_b, n_common, jaccard_ppm). jaccard_ppm =
     floor(1e6 * |A∩B| / (|A|+|B|-|A∩B|)) — integer-exact.
 
     Plan: explode distinct shingles → self-join on shingle (the inverted-
-    index join) → pair-count agg → join back per-doc set sizes. At corpus
-    scale run this only on LSH candidates; standalone it is quadratic in
-    the hot-shingle bucket (document frequency cutoffs recommended)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
-    )
-    sh = sh.localCheckpoint(eager=True)  # shingle arrays computed once
-    sizes = sh.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
+    index join) → pair-count agg → join back per-doc set sizes.
+
+    ``max_df`` is the corpus-scale guard: shingles appearing in more than
+    ``max_df`` documents are dropped from the inverted index BEFORE the
+    self-join (one hot shingle otherwise produces a quadratic bucket), and
+    the surviving candidate pairs are rescored EXACTLY from the full
+    shingle sets. Scores are exact; the only recall loss is pairs whose
+    every shared shingle is hot — which at a sane threshold are stop-phrase
+    collisions, not near-duplicates. At corpus scale, compose with LSH
+    instead: ``jaccard_on_candidates(df, minhash_lsh_pairs(...))``."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
     inv = sh.select("_id", F.explode("_sh").alias("g"))
+    if max_df is not None:
+        rare = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("g")
+        )
+        inv = inv.join(rare, "g", "left_semi")
+        a, b = inv.alias("a"), inv.alias("b")
+        cand = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+        return _score_candidate_pairs(sh, cand, min_ppm)
+    sizes = sh.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")))
@@ -199,6 +260,22 @@ def jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard_ppm") >= min_ppm) if min_ppm else out
+
+
+def jaccard_on_candidates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_ppm: int = 0,
+) -> DataFrame:
+    """Exact Jaccard rescoring of externally-generated candidate pairs
+    (id_a, id_b) — the LSH-compose path: ``minhash_lsh_pairs`` proposes,
+    this verifies. Work is O(candidates · set size); no inverted-index
+    self-join at all."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    return _score_candidate_pairs(sh, pairs, min_ppm)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -309,18 +386,28 @@ def cosine_micro(a: Column, b: Column) -> Column:
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, min_cos_micro: int = 450000, scale: int = 100
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos_micro: int = 450000,
+    scale: int = 100,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with quantized cosine ≥ threshold → (id_a, id_b,
-    cos_micro).
+    cos_micro). Exact (no candidate pruning) — the LSH-pruned scale path
+    is ``similarity.topk_signlsh``.
 
-    Block-matmul design: the quantized corpus matrix is broadcast
-    (n×d int64 — 100k×64 ≈ 50 MB); each partition scores its rows against
-    the whole matrix with one numpy integer matmul (exact) inside
-    mapInPandas. This is the vectorized path — Catalyst's higher-order
-    ``aggregate`` folds are per-element interpreted and ~10× slower.
-    Beyond broadcastable corpus sizes, prefilter with sign-LSH buckets
-    (similarity.topk_signlsh) so each block only scores its bucket."""
+    Distributed block-pair matmul: rows are hashed into ``n_blocks``
+    blocks; each row is replicated to the n_blocks block-PAIRS it belongs
+    to (an explode — no driver materialization, no broadcast of the
+    corpus), and each of the n_blocks·(n_blocks+1)/2 pair-groups scores
+    its two blocks against each other with one exact int64 numpy matmul
+    inside a cogrouped ``applyInPandas``. Total work stays O(n²·d) —
+    inherent for exact all-pairs — but memory per task is bounded by
+    (n/n_blocks)·d·8 bytes: size ``n_blocks`` so one block fits an
+    executor. Shuffle volume is n_blocks× the quantized input (int64
+    vectors), uniform by construction (md5-quality block hash).
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -328,12 +415,21 @@ def embedding_near_dup_pairs(
     q = df.select(
         F.col(id_col).alias("_id"), quantize_embedding(F.col(vec_col), scale).alias("_q")
     )
-    local = q.collect()
-    ids = np.array([r["_id"] for r in local], dtype=np.int64)
-    mat = np.array([r["_q"] for r in local], dtype=np.int64)
-    norms = (mat * mat).sum(axis=1)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    q = q.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    pair_entries = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(j)).alias("pa"),
+                F.greatest(F.col("_blk"), F.lit(j)).alias("pb"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    rep = q.select("_id", "_q", "_blk", F.explode(pair_entries).alias("_p")).select(
+        "_id", "_q", "_blk", F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb")
+    )
 
     out_schema = T.StructType(
         [
@@ -342,25 +438,42 @@ def embedding_near_dup_pairs(
             T.StructField("cos_micro", T.LongType()),
         ]
     )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_micro": []})
 
-    def score(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
-            a_norms = (a_mat * a_mat).sum(axis=1)
-            dots = a_mat @ b_mat.T  # exact int64
-            # float op order matches the Column/SQL formula exactly:
-            # floor(1e6 * dot / sqrt(na*nb))
-            cos = np.floor(
-                (1000000.0 * dots) / np.sqrt((a_norms[:, None] * b_norms[None, :]).astype(np.float64))
-            ).astype(np.int64)
-            mask = (a_ids[:, None] < b_ids[None, :]) & (cos >= min_cos_micro)
+    def _cos(dots, na, nb):
+        # float op order matches the Column/SQL formula exactly:
+        # floor(1e6 * dot / sqrt(na*nb)) — integer inputs, one fp divide
+        return np.floor(
+            (1000000.0 * dots) / np.sqrt((na[:, None] * nb[None, :]).astype(np.float64))
+        ).astype(np.int64)
+
+    def score(key, pdf):
+        pa, pb = key
+        if pa == pb:
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+            norms = (mat * mat).sum(axis=1)
+            cos = _cos(mat @ mat.T, norms, norms)
+            mask = (ids[:, None] < ids[None, :]) & (cos >= min_cos_micro)
             ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cos_micro": cos[ai, bj]}
-            )
+            return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj], "cos_micro": cos[ai, bj]})
+        a, b = pdf[pdf["_blk"] == pa], pdf[pdf["_blk"] == pb]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        b_ids = b["_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack(a["_q"].to_numpy()).astype(np.int64)
+        b_mat = np.stack(b["_q"].to_numpy()).astype(np.int64)
+        cos = _cos(a_mat @ b_mat.T, (a_mat * a_mat).sum(axis=1), (b_mat * b_mat).sum(axis=1))
+        ai, bj = np.nonzero(cos >= min_cos_micro)
+        ida, idb = a_ids[ai], b_ids[bj]
+        # each unordered cross-block pair appears exactly once; normalize order
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida, idb),
+                "id_b": np.maximum(ida, idb),
+                "cos_micro": cos[ai, bj],
+            }
+        )
 
-    return q.mapInPandas(score, out_schema)
+    return rep.groupBy("pa", "pb").applyInPandas(score, out_schema)

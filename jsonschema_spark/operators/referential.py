@@ -22,7 +22,6 @@ reducers; AQE skew-join handles the residual).
 
 from __future__ import annotations
 
-import hashlib
 import math
 from typing import Iterable, Optional
 
@@ -44,8 +43,12 @@ def anti_join_orphans(fact: DataFrame, key: str, dim: DataFrame, dim_key: str) -
 
 
 class BroadcastBloom:
-    """Driver-side bloom filter state (bits, m, k). Deterministic:
-    Kirsch-Mitzenmacher double hashing over the md5 of the value."""
+    """Driver-side bloom filter state (bits, m, k). Deterministic
+    Kirsch-Mitzenmacher double hashing over TWO JVM-side ``xxhash64``
+    values of the key — hashing never happens in Python: the build hashes
+    each dimension key once inside the scan projection, and the probe's
+    pandas UDF only does whole-array numpy bit gathers over precomputed
+    (h1, h2) columns (Arrow transport AND vectorized compute)."""
 
     def __init__(self, bits: np.ndarray, m: int, k: int):
         self.bits = bits  # uint8 bitmap, length m/8
@@ -60,67 +63,75 @@ class BroadcastBloom:
         return m, k
 
     @staticmethod
-    def _hashes(value: str, m: int, k: int) -> np.ndarray:
-        d = hashlib.md5(value.encode("utf-8")).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1
-        return np.array([(h1 + i * h2) % m for i in range(k)], dtype=np.int64)
+    def indices(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+        """(n, k) bit positions from xxhash64 pairs: (h1 + i·(h2|1)) mod m,
+        in uint64 wraparound arithmetic (identical on build and probe)."""
+        u1 = h1.astype(np.int64).view(np.uint64)
+        u2 = h2.astype(np.int64).view(np.uint64) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        return (u1[:, None] + i * u2[:, None]) % np.uint64(m)
 
     @staticmethod
-    def _set_bits(bits: np.ndarray, idx: np.ndarray) -> None:
+    def set_bits(bits: np.ndarray, idx: np.ndarray) -> None:
         # ufunc.at: unbuffered |= — plain fancy-indexed |= silently drops
         # updates when two hash positions land in the same byte
-        np.bitwise_or.at(bits, idx // 8, (np.uint8(1) << (idx % 8).astype(np.uint8)))
+        flat = idx.ravel()
+        np.bitwise_or.at(bits, flat // 8, (np.uint8(1) << (flat % 8).astype(np.uint8)))
 
-    def add_many(self, values: Iterable[str]) -> None:
-        for v in values:
-            if v is None:
-                continue
-            self._set_bits(self.bits, self._hashes(v, self.m, self.k))
+    def probe_many(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        idx = self.indices(h1, h2, self.m, self.k)
+        return ((self.bits[idx // 8] >> (idx % 8).astype(np.uint8)) & 1).all(axis=1)
 
-    def might_contain(self, value: str) -> bool:
-        idx = self._hashes(value, self.m, self.k)
-        return bool(np.all((self.bits[idx // 8] >> (idx % 8).astype(np.uint8)) & 1))
+
+def _hash_cols(col: Column) -> tuple[Column, Column]:
+    """Two independent 64-bit JVM hashes of the (stringified) key.
+    The second appends a constant column — xxhash64 folds it into the
+    stream, yielding an independent hash of the same value."""
+    s = col.cast("string")
+    return F.xxhash64(s), F.xxhash64(s, F.lit(1))
 
 
 def build_bloom(dim: DataFrame, key: str, expected: Optional[int] = None, fpp: float = 0.01) -> BroadcastBloom:
-    """Build a bloom of the dimension keys, distributed: each partition
-    builds a local bitmap, OR-merged on the driver via treeAggregate
-    (log-depth merge — 1000 executors merge in ~3 rounds, not 1000)."""
+    """Build a bloom of the dimension keys, distributed: keys are hashed
+    JVM-side in the scan projection; each partition sets its bits with one
+    vectorized numpy pass; partition bitmaps OR-merge via treeReduce
+    (log-depth — 1000 executors merge in ~3 rounds, not 1000)."""
     if expected is None:
         expected = dim.select(F.approx_count_distinct(key)).first()[0] or 1
     m, k = BroadcastBloom.params(expected, fpp)
 
-    def seq_op(bits: np.ndarray, value) -> np.ndarray:
-        if value is not None:
-            BroadcastBloom._set_bits(bits, BroadcastBloom._hashes(value, m, k))
-        return bits
+    h1, h2 = _hash_cols(F.col(key))
+    hashed = dim.filter(F.col(key).isNotNull()).select(h1.alias("h1"), h2.alias("h2"))
 
-    def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return a | b
+    def part_bitmap(rows):
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        pairs = list(rows)
+        if pairs:
+            a1 = np.fromiter((r[0] for r in pairs), dtype=np.int64, count=len(pairs))
+            a2 = np.fromiter((r[1] for r in pairs), dtype=np.int64, count=len(pairs))
+            BroadcastBloom.set_bits(bits, BroadcastBloom.indices(a1, a2, m, k))
+        yield bits
 
-    zero = np.zeros(m // 8, dtype=np.uint8)
-    bits = (
-        dim.select(F.col(key).cast("string"))
-        .rdd.map(lambda r: r[0])
-        .treeAggregate(zero, seq_op, comb_op, depth=3)
-    )
+    bits = hashed.rdd.mapPartitions(part_bitmap).treeReduce(lambda a, b: a | b, depth=3)
     return BroadcastBloom(bits, m, k)
 
 
 def bloom_might_contain(spark, bloom: BroadcastBloom, col: Column) -> Column:
-    """Strategy 3 probe: Arrow-batched membership test against the
-    broadcast bloom. False ⇒ definitely not a member (safe to fail the
-    row); True ⇒ verify survivors with an exact join."""
+    """Strategy 3 probe: h1/h2 computed JVM-side (two-seed xxhash64), then
+    one Arrow-batched pandas UDF doing whole-array numpy gathers — no
+    per-row Python anywhere. False ⇒ definitely not a member (safe to
+    fail the row); True ⇒ verify survivors with an exact join. NULL keys
+    probe as NULL."""
     bc = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k))
 
     @F.pandas_udf(BooleanType())
-    def probe(s: pd.Series) -> pd.Series:
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
         bits, m, k = bc.value
         bf = BroadcastBloom(bits, m, k)
-        return s.map(lambda v: None if v is None else bf.might_contain(str(v)))
+        return pd.Series(bf.probe_many(h1.to_numpy(dtype=np.int64), h2.to_numpy(dtype=np.int64)))
 
-    return probe(col)
+    c1, c2 = _hash_cols(col)
+    return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(probe(c1, c2))
 
 
 def referential_violations(
@@ -147,8 +158,11 @@ def referential_violations(
 def salted_counts(fact: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """Two-stage skew-defused count per key: stage 1 aggregates on
     (key, salt) — the hot key spreads over ``n_salts`` reducers — stage 2
-    merges the partials. Salt is derived deterministically (hash of a
-    uniform row tiebreaker), not random, so reruns are stable."""
+    merges the partials. The salt hashes ``monotonically_increasing_id``,
+    which depends on partition layout: per-salt PARTIALS can differ across
+    runs, but the stage-2 merge makes the final per-key counts exact and
+    layout-independent. (`rand()` would work too; the hash avoids a
+    nondeterministic-expression re-execution hazard under task retry.)"""
     salted = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )

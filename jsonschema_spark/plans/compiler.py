@@ -88,6 +88,15 @@ class Config:
     # uri → schema dict registry for external $ref (the bundle/resolver
     # analogue, /root/reference/src/resolver.h); local-only when None
     resolver: Optional[dict] = None
+    # Recursive $ref unroll budget (the reference's inline-threshold
+    # analogue, compile.cc:268-348 / compiler.h:98-99). A self-recursive
+    # target is inlined up to this depth; instances whose data nests
+    # DEEPER than the unrolled plan fail with a depth-exceeded violation
+    # (conservative-reject, never a silent pass). On the flat path the
+    # static column schema usually terminates recursion earlier: a
+    # statically-absent child compiles to a constant pass (dead-code
+    # elimination, postprocess.h:26-55 analogue).
+    max_ref_depth: int = 6
 
     @property
     def want_viols(self) -> bool:
@@ -95,11 +104,11 @@ class Config:
 
     def fast(self) -> "Config":
         return Config(self.base_uri, "fast", self.format_assertion, self.root,
-                      self.short_circuit, self.resolver)
+                      self.short_circuit, self.resolver, self.max_ref_depth)
 
     def with_root(self, root, base_uri: str) -> "Config":
         return Config(base_uri, self.mode, self.format_assertion, root,
-                      self.short_circuit, self.resolver)
+                      self.short_circuit, self.resolver, self.max_ref_depth)
 
 
 def _viol(cfg: Config, kw: str, loc: Union[str, Column], error: Column) -> Column:
@@ -318,13 +327,20 @@ def compile_node(
         if key == "$ref":
             target, sub_cfg = _resolve_ref(val, cfg)
             ref_key = (cfg.base_uri, val)
-            if ref_key in ref_stack:
-                raise SchemaError(f"recursive $ref not supported in v1: {val}")
-            sub = compile_node(target, ctx, kwp, sub_cfg, ref_stack + (ref_key,))
-            if sub.ok is not True:
+            if ref_stack.count(ref_key) >= cfg.max_ref_depth:
+                # recursion budget exhausted: data nesting deeper than the
+                # unrolled plan is conservatively REJECTED (documented
+                # limit; shallower data is validated exactly)
                 parts.append(
-                    _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))
+                    _leaf(cfg, False, kwp, ctx,
+                          lambda d=cfg.max_ref_depth: M.msg_ref_depth(d))
                 )
+            else:
+                sub = compile_node(target, ctx, kwp, sub_cfg, ref_stack + (ref_key,))
+                if sub.ok is not True:
+                    parts.append(
+                        _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))
+                    )
         elif key == "type":
             parts.append(_k_type(val, ctx, kwp, cfg))
         elif key == "const":
@@ -468,7 +484,14 @@ def _k_dependent_required(val: dict, ctx: Ctx, kwp: str, cfg: Config) -> Compile
 
 
 def _apply_subschema(sub_schema, child: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
-    """Apply a subschema to a possibly-absent value (absent ⇒ vacuous pass)."""
+    """Apply a subschema to a possibly-absent value (absent ⇒ vacuous pass).
+
+    A STATICALLY absent child (no such column/field) constant-folds to a
+    pass without compiling the subschema at all — the dead-code-elimination
+    analogue, and what terminates recursive $ref on the flat path (the
+    physical struct depth bounds the unroll)."""
+    if child.present is False:
+        return Compiled(True)
     sub = compile_node(sub_schema, child, kwp, cfg, ref_stack)
     return _guarded(child.present, sub, cfg)
 
@@ -857,6 +880,7 @@ class CompiledSchema:
     base_uri: str = ""
     format_assertion: bool = True
     resolver: Optional[dict] = None  # uri → schema registry for external $ref
+    max_ref_depth: int = 6  # recursive-$ref unroll budget (Config doc)
 
     def __post_init__(self):
         if isinstance(self.schema, dict):
@@ -864,7 +888,7 @@ class CompiledSchema:
 
     def _cfg(self, mode: str, short_circuit: bool = True) -> Config:
         return Config(self.base_uri, mode, self.format_assertion, self.schema,
-                      short_circuit, self.resolver)
+                      short_circuit, self.resolver, self.max_ref_depth)
 
     def compile_flat(
         self, df_schema: T.StructType, mode: str = "exhaustive", short_circuit: bool = True
@@ -886,5 +910,6 @@ def compile_schema(
     base_uri: str = "",
     format_assertion: bool = True,
     resolver: Optional[dict] = None,
+    max_ref_depth: int = 6,
 ) -> CompiledSchema:
-    return CompiledSchema(schema, base_uri, format_assertion, resolver)
+    return CompiledSchema(schema, base_uri, format_assertion, resolver, max_ref_depth)

@@ -461,6 +461,15 @@ def msg_ref(ctx: Ctx) -> Column:
     return C("The ", _tag_col(ctx), " value was expected to validate against the referenced schema")
 
 
+def msg_ref_depth(max_depth: int) -> Column:
+    """Engine-specific (no reference analogue): the compiler unrolls
+    recursive $ref to a fixed depth; deeper instance data is rejected."""
+    return F.lit(
+        "The value was expected to validate against the referenced schema "
+        f"but nests deeper than the supported $ref recursion depth of {max_depth}"
+    )
+
+
 def msg_false_schema() -> Column:
     return F.lit("No instance is expected to succeed against the false schema")
 

@@ -147,6 +147,62 @@ def test_bundle_preserves_anchor_refs(spark):
     assert got == {"en": True, "zz": False}
 
 
+RECURSIVE = {
+    "$defs": {
+        "node": {
+            "type": "object",
+            "required": ["v"],
+            "properties": {
+                "v": {"type": "integer", "minimum": 0},
+                "next": {"$ref": "#/$defs/node"},
+            },
+        }
+    },
+    "$ref": "#/$defs/node",
+}
+
+
+def test_recursive_ref_tree_path(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, '{"v": 1, "next": {"v": 2, "next": {"v": 3}}}'),
+            (2, '{"v": 1, "next": {"v": -2}}'),   # invalid deep value
+            (3, '{"v": 5}'),
+            (4, '{"v": 1, "next": {"v": 2}}'),
+        ],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, RECURSIVE, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_recursive_ref_depth_exceeded_rejects(spark):
+    """Data nesting deeper than max_ref_depth is conservatively rejected
+    with the documented depth message — never silently passed."""
+    deep = '{"v": 1, "next": ' * 3 + '{"v": 1}' + "}" * 3
+    shallow = '{"v": 1, "next": {"v": 2}}'
+    docs = spark.createDataFrame([(1, deep), (2, shallow)], "id long, doc string")
+    cs = compile_schema(RECURSIVE, max_ref_depth=2)
+    got = {r["id"]: r["valid"] for r in validate(docs, cs, doc_col="doc").collect()}
+    assert got == {1: False, 2: True}
+    from jsonschema_spark import violations
+
+    rows = violations(docs, cs, id_cols=["id"], doc_col="doc").collect()
+    assert any("recursion depth" in r["error"] for r in rows)
+
+
+def test_recursive_ref_flat_path_terminates_on_struct_depth(spark):
+    """On the flat path the physical struct schema ends the unroll (absent
+    child ⇒ static pass) — no depth message needed for bounded columns."""
+    df = spark.createDataFrame(
+        [((1, (2, None)),), ((1, (-5, None)),)],
+        "root struct<v: long, next: struct<v: long, next: string>>",
+    )
+    schema = {"$defs": RECURSIVE["$defs"], "properties": {"root": {"$ref": "#/$defs/node"}}}
+    got = [r["valid"] for r in validate(df, schema).collect()]
+    assert got == [True, False]
+
+
 def test_anchor_ref(spark):
     schema = {
         "$defs": {"code": {"$anchor": "langcode", "enum": ["en", "de"]}},

@@ -87,6 +87,66 @@ def test_topk_signlsh_restricts_to_bucket(vecs):
     assert 4 not in out and 2 in out
 
 
+def test_embedding_near_dup_many_blocks(spark):
+    """Block-pair scoring must be exact across every (same-block,
+    cross-block) combination — compare against a python brute force."""
+    import itertools
+    import math
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) / 5 for j in range(8)]) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_micro"]
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", min_cos_micro=500000, n_blocks=5
+        ).collect()
+    }
+    qs = {i: [math.floor(x * 100) for x in v] for i, v in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(qs), 2):
+        dot = sum(x * y for x, y in zip(qs[a], qs[b]))
+        na = sum(x * x for x in qs[a])
+        nb = sum(x * x for x in qs[b])
+        c = math.floor((1000000.0 * dot) / math.sqrt(float(na * nb)))
+        if c >= 500000:
+            want[(a, b)] = c
+    assert got == want
+
+
+def test_jaccard_max_df_defuses_hot_shingle(spark):
+    """A shingle shared by every doc makes the naive inverted-index join
+    quadratic; max_df drops it from candidate generation while rescoring
+    stays exact for pairs that share any rare shingle."""
+    rows = [(i, f"common unique{i}" if i != 1 else "common unique2") for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = jaccard_pairs(df, "doc_id", "text", shingle_n=1)
+    assert full.count() == 30 * 29 // 2  # hot 'common' shingle: all pairs
+    cut = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard_ppm"])
+        for r in jaccard_pairs(df, "doc_id", "text", shingle_n=1, max_df=5).collect()
+    }
+    # only the planted duplicate pair survives — with EXACT full-set scores
+    # (n_common counts the hot shingle too: rescoring uses the full sets)
+    assert cut == {(1, 2): (2, 1000000)}
+
+
+def test_jaccard_on_candidates_composes_with_lsh(docs):
+    from jsonschema_spark.operators.dedup import jaccard_on_candidates
+
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=6)
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in jaccard_on_candidates(docs, cand, "doc_id", "text", shingle_n=3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in jaccard_pairs(docs, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert out[(1, 2)] == 1000000
+    for k, v in out.items():
+        assert exact[k] == v  # rescoring is exact on every candidate
+
+
 def test_text_quality_counts(docs):
     r = {x["doc_id"]: x for x in text_quality(docs, "doc_id", "text").collect()}
     assert r[1]["n_tokens"] == 13

@@ -23,8 +23,10 @@ from jsonschema_spark.operators.validate import (
     standard_output,
     validate,
     violations,
+    violations_with_positions,
     verdict_counts,
 )
+from jsonschema_spark.operators.annotations import annotations
 from jsonschema_spark.plans.compiler import compile_schema, CompiledSchema
 from jsonschema_spark.plans.codegen import struct_type_for
 from jsonschema_spark.plans.inspect import explain_schema, inspect_schema
@@ -47,6 +49,8 @@ __all__ = [
     "annotate",
     "validate",
     "violations",
+    "violations_with_positions",
+    "annotations",
     "verdict_counts",
     "standard_output",
     "property_verdicts",

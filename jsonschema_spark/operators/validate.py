@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from jsonschema_spark.plans.compiler import (
@@ -122,6 +123,38 @@ def violations(
     return exploded
 
 
+def violations_with_positions(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    id_cols: Sequence[str],
+    doc_col: str,
+    short_circuit: bool = True,
+) -> DataFrame:
+    """Violation rows with the reference's ``instancePosition`` column —
+    1-based [startLine, startCol, endLine, endCol] span of the instance
+    location in the SOURCE document text (output_standard.cc:85; golden
+    test/validate/fail_json.sh). Positions come from a one-pass scanner
+    over the original text, computed for FAILING rows only (cold path).
+    doc_col sources only: flat rows have no source text to span."""
+    from jsonschema_spark.functions.positions import instance_position
+
+    annotated = annotate(df, schema, doc_col=doc_col, short_circuit=short_circuit)
+    return (
+        annotated.filter(~F.col("valid"))
+        .select(*id_cols, F.col(doc_col).alias("__doc"), F.explode("violations").alias("_v"))
+        .select(
+            *id_cols,
+            F.col("_v.keywordLocation").alias("keywordLocation"),
+            F.col("_v.absoluteKeywordLocation").alias("absoluteKeywordLocation"),
+            F.col("_v.instanceLocation").alias("instanceLocation"),
+            instance_position(F.col("__doc"), F.col("_v.instanceLocation")).alias(
+                "instancePosition"
+            ),
+            F.col("_v.error").alias("error"),
+        )
+    )
+
+
 def property_verdicts(
     df: DataFrame,
     schema: Union[dict, bool, CompiledSchema],
@@ -163,12 +196,19 @@ def standard_output(
     doc_col: Optional[str] = None,
     fmt: str = "basic",
     out_col: str = "report",
+    annotations: bool = False,
+    positions: bool = False,
 ) -> DataFrame:
     """Standard JSON output column — the `--json` analogue
     (output_standard.cc:47-100): fmt='flag' → {"valid": bool};
     fmt='basic' → {"valid": bool, "errors": [{keywordLocation,
     absoluteKeywordLocation, instanceLocation, error}, ...]} (errors
-    omitted for valid rows, matching the reference's Flag/Basic shapes)."""
+    omitted for valid rows, matching the reference's Flag/Basic shapes).
+
+    ``annotations=True`` adds the golden ``annotations[]`` block to valid
+    rows (test/validate/pass_json.sh); ``positions=True`` (doc_col only)
+    inserts ``instancePosition`` spans into every entry
+    (test/validate/fail_json.sh) — the full field-for-field Basic shape."""
     if fmt == "flag":
         v = validate(df, schema, doc_col=doc_col)
         report = F.to_json(F.struct(F.col("valid").alias("valid")))
@@ -176,15 +216,80 @@ def standard_output(
     if fmt != "basic":
         raise ValueError(f"unknown output format {fmt!r} (flag|basic)")
     a = annotate(df, schema, doc_col=doc_col)
-    report = F.when(
-        F.col("valid"),
-        F.to_json(F.struct(F.col("valid").alias("valid"))),
-    ).otherwise(
+    ann_col = None
+    if annotations:
+        from jsonschema_spark.operators.annotations import annotations_col
+        from jsonschema_spark.plans.context import FlatRowCtx, VariantCtx
+
+        cs = _as_compiled(schema)
+        if doc_col is None:
+            ctx = FlatRowCtx(df.schema)
+        else:
+            ctx = VariantCtx(F.try_parse_json(F.col(doc_col)), "")
+        ann_col = annotations_col(cs, ctx)
+    if positions and doc_col is not None:
+        return _standard_output_positions(a, doc_col, ann_col, out_col)
+    valid_report = (
+        F.to_json(F.struct(F.col("valid").alias("valid"), ann_col.alias("annotations")))
+        if ann_col is not None
+        else F.to_json(F.struct(F.col("valid").alias("valid")))
+    )
+    report = F.when(F.col("valid"), valid_report).otherwise(
         F.to_json(
             F.struct(F.col("valid").alias("valid"), F.col("violations").alias("errors"))
         )
     )
     return a.withColumn(out_col, report).drop("valid", "violations")
+
+
+def _standard_output_positions(annotated: DataFrame, doc_col: str, ann_col, out_col: str) -> DataFrame:
+    """Assemble the Basic report with instancePosition spans: one scan of
+    the source text per row (Arrow-batched; entries share the scan)."""
+    import json as _json
+
+    from pyspark.sql.types import StringType
+
+    from jsonschema_spark.functions.positions import position_of, scan_spans, _line_col
+
+    @F.pandas_udf(StringType())
+    def assemble(valid: pd.Series, doc: pd.Series, viols: pd.Series, anns: pd.Series) -> pd.Series:
+        def build(v, d, errs_json, anns_json):
+            entries_key = "annotations" if v else "errors"
+            raw = _json.loads(anns_json if v else errs_json) or []
+            try:
+                spans = scan_spans(d) if d is not None else {}
+            except (ValueError, IndexError):
+                spans = {}
+            out = []
+            for e in raw:
+                loc = e.get("instanceLocation", "")
+                ent = {
+                    "keywordLocation": e["keywordLocation"],
+                    "absoluteKeywordLocation": e["absoluteKeywordLocation"],
+                    "instanceLocation": loc,
+                }
+                if loc in spans:
+                    so, eo = spans[loc]
+                    sl, sc = _line_col(d, so)
+                    el, ec = _line_col(d, eo)
+                    ent["instancePosition"] = [sl, sc, el, ec]
+                if v:
+                    ent["annotation"] = _json.loads(e["annotation"])
+                else:
+                    ent["error"] = e["error"]
+                out.append(ent)
+            rep = {"valid": bool(v)}
+            if out or not v:
+                rep[entries_key] = out
+            return _json.dumps(rep, separators=(",", ":"), ensure_ascii=False)
+
+        return pd.Series([build(v, d, ej, aj) for v, d, ej, aj in zip(valid, doc, viols, anns)])
+
+    anns_json = F.to_json(ann_col) if ann_col is not None else F.lit("[]")
+    report = assemble(
+        F.col("valid"), F.col(doc_col), F.to_json(F.col("violations")), anns_json
+    )
+    return annotated.withColumn(out_col, report).drop("valid", "violations")
 
 
 def verdict_counts(

@@ -583,6 +583,15 @@ def _k_extra_properties(
         *[not_(pattern_ok(k, p)) for p in patterns],
     )
     extra_keys = F.filter(keys, lambda k: B(is_extra(k)))
+    return _apply_to_extra_keys(extra_keys, prop_ctx, val, ctx, kwp, cfg, ref_stack)
+
+
+def _apply_to_extra_keys(
+    extra_keys: Column, prop_ctx, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack
+) -> Compiled:
+    """Apply ``val`` (False = reject, schema = validate) to the dynamic key
+    set ``extra_keys`` — shared tail of additionalProperties and dynamic
+    unevaluatedProperties."""
     if val is False:
         ok = F.size(extra_keys) == 0
         if cfg.want_viols:
@@ -642,9 +651,24 @@ def _k_dependent_schemas(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack) 
 
 
 def _k_unique_items(ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
+    """AssertionUnique (dispatch.h:814-818): deep distinctness.
+
+    Fast path: typed scalar arrays (flat columns) — pure JVM
+    ``array_distinct`` (exact: one Spark array holds one numeric type).
+    Slow path: VARIANT arrays and container-element arrays — canonical
+    deep equality in an Arrow pudf (key order irrelevant, 1 == 1.0)."""
+    from jsonschema_spark.functions.canonical import unique_canonical
+
     arr = ctx.arr()
-    canon = F.transform(arr, lambda x: F.to_json(x) if isinstance(ctx, VariantCtx) else x.cast("string"))
-    cond = F.size(F.array_distinct(canon)) == F.size(arr)
+    needs_canonical = isinstance(ctx, VariantCtx)
+    if not needs_canonical:
+        dt = getattr(ctx, "dtype", None)
+        et = dt.elementType if isinstance(dt, T.ArrayType) else None
+        needs_canonical = isinstance(et, (T.StructType, T.MapType, T.ArrayType))
+    if needs_canonical:
+        cond = unique_canonical(ctx.json_repr())
+    else:
+        cond = F.size(F.array_distinct(arr)) == F.size(arr)
     inner = _leaf(cfg, cond, kwp, ctx, lambda c=ctx: M.msg_unique_items(c))
     return _guarded(ctx.is_type("array"), inner, cfg)
 
@@ -773,16 +797,26 @@ def _k_conditional(schema: dict, ctx: Ctx, kw: str, cfg: Config, ref_stack) -> C
     return Compiled(ok, viols)
 
 
-# --- unevaluatedProperties / unevaluatedItems — static subset ----------------
+# --- unevaluatedProperties / unevaluatedItems ---------------------------------
 #
 # The reference needs runtime evaluation marks with checkpoint/rewind for
 # these (evaluator.h:217-276); its compiler also statically analyses which
-# schemas can skip tracking (unevaluated.cc, the `track` bit). We implement
-# exactly the statically-decidable subset: when every property/item
-# evaluation is CONJUNCTIVE (the node itself, allOf children, $ref targets),
-# the evaluated set is known at compile time and unevaluated* reduces to
-# additionalProperties / items-from-k. Disjunctive evaluation (anyOf branches
-# evaluating properties, contains marking items) raises SchemaError.
+# schemas can skip tracking (unevaluated.cc, the `track` bit). Two tiers:
+#
+# 1. STATIC (fast path): when every property/item evaluation is CONJUNCTIVE
+#    (the node itself, allOf children, $ref targets), the evaluated set is
+#    known at compile time and unevaluated* reduces to
+#    additionalProperties / items-from-k — zero runtime overhead.
+# 2. DYNAMIC (the checkpoint/rewind analogue): disjunctive evaluation
+#    (anyOf/oneOf/if-then-else/dependentSchemas branches evaluating
+#    properties, contains marking items) compiles to per-key / per-item
+#    "evaluated" predicates — each branch's contribution is gated on that
+#    branch VALIDATING (fast-mode recompile of the branch), which is
+#    exactly the annotations-only-from-successful-subschemas rule the
+#    mark rollback implements. `not` contributes nothing (its annotations
+#    never propagate). Branch contributions at the node's own level
+#    (properties/patternProperties) are unconditioned — if they fail the
+#    node fails anyway, matching the reference's conjunctive shortcut.
 
 _BRANCHING_KEYS = ("anyOf", "oneOf", "not", "if", "then", "else", "dependentSchemas")
 
@@ -813,9 +847,108 @@ def _conjunctive_contributors(schema, cfg: Config, seen: tuple = ()) -> list:
     return out
 
 
+def _branch_ok(sub_schema, ctx: Ctx, kw: str, cfg: Config, ref_stack) -> Cond:
+    """Fast-mode verdict of a subschema — gates annotation contributions
+    from disjunctive branches (the mark-rollback analogue)."""
+    return compile_node(sub_schema, ctx, kw, cfg.fast(), ref_stack).ok
+
+
+def _key_evaluated(schema, k: Column, ctx: Ctx, cfg: Config, ref_stack, is_root: bool = True) -> Cond:
+    """Cond: the instance property named ``k`` is evaluated by ``schema``
+    at this location — the runtime evaluated-property-set predicate."""
+    if not isinstance(schema, dict):
+        return False
+    conds: list[Cond] = []
+    props = schema.get("properties") or {}
+    if props:
+        conds.append(k.isin(list(props.keys())))
+    for p in (schema.get("patternProperties") or {}):
+        conds.append(pattern_ok(k, p))
+    if "additionalProperties" in schema:
+        conds.append(True)
+    if not is_root and "unevaluatedProperties" in schema:
+        conds.append(True)
+    for sub in schema.get("allOf") or []:
+        conds.append(and_(_branch_ok(sub, ctx, "", cfg, ref_stack),
+                          _key_evaluated(sub, k, ctx, cfg, ref_stack, False)))
+    for key in ("anyOf", "oneOf"):
+        for sub in schema.get(key) or []:
+            conds.append(and_(_branch_ok(sub, ctx, "", cfg, ref_stack),
+                              _key_evaluated(sub, k, ctx, cfg, ref_stack, False)))
+    if "if" in schema:
+        if_ok = _branch_ok(schema["if"], ctx, "", cfg, ref_stack)
+        conds.append(and_(if_ok, _key_evaluated(schema["if"], k, ctx, cfg, ref_stack, False)))
+        if "then" in schema:
+            conds.append(and_(if_ok, _branch_ok(schema["then"], ctx, "", cfg, ref_stack),
+                              _key_evaluated(schema["then"], k, ctx, cfg, ref_stack, False)))
+        if "else" in schema:
+            conds.append(and_(not_(if_ok), _branch_ok(schema["else"], ctx, "", cfg, ref_stack),
+                              _key_evaluated(schema["else"], k, ctx, cfg, ref_stack, False)))
+    for trigger, sub in (schema.get("dependentSchemas") or {}).items():
+        conds.append(and_(ctx.get_prop(trigger).present,
+                          _branch_ok(sub, ctx, "", cfg, ref_stack),
+                          _key_evaluated(sub, k, ctx, cfg, ref_stack, False)))
+    ref = schema.get("$ref")
+    if isinstance(ref, str):
+        ref_key = (cfg.base_uri, ref)
+        if ref_stack.count(ref_key) < cfg.max_ref_depth:
+            target, sub_cfg = _resolve_ref(ref, cfg)
+            conds.append(_key_evaluated(target, k, ctx, sub_cfg, ref_stack + (ref_key,), False))
+    # `not` contributes nothing: its annotations never propagate
+    return or_(*conds)
+
+
+def _item_evaluated(schema, x: Column, i: Column, ctx: Ctx, cfg: Config, ref_stack, is_root: bool = True) -> Cond:
+    """Cond: array element ``x`` at index ``i`` is evaluated by ``schema``
+    at this location (prefixItems positions, items, contains matches)."""
+    if not isinstance(schema, dict):
+        return False
+    factory = ctx.element_ctx_factory()
+    conds: list[Cond] = []
+    items = schema.get("items")
+    if items is not None and not isinstance(items, list):
+        conds.append(True)
+    pi = items if isinstance(items, list) else schema.get("prefixItems")
+    if isinstance(pi, list) and pi:
+        conds.append(i < len(pi))
+    if not is_root and "unevaluatedItems" in schema:
+        conds.append(True)
+    if "contains" in schema:
+        # matched elements are evaluated (LoopContains annotations)
+        conds.append(compile_node(schema["contains"], factory(x, i), "", cfg.fast(), ref_stack).ok)
+    for sub in schema.get("allOf") or []:
+        conds.append(and_(_branch_ok(sub, ctx, "", cfg, ref_stack),
+                          _item_evaluated(sub, x, i, ctx, cfg, ref_stack, False)))
+    for key in ("anyOf", "oneOf"):
+        for sub in schema.get(key) or []:
+            conds.append(and_(_branch_ok(sub, ctx, "", cfg, ref_stack),
+                              _item_evaluated(sub, x, i, ctx, cfg, ref_stack, False)))
+    if "if" in schema:
+        if_ok = _branch_ok(schema["if"], ctx, "", cfg, ref_stack)
+        conds.append(and_(if_ok, _item_evaluated(schema["if"], x, i, ctx, cfg, ref_stack, False)))
+        if "then" in schema:
+            conds.append(and_(if_ok, _branch_ok(schema["then"], ctx, "", cfg, ref_stack),
+                              _item_evaluated(schema["then"], x, i, ctx, cfg, ref_stack, False)))
+        if "else" in schema:
+            conds.append(and_(not_(if_ok), _branch_ok(schema["else"], ctx, "", cfg, ref_stack),
+                              _item_evaluated(schema["else"], x, i, ctx, cfg, ref_stack, False)))
+    for trigger, sub in (schema.get("dependentSchemas") or {}).items():
+        conds.append(and_(ctx.get_prop(trigger).present,
+                          _branch_ok(sub, ctx, "", cfg, ref_stack),
+                          _item_evaluated(sub, x, i, ctx, cfg, ref_stack, False)))
+    ref = schema.get("$ref")
+    if isinstance(ref, str):
+        ref_key = (cfg.base_uri, ref)
+        if ref_stack.count(ref_key) < cfg.max_ref_depth:
+            target, sub_cfg = _resolve_ref(ref, cfg)
+            conds.append(_item_evaluated(target, x, i, ctx, sub_cfg, ref_stack + (ref_key,), False))
+    return or_(*conds)
+
+
 def _k_unevaluated_properties(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
     names: set = set()
     patterns: list = []
+    dynamic = False
     for c in _conjunctive_contributors(schema, cfg):
         if not isinstance(c, dict):
             continue
@@ -829,15 +962,45 @@ def _k_unevaluated_properties(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config
             if v is not None and _subtree_mentions(
                 v, ("properties", "patternProperties", "additionalProperties", "unevaluatedProperties")
             ):
-                raise SchemaError(
-                    "unevaluatedProperties with property-evaluating disjunctive "
-                    "branches requires runtime evaluation marks — unsupported in v1"
-                )
-    return _k_extra_properties(names, patterns, val, ctx, kwp, cfg, ref_stack)
+                dynamic = True
+    if not dynamic:
+        return _k_extra_properties(names, patterns, val, ctx, kwp, cfg, ref_stack)
+    return _k_unevaluated_properties_dynamic(schema, val, ctx, kwp, cfg, ref_stack)
+
+
+def _k_unevaluated_properties_dynamic(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    static_names = _static_prop_names(ctx)
+    if static_names is not None:
+        parts: list[Compiled] = []
+        for name in static_names:
+            child = ctx.get_prop(name)
+            evaluated = _key_evaluated(schema, F.lit(name), ctx, cfg, ref_stack)
+            if val is False:
+                cond = or_(not_(child.present), evaluated)
+                parts.append(_leaf(cfg, cond, kwp, child, lambda n=name: M.msg_additional_property(n)))
+            else:
+                sub = compile_node(val, child, kwp, cfg, ref_stack)
+                applies = and_(child.present, not_(evaluated))
+                ok = or_(not_(B(applies)), sub.ok)
+                if cfg.want_viols and sub.viols is not None:
+                    v = F.when(B(applies), sub.viols).otherwise(empty_viols())
+                    parts.append(Compiled(ok, v))
+                else:
+                    parts.append(Compiled(ok))
+        return _guarded(ctx.is_type("object"), _and_combine(parts, cfg), cfg)
+    entries = ctx.obj_entries_factory()
+    if entries is None:
+        raise SchemaError("unevaluatedProperties unsupported for this context")
+    keys, prop_ctx = entries
+    uneval_keys = F.filter(
+        keys, lambda k: ~B(_key_evaluated(schema, k, ctx, cfg, ref_stack))
+    )
+    return _apply_to_extra_keys(uneval_keys, prop_ctx, val, ctx, kwp, cfg, ref_stack)
 
 
 def _k_unevaluated_items(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
     prefix = 0
+    dynamic = False
     for c in _conjunctive_contributors(schema, cfg):
         if not isinstance(c, dict):
             continue
@@ -845,9 +1008,7 @@ def _k_unevaluated_items(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref
         if items is not None and not isinstance(items, list):
             return Compiled(True)  # `items` already evaluates every element
         if "contains" in c:
-            raise SchemaError(
-                "unevaluatedItems alongside contains requires runtime marks — unsupported in v1"
-            )
+            dynamic = True
         pi = items if isinstance(items, list) else c.get("prefixItems")
         if isinstance(pi, list):
             prefix = max(prefix, len(pi))
@@ -856,11 +1017,36 @@ def _k_unevaluated_items(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref
             if v is not None and _subtree_mentions(
                 v, ("items", "prefixItems", "contains", "unevaluatedItems")
             ):
-                raise SchemaError(
-                    "unevaluatedItems with item-evaluating disjunctive branches "
-                    "requires runtime marks — unsupported in v1"
-                )
-    return _k_items(val, ctx, kwp, cfg, prefix, ref_stack)
+                dynamic = True
+    if not dynamic:
+        return _k_items(val, ctx, kwp, cfg, prefix, ref_stack)
+    return _k_unevaluated_items_dynamic(schema, val, ctx, kwp, cfg, ref_stack)
+
+
+def _k_unevaluated_items_dynamic(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    factory = ctx.element_ctx_factory()
+    arr = ctx.arr()
+
+    def elem_ok(x: Column, i: Column) -> Column:
+        ev = _item_evaluated(schema, x, i, ctx, cfg, ref_stack)
+        c = compile_node(val, factory(x, i), kwp, cfg, ref_stack)
+        return B(or_(ev, c.ok))
+
+    ok = F.forall(F.transform(arr, elem_ok), lambda b: b)
+    if cfg.want_viols:
+
+        def elem_viols(x: Column, i: Column) -> Column:
+            ev = _item_evaluated(schema, x, i, ctx, cfg, ref_stack)
+            c = compile_node(val, factory(x, i), kwp, cfg, ref_stack)
+            return F.when(B(ev), empty_viols()).otherwise(c.viols_col())
+
+        viols = F.when(B(ok), empty_viols()).otherwise(
+            F.flatten(F.transform(arr, elem_viols)).cast(VIOLS_DT)
+        )
+        inner = Compiled(ok, viols)
+    else:
+        inner = Compiled(ok)
+    return _guarded(ctx.is_type("array"), inner, cfg)
 
 
 # ---------------------------------------------------------------------------

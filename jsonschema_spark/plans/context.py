@@ -26,7 +26,6 @@ null, boolean, integer, number, string, array, object.
 
 from __future__ import annotations
 
-import json
 from typing import Callable, Union
 
 from pyspark.sql import Column, functions as F, types as T
@@ -95,12 +94,6 @@ def json_escape_col(col: Column) -> Column:
         ),
         F.lit('"'),
     )
-
-
-def json_dumps(value) -> str:
-    """Canonical compact JSON of a python constant (sorted keys, matching
-    Spark's to_json-of-variant rendering for comparison)."""
-    return json.dumps(value, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
 
 
 _IDENT_SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
@@ -309,9 +302,13 @@ class FlatColCtx(Ctx):
             return False
         if isinstance(value, str):
             return self.str_val() == F.lit(value) if self._tag == "string" else False
-        # arrays/objects: compare canonical JSON
+        # arrays/objects: deep structural equality via canonical rendering
+        # (key order irrelevant, 1 == 1.0 — evaluator_dispatch.h:697-712);
+        # pudf slow path, containers only
         if self._tag in ("array", "object"):
-            return F.to_json(self.col) == F.lit(json_dumps(value))
+            from jsonschema_spark.functions.canonical import canonical_dumps, canonical_json
+
+            return canonical_json(F.to_json(self.col)) == F.lit(canonical_dumps(value))
         return False
 
     def json_repr(self) -> Column:
@@ -502,9 +499,13 @@ class VariantCtx(Ctx):
             return B(self.is_type("number")) & (self.num_val() == F.lit(float(value)))
         if isinstance(value, str):
             return B(self.is_type("string")) & (self.str_val() == F.lit(value))
-        # containers: canonical JSON comparison (variant objects render with
-        # sorted keys; numbers must round-trip identically — documented caveat)
-        return F.to_json(self.v) == F.lit(json_dumps(value))
+        # containers: deep structural equality via canonical rendering —
+        # variant to_json preserves source key order, so the raw string
+        # compare would wrongly distinguish {"a":1,"b":2} from its
+        # reordering (reference deep equality: equal)
+        from jsonschema_spark.functions.canonical import canonical_dumps, canonical_json
+
+        return canonical_json(F.to_json(self.v)) == F.lit(canonical_dumps(value))
 
     def json_repr(self) -> Column:
         return F.to_json(self.v)

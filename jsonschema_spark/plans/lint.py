@@ -1,9 +1,15 @@
 """Schema lint — anti-pattern rules, the `jsonschema lint` analogue.
 
-A curated subset of the reference's 46 linter rules
-(/root/reference/vendor/blaze/src/alterschema/linter/) re-expressed over
-plain dicts, plus ``lint_fix`` applying the auto-fixable ones (the
-`--fix` analogue). Each finding: {path, rule, severity, message}.
+~33 of the reference's 46 linter rules
+(/root/reference/vendor/blaze/src/alterschema/linter/ — each analogue
+cites its source file inline) re-expressed over plain dicts, plus
+``lint_fix`` applying the auto-fixable ones (the `--fix` analogue).
+Each finding: {path, rule, severity, message}.
+
+Not ported (documented gaps): valid_default / valid_examples (need a
+driver-side instance evaluator), invalid_external_ref (needs the
+resolver at lint time), simple_properties_identifiers (codegen-oriented),
+content_* vocabulary gating (we lint dialect-agnostically).
 """
 
 from __future__ import annotations
@@ -71,6 +77,135 @@ def _findings(node: dict, path: str) -> list[dict]:
             add("negative_bound", "error", f"{kw} must be non-negative")
     if isinstance(node.get("items"), list):
         add("tuple_items_legacy", "warning", "array-form items is the draft-7 tuple form; use prefixItems")
+    # --- reference-rule analogues (vendor/blaze/src/alterschema/linter/) ------
+    if "const" in node and isinstance(node.get("enum"), list) and node["const"] not in node["enum"]:
+        add("const_not_in_enum", "error",
+            "const value is not a member of the sibling enum — matches nothing")  # const_not_in_enum.h
+    if node.get("readOnly") is True and node.get("writeOnly") is True:
+        add("conflicting_readonly_writeonly", "warning",
+            "readOnly and writeOnly are both true")  # conflicting_readonly_writeonly.h
+    if isinstance(node.get("examples"), list):
+        reprs = [repr(x) for x in node["examples"]]
+        if len(set(reprs)) != len(reprs):
+            add("duplicate_examples", "warning", "examples contains duplicate values")  # duplicate_examples.h
+        if not node["examples"]:
+            add("top_level_examples", "warning", "examples is empty")
+    for kw in ("then", "else"):
+        if node.get(kw) in (True, {}):
+            add(f"{kw}_empty", "warning",
+                f"{kw} is an empty schema and has no effect")  # then_empty.h / else_empty.h
+    t = node.get("type")
+    if (
+        t in ("integer", "number")
+        and isinstance(node.get("minimum"), (int, float))
+        and node.get("minimum") == node.get("maximum")
+    ):
+        add("equal_numeric_bounds_to_const", "warning",
+            "minimum equals maximum; use const instead")  # equal_numeric_bounds_to_const.h
+    if isinstance(node.get("enum"), list) and len(node["enum"]) == 1:
+        add("enum_to_const", "warning", "single-value enum; use const instead")  # enum_to_const.h
+    for kw in ("title", "description", "$comment"):
+        v = node.get(kw)
+        if isinstance(v, str) and v != v.strip():
+            add(f"{kw.lstrip('$')}_trim", "warning",
+                f"{kw} has leading/trailing whitespace")  # title_trim.h / description_trim.h / comment_trim.h
+    if isinstance(node.get("title"), str) and node["title"].endswith("."):
+        add("title_trailing_period", "warning", "title ends with a period")  # title_trailing_period.h
+    if node.get("title") is not None and node.get("title") == node.get("description"):
+        add("title_description_equal", "warning",
+            "title and description are identical")  # title_description_equal.h
+    if "definitions" in node:
+        add("definitions_to_defs", "warning",
+            "use $defs instead of the legacy definitions keyword")  # definitions_to_defs.h
+    # no-op defaults that can be removed outright (…_default.h family)
+    _DEFAULTS = {
+        "contentSchema": (True, {}),
+        "dependencies": ({},),
+        "dependentRequired": ({},),
+        "dependentSchemas": ({},),
+        "patternProperties": ({},),
+        "properties": ({},),
+        "propertyNames": (True, {}),
+        "items": (True, {}),
+        "unevaluatedItems": (True, {}),
+        "unevaluatedProperties": (True, {}),
+        "multipleOf": (1,),
+        "minItems": (0,),
+        "minLength": (0,),
+        "minProperties": (0,),
+        "minContains": (1,),
+    }
+    for kw, noop_values in _DEFAULTS.items():
+        if kw in node and any(node[kw] == v and type(node[kw]) is type(v) for v in noop_values):
+            add(f"{_snake(kw)}_default", "warning", f"{kw} is set to its no-op default")
+    if isinstance(node.get("items"), list) and not node["items"]:
+        add("items_array_default", "warning", "empty tuple items has no effect")  # items_array_default.h
+    if (
+        isinstance(node.get("maxContains"), int)
+        and isinstance(node.get("maxItems"), int)
+        and node["maxContains"] >= node["maxItems"]
+    ):
+        add("unsatisfiable_max_contains", "warning",
+            "maxContains is not below maxItems, so it can never constrain")  # unsatisfiable_max_contains.h
+    if (
+        node.get("additionalProperties") is False
+        and not node.get("patternProperties")
+        and isinstance(node.get("minProperties"), int)
+        and node["minProperties"] > len(node.get("properties", {}) or {})
+    ):
+        add("unsatisfiable_min_properties", "error",
+            "minProperties exceeds the number of allowed properties in this closed object")  # unsatisfiable_min_properties.h
+    for kw, rule in (("pattern", "pattern_non_ecma_regex"),):
+        v = node.get(kw)
+        if isinstance(v, str) and not _regex_compiles(v):
+            add(rule, "error", f"{kw} is not a valid regular expression: {v!r}")  # pattern_non_ecma_regex.h
+    if isinstance(node.get("patternProperties"), dict):
+        for p in node["patternProperties"]:
+            if not _regex_compiles(p):
+                add("pattern_properties_non_ecma_regex", "error",
+                    f"patternProperties key is not a valid regular expression: {p!r}")  # pattern_properties_non_ecma_regex.h
+    fmt = node.get("format")
+    if isinstance(fmt, str) and not fmt.startswith("x-"):
+        from jsonschema_spark.functions.formats import FORMATS
+
+        if fmt not in FORMATS:
+            add("unknown_format_prefix", "warning",
+                f"unknown format {fmt!r}; prefix custom formats with 'x-'")  # unknown_format_prefix.h
+    anchor = node.get("$anchor")
+    if isinstance(anchor, str) and not re.fullmatch(r"[A-Za-z_][A-Za-z0-9\-_.]*", anchor):
+        add("portable_anchor_names", "warning",
+            f"$anchor {anchor!r} is not a portable anchor name")  # portable_anchor_names.h
+    allof = node.get("allOf")
+    if (
+        isinstance(allof, list)
+        and len(allof) == 1
+        and isinstance(allof[0], dict)
+        and set(allof[0]) == {"$ref"}
+    ):
+        add("unnecessary_allof_ref_wrapper", "warning",
+            "allOf-wrapped lone $ref can be hoisted ($ref allows siblings since 2019-09)")  # unnecessary_allof_ref_wrapper_modern.h
+    return out
+
+
+def _snake(kw: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", kw).lower()
+
+
+def _regex_compiles(pattern: str) -> bool:
+    try:
+        re.compile(pattern)
+        return True
+    except re.error:
+        return False
+
+
+def _root_findings(schema: dict) -> list[dict]:
+    """Root-only advisory rules (top_level_title.h / top_level_description.h)."""
+    out = []
+    for kw in ("title", "description"):
+        if kw not in schema:
+            out.append({"path": "/", "rule": f"top_level_{kw}", "severity": "info",
+                        "message": f"root schema has no {kw}"})
     return out
 
 
@@ -94,11 +229,32 @@ def _walk(node: Union[dict, bool], path: str, out: list[dict]) -> None:
 def lint_schema(schema: Union[dict, bool]) -> list[dict]:
     out: list[dict] = []
     _walk(schema, "", out)
+    if isinstance(schema, dict):
+        out.extend(_root_findings(schema))
     return out
 
 
 _FIXABLE = {"enum_with_type", "const_with_type", "const_with_enum", "duplicate_enum_values",
-            "duplicate_required_values", "single_branch_combinator", "if_without_consequence"}
+            "duplicate_required_values", "single_branch_combinator", "if_without_consequence",
+            "enum_to_const", "then_empty", "else_empty", "title_trim", "description_trim",
+            "comment_trim", "duplicate_examples", "*_default"}
+
+_FIX_DEFAULTS = {
+    "contentSchema": (True, {}),
+    "dependencies": ({},),
+    "dependentRequired": ({},),
+    "dependentSchemas": ({},),
+    "patternProperties": ({},),
+    "properties": ({},),
+    "propertyNames": (True, {}),
+    "unevaluatedItems": (True, {}),
+    "unevaluatedProperties": (True, {}),
+    "multipleOf": (1,),
+    "minItems": (0,),
+    "minLength": (0,),
+    "minProperties": (0,),
+    "minContains": (1,),
+}
 
 
 def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
@@ -139,6 +295,24 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
                     node.setdefault(k, v)
         if "if" in node and "then" not in node and "else" not in node:
             node.pop("if")
+        if isinstance(node.get("enum"), list) and len(node["enum"]) == 1 and "const" not in node:
+            node["const"] = node.pop("enum")[0]
+        for kw in ("then", "else"):
+            if node.get(kw) in (True, {}):
+                node.pop(kw)
+        for kw, text_key in (("title", "title"), ("description", "description"), ("$comment", "comment")):
+            if isinstance(node.get(kw), str) and node[kw] != node[kw].strip():
+                node[kw] = node[kw].strip()
+        if isinstance(node.get("examples"), list):
+            seen_ex, dedup_ex = set(), []
+            for v in node["examples"]:
+                if repr(v) not in seen_ex:
+                    seen_ex.add(repr(v))
+                    dedup_ex.append(v)
+            node["examples"] = dedup_ex
+        for kw, noop_values in _FIX_DEFAULTS.items():
+            if kw in node and any(node[kw] == v and type(node[kw]) is type(v) for v in noop_values):
+                node.pop(kw)
         for key in ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions"):
             if isinstance(node.get(key), dict):
                 for sub in node[key].values():

@@ -74,14 +74,81 @@ def test_unevaluated_properties_static(spark):
     assert got == [True, False]  # c present ⇒ unevaluated ⇒ fail
 
 
-def test_unevaluated_properties_branching_unsupported(spark):
+def test_unevaluated_properties_disjunctive_tree(spark):
+    """anyOf branches contribute evaluated keys ONLY when they validate
+    (the checkpoint/rewind analogue, evaluator.h:251-258)."""
     schema = {
-        "anyOf": [{"properties": {"a": {"type": "integer"}}}],
+        "anyOf": [
+            {"properties": {"a": {"type": "integer"}}, "required": ["a"]},
+            {"properties": {"b": {"type": "integer"}}, "required": ["b"]},
+        ],
         "unevaluatedProperties": False,
     }
-    df = spark.createDataFrame([(1,)], "a long")
-    with pytest.raises(SchemaError, match="runtime evaluation marks"):
-        validate(df, schema).collect()
+    docs = spark.createDataFrame(
+        [
+            (1, '{"a": 1}'),
+            (2, '{"a": 1, "b": 2}'),   # both branches validate → both evaluated
+            (3, '{"a": 1, "c": 3}'),   # c unevaluated
+            (4, '{"b": "x"}'),         # both branches fail
+        ],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_unevaluated_properties_if_then_else_tree(spark):
+    schema = {
+        "properties": {"kind": {"type": "string"}},
+        "if": {"properties": {"kind": {"const": "x"}}, "required": ["kind"]},
+        "then": {"properties": {"x1": {"type": "integer"}}},
+        "else": {"properties": {"x2": {"type": "integer"}}},
+        "unevaluatedProperties": False,
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, '{"kind": "x", "x1": 1}'),
+            (2, '{"kind": "x", "x2": 1}'),  # x2 only evaluated on the else arm
+            (3, '{"kind": "y", "x2": 1}'),
+            (4, '{"kind": "y", "x1": 1}'),
+        ],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_unevaluated_properties_disjunctive_flat(spark):
+    schema = {
+        "properties": {"a": {"type": "integer"}},
+        "anyOf": [{"properties": {"b": {"type": "integer"}}, "required": ["b"]}],
+        "unevaluatedProperties": False,
+    }
+    df = spark.createDataFrame(
+        [(1, 2, None), (1, None, None), (1, 2, 3)], "a long, b long, c long"
+    )
+    got = [r["valid"] for r in validate(df, schema).collect()]
+    assert got == [True, False, False]
+
+
+def test_unevaluated_items_contains_tree(spark):
+    """contains-matched elements count as evaluated for unevaluatedItems
+    (LoopItemsUnevaluated, dispatch.h:2352)."""
+    schema = {
+        "properties": {
+            "xs": {"contains": {"type": "string"}, "unevaluatedItems": {"type": "integer"}}
+        }
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, '{"xs": ["a", 1, 2]}'),
+            (2, '{"xs": ["a", 1.5]}'),   # 1.5 neither matched nor integer
+            (3, '{"xs": [1, 2]}'),       # contains itself fails
+        ],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: False}
 
 
 def test_unevaluated_items_static(spark):

@@ -325,3 +325,119 @@ def test_reader_jsonl_gz(spark, tmp_path):
         f.write('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
     df = read_instances(spark, str(gz))
     assert df.count() == 3  # Spark decodes the gzip codec transparently
+
+
+# --- annotations + instancePosition (golden-shape parity) ---------------------
+
+
+def test_instance_position_golden_shape(spark):
+    """Replicates test/validate/fail_json.sh: the Basic error entries
+    carry [startLine, startCol, endLine, endCol] of the instance location,
+    with object-member spans starting at the member key."""
+    from jsonschema_spark import standard_output, violations_with_positions
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": "Test",
+        "description": "Test schema",
+        "type": "object",
+        "properties": {"foo": {"type": "string"}},
+    }
+    df = spark.createDataFrame([(1, '{ "foo": 1 }')], "id long, doc string")
+    rows = violations_with_positions(df, schema, ["id"], doc_col="doc").collect()
+    by_kw = {r["keywordLocation"]: r for r in rows}
+    assert by_kw["/properties/foo/type"]["instancePosition"] == [1, 3, 1, 10]
+    assert by_kw["/properties/foo/type"]["error"] == (
+        "The value was expected to be of type string but it was of type integer"
+    )
+    assert by_kw["/properties"]["instancePosition"] == [1, 1, 1, 12]
+    rep = json.loads(
+        standard_output(df, schema, doc_col="doc", positions=True, annotations=True)
+        .collect()[0]["report"]
+    )
+    assert rep["valid"] is False
+    errs = {e["keywordLocation"]: e for e in rep["errors"]}
+    assert errs["/properties/foo/type"]["instancePosition"] == [1, 3, 1, 10]
+
+
+def test_annotations_golden_shape(spark):
+    """Replicates test/validate/pass_json.sh: valid instances report
+    title/description/properties annotations."""
+    from jsonschema_spark import annotations, standard_output
+
+    schema = {
+        "$id": "https://example.com",
+        "title": "Test",
+        "description": "Test schema",
+        "type": "object",
+        "properties": {"foo": {"type": "string"}},
+    }
+    df = spark.createDataFrame([(1, '{ "foo": "bar" }')], "id long, doc string")
+    rows = annotations(df, schema, ["id"], doc_col="doc", positions=True).collect()
+    got = {r["keywordLocation"]: (r["annotation"], r["instancePosition"]) for r in rows}
+    assert got["/title"] == ('["Test"]', [1, 1, 1, 16])
+    assert got["/description"] == ('["Test schema"]', [1, 1, 1, 16])
+    assert got["/properties"] == ('["foo"]', [1, 1, 1, 16])
+    rep = json.loads(
+        standard_output(df, schema, doc_col="doc", positions=True, annotations=True)
+        .collect()[0]["report"]
+    )
+    assert rep["valid"] is True
+    anns = {a["keywordLocation"]: a["annotation"] for a in rep["annotations"]}
+    assert anns == {"/title": ["Test"], "/description": ["Test schema"], "/properties": ["foo"]}
+
+
+def test_annotations_dropped_from_failing_branches(spark):
+    from jsonschema_spark import annotations
+
+    schema = {
+        "anyOf": [
+            {"title": "int branch", "type": "integer"},
+            {"title": "str branch", "type": "string"},
+        ]
+    }
+    df = spark.createDataFrame([(1, "5")], "id long, doc string")
+    rows = annotations(df, schema, ["id"], doc_col="doc").collect()
+    kws = {r["keywordLocation"] for r in rows}
+    assert "/anyOf/0/title" in kws and "/anyOf/1/title" not in kws
+
+
+def test_format_annotation_mode(spark):
+    from jsonschema_spark import annotations, compile_schema
+
+    cs = compile_schema({"format": "uuid"}, format_assertion=False)
+    df = spark.createDataFrame([(1, '"not-a-uuid"')], "id long, doc string")
+    # annotation mode: format never asserts, only annotates
+    from jsonschema_spark import validate
+
+    assert validate(df, cs, doc_col="doc").collect()[0]["valid"] is True
+    rows = annotations(df, cs, ["id"], doc_col="doc").collect()
+    assert [r["annotation"] for r in rows if r["keywordLocation"] == "/format"] == ['["uuid"]']
+
+
+def test_lint_reference_rule_analogues():
+    schema = {
+        "title": " Padded ",
+        "properties": {
+            "a": {"type": "integer", "minimum": 3, "maximum": 3},
+            "b": {"enum": ["only"]},
+            "c": {"pattern": "(unclosed", "format": "nope"},
+            "d": {"if": {"type": "string"}, "then": {}},
+            "e": {"const": 5, "enum": [1, 2]},
+            "f": {"readOnly": True, "writeOnly": True, "examples": [1, 1]},
+            "g": {"additionalProperties": False, "minProperties": 2,
+                  "properties": {"x": {}}},
+        },
+        "definitions": {},
+    }
+    rules = {f["rule"] for f in lint_schema(schema)}
+    assert {
+        "title_trim", "equal_numeric_bounds_to_const", "enum_to_const",
+        "pattern_non_ecma_regex", "unknown_format_prefix", "then_empty",
+        "const_not_in_enum", "conflicting_readonly_writeonly",
+        "duplicate_examples", "unsatisfiable_min_properties",
+        "definitions_to_defs", "top_level_description",
+    } <= rules
+    fixed = lint_fix({"title": " x ", "enum": ["only"], "then": {},
+                      "multipleOf": 1, "examples": [2, 2]})
+    assert fixed == {"title": "x", "const": "only", "examples": [2]}

@@ -218,3 +218,35 @@ def test_tree_number_semantics(spark):
     assert verdicts(
         spark, schema, '{"x": 2.5}', '{"x": 2.3}', '{"x": 3}', '{"x": -1}'
     ) == [True, False, True, False]
+
+
+def test_tree_deep_equality_key_order_and_numbers(spark):
+    """Reference deep equality (dispatch.h:697-712): object key order is
+    irrelevant and 1 == 1.0 — for const, enum, and uniqueItems."""
+    schema = {"properties": {"c": {"const": {"a": 1, "b": [2, {"x": 3}]}}}}
+    assert verdicts(
+        spark, schema,
+        '{"c": {"a": 1, "b": [2, {"x": 3}]}}',
+        '{"c": {"b": [2, {"x": 3}], "a": 1}}',   # reordered keys: equal
+        '{"c": {"a": 1.0, "b": [2.0, {"x": 3}]}}',  # 1.0 == 1: equal
+        '{"c": {"a": 1, "b": [2, {"x": 4}]}}',
+    ) == [True, True, True, False]
+    enum_schema = {"properties": {"e": {"enum": [{"k": 1, "l": 2}, [10, 20]]}}}
+    assert verdicts(
+        spark, enum_schema,
+        '{"e": {"l": 2, "k": 1}}',
+        '{"e": [10.0, 20]}',
+        '{"e": {"k": 1}}',
+    ) == [True, True, False]
+
+
+def test_tree_unique_items_deep(spark):
+    schema = {"properties": {"xs": {"uniqueItems": True}}}
+    assert verdicts(
+        spark, schema,
+        '{"xs": [1, 1.0]}',                           # 1 == 1.0 ⇒ duplicate
+        '{"xs": [{"a":1,"b":2}, {"b":2,"a":1}]}',     # reordered ⇒ duplicate
+        '{"xs": [1, "1"]}',                           # number vs string ⇒ unique
+        '{"xs": [true, 1]}',                          # boolean vs number ⇒ unique
+        '{"xs": [{"a":1}, {"a":2}]}',
+    ) == [False, False, True, True, True]

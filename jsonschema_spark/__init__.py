@@ -27,7 +27,10 @@ from jsonschema_spark.operators.validate import (
     verdict_counts,
 )
 from jsonschema_spark.operators.annotations import annotations
-from jsonschema_spark.plans.compiler import compile_schema, CompiledSchema
+from jsonschema_spark.operators.trace import trace
+from jsonschema_spark.plans.compiler import compile_entrypoint, compile_schema, CompiledSchema
+from jsonschema_spark.plans.registry import register_keyword, unregister_keyword
+from jsonschema_spark.plans.configfile import find_config, load_config, resolver_from_config
 from jsonschema_spark.plans.codegen import struct_type_for
 from jsonschema_spark.plans.inspect import explain_schema, inspect_schema
 from jsonschema_spark.plans.lint import lint_fix, lint_schema
@@ -51,10 +54,17 @@ __all__ = [
     "violations",
     "violations_with_positions",
     "annotations",
+    "trace",
     "verdict_counts",
     "standard_output",
     "property_verdicts",
     "compile_schema",
+    "compile_entrypoint",
+    "register_keyword",
+    "unregister_keyword",
+    "find_config",
+    "load_config",
+    "resolver_from_config",
     "CompiledSchema",
     "struct_type_for",
     "explain_schema",

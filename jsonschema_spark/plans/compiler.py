@@ -97,6 +97,11 @@ class Config:
     # statically-absent child compiles to a constant pass (dead-code
     # elimination, postprocess.h:26-55 analogue).
     max_ref_depth: int = 6
+    # --trace sink: when set, compile_node appends (keywordLocation,
+    # instanceLocation, ok Cond) per keyword instruction in evaluation
+    # order. Internal fast-mode recompiles (not/if conditions, branch-ok
+    # gates) intentionally DROP the sink — only the primary plan traces.
+    trace_sink: Optional[list] = None
 
     @property
     def want_viols(self) -> bool:
@@ -108,7 +113,8 @@ class Config:
 
     def with_root(self, root, base_uri: str) -> "Config":
         return Config(base_uri, self.mode, self.format_assertion, root,
-                      self.short_circuit, self.resolver, self.max_ref_depth)
+                      self.short_circuit, self.resolver, self.max_ref_depth,
+                      self.trace_sink)
 
 
 def _viol(cfg: Config, kw: str, loc: Union[str, Column], error: Column) -> Column:
@@ -324,6 +330,7 @@ def compile_node(
     for key in present_keys:
         val = schema[key]
         kwp = f"{kw}/{_ptr_escape(key)}"
+        _n_before = len(parts)
         if key == "$ref":
             target, sub_cfg = _resolve_ref(val, cfg)
             ref_key = (cfg.base_uri, val)
@@ -430,6 +437,25 @@ def compile_node(
             parts.append(_k_unevaluated_properties(schema, val, ctx, kwp, cfg, ref_stack))
         elif key == "unevaluatedItems":
             parts.append(_k_unevaluated_items(schema, val, ctx, kwp, cfg, ref_stack))
+        # --trace analogue: record each keyword instruction's location and
+        # verdict in evaluation order (Pre/Post log, output_trace.cc)
+        if cfg.trace_sink is not None and len(parts) > _n_before:
+            cfg.trace_sink.append((kwp, ctx.loc, parts[-1].ok))
+
+    # §2.7 extension hook: registered custom keyword compilers (the
+    # Compiler std::function analogue, compiler.h:77-80) run after the
+    # built-in dispatch, composing into the same conjunction
+    from jsonschema_spark.plans.registry import KEYWORD_COMPILERS
+
+    for key, spec in KEYWORD_COMPILERS.items():
+        if key in schema and key not in _KEYWORD_ORDER:
+            kwp = f"{kw}/{_ptr_escape(key)}"
+            cond = spec.build(schema[key], ctx)
+            leaf = _leaf(cfg, cond, kwp, ctx,
+                         lambda c=ctx, v=schema[key], s=spec: s.message(c, v))
+            if spec.type_guard:
+                leaf = _guarded(ctx.is_type(spec.type_guard), leaf, cfg)
+            parts.append(leaf)
 
     return _and_combine(parts, cfg)
 
@@ -1067,13 +1093,18 @@ class CompiledSchema:
     format_assertion: bool = True
     resolver: Optional[dict] = None  # uri → schema registry for external $ref
     max_ref_depth: int = 6  # recursive-$ref unroll budget (Config doc)
+    # --entrypoint analogue: when set, `schema` is the compiled subschema
+    # but fragments/$refs still resolve against this full document
+    resolution_root: Optional[Union[dict, bool]] = None
 
     def __post_init__(self):
-        if isinstance(self.schema, dict):
-            self.base_uri = self.schema.get("$id", self.base_uri)
+        doc = self.resolution_root if self.resolution_root is not None else self.schema
+        if isinstance(doc, dict):
+            self.base_uri = doc.get("$id", self.base_uri)
 
     def _cfg(self, mode: str, short_circuit: bool = True) -> Config:
-        return Config(self.base_uri, mode, self.format_assertion, self.schema,
+        root = self.resolution_root if self.resolution_root is not None else self.schema
+        return Config(self.base_uri, mode, self.format_assertion, root,
                       short_circuit, self.resolver, self.max_ref_depth)
 
     def compile_flat(
@@ -1099,3 +1130,27 @@ def compile_schema(
     max_ref_depth: int = 6,
 ) -> CompiledSchema:
     return CompiledSchema(schema, base_uri, format_assertion, resolver, max_ref_depth)
+
+
+def compile_entrypoint(
+    schema: Union[dict, bool],
+    entrypoint: str,
+    format_assertion: bool = True,
+    resolver: Optional[dict] = None,
+    max_ref_depth: int = 6,
+) -> CompiledSchema:
+    """The ``--entrypoint`` analogue (command_validate.cc:296,322-332):
+    compile the subschema at a JSON-pointer fragment (``#/$defs/item`` or
+    ``/$defs/item``) or ``#anchor``, while ``$ref``s inside it keep
+    resolving against the FULL document."""
+    if not isinstance(schema, dict):
+        raise SchemaError("entrypoint requires an object schema")
+    frag = entrypoint[1:] if entrypoint.startswith("#") else entrypoint
+    if frag and not frag.startswith("/"):
+        node = _find_anchor(schema, frag)
+        if node is None:
+            raise SchemaError(f"cannot resolve entrypoint anchor {entrypoint}")
+    else:
+        node = _walk_pointer(schema, frag, entrypoint)
+    return CompiledSchema(node, "", format_assertion, resolver, max_ref_depth,
+                          resolution_root=schema)

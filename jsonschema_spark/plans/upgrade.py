@@ -81,6 +81,38 @@ def _upgrade_node(node) -> None:
     # draft-4 id → $id
     if "id" in node and isinstance(node["id"], str) and "$id" not in node:
         node["$id"] = node.pop("id")
+    # draft-0/1/2/3 property-level keywords lifted into the parent
+    # (upgrade_draft_3_to_draft_4.h:324-375 rewrite_required_property_booleans)
+    if isinstance(node.get("properties"), dict):
+        newly_required: list[str] = []
+        for name, prop in node["properties"].items():
+            if not isinstance(prop, dict):
+                continue
+            # draft-3: boolean `required` on the property subschema
+            if isinstance(prop.get("required"), bool):
+                if prop.pop("required"):
+                    newly_required.append(name)
+            # draft-0/1/2: `optional` flag (properties were required by
+            # default; we interpret only the explicit optional:false form
+            # as required — the default-required rule is too surprising to
+            # apply silently; documented approximation)
+            if isinstance(prop.get("optional"), bool):
+                if not prop.pop("optional"):
+                    newly_required.append(name)
+            # draft-0/1/2: `requires` → parent dependency
+            req = prop.pop("requires", None)
+            if isinstance(req, str):
+                node.setdefault("dependentRequired", {}).setdefault(name, []).append(req)
+            elif isinstance(req, dict):
+                node.setdefault("dependentSchemas", {})[name] = req
+        if newly_required:
+            existing = node.get("required")
+            if not isinstance(existing, list):
+                existing = []
+            node["required"] = existing + [n for n in newly_required if n not in existing]
+    # draft-1/2: maxDecimal n → multipleOf 10^-n
+    if isinstance(node.get("maxDecimal"), int) and "multipleOf" not in node:
+        node["multipleOf"] = 10 ** -node.pop("maxDecimal")
     # definitions → $defs
     if "definitions" in node and "$defs" not in node:
         node["$defs"] = node.pop("definitions")
@@ -144,7 +176,9 @@ def upgrade_schema(schema: Union[dict, bool]) -> Union[dict, bool]:
 
 
 _LEGACY_MARKERS = ("definitions", "additionalItems", "dependencies", "id",
-                   "extends", "disallow", "divisibleBy")
+                   "extends", "disallow", "divisibleBy",
+                   # drafts 0-2 (README.markdown:51-61 partial support)
+                   "requires", "maxDecimal", "optional")
 
 
 def needs_upgrade(schema: Union[dict, bool]) -> bool:
@@ -158,6 +192,7 @@ def needs_upgrade(schema: Union[dict, bool]) -> bool:
 
     def fn(node):
         if any(k in node for k in _LEGACY_MARKERS) or isinstance(node.get("items"), list) \
+           or isinstance(node.get("required"), bool) \
            or isinstance(node.get("exclusiveMinimum"), bool) or isinstance(node.get("exclusiveMaximum"), bool):
             hits.append(True)
 

@@ -278,3 +278,111 @@ def test_anchor_ref(spark):
     df = spark.createDataFrame([("en",), ("xx",)], "lang string")
     got = {r["lang"]: r["valid"] for r in validate(df, schema).collect()}
     assert got == {"en": True, "xx": False}
+
+
+def test_upgrade_draft0123_property_level_keywords():
+    legacy = {
+        "properties": {
+            "a": {"type": "string", "required": True},     # draft-3 boolean required
+            "b": {"type": "integer", "optional": False},   # draft-0/2 optional flag
+            "c": {"requires": "a"},                        # draft-0/2 requires
+            "d": {"requires": {"required": ["e"]}},
+        },
+        "maxDecimal": 2,
+    }
+    assert needs_upgrade(legacy)
+    up = upgrade_schema(legacy)
+    assert up["required"] == ["a", "b"]
+    assert up["dependentRequired"] == {"c": ["a"]}
+    assert up["dependentSchemas"] == {"d": {"required": ["e"]}}
+    assert up["multipleOf"] == 0.01
+    assert "required" not in up["properties"]["a"]
+    assert "requires" not in up["properties"]["c"]
+
+
+def test_entrypoint_subschema(spark):
+    schema = {
+        "$id": "https://example.com/root.json",
+        "$defs": {
+            "item": {"type": "object", "required": ["sku"],
+                     "properties": {"sku": {"$ref": "#/$defs/code"}}},
+            "code": {"type": "string", "pattern": "^C-"},
+        },
+        "type": "array",
+    }
+    from jsonschema_spark import compile_entrypoint
+
+    cs = compile_entrypoint(schema, "#/$defs/item")
+    docs = spark.createDataFrame(
+        [(1, '{"sku": "C-9"}'), (2, '{"sku": "X-9"}'), (3, "{}")], "id long, doc string"
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, cs, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: False}
+    # $ref inside the entrypoint resolved against the FULL document
+    rows = validate(docs, cs, doc_col="doc").collect()
+    assert rows  # compiled without SchemaError
+
+
+def test_custom_keyword_registry(spark):
+    from pyspark.sql import functions as F
+    from jsonschema_spark import register_keyword, unregister_keyword
+
+    register_keyword(
+        "x-even",
+        build=lambda value, ctx: (ctx.num_val() % 2 == 0) if value else True,
+        message=lambda ctx, value: F.lit("The number value was expected to be even"),
+        type_guard="number",
+    )
+    try:
+        schema = {"properties": {"n": {"x-even": True}}}
+        docs = spark.createDataFrame(
+            [(1, '{"n": 4}'), (2, '{"n": 5}'), (3, '{"n": "s"}')], "id long, doc string"
+        )
+        got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+        assert got == {1: True, 2: False, 3: True}  # non-number passes vacuously
+        from jsonschema_spark import violations
+
+        errs = violations(docs, schema, ["id"], doc_col="doc").collect()
+        assert any("expected to be even" in r["error"] for r in errs)
+    finally:
+        unregister_keyword("x-even")
+
+
+def test_config_file_resolver(tmp_path, spark):
+    import json as _json
+    from jsonschema_spark import compile_schema, find_config, load_config, resolver_from_config
+
+    (tmp_path / "schemas").mkdir()
+    (tmp_path / "schemas" / "lang.json").write_text('{"enum": ["en", "de"]}')
+    (tmp_path / "jsonschema.json").write_text(_json.dumps({
+        "defaultDialect": "https://json-schema.org/draft/2020-12/schema",
+        "resolve": {"https://example.com/lang.json": "./schemas/lang.json"},
+        "ignore": ["build"],
+    }))
+    sub = tmp_path / "nested" / "deeper"
+    sub.mkdir(parents=True)
+    cfg_path = find_config(str(sub))
+    assert cfg_path == str(tmp_path / "jsonschema.json")
+    cfg = load_config(cfg_path)
+    registry = resolver_from_config(cfg)
+    cs = compile_schema({"properties": {"lang": {"$ref": "https://example.com/lang.json"}}},
+                        resolver=registry)
+    df = spark.createDataFrame([("en",), ("xx",)], "lang string")
+    got = {r["lang"]: r["valid"] for r in validate(df, cs).collect()}
+    assert got == {"en": True, "xx": False}
+
+
+def test_regex_residual_routing(spark):
+    """Patterns Java's dialect would reject route to the PCRE pudf with
+    ECMA semantics: [] never matches, [^] matches anything."""
+    schema = {"properties": {"s": {"pattern": "a[^]z"}}}
+    docs = spark.createDataFrame(
+        [(1, '{"s": "a!z"}'), (2, '{"s": "az"}')], "id long, doc string"
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False}
+    from jsonschema_spark.functions.strings import _java_dialect_safe
+
+    assert _java_dialect_safe("^a{2,3}b$")
+    assert not _java_dialect_safe("a{")
+    assert not _java_dialect_safe("[]")

@@ -441,3 +441,52 @@ def test_lint_reference_rule_analogues():
     fixed = lint_fix({"title": " x ", "enum": ["only"], "then": {},
                       "multipleOf": 1, "examples": [2, 2]})
     assert fixed == {"title": "x", "const": "only", "examples": [2]}
+
+
+def test_yaml_reader_and_schema(spark, tmp_path):
+    pytest.importorskip("yaml")
+    from jsonschema_spark.sources.readers import load_schema_file, read_yaml_dir
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "one.yaml").write_text("a: 1\nb: [x, y]\n")
+    (d / "two.yml").write_text("a: 2\n")
+    (d / "skip.json").write_text('{"a": 3}')
+    df = read_yaml_dir(spark, str(d))
+    docs = sorted(json.loads(r["doc"])["a"] for r in df.collect())
+    assert docs == [1, 2]
+    from jsonschema_spark import validate
+
+    got = validate(df, {"required": ["a"], "properties": {"a": {"minimum": 2}}}, doc_col="doc")
+    assert sorted(r["valid"] for r in got.collect()) == [False, True]
+    (tmp_path / "s.yaml").write_text("type: object\nrequired: [a]\n")
+    assert load_schema_file(str(tmp_path / "s.yaml")) == {"type": "object", "required": ["a"]}
+
+
+def test_trace_rows(spark):
+    from jsonschema_spark import trace
+
+    schema = {"required": ["a"], "properties": {"a": {"type": "integer", "minimum": 5}}}
+    docs = spark.createDataFrame([(1, '{"a": 3}'), (2, '{"a": 7}')], "id long, doc string")
+    rows = trace(docs, schema, ["id"], doc_col="doc").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["step"], r["keywordLocation"], r["ok"]))
+    steps1 = sorted(by_id[1])
+    # evaluation order: required, then properties child keywords, then /properties
+    kws = [k for _, k, _ in steps1]
+    assert kws == ["/required", "/properties/a/type", "/properties/a/minimum", "/properties"]
+    oks = {k: ok for _, k, ok in steps1}
+    assert oks["/required"] is True and oks["/properties/a/type"] is True
+    assert oks["/properties/a/minimum"] is False and oks["/properties"] is False
+    assert all(ok for _, _, ok in by_id[2])
+
+
+def test_json_dir_multiline_files_whole(spark, tmp_path):
+    """Regression: wholetext must be the reader kwarg — multi-line JSON
+    files are ONE document, not one per line."""
+    d = tmp_path / "ml"
+    d.mkdir()
+    (d / "doc.json").write_text('{\n  "a": 1,\n  "b": 2\n}\n')
+    rows = read_instances(spark, str(d)).collect()
+    assert len(rows) == 1 and json.loads(rows[0]["doc"]) == {"a": 1, "b": 2}

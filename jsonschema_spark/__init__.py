@@ -44,6 +44,7 @@ from jsonschema_spark.plans.serialize import (
 )
 from jsonschema_spark.operators.testrunner import run_suite, run_suites
 from jsonschema_spark.plans.bundle import bundle
+from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
 
 __version__ = "0.1.0"
@@ -81,6 +82,7 @@ __all__ = [
     "run_suite",
     "run_suites",
     "bundle",
+    "canonicalize",
     "upgrade_schema",
     "needs_upgrade",
     "__version__",

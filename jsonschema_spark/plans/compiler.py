@@ -197,6 +197,8 @@ def _and_combine(parts: list[Compiled], cfg: Config, own: Optional[tuple] = None
 
 _KEYWORD_ORDER = [
     "$ref",
+    "$dynamicRef",
+    "$recursiveRef",
     "type",
     "const",
     "enum",
@@ -234,9 +236,55 @@ _KEYWORD_ORDER = [
     "unevaluatedItems",
 ]
 
-# dynamic-scope keywords need the runtime resource stack
-# (ControlDynamicAnchorJump, dispatch.h:1523-1549) — out of scope in v1
-_DYNAMIC_KEYWORDS = ("$dynamicRef", "$recursiveRef", "$dynamicAnchor", "$recursiveAnchor")
+# Dynamic-scope reference keywords (ControlDynamicAnchorJump,
+# dispatch.h:1523-1549). Full generality needs the runtime resource
+# stack; the STATIC subset we support covers single-document dynamic
+# scope, where the outermost matching anchor is the document root's —
+# exactly what a static lookup finds:
+#   $recursiveRef: "#"      → bounded-unroll $ref to the document root
+#   $dynamicRef: "#frag"    → bounded-unroll $ref to the document's
+#                             (unique) $dynamicAnchor "frag"
+# Cross-resource dynamic scope chains (a $dynamicAnchor overridden by an
+# embedding schema resource) still raise SchemaError.
+_DYNAMIC_KEYWORDS = ("$dynamicRef", "$recursiveRef")
+
+
+def _find_dynamic_anchor(node, name: str):
+    hits = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("$dynamicAnchor") == name or n.get("$anchor") == name:
+                hits.append(n)
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for x in n:
+                walk(x)
+
+    walk(node)
+    return hits
+
+
+def _resolve_dynamic_ref(key: str, val, cfg: Config):
+    """Static resolution of $dynamicRef/$recursiveRef within the current
+    document (single-resource dynamic scope)."""
+    if key == "$recursiveRef":
+        if val != "#":
+            raise SchemaError(f"$recursiveRef must be '#', got {val!r}")
+        return cfg.root
+    if not (isinstance(val, str) and val.startswith("#") and not val.startswith("#/")):
+        raise SchemaError(
+            f"$dynamicRef with non-fragment or pointer target {val!r} requires "
+            "runtime dynamic-scope resolution — unsupported"
+        )
+    hits = _find_dynamic_anchor(cfg.root, val[1:])
+    if len(hits) != 1:
+        raise SchemaError(
+            f"$dynamicRef {val!r} needs exactly one in-document anchor for "
+            f"static resolution (found {len(hits)})"
+        )
+    return hits[0]
 
 _TYPE_NAMES = {"null", "boolean", "integer", "number", "string", "array", "object"}
 
@@ -320,9 +368,6 @@ def compile_node(
         return _leaf(cfg, False, kw, ctx, M.msg_false_schema)
     if not isinstance(schema, dict):
         raise SchemaError(f"invalid schema node at {kw or '<root>'}")
-    for dyn in _DYNAMIC_KEYWORDS:
-        if dyn in schema:
-            raise SchemaError(f"{dyn} requires dynamic-scope resolution — unsupported in v1")
 
     parts: list[Compiled] = []
     present_keys = [k for k in _KEYWORD_ORDER if k in schema]
@@ -344,6 +389,20 @@ def compile_node(
                 )
             else:
                 sub = compile_node(target, ctx, kwp, sub_cfg, ref_stack + (ref_key,))
+                if sub.ok is not True:
+                    parts.append(
+                        _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))
+                    )
+        elif key in _DYNAMIC_KEYWORDS:
+            target = _resolve_dynamic_ref(key, val, cfg)
+            ref_key = (cfg.base_uri, f"{key}:{val}")
+            if ref_stack.count(ref_key) >= cfg.max_ref_depth:
+                parts.append(
+                    _leaf(cfg, False, kwp, ctx,
+                          lambda d=cfg.max_ref_depth: M.msg_ref_depth(d))
+                )
+            else:
+                sub = compile_node(target, ctx, kwp, cfg, ref_stack + (ref_key,))
                 if sub.ok is not True:
                     parts.append(
                         _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))

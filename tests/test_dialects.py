@@ -386,3 +386,84 @@ def test_regex_residual_routing(spark):
     assert _java_dialect_safe("^a{2,3}b$")
     assert not _java_dialect_safe("a{")
     assert not _java_dialect_safe("[]")
+
+
+def test_dynamic_ref_static_resolution(spark):
+    """Single-document dynamic scope: $dynamicRef resolves statically to
+    the document's unique $dynamicAnchor, with bounded-depth unrolling."""
+    schema = {
+        "$id": "https://example.com/tree.json",
+        "$dynamicAnchor": "node",
+        "type": "object",
+        "required": ["data"],
+        "properties": {
+            "data": {"type": "integer"},
+            "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+        },
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, '{"data": 1, "children": [{"data": 2}, {"data": 3, "children": []}]}'),
+            (2, '{"data": 1, "children": [{"data": "bad"}]}'),
+            (3, '{"children": [{"data": 1}]}'),
+        ],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_recursive_ref_2019_09(spark):
+    schema = {
+        "type": "object",
+        "properties": {"v": {"type": "integer"}, "next": {"$recursiveRef": "#"}},
+    }
+    docs = spark.createDataFrame(
+        [(1, '{"v": 1, "next": {"v": 2}}'), (2, '{"v": 1, "next": {"v": "x"}}')],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_dynamic_ref_ambiguous_raises(spark):
+    schema = {
+        "$defs": {"a": {"$dynamicAnchor": "n"}, "b": {"$dynamicAnchor": "n"}},
+        "properties": {"x": {"$dynamicRef": "#n"}},
+    }
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(SchemaError, match="exactly one"):
+        validate(df, schema).collect()
+
+
+def test_canonicalize_rules(spark):
+    from jsonschema_spark import canonicalize
+
+    s = canonicalize({
+        "allOf": [{"allOf": [{"minLength": 2}]}, {}, {"maxLength": 5}],
+        "enum": ["only", "only"],
+        "minimum": 1, "exclusiveMinimum": 3,
+        "type": ["string"],
+        "if": {"type": "string"},
+        "minItems": 0, "uniqueItems": False,
+    })
+    assert s["const"] == "only" and "enum" not in s
+    assert s["exclusiveMinimum"] == 3 and "minimum" not in s
+    assert s["type"] == "string"
+    assert "if" not in s and "minItems" not in s and "uniqueItems" not in s
+    assert {"minLength": 2} in s["allOf"] and {"maxLength": 5} in s["allOf"]
+    # unsatisfiable → false schema; compiler folds it to a constant
+    dead = canonicalize({"properties": {"x": {"minimum": 5, "maximum": 1}}})
+    assert dead["properties"]["x"] == {"not": {}}
+    df = spark.createDataFrame([(1,)], "x long")
+    assert validate(df, dead).collect()[0]["valid"] is False
+    # double negation (then hoisted by the singleton-allOf rule)
+    dn = canonicalize({"not": {"not": {"type": "string"}}})
+    assert dn == {"type": "string"}
+    # semantics preserved end-to-end
+    orig = {"allOf": [{"allOf": [{"minLength": 2}]}], "maxLength": 3}
+    d2 = spark.createDataFrame([("ab",), ("a",), ("abcd",)], "s string")
+    wrapped = {"properties": {"s": orig}}
+    canon = {"properties": {"s": canonicalize(orig)}}
+    assert [r["valid"] for r in validate(d2, wrapped).collect()] == \
+           [r["valid"] for r in validate(d2, canon).collect()] == [True, False, False]

@@ -490,3 +490,36 @@ def test_json_dir_multiline_files_whole(spark, tmp_path):
     (d / "doc.json").write_text('{\n  "a": 1,\n  "b": 2\n}\n')
     rows = read_instances(spark, str(d)).collect()
     assert len(rows) == 1 and json.loads(rows[0]["doc"]) == {"a": 1, "b": 2}
+
+
+def test_spark_submit_py_files_job(tmp_path):
+    """End-to-end spark-submit deployment shape (north_rule): the engine
+    shipped as a --py-files zip, the job run in a fresh JVM from the zip
+    (cwd moved so the repo copy is NOT importable), manifests written."""
+    import shutil
+    import subprocess
+    import sys
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+    sys.path.insert(0, "/root/repo/scripts")
+    from package import build
+
+    zip_path = build(str(tmp_path / "dist"))
+    (tmp_path / "s.json").write_text(json.dumps(
+        {"required": ["doc_id"], "properties": {"lang": {"enum": ["en", "de", "fr", "es"]}}}
+    ))
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    proc = subprocess.run(
+        [submit, "--master", "local[2]", "--py-files", zip_path,
+         "/root/repo/scripts/submit_validate.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--schema", str(tmp_path / "s.json"),
+         "--output", out, "--manifests", man, "--partition-col", "lang"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads([ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
+    assert sorted(report["processed_partitions"]) == ["de", "en", "es", "fr", "zh"]
+    assert os.path.isfile(os.path.join(man, "part-en.json"))

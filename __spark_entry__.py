@@ -532,6 +532,11 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard (no cutoff) — deliberately, so the DuckDB
+    oracle is an exact mirror. The corpus-scale invocation sets
+    ``max_df`` (hot-shingle cutoff + exact rescoring) or composes
+    ``jaccard_on_candidates`` with MinHash-LSH candidates; both tested in
+    test_pipeline_ops."""
     from jsonschema_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(

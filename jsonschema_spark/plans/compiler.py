@@ -497,8 +497,16 @@ def compile_node(
         elif key == "unevaluatedItems":
             parts.append(_k_unevaluated_items(schema, val, ctx, kwp, cfg, ref_stack))
         # --trace analogue: record each keyword instruction's location and
-        # verdict in evaluation order (Pre/Post log, output_trace.cc)
-        if cfg.trace_sink is not None and len(parts) > _n_before:
+        # verdict in evaluation order (Pre/Post log, output_trace.cc).
+        # Only STATIC instance locations are recordable: compiles inside
+        # higher-order-function lambdas (per-element/per-key loops) build
+        # Columns bound to lambda variables that cannot be referenced
+        # outside the loop — their parent applicator entry still traces.
+        if (
+            cfg.trace_sink is not None
+            and len(parts) > _n_before
+            and isinstance(ctx.loc, str)
+        ):
             cfg.trace_sink.append((kwp, ctx.loc, parts[-1].ok))
 
     # §2.7 extension hook: registered custom keyword compilers (the

@@ -76,6 +76,76 @@ def stream_dedup_exact(
     return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def stream_drift_monitor(
+    sdf: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`): per-group
+    categorical drift of each microbatch against the accumulated history.
+
+    State per group = the category→count histogram of everything seen so
+    far (two parallel arrays — bounded by the category cardinality, not
+    the stream length). Each batch emits (group, category, n_base,
+    n_batch, diff_ppm) where diff_ppm is the same integer-ppm KS-style
+    proportion difference as the batch operator ``stats.category_drift``,
+    then folds the batch into the state. The streaming analogue of the
+    north_rule's drift scoring against a baseline snapshot.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("category", StringType()),
+            StructField("n_base", LongType()),
+            StructField("n_batch", LongType()),
+            StructField("diff_ppm", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cats", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def monitor(key, pdfs, state):
+        base: dict = {}
+        if state.exists:
+            cats, counts = state.get
+            base = dict(zip(cats, counts))
+        batch: dict = {}
+        for pdf in pdfs:
+            for c, n in pdf[category_col].value_counts().items():
+                batch[str(c)] = batch.get(str(c), 0) + int(n)
+        tot_base = sum(base.values())
+        tot_batch = sum(batch.values())
+        rows = []
+        for c in sorted(batch):
+            nb, nc = base.get(c, 0), batch[c]
+            diff = (
+                abs(nb * tot_batch - nc * tot_base) * 1_000_000 // (tot_base * tot_batch)
+                if tot_base and tot_batch
+                else None
+            )
+            rows.append((key[0], c, nb, nc, diff))
+        for c, nc in batch.items():
+            base[c] = base.get(c, 0) + nc
+        state.update((list(base.keys()), list(base.values())))
+        yield pd.DataFrame(rows, columns=["group", "category", "n_base", "n_batch", "diff_ppm"])
+
+    # applyInPandasWithState requires plain column grouping keys
+    keyed = sdf.withColumn("__grp", F.col(group_col).cast("string"))
+    return keyed.groupBy("__grp").applyInPandasWithState(
+        monitor, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def violation_stream(
     sdf: DataFrame,
     schema: Union[dict, bool, CompiledSchema],

@@ -523,3 +523,51 @@ def test_spark_submit_py_files_job(tmp_path):
     report = json.loads([ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
     assert sorted(report["processed_partitions"]) == ["de", "en", "es", "fr", "zh"]
     assert os.path.isfile(os.path.join(man, "part-en.json"))
+
+
+def test_stream_drift_monitor_stateful(spark, tmp_path):
+    """applyInPandasWithState: the second microbatch's baseline must be
+    the first batch's accumulated histogram (real cross-batch state)."""
+    from jsonschema_spark.streaming.validate import stream_drift_monitor
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame([("g", "en")] * 6 + [("g", "de")] * 2, "grp string, lang string")
+    b2 = spark.createDataFrame([("g", "en")] * 2 + [("g", "de")] * 6, "grp string, lang string")
+    b1.coalesce(1).write.parquet(src + "/b1")
+    sdf = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    b2.coalesce(1).write.parquet(src + "/b2")
+    out = stream_drift_monitor(sdf, "grp", "lang")
+    q = (
+        out.writeStream.format("memory").queryName("drift")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from drift").collect()
+    # batch 1: empty baseline (n_base 0, diff NULL); batch 2: baseline = batch 1
+    first = {(r["category"]): r for r in rows if r["n_base"] == 0 and r["diff_ppm"] is None}
+    assert {c for c in first} >= {"en", "de"}
+    second = {r["category"]: r for r in rows if r["n_base"] > 0}
+    assert second["en"]["n_base"] == 6 and second["en"]["n_batch"] == 2
+    # drift ppm: |6*8 - 2*8| * 1e6 // (8*8) = 500000
+    assert second["en"]["diff_ppm"] == 500000
+
+
+def test_trace_with_array_loops(spark):
+    """Regression: loop applicators trace at their (static-loc) parent
+    node; per-element compiles inside transform lambdas must NOT leak
+    lambda-bound columns into the trace entries."""
+    from jsonschema_spark import trace
+
+    schema = {"properties": {"xs": {"type": "array", "minItems": 1,
+                                    "items": {"type": "integer"}}}}
+    docs = spark.createDataFrame([(1, '{"xs": [1, "b"]}')], "id long, doc string")
+    rows = trace(docs, schema, ["id"], doc_col="doc").collect()
+    kws = [r["keywordLocation"] for r in rows]
+    assert "/properties/xs/type" in kws and "/properties/xs/items" in kws
+    oks = {r["keywordLocation"]: r["ok"] for r in rows}
+    assert oks["/properties/xs/items"] is False and oks["/properties/xs/minItems"] is True

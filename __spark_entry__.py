@@ -309,6 +309,111 @@ def q_validate_uniq_prefix_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNEVAL_BASE = "https://example.com/uneval.schema.json"
+
+UNEVAL_SCHEMA = {
+    "$id": UNEVAL_BASE,
+    "anyOf": [
+        {"required": ["a"], "properties": {"a": {"type": "integer"}}},
+        {"required": ["b"], "properties": {"b": {"type": "integer"}}},
+    ],
+    "unevaluatedProperties": False,
+}
+
+
+def q_validate_unevaluated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive unevaluatedProperties (runtime evaluated-key predicates,
+    the checkpoint/rewind analogue): four planted doc shapes per event —
+    {"a"}, {"b"}, {"a","z"} (z never evaluated), {"a","b"} — with error
+    events making "a" a string so branch 0 fails and "a" itself becomes
+    unevaluated."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    v = (F.col("event_id") % 100).cast("string")
+    a_val = F.when(F.col("event_type") == "error", F.lit('"s"')).otherwise(v)
+    m = F.col("event_id") % 4
+    doc = (
+        F.when(m == 0, F.concat(F.lit('{"a": '), a_val, F.lit("}")))
+        .when(m == 1, F.concat(F.lit('{"b": '), v, F.lit("}")))
+        .when(m == 2, F.concat(F.lit('{"a": '), a_val, F.lit(', "z": 1}')))
+        .otherwise(F.concat(F.lit('{"a": '), a_val, F.lit(', "b": '), v, F.lit("}")))
+    )
+    val = validate(ev.withColumn("doc", doc), UNEVAL_SCHEMA, doc_col="doc")
+    return val.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+    )
+
+
+_UNEVAL_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM (SELECT event_type,
+             CASE (event_id % 4)
+               WHEN 1 THEN TRUE          -- {"b": int}
+               WHEN 2 THEN FALSE         -- "z" is never evaluated
+               ELSE event_type <> 'error' -- {"a"} / {"a","b"}: branch 0 must hold
+             END AS ok
+      FROM events)
+GROUP BY 1
+"""
+
+
+ANNOT_BASE = "https://example.com/annot.schema.json"
+
+ANNOT_SCHEMA = {
+    "$id": ANNOT_BASE,
+    "title": "Docs",
+    "properties": {
+        "lang": {"type": "string", "enum": DOC_LANGS, "description": "language"},
+        "n_chars": {"type": "integer", "minimum": 50, "x-unit": "chars"},
+    },
+}
+
+
+def q_annotations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation emission (AnnotationEmit analogue): title at the root,
+    the properties name-list, a meta-data keyword and an unknown x-*
+    keyword on children — each gated on its node validating (annotations
+    from failing schema objects are dropped)."""
+    from jsonschema_spark.operators.annotations import annotations
+
+    return annotations(_docs(spark, sf_dir), ANNOT_SCHEMA, id_cols=["doc_id"])
+
+
+_ANNOT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         ((lang IS NULL OR lang IN ('de','en','es','fr'))
+          AND (n_chars IS NULL OR n_chars >= 50)) AS root_ok,
+         (lang IS NOT NULL AND lang IN ('de','en','es','fr')) AS lang_ok,
+         (n_chars IS NOT NULL AND n_chars >= 50) AS nchars_ok,
+         lang, n_chars
+  FROM documents
+)
+SELECT doc_id, '/title' AS keywordLocation, '{ANNOT_BASE}#/title' AS absoluteKeywordLocation,
+       '' AS instanceLocation, '["Docs"]' AS annotation
+FROM d WHERE root_ok
+UNION ALL
+SELECT doc_id, '/properties', '{ANNOT_BASE}#/properties', '',
+       concat('[',
+              CASE WHEN lang IS NOT NULL THEN '"lang"' ELSE '' END,
+              CASE WHEN lang IS NOT NULL AND n_chars IS NOT NULL THEN ',' ELSE '' END,
+              CASE WHEN n_chars IS NOT NULL THEN '"n_chars"' ELSE '' END,
+              ']')
+FROM d WHERE root_ok
+UNION ALL
+SELECT doc_id, '/properties/lang/description', '{ANNOT_BASE}#/properties/lang/description',
+       '/lang', '["language"]'
+FROM d WHERE root_ok AND lang_ok
+UNION ALL
+SELECT doc_id, '/properties/n_chars/x-unit', '{ANNOT_BASE}#/properties/n_chars/x-unit',
+       '/n_chars', '["chars"]'
+FROM d WHERE root_ok AND nchars_ok
+"""
+
+
 RECURSE_BASE = "https://example.com/thread.schema.json"
 
 RECURSE_SCHEMA = {
@@ -1104,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_multipleof": q_validate_multipleof,
         "validate_uniq_prefix_ref": q_validate_uniq_prefix_ref,
         "validate_recursive": q_validate_recursive,
+        "validate_unevaluated": q_validate_unevaluated,
+        "annotations_docs": q_annotations_docs,
         "validate_formats": q_validate_formats,
         "profile_docs": q_profile_docs,
         "quantiles_n_chars": q_quantiles_n_chars,
@@ -1179,6 +1286,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_multipleof": _multipleof_sql(),
         "validate_uniq_prefix_ref": _UNIQ_SQL,
         "validate_recursive": _RECURSE_SQL,
+        "validate_unevaluated": _UNEVAL_SQL,
+        "annotations_docs": _ANNOT_SQL,
         "validate_formats": _formats_sql(),
         "validate_pattern_props": """
             SELECT event_type, count(*) AS n_rows,

@@ -297,6 +297,10 @@ class FlatColCtx(Ctx):
         if isinstance(value, bool):
             return self.bool_val() == F.lit(value) if self._tag == "boolean" else False
         if isinstance(value, (int, float)):
+            if self._tag == "integer" and isinstance(value, int):
+                # exact int64 compare — the double path collides values
+                # beyond 2^53 (AssertionEqual is exact, dispatch.h:697)
+                return self.col.cast("long") == F.lit(value)
             if self._tag in ("integer", "number"):
                 return self.num_val() == F.lit(float(value))
             return False
@@ -495,7 +499,27 @@ class VariantCtx(Ctx):
             return self.is_type("null")
         if isinstance(value, bool):
             return self.is_type("boolean") & (self.bool_val() == F.lit(value))
-        if isinstance(value, (int, float)):
+        if isinstance(value, int):
+            # exact int64 equality for integer-tagged instances; a REAL
+            # instance equals an int constant only when the constant is
+            # exactly double-representable (reference cross-type numeric
+            # compare is exact)
+            s = self._schema_str()
+            is_int = (
+                s.startswith("BIGINT") | s.startswith("INT")
+                | s.startswith("SMALLINT") | s.startswith("TINYINT")
+            )
+            long_eq = is_int & (F.try_variant_get(self.v, "$", "bigint") == F.lit(value))
+            try:
+                as_double = float(value)
+                representable = int(as_double) == value
+            except OverflowError:
+                representable = False
+            if not representable:
+                return long_eq
+            is_real = s.startswith("DOUBLE") | s.startswith("FLOAT") | s.startswith("DECIMAL")
+            return long_eq | (is_real & (self.num_val() == F.lit(as_double)))
+        if isinstance(value, float):
             return B(self.is_type("number")) & (self.num_val() == F.lit(float(value)))
         if isinstance(value, str):
             return B(self.is_type("string")) & (self.str_val() == F.lit(value))

@@ -355,15 +355,20 @@ def msg_min_items(ctx: Ctx, bound: int) -> Column:
 
 def msg_unique_items(ctx: Ctx) -> Column:
     # the reference enumerates duplicates; we report the count-level message
-    # for the common single-duplicate case and fall back to a generic listing
-    dupes = F.array_distinct(
-        F.filter(
-            ctx.arr(),
-            lambda x: F.size(F.filter(ctx.arr(), lambda y: F.to_json(y) == F.to_json(x))) > 1,
-        )
+    # for the common single-duplicate case and fall back to a generic
+    # listing. Elements are rendered to strings FIRST — array_distinct
+    # cannot order VARIANT values directly.
+    from jsonschema_spark.plans.context import VariantCtx
+
+    arr = ctx.arr()
+    if isinstance(ctx, VariantCtx):
+        canon = F.transform(arr, lambda x: F.to_json(x))
+    else:
+        canon = F.transform(arr, lambda x: x.cast("string"))
+    reprs = F.array_distinct(
+        F.filter(canon, lambda s: F.size(F.filter(canon, lambda t: t == s)) > 1)
     )
-    reprs = F.transform(dupes, lambda d: F.to_json(d))
-    n = F.size(dupes)
+    n = F.size(reprs)
     return (
         F.when(n == 1, C("The array value contained the following duplicate item: ", F.element_at(reprs, 1)))
         .otherwise(

@@ -323,6 +323,37 @@ def _find_anchor(node, name: str):
     return None
 
 
+def _collect_embedded_resources(node, base: str, out: dict, is_root: bool = True) -> None:
+    """uri → subschema for every embedded `$id` resource (nested scopes
+    compose: an inner $id resolves against its enclosing base). Walks
+    SCHEMA positions only — const/enum data values are never resources."""
+    from urllib.parse import urljoin
+
+    from jsonschema_spark.plans.upgrade import _SCHEMA_LISTS, _SCHEMA_MAPS, _SCHEMA_VALUES
+
+    if not isinstance(node, dict):
+        return
+    sid = node.get("$id")
+    if isinstance(sid, str) and not is_root:
+        base = urljoin(base or "", sid)
+        out.setdefault(base, node)
+    for key in _SCHEMA_MAPS:
+        if isinstance(node.get(key), dict):
+            for sub in node[key].values():
+                _collect_embedded_resources(sub, base, out, False)
+    for key in _SCHEMA_VALUES:
+        v = node.get(key)
+        if isinstance(v, dict):
+            _collect_embedded_resources(v, base, out, False)
+        elif isinstance(v, list):
+            for x in v:
+                _collect_embedded_resources(x, base, out, False)
+    for key in _SCHEMA_LISTS:
+        if isinstance(node.get(key), list):
+            for x in node[key]:
+                _collect_embedded_resources(x, base, out, False)
+
+
 def _resolve_ref(ref: str, cfg: Config) -> tuple[dict | bool, Config]:
     """Resolve a `$ref`: same-document fragments directly — JSON Pointers
     (`#/...`) or `$anchor` names (`#name`); absolute URIs through the
@@ -368,6 +399,15 @@ def compile_node(
         return _leaf(cfg, False, kw, ctx, M.msg_false_schema)
     if not isinstance(schema, dict):
         raise SchemaError(f"invalid schema node at {kw or '<root>'}")
+    # Embedded schema resource: a non-root `$id` opens a new resolution
+    # scope — fragment refs/anchors inside it resolve against THIS
+    # subdocument, and relative URIs against its (base-resolved) $id.
+    # (The reference frames every resource; SchemaFrame, frame.h:38-60.)
+    sid = schema.get("$id")
+    if isinstance(sid, str) and schema is not cfg.root:
+        from urllib.parse import urljoin
+
+        cfg = cfg.with_root(schema, urljoin(cfg.base_uri or "", sid))
 
     parts: list[Compiled] = []
     present_keys = [k for k in _KEYWORD_ORDER if k in schema]
@@ -1168,6 +1208,16 @@ class CompiledSchema:
         doc = self.resolution_root if self.resolution_root is not None else self.schema
         if isinstance(doc, dict):
             self.base_uri = doc.get("$id", self.base_uri)
+            # embedded `$id` resources become resolvable targets — a $ref
+            # to an embedded resource's URI (absolute or base-relative)
+            # lands on that subschema with its own resolution scope
+            embedded: dict = {}
+            _collect_embedded_resources(doc, self.base_uri, embedded)
+            if embedded:
+                merged = dict(self.resolver or {})
+                for uri, node in embedded.items():
+                    merged.setdefault(uri, node)
+                self.resolver = merged
 
     def _cfg(self, mode: str, short_circuit: bool = True) -> Config:
         root = self.resolution_root if self.resolution_root is not None else self.schema

@@ -467,3 +467,53 @@ def test_canonicalize_rules(spark):
     canon = {"properties": {"s": canonicalize(orig)}}
     assert [r["valid"] for r in validate(d2, wrapped).collect()] == \
            [r["valid"] for r in validate(d2, canon).collect()] == [True, False, False]
+
+
+def test_embedded_id_resolution_scope(spark):
+    """A nested $id opens its own resolution scope: fragment refs inside
+    it resolve against the subdocument, and other parts of the schema can
+    $ref the embedded resource by absolute or base-relative URI."""
+    schema = {
+        "$id": "https://example.com/root.json",
+        "properties": {
+            "item": {
+                "$id": "https://example.com/item.json",
+                "$defs": {"code": {"type": "string", "pattern": "^C-"}},
+                "type": "object",
+                "required": ["sku"],
+                # '#/$defs/code' resolves inside item.json, not root.json
+                "properties": {"sku": {"$ref": "#/$defs/code"}},
+            },
+            # base-relative ref to the embedded resource
+            "alt": {"$ref": "item.json"},
+        },
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, '{"item": {"sku": "C-1"}}'),
+            (2, '{"item": {"sku": "X-1"}}'),
+            (3, '{"alt": {"sku": "C-2"}}'),
+            (4, '{"alt": {}}'),
+        ],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_embedded_id_anchor_scope(spark):
+    """$anchor inside an embedded resource is found within that resource's
+    scope."""
+    schema = {
+        "$id": "https://example.com/r.json",
+        "properties": {
+            "x": {
+                "$id": "https://example.com/sub.json",
+                "$defs": {"c": {"$anchor": "pos", "minimum": 1}},
+                "$ref": "#pos",
+            }
+        },
+    }
+    docs = spark.createDataFrame([(1, '{"x": 5}'), (2, '{"x": 0}')], "id long, doc string")
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False}

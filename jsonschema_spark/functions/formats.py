@@ -188,6 +188,43 @@ def format_ok(fmt: str, col: Column) -> Column:
     return FORMATS[fmt].build(col)
 
 
+def format_py(fmt: str, value: str) -> bool:
+    """Driver-side (pure-Python) twin of ``format_ok`` over the SAME
+    regex constants — used by the lint-time instance evaluator
+    (plans/pyeval.py) so `valid_default`/`valid_examples` agree with the
+    Spark-side assertion. Unknown formats are annotations → True."""
+    import re as _re
+
+    if fmt not in FORMATS or not isinstance(value, str):
+        return True
+    if fmt == "regex":
+        try:
+            _re.compile(value)
+            return True
+        except _re.error:
+            return False
+    base = {
+        "uri": RE_URI, "uri-reference": RE_URI_REF,
+        "iri": RE_URI, "iri-reference": RE_URI_REF,
+        "uri-template": RE_URI_TEMPLATE, "date-time": RE_DATE_TIME,
+        "date": RE_DATE, "time": RE_TIME, "partial-time": RE_PARTIAL_TIME,
+        "duration": RE_DURATION, "ipv4": RE_IPV4, "ipv6": RE_IPV6,
+        "hostname": RE_HOSTNAME, "idn-hostname": RE_HOSTNAME,
+        "email": RE_EMAIL, "idn-email": RE_EMAIL, "uuid": RE_UUID,
+        "json-pointer": RE_JSON_POINTER,
+        "relative-json-pointer": RE_REL_JSON_POINTER, "color": RE_CSS_COLOR,
+    }[fmt]
+    if not _re.search(base, value):
+        return False
+    if fmt in ("uri", "uri-reference", "iri", "iri-reference"):
+        return not _re.search(RE_BAD_PCT, value)
+    if fmt in ("hostname", "idn-hostname"):
+        return len(value) <= 253
+    if fmt == "duration":
+        return len(value) > 1 and not value.endswith("T")
+    return True
+
+
 def format_duckdb(fmt: str, col_sql: str) -> str:
     # plain replace, NOT str.format: the templates embed regex quantifier
     # braces ({1,4}) that str.format would treat as replacement fields

@@ -6,10 +6,12 @@ cites its source file inline) re-expressed over plain dicts, plus
 ``lint_fix`` applying the auto-fixable ones (the `--fix` analogue).
 Each finding: {path, rule, severity, message}.
 
-Not ported (documented gaps): valid_default / valid_examples (need a
-driver-side instance evaluator), invalid_external_ref (needs the
-resolver at lint time), simple_properties_identifiers (codegen-oriented),
-content_* vocabulary gating (we lint dialect-agnostically).
+Round-2 completion: valid_default / valid_examples (driver-side instance
+evaluator, plans/pyeval.py), invalid_external_ref (resolver-aware),
+simple_properties_identifiers, description_trailing_period,
+property_names_type_default, draft-3 disallow/divisibleBy defaults and
+extends wrappers. Remaining gap: content_* vocabulary gating (we lint
+dialect-agnostically).
 """
 
 from __future__ import annotations
@@ -184,6 +186,65 @@ def _findings(node: dict, path: str) -> list[dict]:
     ):
         add("unnecessary_allof_ref_wrapper", "warning",
             "allOf-wrapped lone $ref can be hoisted ($ref allows siblings since 2019-09)")  # unnecessary_allof_ref_wrapper_modern.h
+    if isinstance(node.get("description"), str) and node["description"].endswith("."):
+        add("description_trailing_period", "warning",
+            "descriptions should not end with a period")  # description_trailing_period.h
+    pn = node.get("propertyNames")
+    if isinstance(pn, dict):
+        pt = pn.get("type")
+        if pt == "string" or (isinstance(pt, list) and pt and all(x == "string" for x in pt)):
+            add("property_names_type_default", "warning",
+                "type: string inside propertyNames adds no constraint")  # property_names_type_default.h
+    if isinstance(node.get("properties"), dict):
+        bad = [k for k in node["properties"] if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k)]
+        if bad:
+            add("simple_properties_identifiers", "info",
+                f"property names are not simple identifiers (codegen-hostile): {sorted(bad)}")  # simple_properties_identifiers.h
+    # draft-3 no-op defaults / wrappers
+    if node.get("divisibleBy") == 1 and not isinstance(node.get("divisibleBy"), bool):
+        add("divisible_by_default", "warning", "divisibleBy is set to its no-op default")  # divisible_by_default.h
+    if node.get("disallow") == []:
+        add("disallow_default", "warning", "empty disallow has no effect")  # disallow_default.h
+    ext = node.get("extends")
+    if isinstance(ext, dict) and set(ext) == {"$ref"}:
+        add("unnecessary_extends_wrapper", "warning",
+            "extends-wrapped lone $ref can be hoisted")  # unnecessary_extends_wrapper.h
+    return out
+
+
+def _instance_findings(node: dict, path: str, root, base: str,
+                       resolver) -> list[dict]:
+    """valid_default.h / valid_examples.h analogues: schema-embedded
+    literals must satisfy the subschema that carries them (driver-side
+    evaluator, plans/pyeval.py — never a table-scale path)."""
+    from jsonschema_spark.plans.pyeval import EvalError, validate_at
+
+    out = []
+
+    def check(rule, value, label):
+        try:
+            ok = validate_at(root, node, value, resolver=resolver, node_base=base)
+        except (EvalError, RecursionError):
+            return  # unresolvable ref → invalid_external_ref reports it
+        if not ok:
+            out.append({"path": path or "/", "rule": rule, "severity": "warning",
+                        "message": f"{label} does not validate against its own schema"})
+
+    if "default" in node:
+        check("valid_default", node["default"], "default value")
+    if isinstance(node.get("examples"), list):
+        for i, ex in enumerate(node["examples"]):
+            check("valid_examples", ex, f"examples[{i}]")
+    ref = node.get("$ref")
+    if isinstance(ref, str) and not ref.startswith("#"):
+        from jsonschema_spark.plans.pyeval import _Scope
+
+        try:
+            _Scope(root, base, resolver).resolve(ref, base)
+        except EvalError:
+            out.append({"path": path or "/", "rule": "invalid_external_ref",
+                        "severity": "error",
+                        "message": f"external $ref {ref!r} does not resolve"})  # invalid_external_ref.h
     return out
 
 
@@ -209,26 +270,34 @@ def _root_findings(schema: dict) -> list[dict]:
     return out
 
 
-def _walk(node: Union[dict, bool], path: str, out: list[dict]) -> None:
+def _walk(node: Union[dict, bool], path: str, out: list[dict], root=None,
+          base: str = "https://jsonschema-spark.invalid/root", resolver=None) -> None:
     if not isinstance(node, dict):
         return
+    if isinstance(node.get("$id"), str):
+        from urllib.parse import urldefrag, urljoin
+
+        base = urldefrag(urljoin(base, node["$id"]))[0]
     out.extend(_findings(node, path))
+    if root is not None:
+        out.extend(_instance_findings(node, path, root, base, resolver))
     for key in ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions"):
         if isinstance(node.get(key), dict):
             for name, sub in node[key].items():
-                _walk(sub, f"{path}/{key}/{name}", out)
+                _walk(sub, f"{path}/{key}/{name}", out, root, base, resolver)
     for key in ("items", "additionalProperties", "propertyNames", "not", "contains", "if", "then", "else"):
         if isinstance(node.get(key), dict):
-            _walk(node[key], f"{path}/{key}", out)
+            _walk(node[key], f"{path}/{key}", out, root, base, resolver)
     for key in ("allOf", "anyOf", "oneOf", "prefixItems"):
         if isinstance(node.get(key), list):
             for i, sub in enumerate(node[key]):
-                _walk(sub, f"{path}/{key}/{i}", out)
+                _walk(sub, f"{path}/{key}/{i}", out, root, base, resolver)
 
 
-def lint_schema(schema: Union[dict, bool]) -> list[dict]:
+def lint_schema(schema: Union[dict, bool], resolver: dict = None) -> list[dict]:
+    root = schema if isinstance(schema, dict) else None
     out: list[dict] = []
-    _walk(schema, "", out)
+    _walk(schema, "", out, root=root, resolver=resolver)
     if isinstance(schema, dict):
         out.extend(_root_findings(schema))
     return out
@@ -303,6 +372,13 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
         for kw, text_key in (("title", "title"), ("description", "description"), ("$comment", "comment")):
             if isinstance(node.get(kw), str) and node[kw] != node[kw].strip():
                 node[kw] = node[kw].strip()
+        if isinstance(node.get("description"), str):
+            node["description"] = node["description"].rstrip(".")
+        pn = node.get("propertyNames")
+        if isinstance(pn, dict):
+            pt = pn.get("type")
+            if pt == "string" or (isinstance(pt, list) and pt and all(x == "string" for x in pt)):
+                pn.pop("type")
         if isinstance(node.get("examples"), list):
             seen_ex, dedup_ex = set(), []
             for v in node["examples"]:

@@ -131,7 +131,6 @@ def _findings(node: dict, path: str) -> list[dict]:
         "items": (True, {}),
         "unevaluatedItems": (True, {}),
         "unevaluatedProperties": (True, {}),
-        "multipleOf": (1,),
         "minItems": (0,),
         "minLength": (0,),
         "minProperties": (0,),
@@ -201,8 +200,13 @@ def _findings(node: dict, path: str) -> list[dict]:
             add("simple_properties_identifiers", "info",
                 f"property names are not simple identifiers (codegen-hostile): {sorted(bad)}")  # simple_properties_identifiers.h
     # draft-3 no-op defaults / wrappers
-    if node.get("divisibleBy") == 1 and not isinstance(node.get("divisibleBy"), bool):
-        add("divisible_by_default", "warning", "divisibleBy is set to its no-op default")  # divisible_by_default.h
+    # multipleOf/divisibleBy 1 is a no-op ONLY for integers (0.5 % 1 != 0):
+    # the reference gates multiple_of_default.h on type == "integer"
+    if node.get("type") == "integer":
+        if node.get("multipleOf") == 1 and not isinstance(node.get("multipleOf"), bool):
+            add("multiple_of_default", "warning", "multipleOf is set to its no-op default")  # multiple_of_default.h
+        if node.get("divisibleBy") == 1 and not isinstance(node.get("divisibleBy"), bool):
+            add("divisible_by_default", "warning", "divisibleBy is set to its no-op default")  # divisible_by_default.h
     if node.get("disallow") == []:
         add("disallow_default", "warning", "empty disallow has no effect")  # disallow_default.h
     ext = node.get("extends")
@@ -318,7 +322,6 @@ _FIX_DEFAULTS = {
     "propertyNames": (True, {}),
     "unevaluatedItems": (True, {}),
     "unevaluatedProperties": (True, {}),
-    "multipleOf": (1,),
     "minItems": (0,),
     "minLength": (0,),
     "minProperties": (0,),
@@ -389,6 +392,10 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
         for kw, noop_values in _FIX_DEFAULTS.items():
             if kw in node and any(node[kw] == v and type(node[kw]) is type(v) for v in noop_values):
                 node.pop(kw)
+        # multipleOf 1 only drops for integer-typed nodes (see _findings)
+        if node.get("multipleOf") == 1 and not isinstance(node.get("multipleOf"), bool) \
+                and node.get("type") == "integer":
+            node.pop("multipleOf")
         for key in ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions"):
             if isinstance(node.get(key), dict):
                 for sub in node[key].values():

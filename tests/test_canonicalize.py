@@ -1,0 +1,146 @@
+"""Canonicalizer rules (plans/canonicalize.py) — targeted per-rule cases
+plus a metamorphic safety net: canonicalization must never change what a
+schema accepts (validate_py(s, x) == validate_py(canonicalize(s), x))."""
+
+import random
+
+from jsonschema_spark import canonicalize
+from jsonschema_spark.plans.pyeval import validate_py
+
+FALSE = {"not": {}}
+
+
+def test_anyof_true_branch_drops_anyof():
+    assert "anyOf" not in canonicalize({"anyOf": [{"type": "string"}, True]})
+    assert "anyOf" not in canonicalize({"anyOf": [{}, {"minimum": 3}]})
+
+
+def test_anyof_false_branches_removed_and_flattened():
+    s = canonicalize({"anyOf": [False, {"anyOf": [{"minimum": 1}, {"minimum": 2}]},
+                                {"minimum": 1}]})
+    assert s == {"anyOf": [{"minimum": 1}, {"minimum": 2}]}  # dedup too
+
+
+def test_anyof_all_false_is_unsatisfiable():
+    assert canonicalize({"anyOf": [False, FALSE]}) == FALSE
+
+
+def test_single_branch_anyof_hoisted():
+    assert canonicalize({"anyOf": [{"minimum": 3}]}) == {"minimum": 3}
+
+
+def test_oneof_false_simplify_and_single_branch():
+    assert canonicalize({"oneOf": [{"minimum": 1}, False]}) == {"minimum": 1}
+    assert canonicalize({"oneOf": [False]}) == FALSE
+
+
+def test_allof_false_simplify():
+    assert canonicalize({"allOf": [{"minimum": 1}, False]}) == FALSE
+
+
+def test_duplicate_allof_branches():
+    s = canonicalize({"allOf": [{"minimum": 1}, {"minimum": 1}, {"maximum": 9}]})
+    assert s == {"minimum": 1, "maximum": 9} or s == {"allOf": [{"minimum": 1}, {"maximum": 9}]}
+
+
+def test_const_with_type_matching_drops_type():
+    assert canonicalize({"const": 5, "type": "integer"}) == {"const": 5}
+    assert canonicalize({"const": 5.0, "type": "integer"}) == {"const": 5.0}
+
+
+def test_const_with_type_contradiction_is_false():
+    assert canonicalize({"const": "x", "type": "integer"}) == FALSE
+
+
+def test_enum_filter_by_type():
+    # the surviving singleton then collapses to const (enum_to_const)
+    assert canonicalize({"enum": [1, "a", 2.5], "type": "integer"}) == {"const": 1}
+    assert canonicalize({"enum": [1, "a", 2], "type": "integer"}) == {"enum": [1, 2]}
+    assert canonicalize({"enum": ["a", "b"], "type": "integer"}) == FALSE
+
+
+def test_equal_numeric_bounds_to_const():
+    assert canonicalize({"type": "integer", "minimum": 4, "maximum": 4}) == {"const": 4}
+    # absent / non-numeric type: rule must NOT fire (bounds don't bind non-numbers)
+    s = canonicalize({"minimum": 4, "maximum": 4})
+    assert s == {"minimum": 4, "maximum": 4}
+
+
+def test_integer_exclusive_bounds_fold():
+    s = canonicalize({"type": "integer", "exclusiveMinimum": 0, "exclusiveMaximum": 10})
+    assert s == {"type": "integer", "minimum": 1, "maximum": 9}
+
+
+def test_contains_bounds_without_contains_drop():
+    assert canonicalize({"minContains": 2, "maxContains": 5}) == {}
+    kept = canonicalize({"contains": {"minimum": 1}, "minContains": 2})
+    assert kept == {"contains": {"minimum": 1}, "minContains": 2}
+
+
+def test_max_contains_covered_by_max_items():
+    s = canonicalize({"contains": {"minimum": 1}, "maxContains": 5, "maxItems": 3})
+    assert "maxContains" not in s
+
+
+def test_min_properties_covered_by_required():
+    s = canonicalize({"required": ["a", "b"], "minProperties": 2})
+    assert "minProperties" not in s
+    s2 = canonicalize({"required": ["a"], "minProperties": 2})
+    assert s2["minProperties"] == 2
+
+
+def test_then_else_without_if_dropped():
+    assert canonicalize({"then": {"minimum": 1}, "else": {"maximum": 2}}) == {}
+
+
+def test_not_false_always_true():
+    assert canonicalize({"not": False}) == {}
+    assert canonicalize({"not": {"not": {}}}) == {}
+
+
+def test_comment_and_empty_maps_dropped():
+    s = canonicalize({"$comment": "hi", "$defs": {}, "properties": {},
+                      "dependentRequired": {"a": []}})
+    assert s == {}
+
+
+def test_type_union_implicit():
+    full = ["null", "boolean", "integer", "number", "string", "array", "object"]
+    assert canonicalize({"type": full}) == {}
+    assert canonicalize({"type": ["string", "number"]}) == {"type": ["string", "number"]}
+
+
+def test_unevaluated_to_static_rewrites():
+    s = canonicalize({"properties": {"a": True}, "unevaluatedProperties": False})
+    assert s == {"properties": {"a": True}, "additionalProperties": False}
+    # in-place applicators present (non-collapsible allOf) → must NOT rewrite
+    s2 = canonicalize({"allOf": [{"properties": {"a": True}},
+                                 {"properties": {"b": True}}],
+                       "unevaluatedProperties": False})
+    assert "unevaluatedProperties" in s2
+    s3 = canonicalize({"prefixItems": [True], "unevaluatedItems": False})
+    assert s3 == {"prefixItems": [True], "items": False}
+    s4 = canonicalize({"contains": {"minimum": 1}, "unevaluatedItems": False})
+    assert "unevaluatedItems" in s4
+
+
+# --- metamorphic safety net -------------------------------------------------
+
+def _instances(rng):
+    vals = [None, True, False, 0, 1, 2, 7, -3, 2.5, 1.0, "en", "de", "", "xxxx",
+            [1, 2], [1, 1.0], [], {"a": 1}, {"a": 1, "s": "en"},
+            {"a": 2, "b": 0.5, "s": "de", "xs": [1, 2, 3]},
+            {"b": 3.3, "o": {"p": 9}}, {"s": "héllo", "xs": [5, -2]}]
+    return rng.sample(vals, k=8)
+
+
+def test_canonicalize_preserves_semantics():
+    import tests.test_metamorphic as tm
+
+    rng = random.Random(20260818)
+    for _ in range(150):
+        schema = tm._rand_schema(rng)
+        canon = canonicalize(schema)
+        for inst in _instances(rng):
+            assert validate_py(schema, inst) == validate_py(canon, inst), (
+                schema, canon, inst)

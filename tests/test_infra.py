@@ -440,7 +440,12 @@ def test_lint_reference_rule_analogues():
     } <= rules
     fixed = lint_fix({"title": " x ", "enum": ["only"], "then": {},
                       "multipleOf": 1, "examples": [2, 2]})
-    assert fixed == {"title": "x", "const": "only", "examples": [2]}
+    # multipleOf 1 is NOT a no-op without type integer (0.5 % 1 != 0) —
+    # the reference gates multiple_of_default.h on type == "integer"
+    assert fixed == {"title": "x", "const": "only", "examples": [2],
+                     "multipleOf": 1}
+    fixed_int = lint_fix({"type": "integer", "multipleOf": 1})
+    assert fixed_int == {"type": "integer"}
 
 
 def test_yaml_reader_and_schema(spark, tmp_path):

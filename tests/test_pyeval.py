@@ -152,7 +152,8 @@ def test_lint_simple_properties_identifiers():
 
 
 def test_lint_draft3_defaults():
-    rules = {f["rule"] for f in lint_schema({"divisibleBy": 1, "disallow": [],
+    rules = {f["rule"] for f in lint_schema({"type": "integer", "divisibleBy": 1,
+                                             "disallow": [],
                                              "extends": {"$ref": "#/$defs/x"},
                                              "$defs": {"x": {}}})}
     assert {"divisible_by_default", "disallow_default",

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from jsonschema_spark import validate, violations, verdict_counts
+from jsonschema_spark import compile_schema, validate, violations, verdict_counts
 from jsonschema_spark.operators.stats import category_drift, numeric_quantiles, profile_long
 
 # ---------------------------------------------------------------------------
@@ -458,6 +458,58 @@ _RECURSE_SQL = """
 SELECT event_type, count(*) AS n_rows,
        sum(CASE WHEN (event_id % 97) >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
        sum(CASE WHEN (event_id % 97) >= 3 THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM events GROUP BY 1
+"""
+
+
+# Cross-resource dynamic scope: the extending resource's $dynamicAnchor
+# overrides the base list's element schema (2020-12 core §8.2.3.2;
+# reference runtime stack dispatch.h:1523-1549 — resolved statically here
+# because every reference is inlined, see compiler._resolve_dynamic_ref).
+DYN_LIST_BASE = {
+    "$id": "https://example.com/list.schema.json",
+    "$defs": {"default-elem": {"$dynamicAnchor": "elem"}},
+    "type": "array",
+    "items": {"$dynamicRef": "#elem"},
+}
+DYN_INT_LIST = {
+    "$id": "https://example.com/intlist.schema.json",
+    "$defs": {"int-elem": {"$dynamicAnchor": "elem", "type": "integer",
+                           "maximum": 90}},
+    "$ref": "https://example.com/list.schema.json",
+}
+
+
+def q_validate_dynamic_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dynamicRef across resources on the tree path: the int-list
+    extension constrains the generic list's elements. Synthesized docs:
+    [e%7, e%97] with a planted string element when e%5 == 0 — valid iff
+    no string AND every int <= 90."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    e = F.col("event_id")
+    doc = F.concat(
+        F.lit("["), (e % 7).cast("string"), F.lit(", "),
+        F.when(e % 5 == 0, F.lit('"x", ')).otherwise(F.lit("")),
+        (e % 97).cast("string"), F.lit("]"),
+    )
+    cs = compile_schema(
+        DYN_INT_LIST,
+        resolver={"https://example.com/list.schema.json": DYN_LIST_BASE},
+    )
+    val = validate(ev.withColumn("doc", doc), cs, doc_col="doc")
+    return val.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+    )
+
+
+_DYNREF_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       sum(CASE WHEN (event_id % 5) <> 0 AND (event_id % 97) <= 90
+                THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN (event_id % 5) <> 0 AND (event_id % 97) <= 90
+                THEN 0 ELSE 1 END)::BIGINT AS n_invalid
 FROM events GROUP BY 1
 """
 
@@ -1209,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_multipleof": q_validate_multipleof,
         "validate_uniq_prefix_ref": q_validate_uniq_prefix_ref,
         "validate_recursive": q_validate_recursive,
+        "validate_dynamic_ref": q_validate_dynamic_ref,
         "validate_unevaluated": q_validate_unevaluated,
         "annotations_docs": q_annotations_docs,
         "validate_formats": q_validate_formats,
@@ -1286,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_multipleof": _multipleof_sql(),
         "validate_uniq_prefix_ref": _UNIQ_SQL,
         "validate_recursive": _RECURSE_SQL,
+        "validate_dynamic_ref": _DYNREF_SQL,
         "validate_unevaluated": _UNEVAL_SQL,
         "annotations_docs": _ANNOT_SQL,
         "validate_formats": _formats_sql(),

@@ -45,6 +45,8 @@ from jsonschema_spark.plans.serialize import (
 from jsonschema_spark.operators.testrunner import run_suite, run_suites
 from jsonschema_spark.plans.bundle import bundle
 from jsonschema_spark.plans.canonicalize import canonicalize
+from jsonschema_spark.plans.fmt import fmt_check, format_schema
+from jsonschema_spark.plans.pyeval import validate_py
 from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
 
 __version__ = "0.1.0"
@@ -83,6 +85,9 @@ __all__ = [
     "run_suites",
     "bundle",
     "canonicalize",
+    "format_schema",
+    "fmt_check",
+    "validate_py",
     "upgrade_schema",
     "needs_upgrade",
     "__version__",

@@ -102,6 +102,11 @@ class Config:
     # order. Internal fast-mode recompiles (not/if conditions, branch-ok
     # gates) intentionally DROP the sink — only the primary plan traces.
     trace_sink: Optional[list] = None
+    # Static dynamic scope: the chain of schema resources entered along the
+    # current compile path, outermost first (the reference's runtime
+    # resource stack, evaluator.h — statically known here because every
+    # reference is inlined). Empty ⇔ just the root resource.
+    dynamic_scope: tuple = ()
 
     @property
     def want_viols(self) -> bool:
@@ -109,12 +114,14 @@ class Config:
 
     def fast(self) -> "Config":
         return Config(self.base_uri, "fast", self.format_assertion, self.root,
-                      self.short_circuit, self.resolver, self.max_ref_depth)
+                      self.short_circuit, self.resolver, self.max_ref_depth,
+                      dynamic_scope=self.dynamic_scope)
 
     def with_root(self, root, base_uri: str) -> "Config":
+        scope = self.dynamic_scope or (self.root,)
         return Config(base_uri, self.mode, self.format_assertion, root,
                       self.short_circuit, self.resolver, self.max_ref_depth,
-                      self.trace_sink)
+                      self.trace_sink, scope + (root,))
 
 
 def _viol(cfg: Config, kw: str, loc: Union[str, Column], error: Column) -> Column:
@@ -237,54 +244,81 @@ _KEYWORD_ORDER = [
 ]
 
 # Dynamic-scope reference keywords (ControlDynamicAnchorJump,
-# dispatch.h:1523-1549). Full generality needs the runtime resource
-# stack; the STATIC subset we support covers single-document dynamic
-# scope, where the outermost matching anchor is the document root's —
-# exactly what a static lookup finds:
-#   $recursiveRef: "#"      → bounded-unroll $ref to the document root
-#   $dynamicRef: "#frag"    → bounded-unroll $ref to the document's
-#                             (unique) $dynamicAnchor "frag"
-# Cross-resource dynamic scope chains (a $dynamicAnchor overridden by an
-# embedding schema resource) still raise SchemaError.
+# dispatch.h:1523-1549). The reference resolves these against a RUNTIME
+# resource stack; because this compiler inlines every reference, the
+# dynamic scope at each compile point is statically known
+# (Config.dynamic_scope), so the full cross-resource semantics resolve at
+# compile time:
+#   $dynamicRef: "#frag" → initial resolution in the current resource;
+#     if the target carries $dynamicAnchor "frag", the OUTERMOST resource
+#     in the scope chain declaring that $dynamicAnchor wins (2020-12
+#     core §8.2.3.2); otherwise plain-$anchor behavior.
+#   $recursiveRef: "#"  → current resource root, unless it sets
+#     $recursiveAnchor: true, in which case the outermost resource with
+#     $recursiveAnchor: true wins (2019-09 semantics).
 _DYNAMIC_KEYWORDS = ("$dynamicRef", "$recursiveRef")
 
 
-def _find_dynamic_anchor(node, name: str):
+def _resource_anchors(root, name: str, dynamic_only: bool):
+    """Anchors named ``name`` within ONE schema resource — the walk stops
+    at embedded `$id` boundaries (an embedded resource's anchors belong to
+    that resource, not its host)."""
     hits = []
 
-    def walk(n):
+    def walk(n, is_root):
         if isinstance(n, dict):
-            if n.get("$dynamicAnchor") == name or n.get("$anchor") == name:
+            if not is_root and isinstance(n.get("$id"), str):
+                return
+            if n.get("$dynamicAnchor") == name or (
+                not dynamic_only and n.get("$anchor") == name
+            ):
                 hits.append(n)
             for v in n.values():
-                walk(v)
+                walk(v, False)
         elif isinstance(n, list):
             for x in n:
-                walk(x)
+                walk(x, False)
 
-    walk(node)
+    walk(root, True)
     return hits
 
 
 def _resolve_dynamic_ref(key: str, val, cfg: Config):
-    """Static resolution of $dynamicRef/$recursiveRef within the current
-    document (single-resource dynamic scope)."""
+    """Static resolution of $dynamicRef/$recursiveRef against the
+    compile-time dynamic scope (outermost resource first)."""
+    scope = cfg.dynamic_scope or (cfg.root,)
     if key == "$recursiveRef":
         if val != "#":
             raise SchemaError(f"$recursiveRef must be '#', got {val!r}")
+        if isinstance(cfg.root, dict) and cfg.root.get("$recursiveAnchor") is True:
+            for res in scope:
+                if isinstance(res, dict) and res.get("$recursiveAnchor") is True:
+                    return res
         return cfg.root
     if not (isinstance(val, str) and val.startswith("#") and not val.startswith("#/")):
         raise SchemaError(
             f"$dynamicRef with non-fragment or pointer target {val!r} requires "
             "runtime dynamic-scope resolution — unsupported"
         )
-    hits = _find_dynamic_anchor(cfg.root, val[1:])
-    if len(hits) != 1:
+    name = val[1:]
+    initial = _resource_anchors(cfg.root, name, dynamic_only=False)
+    if len(initial) != 1:
         raise SchemaError(
             f"$dynamicRef {val!r} needs exactly one in-document anchor for "
-            f"static resolution (found {len(hits)})"
+            f"static resolution (found {len(initial)})"
         )
-    return hits[0]
+    target = initial[0]
+    if isinstance(target, dict) and target.get("$dynamicAnchor") == name:
+        for res in scope:  # outermost-first: the defining property of dynamic scope
+            hits = _resource_anchors(res, name, dynamic_only=True)
+            if len(hits) > 1:
+                raise SchemaError(
+                    f"$dynamicRef {val!r} needs exactly one anchor per resource "
+                    f"(found {len(hits)})"
+                )
+            if hits:
+                return hits[0]
+    return target
 
 _TYPE_NAMES = {"null", "boolean", "integer", "number", "string", "array", "object"}
 

@@ -426,6 +426,68 @@ def test_recursive_ref_2019_09(spark):
     assert got == {1: True, 2: False}
 
 
+def test_dynamic_ref_cross_resource_override(spark):
+    """The 2020-12 generic-list pattern: an extending resource's
+    $dynamicAnchor overrides the base list's element schema because the
+    extension is OUTERMOST in the dynamic scope (core §8.2.3.2; reference
+    runtime stack ControlDynamicAnchorJump, dispatch.h:1523-1549 —
+    resolved statically here because every ref is inlined)."""
+    list_schema = {
+        "$id": "https://example.com/list.json",
+        "$defs": {"default-elem": {"$dynamicAnchor": "elem"}},
+        "type": "array",
+        "items": {"$dynamicRef": "#elem"},
+    }
+    int_list = {
+        "$id": "https://example.com/intlist.json",
+        "$defs": {"int-elem": {"$dynamicAnchor": "elem", "type": "integer"}},
+        "$ref": "https://example.com/list.json",
+    }
+    registry = {"https://example.com/list.json": list_schema}
+    docs = spark.createDataFrame(
+        [(1, '[1, 2, 3]'), (2, '[1, "x"]'), (3, '[]')],
+        "id long, doc string",
+    )
+    cs = compile_schema(int_list, resolver=registry)
+    got = {r["id"]: r["valid"] for r in validate(docs, cs, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: True}
+    # the base list alone accepts anything (its own anchor is the fallback)
+    base_only = {r["id"]: r["valid"]
+                 for r in validate(docs, list_schema, doc_col="doc").collect()}
+    assert base_only == {1: True, 2: True, 3: True}
+
+
+def test_recursive_ref_cross_resource_override(spark):
+    """2019-09 $recursiveAnchor: the outermost resource with
+    $recursiveAnchor: true captures $recursiveRef '#' jumps from the base."""
+    base = {
+        "$id": "https://example.com/base.json",
+        "$recursiveAnchor": True,
+        "type": "object",
+        "properties": {"v": {"type": "integer"},
+                       "next": {"$recursiveRef": "#"}},
+    }
+    ext = {
+        "$id": "https://example.com/ext.json",
+        "$recursiveAnchor": True,
+        "required": ["tag"],
+        "$ref": "https://example.com/base.json",
+    }
+    registry = {"https://example.com/base.json": base}
+    docs = spark.createDataFrame(
+        [(1, '{"tag": "t", "v": 1, "next": {"tag": "u", "v": 2}}'),
+         (2, '{"tag": "t", "v": 1, "next": {"v": 2}}')],  # inner lacks tag
+        "id long, doc string",
+    )
+    cs = compile_schema(ext, resolver=registry)
+    got = {r["id"]: r["valid"] for r in validate(docs, cs, doc_col="doc").collect()}
+    assert got == {1: True, 2: False}
+    # base alone: $recursiveRef stays within base; no tag requirement
+    got_base = {r["id"]: r["valid"]
+                for r in validate(docs, base, doc_col="doc").collect()}
+    assert got_base == {1: True, 2: True}
+
+
 def test_dynamic_ref_ambiguous_raises(spark):
     schema = {
         "$defs": {"a": {"$dynamicAnchor": "n"}, "b": {"$dynamicAnchor": "n"}},
@@ -449,7 +511,8 @@ def test_canonicalize_rules(spark):
     })
     assert s["const"] == "only" and "enum" not in s
     assert s["exclusiveMinimum"] == 3 and "minimum" not in s
-    assert s["type"] == "string"
+    # const "only" satisfies type ["string"] → type dropped (const_with_type)
+    assert "type" not in s
     assert "if" not in s and "minItems" not in s and "uniqueItems" not in s
     assert {"minLength": 2} in s["allOf"] and {"maxLength": 5} in s["allOf"]
     # unsatisfiable → false schema; compiler folds it to a constant

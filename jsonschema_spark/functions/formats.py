@@ -225,6 +225,80 @@ def format_py(fmt: str, value: str) -> bool:
     return True
 
 
+# --- strict (parser-grade) variants -----------------------------------------
+# The reference validates uri/iri/idn-* with full RFC parsers
+# (vendor/core/src/core/uri, core/idna, core/email). The default Spark path
+# keeps the documented ASCII regex approximations (pure JVM, oracle-safe);
+# `format_strict=True` at compile time routes these four formats through an
+# Arrow-batched pandas UDF running the parser-grade checks below (stdlib
+# IDNA ToASCII for internationalized hostnames, RFC 3987 ucschar handling
+# for IRIs). The slow path by design — only these formats pay it.
+
+_STRICT_FORMATS = frozenset({"idn-hostname", "idn-email", "iri", "iri-reference"})
+
+
+def _idna_ascii(host: str):
+    """IDNA ToASCII of a full hostname (stdlib encodings.idna), or None."""
+    if not host or host.endswith(".") or host.startswith("."):
+        return None
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return None
+
+
+def format_py_strict(fmt: str, value: str) -> bool:
+    import re as _re
+
+    if not isinstance(value, str):
+        return True
+    if fmt == "idn-hostname":
+        a = _idna_ascii(value)
+        return a is not None and len(a) <= 253 and bool(_re.search(RE_HOSTNAME, a))
+    if fmt == "idn-email":
+        local, sep, dom = value.rpartition("@")
+        if not sep or not local:
+            return False
+        if any(c.isspace() or c == "@" or ord(c) < 0x21 for c in local):
+            return False
+        a = _idna_ascii(dom)
+        return a is not None and len(a) <= 253 and bool(_re.search(RE_HOSTNAME, a))
+    if fmt in ("iri", "iri-reference"):
+        # RFC 3987: the ASCII grammar of RFC 3986 plus ucschar (non-ASCII,
+        # excluding control/space/specials); validate the ASCII projection
+        # against the URI regex with ucschars mapped to an unreserved char
+        for c in value:
+            o = ord(c)
+            if o < 0x20 or (0x7F <= o < 0xA0) or c in ' <>"{}|\\^`' or c == "�":
+                return False
+        projected = "".join(c if ord(c) < 128 else "x" for c in value)
+        base = RE_URI if fmt == "iri" else RE_URI_REF
+        return bool(_re.search(base, projected)) and not _re.search(RE_BAD_PCT, value)
+    return format_py(fmt, value)
+
+
+_STRICT_UDFS: dict = {}
+
+
+def format_ok_strict(fmt: str, col: Column) -> Column:
+    """Strict builder: parser-grade pandas UDF for the four approximated
+    formats, the standard JVM expression for everything else."""
+    if fmt not in _STRICT_FORMATS:
+        return format_ok(fmt, col)
+    if fmt not in _STRICT_UDFS:
+        from pyspark.sql.types import BooleanType
+
+        def _make(f):  # close over the format name (pandas_udf rejects extra params)
+            @F.pandas_udf(BooleanType())
+            def _udf(s: pd.Series) -> pd.Series:
+                return s.map(lambda v: None if v is None else format_py_strict(f, v))
+
+            return _udf
+
+        _STRICT_UDFS[fmt] = _make(fmt)
+    return _STRICT_UDFS[fmt](col)
+
+
 def format_duckdb(fmt: str, col_sql: str) -> str:
     # plain replace, NOT str.format: the templates embed regex quantifier
     # braces ({1,4}) that str.format would treat as replacement fields

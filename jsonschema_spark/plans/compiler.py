@@ -107,6 +107,10 @@ class Config:
     # resource stack, evaluator.h — statically known here because every
     # reference is inlined). Empty ⇔ just the root resource.
     dynamic_scope: tuple = ()
+    # Parser-grade idn-hostname/idn-email/iri validation via pandas UDF
+    # (functions/formats.py:format_ok_strict); False = pure-JVM regex
+    # approximations (the documented default — oracle-expressible)
+    format_strict: bool = False
 
     @property
     def want_viols(self) -> bool:
@@ -115,13 +119,14 @@ class Config:
     def fast(self) -> "Config":
         return Config(self.base_uri, "fast", self.format_assertion, self.root,
                       self.short_circuit, self.resolver, self.max_ref_depth,
-                      dynamic_scope=self.dynamic_scope)
+                      dynamic_scope=self.dynamic_scope,
+                      format_strict=self.format_strict)
 
     def with_root(self, root, base_uri: str) -> "Config":
         scope = self.dynamic_scope or (self.root,)
         return Config(base_uri, self.mode, self.format_assertion, root,
                       self.short_circuit, self.resolver, self.max_ref_depth,
-                      self.trace_sink, scope + (root,))
+                      self.trace_sink, scope + (root,), self.format_strict)
 
 
 def _viol(cfg: Config, kw: str, loc: Union[str, Column], error: Column) -> Column:
@@ -537,8 +542,12 @@ def compile_node(
             parts.append(_guarded(g, _leaf(cfg, pattern_ok(ctx.str_val(), val), kwp, ctx, lambda c=ctx, v=val: M.msg_regex(c, v)), cfg))
         elif key == "format":
             if cfg.format_assertion and val in FORMATS:
+                if cfg.format_strict:
+                    from jsonschema_spark.functions.formats import format_ok_strict as _fmt_build
+                else:
+                    _fmt_build = format_ok
                 g = ctx.is_type("string")
-                parts.append(_guarded(g, _leaf(cfg, format_ok(val, ctx.str_val()), kwp, ctx, lambda c=ctx, v=val: M.msg_format(c, v)), cfg))
+                parts.append(_guarded(g, _leaf(cfg, _fmt_build(val, ctx.str_val()), kwp, ctx, lambda c=ctx, v=val: M.msg_format(c, v)), cfg))
         elif key == "minimum":
             g = ctx.is_type("number")
             parts.append(_guarded(g, _leaf(cfg, ctx.num_val() >= float(val), kwp, ctx, lambda c=ctx, v=val: M.msg_greater_equal(c, v)), cfg))
@@ -1237,6 +1246,8 @@ class CompiledSchema:
     # --entrypoint analogue: when set, `schema` is the compiled subschema
     # but fragments/$refs still resolve against this full document
     resolution_root: Optional[Union[dict, bool]] = None
+    # parser-grade idn-*/iri validation (pandas UDF path) — see Config
+    format_strict: bool = False
 
     def __post_init__(self):
         doc = self.resolution_root if self.resolution_root is not None else self.schema
@@ -1256,7 +1267,8 @@ class CompiledSchema:
     def _cfg(self, mode: str, short_circuit: bool = True) -> Config:
         root = self.resolution_root if self.resolution_root is not None else self.schema
         return Config(self.base_uri, mode, self.format_assertion, root,
-                      short_circuit, self.resolver, self.max_ref_depth)
+                      short_circuit, self.resolver, self.max_ref_depth,
+                      format_strict=self.format_strict)
 
     def compile_flat(
         self, df_schema: T.StructType, mode: str = "exhaustive", short_circuit: bool = True
@@ -1279,8 +1291,10 @@ def compile_schema(
     format_assertion: bool = True,
     resolver: Optional[dict] = None,
     max_ref_depth: int = 6,
+    format_strict: bool = False,
 ) -> CompiledSchema:
-    return CompiledSchema(schema, base_uri, format_assertion, resolver, max_ref_depth)
+    return CompiledSchema(schema, base_uri, format_assertion, resolver,
+                          max_ref_depth, format_strict=format_strict)
 
 
 def compile_entrypoint(

@@ -51,3 +51,39 @@ def test_all_formats_one_pass(spark):
         if bool(got) != r["expected"]:
             bad.append((r["fmt"], r["value"], r["expected"], got))
     assert not bad, f"format mismatches: {bad}"
+
+
+STRICT_CASES = {
+    "idn-hostname": [("bücher.example", True), ("xn--bcher-kva.example", True),
+                     ("example.com", True), ("-bad.example", False),
+                     ("a" * 64 + ".com", False), ("trailing.dot.", False)],
+    "idn-email": [("user@bücher.example", True), ("x@example.org", True),
+                  ("no-at-sign", False), ("u@-bad.example", False)],
+    "iri": [("https://例え.jp/パス?q=値", True), ("mailto:user@example.com", True),
+            ("https://exa mple.com/", False), ("no-scheme-iri", False)],
+    "iri-reference": [("/путь/к/файлу", True), ("frag#x", True), ("%2", False)],
+}
+
+
+def test_strict_formats_python():
+    from jsonschema_spark.functions.formats import format_py_strict
+
+    bad = [(f, v, e) for f, pairs in STRICT_CASES.items()
+           for v, e in pairs if format_py_strict(f, v) != e]
+    assert not bad, f"strict format mismatches: {bad}"
+
+
+def test_strict_formats_spark_path(spark):
+    """format_strict=True routes idn-*/iri through the parser-grade pandas
+    UDF; a unicode hostname the regex approximation rejects now validates."""
+    from jsonschema_spark import compile_schema, validate
+
+    schema = {"properties": {"host": {"format": "idn-hostname"}}}
+    df = spark.createDataFrame(
+        [("bücher.example",), ("example.com",), ("-bad.example",)], "host string")
+    strict = [r["valid"] for r in
+              validate(df, compile_schema(schema, format_strict=True)).collect()]
+    assert strict == [True, True, False]
+    # default (JVM regex) path: ASCII-only approximation rejects the IDN
+    loose = [r["valid"] for r in validate(df, compile_schema(schema)).collect()]
+    assert loose == [False, True, False]

@@ -138,6 +138,37 @@ def test_flat_and_tree_paths_agree(spark):
     assert not disagreements, f"{len(disagreements)} path disagreements; first 3: {disagreements[:3]}"
 
 
+def test_tree_path_matches_python_evaluator(spark):
+    """Third independent leg: the compiled VARIANT tree path must agree
+    with the driver-side reference evaluator (plans/pyeval.py) — the
+    analogue of cross-checking the compiled evaluator against a separate
+    implementation, as the reference does with the official suite."""
+    import json
+
+    from jsonschema_spark.plans.pyeval import validate_py
+
+    rng = random.Random(42)
+    df = spark.createDataFrame(_rows(rng, 60), COLS)
+    doc_df = df.withColumn("_id", F.monotonically_increasing_id()).withColumn(
+        "doc", F.to_json(F.struct("a", "b", "s", "xs", "o"))
+    ).localCheckpoint(eager=True)
+    docs = {r["_id"]: r["doc"] for r in doc_df.select("_id", "doc").collect()}
+    disagreements = []
+    for i in range(20):
+        schema = _rand_schema(random.Random(9000 + i))
+        tree = {
+            r["_id"]: r["valid"]
+            for r in validate(doc_df, schema, doc_col="doc").select("_id", "valid").collect()
+        }
+        for k, doc in docs.items():
+            py = validate_py(schema, json.loads(doc))
+            if py != tree[k]:
+                disagreements.append((i, schema, doc, py, tree[k]))
+    assert not disagreements, (
+        f"{len(disagreements)} engine-vs-evaluator disagreements; "
+        f"first 3: {disagreements[:3]}")
+
+
 def test_fast_and_exhaustive_verdicts_agree(spark):
     rng = random.Random(7)
     df = spark.createDataFrame(_rows(rng, 60), COLS)

@@ -47,6 +47,7 @@ from jsonschema_spark.plans.bundle import bundle
 from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.fmt import fmt_check, format_schema
 from jsonschema_spark.plans.pyeval import validate_py
+from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
 from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
 
 __version__ = "0.1.0"
@@ -88,6 +89,8 @@ __all__ = [
     "format_schema",
     "fmt_check",
     "validate_py",
+    "http_resolver",
+    "resolve_remote_refs",
     "upgrade_schema",
     "needs_upgrade",
     "__version__",

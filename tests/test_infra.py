@@ -576,3 +576,73 @@ def test_trace_with_array_loops(spark):
     assert "/properties/xs/type" in kws and "/properties/xs/items" in kws
     oks = {r["keywordLocation"]: r["ok"] for r in rows}
     assert oks["/properties/xs/items"] is False and oks["/properties/xs/minItems"] is True
+
+
+def test_http_resolver_local_server(spark):
+    """Remote $ref resolution against a real (localhost) HTTP server —
+    transitive fetch, then compile+validate end-to-end."""
+    import http.server
+    import threading
+
+    docs = {
+        "/a.json": {"$ref": "http://HOST/b.json"},
+        "/b.json": {"type": "integer", "minimum": 0},
+    }
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            import json as _json
+
+            body = _json.dumps(docs[self.path]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/schema+json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host = f"http://127.0.0.1:{port}"
+        docs["/a.json"] = {"$ref": f"{host}/b.json"}
+        from jsonschema_spark import compile_schema, validate
+        from jsonschema_spark.sources.http_resolver import resolve_remote_refs
+
+        schema = {"properties": {"n": {"$ref": f"{host}/a.json"}}}
+        registry = resolve_remote_refs(schema)
+        assert set(registry) == {f"{host}/a.json", f"{host}/b.json"}
+        df = spark.createDataFrame([(5,), (-2,)], "n long")
+        got = [r["valid"] for r in
+               validate(df, compile_schema(schema, resolver=registry)).collect()]
+        assert got == [True, False]
+    finally:
+        srv.shutdown()
+
+
+def test_http_resolver_injected_fetch():
+    from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
+
+    store = {
+        "https://e.com/x.json": '{"$ref": "https://e.com/y.json"}',
+        "https://e.com/y.json": '{"type": "string"}',
+    }
+    reg = http_resolver(["https://e.com/x.json"], fetch=store.__getitem__)
+    assert reg == {"https://e.com/x.json": {"$ref": "https://e.com/y.json"}}
+    full = resolve_remote_refs({"$ref": "https://e.com/x.json"}, fetch=store.__getitem__)
+    assert full["https://e.com/y.json"] == {"type": "string"}
+    # fetch budget guards runaway transitive chains
+    import pytest as _pytest
+
+    loop = {"https://e.com/a.json": '{"$ref": "https://e.com/b.json"}',
+            "https://e.com/b.json": '{"$ref": "https://e.com/a.json"}'}
+    full2 = resolve_remote_refs({"$ref": "https://e.com/a.json"}, fetch=loop.__getitem__)
+    assert set(full2) == {"https://e.com/a.json", "https://e.com/b.json"}
+    many = {f"https://e.com/{i}.json": f'{{"$ref": "https://e.com/{i+1}.json"}}'
+            for i in range(200)}
+    with _pytest.raises(ValueError, match="budget"):
+        resolve_remote_refs({"$ref": "https://e.com/0.json"},
+                            fetch=many.__getitem__, max_fetches=8)

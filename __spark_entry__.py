@@ -514,6 +514,53 @@ FROM events GROUP BY 1
 """
 
 
+BINPACK_SCHEMA = {
+    "type": "object", "required": ["k", "lang"],
+    "additionalProperties": False,
+    "properties": {
+        "k": {"type": "integer", "minimum": 0, "maximum": 250},
+        "lang": {"enum": ["de", "en", "es", "fr"]},
+        "msg": {"type": "string"},
+    },
+}
+
+
+def q_binpack_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven binary codec (encode/decode analogue): byte sizes are
+    fully determined by the plan — presence varint (1) + bounded-int k (1)
+    + enum lang (1) + string msg (1 + len) — so DuckDB can compute them
+    exactly; round-trip equality is asserted per row."""
+    from jsonschema_spark.functions.canonical import canonical_json
+    from jsonschema_spark.operators.binpack import binpack_decode, binpack_encode
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    e = F.col("event_id")
+    doc = F.concat(
+        F.lit('{"k": '), (e % 251).cast("string"),
+        F.lit(', "lang": "'),
+        F.element_at(F.array(F.lit("de"), F.lit("en"), F.lit("es"), F.lit("fr")),
+                     (e % 4 + 1).cast("int")),
+        F.lit('", "msg": "m'), e.cast("string"), F.lit('"}'),
+    )
+    enc = ev.select("event_type", "event_id", doc.alias("doc")).withColumn(
+        "bin", binpack_encode(F.col("doc"), BINPACK_SCHEMA)
+    )
+    out = enc.withColumn("doc2", binpack_decode(F.col("bin"), BINPACK_SCHEMA))
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("bin").cast("long")).alias("n_bytes"),
+        F.sum((canonical_json(F.col("doc")) == F.col("doc2")).cast("long")).alias("n_roundtrip_ok"),
+    )
+
+
+_BINPACK_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       sum(5 + length(event_id::VARCHAR))::BIGINT AS n_bytes,
+       count(*)::BIGINT AS n_roundtrip_ok
+FROM events GROUP BY 1
+"""
+
+
 # format-family fixtures: three literals per format, selected per row by
 # event_id % 3. Every literal is dialect-safe (Java∩RE2 regex subset), so
 # the SAME regex text runs on both engines; the count per format proves the
@@ -1262,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_uniq_prefix_ref": q_validate_uniq_prefix_ref,
         "validate_recursive": q_validate_recursive,
         "validate_dynamic_ref": q_validate_dynamic_ref,
+        "binpack_sizes": q_binpack_sizes,
         "validate_unevaluated": q_validate_unevaluated,
         "annotations_docs": q_annotations_docs,
         "validate_formats": q_validate_formats,
@@ -1340,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_uniq_prefix_ref": _UNIQ_SQL,
         "validate_recursive": _RECURSE_SQL,
         "validate_dynamic_ref": _DYNREF_SQL,
+        "binpack_sizes": _BINPACK_SQL,
         "validate_unevaluated": _UNEVAL_SQL,
         "annotations_docs": _ANNOT_SQL,
         "validate_formats": _formats_sql(),

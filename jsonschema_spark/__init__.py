@@ -48,6 +48,15 @@ from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.fmt import fmt_check, format_schema
 from jsonschema_spark.plans.pyeval import validate_py
 from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
+from jsonschema_spark.operators.binpack import (
+    binpack_decode,
+    binpack_encode,
+    decode_df,
+    decode_instance,
+    encode_df,
+    encode_instance,
+    encoding_plan,
+)
 from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
 
 __version__ = "0.1.0"
@@ -91,6 +100,13 @@ __all__ = [
     "validate_py",
     "http_resolver",
     "resolve_remote_refs",
+    "binpack_encode",
+    "binpack_decode",
+    "encode_df",
+    "decode_df",
+    "encode_instance",
+    "decode_instance",
+    "encoding_plan",
     "upgrade_schema",
     "needs_upgrade",
     "__version__",

@@ -115,6 +115,45 @@ CASES = [
     ("unevaluatedItems sees prefixItems",
      {"prefixItems": [{}], "unevaluatedItems": False},
      [("[1]", True), ("[1,2]", False), ("[]", True)]),
+    # --- disjunctive unevaluated* (runtime marks) ---------------------------
+    ("unevaluatedProperties across anyOf branches",
+     {"anyOf": [{"required": ["a"], "properties": {"a": {}}},
+                {"required": ["b"], "properties": {"b": {}}}],
+      "unevaluatedProperties": False},
+     [('{"a":1}', True), ('{"b":1}', True), ('{"a":1,"b":1}', True),
+      ('{"a":1,"z":1}', False), ("{}", False)]),
+    ("unevaluatedProperties: failed branch contributes nothing",
+     {"anyOf": [{"required": ["a"], "properties": {"a": {}, "x": {}}},
+                {"required": ["b"], "properties": {"b": {}}}],
+      "unevaluatedProperties": False},
+     [('{"b":1,"x":1}', False), ('{"a":1,"x":1}', True)]),
+    ("unevaluatedItems sees contains hits",
+     {"contains": {"type": "string"}, "unevaluatedItems": {"type": "integer"}},
+     [('["a", 1]', True), ('["a", 1.5]', False), ('["a"]', True)]),
+    ("unevaluatedProperties via if/then",
+     {"if": {"required": ["mode"]},
+      "then": {"properties": {"mode": {}, "opt": {}}},
+      "unevaluatedProperties": False},
+     [('{"mode":1,"opt":2}', True), ('{"mode":1,"zzz":2}', False), ("{}", True)]),
+    # --- dynamic references -------------------------------------------------
+    ("$dynamicRef single-document tree",
+     {"$dynamicAnchor": "n", "type": "object",
+      "properties": {"v": {"type": "integer"},
+                     "kids": {"type": "array", "items": {"$dynamicRef": "#n"}}}},
+     [('{"v":1}', True), ('{"v":1,"kids":[{"v":2}]}', True),
+      ('{"v":1,"kids":[{"v":"x"}]}', False)]),
+    ("$recursiveRef plain root recursion",
+     {"type": "object",
+      "properties": {"v": {"type": "integer"}, "next": {"$recursiveRef": "#"}}},
+     [('{"v":1,"next":{"v":2}}', True), ('{"v":1,"next":{"v":"x"}}', False)]),
+    # --- embedded resources -------------------------------------------------
+    ("embedded $id opens its own anchor scope",
+     {"$id": "https://example.com/root.json",
+      "$defs": {"sub": {"$id": "https://example.com/sub.json",
+                        "$defs": {"p": {"$anchor": "pos", "minimum": 0}},
+                        "$ref": "#pos"}},
+      "$ref": "#/$defs/sub"},
+     [("1", True), ("-1", False)]),
 ]
 
 

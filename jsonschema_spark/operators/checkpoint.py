@@ -46,8 +46,12 @@ def _manifest_path(manifest_dir: str, value) -> str:
     return os.path.join(manifest_dir, f"part-{value}.json")
 
 
-def load_completed(manifest_dir: str, fingerprint: str) -> list:
-    """Partition values with a manifest matching the schema fingerprint."""
+def load_completed(
+    manifest_dir: str, fingerprint: str, snapshot_id: Optional[str] = None
+) -> list:
+    """Partition values with a manifest matching the schema fingerprint —
+    and, when input lineage is pinned, the same input snapshot id (a
+    manifest written against different data is stale, not done)."""
     if not os.path.isdir(manifest_dir):
         return []
     done = []
@@ -56,8 +60,13 @@ def load_completed(manifest_dir: str, fingerprint: str) -> list:
             continue
         with open(os.path.join(manifest_dir, name)) as f:
             m = json.load(f)
-        if m.get("schema_fingerprint") == fingerprint:
-            done.append(m["partition"])
+        if m.get("schema_fingerprint") != fingerprint:
+            continue
+        if snapshot_id is not None:
+            recorded = (m.get("lineage") or {}).get("snapshot_id")
+            if recorded != snapshot_id:
+                continue
+        done.append(m["partition"])
     return done
 
 
@@ -69,6 +78,7 @@ def run_validation_checkpointed(
     manifest_dir: str,
     input_path: Optional[str] = None,
     sketch_col: Optional[str] = None,
+    lineage: Optional[dict] = None,
 ) -> RunResult:
     """Validate ``df`` partition-wise with resume-on-restart.
 
@@ -78,7 +88,8 @@ def run_validation_checkpointed(
     per-partition metrics manifests.
     """
     fp = schema_fingerprint(schema)
-    done = load_completed(manifest_dir, fp)
+    done = load_completed(manifest_dir, fp,
+                          (lineage or {}).get("snapshot_id"))
     # Null-safe skip filter: `~isin(done)` alone is NULL for NULL partition
     # values, silently dropping those rows on resumed runs. Policy: a NULL
     # partition value is never considered "done" (its manifest key is not
@@ -145,6 +156,11 @@ def run_validation_checkpointed(
             "input_path": input_path,
             "engine_version": ENGINE_VERSION,
         }
+        if lineage:
+            # north_star lineage: (snapshot-id, partition spec) — from
+            # sources/iceberg.table_snapshot (Iceberg metadata tables, or
+            # the deterministic parquet listing fingerprint locally)
+            m["lineage"] = lineage
         if sketch_col:
             m["sketch"] = {
                 "column": sketch_col,

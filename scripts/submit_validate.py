@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--manifests", required=True)
     p.add_argument("--partition-col", required=True)
     p.add_argument("--sketch-col", default=None)
+    p.add_argument("--snapshot-id", default=None,
+                   help="pin the input to an Iceberg snapshot (resume safety)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,18 +49,25 @@ def main() -> None:
     )
 
     from jsonschema_spark.operators.checkpoint import run_validation_checkpointed
+    from jsonschema_spark.sources.iceberg import read_table
     from jsonschema_spark.sources.readers import load_schema_file
 
     schema = load_schema_file(args.schema)
-    df = spark.read.parquet(args.input)
+    # snapshot-pinned open: Iceberg catalog ref on the cluster, parquet
+    # path (with a deterministic listing fingerprint) locally — either way
+    # the run's lineage lands in every per-partition manifest
+    table = read_table(spark, args.input, snapshot_id=args.snapshot_id)
     result = run_validation_checkpointed(
-        df,
+        table.df,
         schema,
         args.partition_col,
         args.output,
         args.manifests,
         input_path=args.input,
         sketch_col=args.sketch_col,
+        lineage={"snapshot_id": table.snapshot_id,
+                 "partition_spec": table.partition_spec,
+                 "source": table.source},
     )
     print(
         json.dumps(

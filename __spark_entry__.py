@@ -735,6 +735,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate pairs →
+    (doc_id, cluster_id): the cluster-formation step a dedup pipeline
+    runs after pair generation (keep-min-id canonical convention).
+    Oracle: recursive-CTE transitive closure over the same pair set."""
+    from jsonschema_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir), "doc_id", "text", k=12, bands=6, shingle_n=3
+    )
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs Jaccard (no cutoff) — deliberately, so the DuckDB
     oracle is an exact mirror. The corpus-scale invocation sets
@@ -1152,6 +1165,25 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.d
 GROUP BY 1, 2
 """
 
+# transitive closure (with self-loops) over the symmetrized pair graph;
+# min reachable id per node = the component label
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION
+  SELECT id_b AS x, id_a AS y FROM pairs
+),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT x, x FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+)
+SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1
+"""
+
 _JACCARD_SQL = f"""
 {_AUG_SH},
 sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
@@ -1324,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_sha256": q_binary_sha256,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1419,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS sha FROM documents""",
         "dedup_minhash_sig": _MINHASH_SIG_SQL,
         "dedup_minhash_pairs": _MINHASH_PAIRS_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
         "dedup_jaccard_pairs": _JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -477,3 +477,70 @@ def embedding_near_dup_pairs(
         )
 
     return rep.groupBy("pa", "pb").applyInPandas(score, out_schema)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over candidate pairs → (doc_id, cluster_id).
+
+    The step after pair generation in a real dedup pipeline: pairs from
+    minhash_lsh_pairs / simhash_pairs / embedding_near_dup_pairs form an
+    undirected graph; each component keeps ONE canonical document
+    (cluster_id = the component's minimum id, the keep-min-id convention
+    of dedup_exact).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in graph-diameter
+    rounds. Near-dup components are small and clique-like (diameter ≲ 3),
+    so this beats the large-star/small-star shuffle constant at this
+    graph shape; each round is one shuffle on the node id, and the loop
+    exits via a LAZY convergence check (count of changed labels).
+    localCheckpoint per round truncates the growing lineage — without it
+    round k replays rounds 1..k-1.
+    """
+    edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    edges = edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Drop every non-canonical near-duplicate: keep rows whose id is its
+    cluster's label (singletons — ids absent from `clusters` — survive).
+    Plain anti-join: AQE broadcasts the loser set when it is small; at
+    100 TB the loser side can be most of the corpus, so no forced
+    broadcast here."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers, df[id_col] == losers.doc_id, "left_anti")

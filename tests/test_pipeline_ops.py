@@ -166,3 +166,22 @@ def test_fingerprint_order_sensitive(spark):
     )
     fp = {r["doc_id"]: r["fp"] for r in fingerprints(df, "doc_id", "text").collect()}
     assert fp[1] == fp[3] and fp[1] != fp[2]
+
+
+def test_dedup_clusters_and_keep_canonical(spark):
+    from jsonschema_spark.operators.dedup import dedup_clusters, keep_canonical
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}; 99 singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in
+                  keep_canonical(docs, dedup_clusters(pairs), "doc_id").collect())
+    assert kept == [1, 10, 20, 99]  # one canonical per component + singleton

@@ -823,6 +823,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_webtext_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 doc-level quality filters over the documents table —
+    word bounds scaled to the fixture corpus (<=400 chars), every ratio
+    exact-integer ppm so DuckDB hash-matches."""
+    from jsonschema_spark.operators.textstats import webtext_filters
+
+    return webtext_filters(_docs(spark, sf_dir), "doc_id", "text",
+                           min_words=10, max_words=100000, min_stopwords=1)
+
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing through mapInPandas (stub decoder).
 
@@ -1286,6 +1297,44 @@ SELECT doc_id, n_tokens, sum_token_len, punct_ppm, stopword_ppm,
 FROM m
 """
 
+_WEBTEXT_SQL = f"""
+{_DOC_TOKS},
+ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+       WHERE text IS NOT NULL),
+m AS (
+  SELECT d.doc_id,
+         len(t.toks)::BIGINT AS n_words,
+         floor(coalesce(list_sum(list_transform(t.toks, x -> length(x))), 0)
+               * 1000 / greatest(len(t.toks), 1))::BIGINT AS mean_word_len_milli,
+         floor(((length(d.text) - length(replace(d.text, '#', '')))
+                + (length(d.text) - length(replace(d.text, '...', ''))) / 3)
+               * 1000000 / greatest(len(t.toks), 1))::BIGINT AS sym_ppm,
+         floor(len(list_filter(ln.ls, l -> regexp_matches(l, '^\\s*[-*•]')))
+               * 1000000 / greatest(len(ln.ls), 1))::BIGINT AS bullet_ppm,
+         floor(len(list_filter(ln.ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+               * 1000000 / greatest(len(ln.ls), 1))::BIGINT AS ellipsis_end_ppm,
+         floor(len(list_filter(ln.ls, l -> regexp_matches(l, '[.!?]\\s*$')))
+               * 1000000 / greatest(len(ln.ls), 1))::BIGINT AS term_punct_ppm,
+         floor(len(list_filter(t.toks, x -> regexp_matches(x, '\\p{{L}}')))
+               * 1000000 / greatest(len(t.toks), 1))::BIGINT AS alpha_word_ppm,
+         len(list_intersect(list_distinct(t.toks),
+             ['the','be','to','of','and','that','have','with']))::BIGINT AS n_gopher_stopwords,
+         contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+         contains(d.text, '{{') AS has_brace
+  FROM documents d JOIN t ON d.doc_id = t.doc_id JOIN ln ON d.doc_id = ln.doc_id
+  WHERE d.text IS NOT NULL
+)
+SELECT doc_id, n_words, mean_word_len_milli, sym_ppm, bullet_ppm,
+       ellipsis_end_ppm, term_punct_ppm, alpha_word_ppm, n_gopher_stopwords,
+       CASE WHEN n_words BETWEEN 10 AND 100000
+             AND mean_word_len_milli BETWEEN 3000 AND 10000
+             AND sym_ppm <= 100000 AND bullet_ppm <= 900000
+             AND ellipsis_end_ppm <= 300000 AND alpha_word_ppm >= 800000
+             AND n_gopher_stopwords >= 1 AND NOT has_lorem AND NOT has_brace
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM m
+"""
+
 
 def _langid_sql() -> str:
     from jsonschema_spark.operators.textstats import LANG_MARKERS
@@ -1364,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "text_quality": q_text_quality,
+        "webtext_filters": q_webtext_filters,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1460,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
+        "webtext_filters": _WEBTEXT_SQL,
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,
     }

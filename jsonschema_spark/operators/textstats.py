@@ -105,3 +105,71 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def webtext_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style web-text quality filters — the published doc-level
+    heuristics (Rae et al. 2021 appendix A; Raffel et al. 2020 §2.2)
+    as one pure-JVM pass: word-count bounds, mean word length 3–10,
+    symbol(#/…)-to-word ratio ≤ 10%, ≤ 90% bullet lines, ≤ 30%
+    ellipsis-ending lines, ≥ 80% alphabetic words, ≥ 2 distinct Gopher
+    stopwords, no "lorem ipsum", no '{'. All ratios are exact-integer ppm
+    (oracle-stable); `keep` is the conjunction.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    mean_milli = F.floor(sum_token_len(t) * 1000 / n1).cast("long")
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    sym_ppm = F.floor((n_hash + n_ell) * 1000000 / n1).cast("long")
+    lines = F.split(t, "\n")
+    nl1 = F.greatest(F.size(lines), F.lit(1))
+    bullet_ppm = F.floor(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) * 1000000 / nl1
+    ).cast("long")
+    ell_end_ppm = F.floor(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) * 1000000 / nl1
+    ).cast("long")
+    term_ppm = F.floor(
+        F.size(F.filter(lines, lambda l: l.rlike(r"[.!?]\s*$"))) * 1000000 / nl1
+    ).cast("long")
+    alpha_ppm = F.floor(
+        F.size(F.filter(toks, lambda x: x.rlike(r"\p{L}"))) * 1000000 / n1
+    ).cast("long")
+    gopher_stop = F.array(*[F.lit(w) for w in
+                            ("the", "be", "to", "of", "and", "that", "have", "with")])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), gopher_stop)).cast("long")
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    has_brace = F.contains(t, F.lit("{"))
+    keep = (
+        n.between(min_words, max_words)
+        & mean_milli.between(3000, 10000)
+        & (sym_ppm <= 100000)
+        & (bullet_ppm <= 900000)
+        & (ell_end_ppm <= 300000)
+        & (alpha_ppm >= 800000)
+        & (n_stop >= min_stopwords)
+        & ~has_lorem
+        & ~has_brace
+    )
+    return df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_milli.alias("mean_word_len_milli"),
+        sym_ppm.alias("sym_ppm"),
+        bullet_ppm.alias("bullet_ppm"),
+        ell_end_ppm.alias("ellipsis_end_ppm"),
+        term_ppm.alias("term_punct_ppm"),
+        alpha_ppm.alias("alpha_word_ppm"),
+        n_stop.alias("n_gopher_stopwords"),
+        keep.cast("long").alias("keep"),
+    )

@@ -185,3 +185,28 @@ def test_dedup_clusters_and_keep_canonical(spark):
     kept = sorted(r["doc_id"] for r in
                   keep_canonical(docs, dedup_clusters(pairs), "doc_id").collect())
     assert kept == [1, 10, 20, 99]  # one canonical per component + singleton
+
+
+def test_webtext_filters_rules(spark):
+    from jsonschema_spark.operators.textstats import webtext_filters
+
+    good = ("the cat and the dog have that with be of to good text here "
+            "more words again. " * 3)
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "short"),                                     # word-count bound
+         (3, "lorem ipsum " + good),                       # C4 boilerplate
+         (4, good + " {json: artifact}"),                  # C4 curly brace
+         (5, "- one\n- two\n- three"),                     # all bullet lines
+         (6, "# " * 60),                                   # symbol ratio + no alpha
+         (7, None)],                                       # null text dropped
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            webtext_filters(docs, "doc_id", "text", min_words=10).collect()}
+    assert 7 not in rows
+    assert rows[1]["keep"] == 1
+    assert {rows[i]["keep"] for i in (2, 3, 4, 5, 6)} == {0}
+    assert rows[5]["bullet_ppm"] == 1000000
+    assert rows[6]["alpha_word_ppm"] == 0
+    assert rows[1]["n_gopher_stopwords"] >= 2

@@ -834,6 +834,15 @@ def q_webtext_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-budget accounting: whitespace words + GPT-2-style
+    pretokenizer counts (RE2∩Java-safe regex — the SAME pattern text runs
+    on both engines)."""
+    from jsonschema_spark.operators.textstats import token_budget
+
+    return token_budget(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing through mapInPandas (stub decoder).
 
@@ -1336,6 +1345,22 @@ FROM m
 """
 
 
+def _token_budget_sql() -> str:
+    from jsonschema_spark.operators.textstats import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+{_DOC_TOKS}
+SELECT d.doc_id, len(t.toks)::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(d.text, '{pat}'))::BIGINT AS n_bpe_tokens,
+       length(d.text)::BIGINT AS n_chars,
+       floor(len(regexp_extract_all(d.text, '{pat}')) * 100
+             / greatest(len(t.toks), 1))::BIGINT AS bpe_per_100_words
+FROM documents d JOIN t ON d.doc_id = t.doc_id
+WHERE d.text IS NOT NULL
+"""
+
+
 def _langid_sql() -> str:
     from jsonschema_spark.operators.textstats import LANG_MARKERS
 
@@ -1414,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "text_quality": q_text_quality,
         "webtext_filters": q_webtext_filters,
+        "token_budget": q_token_budget,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1511,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "webtext_filters": _WEBTEXT_SQL,
+        "token_budget": _token_budget_sql(),
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,
     }

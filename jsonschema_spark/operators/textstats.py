@@ -173,3 +173,33 @@ def webtext_filters(
         n_stop.alias("n_gopher_stopwords"),
         keep.cast("long").alias("keep"),
     )
+
+
+# GPT-2-style pretokenizer, restricted to the Java∩RE2 common subset (the
+# published pattern's `'s|'t|...` contractions and trailing-space lookahead
+# need lookahead, which RE2 lacks — the oracle must run the SAME regex):
+# a token is an optional leading space + letter run, digit run, or
+# non-space-symbol run. Whitespace between tokens is not counted.
+BPE_TOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count (BPE pretokenization granularity) — the
+    budget estimator a training pipeline runs before real tokenization.
+    Pure JVM: one regexp_extract_all + size."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def token_budget(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, n_chars, bpe_per_100_words):
+    corpus token-budget accounting at both granularities."""
+    t = F.col(text_col)
+    ws = token_count(t)
+    bpe = bpe_token_count(t)
+    return df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.floor(bpe * 100 / F.greatest(ws, F.lit(1))).cast("long").alias("bpe_per_100_words"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from jsonschema_spark.plans.compiler import (
     CompiledSchema,
@@ -84,12 +84,22 @@ def validate(
     schema: Union[dict, bool, CompiledSchema],
     doc_col: Optional[str] = None,
     valid_col: str = "valid",
+    instance_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Fast validation: adds only the boolean verdict (no violation detail),
-    keeping the whole plan inside whole-stage codegen."""
+    keeping the whole plan inside whole-stage codegen.
+
+    ``instance_cols`` (flat path only) restricts the instance object to a
+    column subset — id/bookkeeping columns outside it are invisible to the
+    schema (matters for closed-object keywords: additionalProperties,
+    unevaluatedProperties, propertyNames, min/maxProperties)."""
     cs = _as_compiled(schema)
     if doc_col is None:
-        compiled = cs.compile_flat(df.schema, mode="fast")
+        row_schema = df.schema
+        if instance_cols is not None:
+            keep = set(instance_cols)
+            row_schema = T.StructType([f for f in df.schema.fields if f.name in keep])
+        compiled = cs.compile_flat(row_schema, mode="fast")
         return df.withColumn(valid_col, B(compiled.ok))
     pre = df.withColumn(_VARIANT_TMP, F.try_parse_json(F.col(doc_col)))
     v = F.col(_VARIANT_TMP)

@@ -682,7 +682,13 @@ def _k_properties(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Comp
 
 
 def _static_prop_names(ctx: Ctx) -> Optional[list[str]]:
-    return ctx.prop_names() if isinstance(ctx, FlatRowCtx) else None
+    if isinstance(ctx, FlatRowCtx):
+        return ctx.prop_names()
+    if isinstance(ctx, FlatColCtx) and isinstance(ctx.dtype, T.StructType):
+        # nested struct: field names are static too (a NULL field counts
+        # as absent, same convention as the top-level row)
+        return [f.name for f in ctx.dtype.fields]
+    return None
 
 
 def _k_pattern_properties(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:

@@ -67,6 +67,9 @@ def _arr_schema(rng):
         {"contains": {"minimum": 2}},
         {"contains": {"minimum": 2}, "minContains": 0, "maxContains": 2},
         {"prefixItems": [{"minimum": 1}], "items": {"maximum": 10}},
+        {"allOf": [{"minItems": 1}, {"items": {"multipleOf": 1}}]},
+        {"not": {"contains": {"const": 0}}},
+        {"prefixItems": [{"type": "integer"}], "unevaluatedItems": {"maximum": 5}},
     ])
 
 
@@ -76,6 +79,10 @@ def _obj_schema(rng):
         {"required": ["p"]},
         {"properties": {"p": {"minimum": 2}}},
         {"minProperties": 1},
+        {"patternProperties": {"^p": {"type": "integer"}}},
+        {"propertyNames": {"maxLength": 1}},
+        {"additionalProperties": {"minimum": 0}},
+        {"dependentRequired": {"p": ["p"]}},
     ])
 
 
@@ -109,6 +116,13 @@ def _rand_schema(rng: random.Random) -> dict:
         schema["dependentRequired"] = {"s": ["a"]}
     if rng.random() < 0.25:
         schema["dependentSchemas"] = {"b": {"required": ["a"]}}
+    if rng.random() < 0.15:
+        # disjunctive-unevaluated shape: branches + runtime mark tracking
+        schema["unevaluatedProperties"] = rng.choice([False, {"type": "integer"}])
+        schema.setdefault("properties", props)
+    if rng.random() < 0.2:
+        schema["allOf"] = [{"minProperties": 0},
+                          {"properties": {"a": {"not": {"const": -3}}}}]
     return schema
 
 
@@ -125,7 +139,8 @@ def test_flat_and_tree_paths_agree(spark):
         schema = _rand_schema(random.Random(1000 + i))
         flat = {
             r["_id"]: r["valid"]
-            for r in validate(both, schema).select("_id", "valid").collect()
+            for r in validate(both, schema, instance_cols=["a", "b", "s", "xs", "o"])
+            .select("_id", "valid").collect()
         }
         tree = {
             r["_id"]: r["valid"]

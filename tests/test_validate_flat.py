@@ -268,3 +268,19 @@ def test_property_verdicts(spark):
     assert byid[(2, "zz", 10)] == (True, False, True)
     assert byid[(3, "en", -5)] == (True, True, False)
     assert byid[(None, "en", 10)][0] is False  # required doc_id missing
+
+
+def test_instance_cols_restricts_flat_instance(spark):
+    """Bookkeeping columns outside instance_cols are invisible to
+    closed-object keywords."""
+    from jsonschema_spark import validate
+
+    df = spark.createDataFrame([(1, "meta", 5)], "_id long, _tag string, v long")
+    closed = {"properties": {"v": {"type": "integer"}},
+              "unevaluatedProperties": False}
+    # full row: _id/_tag are unevaluated extras -> invalid
+    assert validate(df, closed).first()["valid"] is False
+    assert validate(df, closed, instance_cols=["v"]).first()["valid"] is True
+    counted = {"maxProperties": 1}
+    assert validate(df, counted).first()["valid"] is False
+    assert validate(df, counted, instance_cols=["v"]).first()["valid"] is True

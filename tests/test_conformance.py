@@ -214,3 +214,18 @@ def test_conformance_adversarial(spark, desc, schema, checks):
         if got[i] != want
     }
     assert not mismatches, f"{desc}: instance -> (got, want): {mismatches}"
+
+
+@pytest.mark.parametrize("desc,schema,checks", CASES + ADVERSARIAL,
+                         ids=[c[0] + " (pyeval)" for c in CASES + ADVERSARIAL])
+def test_conformance_python_evaluator(desc, schema, checks):
+    """The SAME corpus through the driver-side evaluator — engine and
+    evaluator must agree with the spec independently."""
+    from jsonschema_spark.plans.pyeval import validate_py
+
+    mismatches = {
+        payload: (validate_py(schema, json.loads(payload)), want)
+        for payload, want in checks
+        if validate_py(schema, json.loads(payload)) != want
+    }
+    assert not mismatches, f"{desc}: instance -> (got, want): {mismatches}"

@@ -1361,6 +1361,61 @@ WHERE d.text IS NOT NULL
 """
 
 
+def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline end-to-end: quality filter →
+    MinHash-LSH pairs → connected components → canonical keep; output =
+    surviving docs + their BPE token budget."""
+    from jsonschema_spark.operators.curate import curate_corpus
+    from jsonschema_spark.operators.textstats import bpe_token_count
+
+    curated = curate_corpus(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_words=10, max_words=100000, min_stopwords=1,
+        k=12, bands=6, shingle_n=3,
+    )
+    return curated.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+def _curate_sql() -> str:
+    from jsonschema_spark.operators.textstats import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH RECURSIVE
+wt AS ({_WEBTEXT_SQL}),
+kept AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN wt ON d.doc_id = wt.doc_id WHERE wt.keep = 1),
+kt AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+                           ELSE string_split_regex(trim(lower(text)), '\\s+')
+                      END AS toks FROM kept),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-2+1)])
+            ELSE []::VARCHAR[] END AS s FROM kt),
+sig AS (SELECT doc_id, {_SIG12} AS sig FROM sh WHERE len(s) > 0),
+bands AS (SELECT doc_id, b.j AS band,
+                 sig[2*b.j+1]::VARCHAR || '_' || sig[2*b.j+2]::VARCHAR AS band_key
+          FROM sig, (SELECT unnest(range(0, 6)) AS j) b),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(x, y) AS (SELECT x, y FROM edges
+                UNION SELECT x, x FROM edges
+                UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+comp AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY 1)
+SELECT k.doc_id, len(regexp_extract_all(k.text, '{pat}'))::BIGINT AS n_bpe_tokens
+FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
+WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id
+ORDER BY 1
+"""
+
+
 def _langid_sql() -> str:
     from jsonschema_spark.operators.textstats import LANG_MARKERS
 
@@ -1440,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "webtext_filters": q_webtext_filters,
         "token_budget": q_token_budget,
+        "curate_docs": q_curate_docs,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1538,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "webtext_filters": _WEBTEXT_SQL,
         "token_budget": _token_budget_sql(),
+        "curate_docs": _curate_sql(),
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,
     }

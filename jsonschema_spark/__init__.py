@@ -48,6 +48,7 @@ from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.fmt import fmt_check, format_schema
 from jsonschema_spark.plans.pyeval import validate_py
 from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
+from jsonschema_spark.operators.curate import curate_corpus, curation_report
 from jsonschema_spark.operators.binpack import (
     binpack_decode,
     binpack_encode,
@@ -107,6 +108,8 @@ __all__ = [
     "encode_instance",
     "decode_instance",
     "encoding_plan",
+    "curate_corpus",
+    "curation_report",
     "upgrade_schema",
     "needs_upgrade",
     "__version__",

@@ -1,0 +1,70 @@
+"""End-to-end corpus curation — the composed training-data pipeline.
+
+What a user of the reference ultimately runs over web text, as ONE
+composition of this repo's operators:
+
+    quality filter  →  near-dup pairs  →  components  →  canonical keep
+
+- `webtext_keep` is a pure Column predicate: the filter runs inside the
+  scan projection (no join, no shuffle) and prunes the corpus BEFORE the
+  expensive dedup stages — at 100 TB the order of stages is the
+  difference between shingling the whole crawl and shingling the ~half
+  that survives quality filtering.
+- MinHash-LSH candidate pairs + connected components + anti-join keep
+  are the dedup.py operators (each individually oracle-gated); the
+  composition is oracle-gated too (`curate_docs`).
+
+`curate_corpus` returns the curated rows; `curation_report` returns the
+funnel counts (input → quality-kept → canonical) in one pass each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from jsonschema_spark.operators.dedup import (
+    dedup_clusters,
+    keep_canonical,
+    minhash_lsh_pairs,
+)
+from jsonschema_spark.operators.textstats import webtext_keep
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_stopwords: int = 2,
+    k: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    kept = df.filter(
+        webtext_keep(F.col(text_col), min_words, max_words, min_stopwords)
+    )
+    # the kept set feeds two stages (pair generation + final keep):
+    # checkpoint once so the quality filter isn't recomputed per consumer
+    kept = kept.localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(kept, id_col, text_col, k=k, bands=bands,
+                              shingle_n=shingle_n)
+    clusters = dedup_clusters(pairs)
+    return keep_canonical(kept, clusters, id_col)
+
+
+def curation_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> dict:
+    """Funnel counts: {'input': n, 'quality_kept': n, 'curated': n}."""
+    n_in = df.count()
+    kept = df.filter(webtext_keep(F.col(text_col),
+                                  kwargs.get("min_words", 50),
+                                  kwargs.get("max_words", 100000),
+                                  kwargs.get("min_stopwords", 2)))
+    n_kept = kept.count()
+    n_cur = curate_corpus(df, id_col, text_col, **kwargs).count()
+    return {"input": n_in, "quality_kept": n_kept, "curated": n_cur}

@@ -124,6 +124,23 @@ def webtext_filters(
     (oracle-stable); `keep` is the conjunction.
     """
     t = F.col(text_col)
+    cols, keep = _webtext_exprs(t, min_words, max_words, min_stopwords)
+    return df.filter(t.isNotNull()).select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in cols],
+        keep.cast("long").alias("keep"),
+    )
+
+
+def webtext_keep(t: Column, min_words: int = 50, max_words: int = 100000,
+                 min_stopwords: int = 2) -> Column:
+    """The keep predicate alone — composable as a pure filter (no join,
+    no shuffle; see curate_corpus)."""
+    return t.isNotNull() & _webtext_exprs(t, min_words, max_words, min_stopwords)[1]
+
+
+def _webtext_exprs(t: Column, min_words: int, max_words: int,
+                   min_stopwords: int):
     toks = tokens(t)
     n = F.size(toks)
     n1 = F.greatest(n, F.lit(1))
@@ -161,18 +178,17 @@ def webtext_filters(
         & ~has_lorem
         & ~has_brace
     )
-    return df.filter(t.isNotNull()).select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        mean_milli.alias("mean_word_len_milli"),
-        sym_ppm.alias("sym_ppm"),
-        bullet_ppm.alias("bullet_ppm"),
-        ell_end_ppm.alias("ellipsis_end_ppm"),
-        term_ppm.alias("term_punct_ppm"),
-        alpha_ppm.alias("alpha_word_ppm"),
-        n_stop.alias("n_gopher_stopwords"),
-        keep.cast("long").alias("keep"),
-    )
+    cols = [
+        ("n_words", n.cast("long")),
+        ("mean_word_len_milli", mean_milli),
+        ("sym_ppm", sym_ppm),
+        ("bullet_ppm", bullet_ppm),
+        ("ellipsis_end_ppm", ell_end_ppm),
+        ("term_punct_ppm", term_ppm),
+        ("alpha_word_ppm", alpha_ppm),
+        ("n_gopher_stopwords", n_stop),
+    ]
+    return cols, keep
 
 
 # GPT-2-style pretokenizer, restricted to the Java∩RE2 common subset (the

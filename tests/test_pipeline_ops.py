@@ -210,3 +210,25 @@ def test_webtext_filters_rules(spark):
     assert rows[5]["bullet_ppm"] == 1000000
     assert rows[6]["alpha_word_ppm"] == 0
     assert rows[1]["n_gopher_stopwords"] >= 2
+
+
+def test_curate_corpus_funnel(spark):
+    from jsonschema_spark.operators.curate import curate_corpus, curation_report
+
+    good = ("the cat and the dog have that with be of to good text here "
+            "more words again now. " * 3)
+    other = ("every fine morning the quick brown fox jumps over one lazy "
+             "sleeping dog beside the old garden wall again and again. " * 3)
+    rows = [(1, good), (2, good + " extra tail of the day"),  # near-dups
+            (3, "short"),                                     # quality-filtered
+            (4, other)]                                       # distinct survivor
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curated = {r["doc_id"] for r in
+               curate_corpus(df, "doc_id", "text", min_words=10,
+                             min_stopwords=1).collect()}
+    assert 3 not in curated            # failed quality
+    assert 1 in curated                # canonical of the near-dup pair
+    assert 2 not in curated            # its non-canonical duplicate
+    assert 4 in curated
+    rep = curation_report(df, "doc_id", "text", min_words=10, min_stopwords=1)
+    assert rep == {"input": 4, "quality_kept": 3, "curated": 2}

@@ -1,0 +1,80 @@
+"""Physical-plan regression guards — the scale-discipline contract.
+
+These assert the properties the 100 TB posture depends on, so a refactor
+can't silently regress them: the hot validation path stays inside
+whole-stage codegen with no Python eval, filters and column pruning
+reach the parquet scan, candidate-pair joins never degenerate to a
+cross product, and the codec path uses Arrow batching (never
+row-at-a-time BatchEvalPython)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark import validate
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+SCHEMA = {"required": ["doc_id"],
+          "properties": {"lang": {"enum": ["en", "de", "fr", "es"]},
+                         "n_chars": {"minimum": 1, "maximum": 400}}}
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_fast_validate_is_pure_codegen(spark):
+    df = validate(spark.read.parquet(DOCS), SCHEMA)
+    plan = _plan(df)
+    # formatted mode marks whole-stage-codegen stages as "[codegen id : N]"
+    # (simple mode shows them as the "*(N)" prefix)
+    assert "[codegen id : 1]" in plan and "*(1)" in _plan(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # verdict column = zero shuffles
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(DOCS).filter(F.col("lang") == "en")
+    plan = _plan(validate(df, SCHEMA))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = validate(spark.read.parquet(DOCS), SCHEMA).select("doc_id", "valid")
+    plan = _plan(df)
+    # html/text-sized columns are never read for this projection
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema and "source" not in read_schema
+    assert "doc_id" in read_schema and "lang" in read_schema
+
+
+def test_pair_join_is_not_cross_product(spark):
+    from jsonschema_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark.read.parquet(DOCS), "doc_id", "text")
+    plan = _plan(pairs, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_codec_path_is_arrow_batched(spark):
+    from jsonschema_spark.operators.binpack import binpack_encode
+
+    df = spark.read.parquet(DOCS).select(
+        F.to_json(F.struct("doc_id", "lang")).alias("doc"))
+    plan = _plan(df.select(binpack_encode(F.col("doc"))))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python is banned
+
+
+def test_quality_filter_is_python_free(spark):
+    from jsonschema_spark.operators.textstats import webtext_filters
+
+    plan = _plan(webtext_filters(spark.read.parquet(DOCS), "doc_id", "text"))
+    assert "EvalPython" not in plan  # neither Batch- nor Arrow-

@@ -1416,6 +1416,46 @@ ORDER BY 1
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-category counts over documents with planted
+    PII (every third doc gains an email, an IP, a phone and a long id
+    run) — redacted text and counts hash-matched exactly."""
+    from jsonschema_spark.operators.textstats import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0.0."), (F.col("doc_id") % 200).cast("string"),
+                F.lit(" call +4915112345678 ref 9000000"),
+                (F.col("doc_id") + 100).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scrub(planted, "doc_id", "text")
+
+
+def _pii_sql() -> str:
+    from jsonschema_spark.operators.textstats import PII_PATTERNS
+
+    plant = ("CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' || doc_id::VARCHAR "
+             "|| '@example.com at 10.0.0.' || (doc_id % 200)::VARCHAR "
+             "|| ' call +4915112345678 ref 9000000' || (doc_id + 100)::VARCHAR "
+             "ELSE text END")
+    cols, clean = [], "p.text"
+    for name, pat, token in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        cols.append(f"len(regexp_extract_all({clean}, '{esc}'))::BIGINT AS n_{name}")
+        clean = f"regexp_replace({clean}, '{esc}', '{token}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {plant} AS text FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, {', '.join(cols)}, {clean} AS text_clean FROM p
+"""
+
+
 def _langid_sql() -> str:
     from jsonschema_spark.operators.textstats import LANG_MARKERS
 
@@ -1496,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_filters": q_webtext_filters,
         "token_budget": q_token_budget,
         "curate_docs": q_curate_docs,
+        "pii_scrub": q_pii_scrub,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1595,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "webtext_filters": _WEBTEXT_SQL,
         "token_budget": _token_budget_sql(),
         "curate_docs": _curate_sql(),
+        "pii_scrub": _pii_sql(),
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,
     }

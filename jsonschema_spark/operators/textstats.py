@@ -219,3 +219,29 @@ def token_budget(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(t).cast("long").alias("n_chars"),
         F.floor(bpe * 100 / F.greatest(ws, F.lit(1))).cast("long").alias("bpe_per_100_words"),
     )
+
+
+# PII patterns in the Java∩RE2 common subset (no lookaround) — redaction
+# order matters: emails first (their digits would otherwise match the
+# id-run pattern), then ips, phones, long digit runs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b", "<IP>"),
+    ("phone", r"\+\d{8,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("id_number", r"\b\d{9,}\b", "<ID>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers / long digit runs and count
+    each category — one pure-JVM pass (sequential regexp_replace; counts
+    taken before the preceding category's redaction can consume them)."""
+    t = F.col(text_col)
+    out_cols = [F.col(id_col)]
+    clean = t
+    for name, pat, token in PII_PATTERNS:
+        out_cols.append(
+            F.size(F.regexp_extract_all(clean, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, token)
+    return df.filter(t.isNotNull()).select(*out_cols, clean.alias("text_clean"))

@@ -232,3 +232,23 @@ def test_curate_corpus_funnel(spark):
     assert 4 in curated
     rep = curation_report(df, "doc_id", "text", min_words=10, min_stopwords=1)
     assert rep == {"input": 4, "quality_kept": 3, "curated": 2}
+
+
+def test_pii_scrub_categories(spark):
+    from jsonschema_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.org and x@y.io, ip 192.168.0.1, call +4915112345678 "
+             "or 555-123-4567, acct 1234567890123"),
+         (2, "clean text, version 1.2.3 stays, year 2024 stays")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"], r1["n_id_number"]) == (2, 1, 2, 1)
+    assert "<EMAIL>" in r1["text_clean"] and "<IP>" in r1["text_clean"]
+    assert "<PHONE>" in r1["text_clean"] and "<ID>" in r1["text_clean"]
+    assert "@" not in r1["text_clean"]
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"], r2["n_id_number"]) == (0, 0, 0, 0)
+    assert r2["text_clean"] == "clean text, version 1.2.3 stays, year 2024 stays"

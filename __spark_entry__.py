@@ -1438,6 +1438,35 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted, "doc_id", "text")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap between the corpus and a
+    simulated eval set (docs 0-19). Corpus duplicates of an eval doc are
+    exactly what the check must flag."""
+    from jsonschema_spark.operators.dedup import contamination_pairs
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext"))
+    out = contamination_pairs(d, bench, "doc_id", "text", "bid", "btext",
+                              shingle_n=5)
+    return out.filter(F.col("corpus_id") != F.col("bench_id"))
+
+
+_CONTAM_SQL = f"""
+{_DOC_TOKS},
+sh5 AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_distinct([array_to_string(toks[i:i+4], ' ')
+                                 for i in range(1, len(toks)-4+1)])
+             ELSE []::VARCHAR[] END AS s FROM t),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh5)
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+       count(*) AS n_shared_ngrams
+FROM g c JOIN g b ON c.g = b.g AND b.doc_id < 20 AND c.doc_id <> b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def _pii_sql() -> str:
     from jsonschema_spark.operators.textstats import PII_PATTERNS
 
@@ -1537,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "curate_docs": q_curate_docs,
         "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1637,6 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": _token_budget_sql(),
         "curate_docs": _curate_sql(),
         "pii_scrub": _pii_sql(),
+        "contamination": _CONTAM_SQL,
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,
     }

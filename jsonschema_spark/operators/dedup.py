@@ -544,3 +544,37 @@ def keep_canonical(
     broadcast here."""
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(losers, df[id_col] == losers.doc_id, "left_anti")
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, n_shared_ngrams)
+    for every corpus document sharing at least one word n-gram with an
+    evaluation document (the standard 8-gram-overlap test-set leak check;
+    train docs flagged here get dropped before training).
+
+    Scale shape: the corpus side streams (explode → hashed n-grams, no
+    corpus-side shuffle before the join); the benchmark side is tiny by
+    definition and is broadcast, so the whole check is one map-side join +
+    one aggregation on the (rare) matching pairs.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_g"),
+    ).select("corpus_id", hash56(F.col("_g")).alias("_h"))
+    b = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), shingle_n)).alias("_g"),
+    ).select("bench_id", hash56(F.col("_g")).alias("_h"))
+    return (
+        c.join(F.broadcast(b), "_h")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

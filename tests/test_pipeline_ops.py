@@ -252,3 +252,23 @@ def test_pii_scrub_categories(spark):
     r2 = rows[2]
     assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"], r2["n_id_number"]) == (0, 0, 0, 0)
     assert r2["text_clean"] == "clean text, version 1.2.3 stays, year 2024 stays"
+
+
+def test_contamination_pairs_flags_ngram_leaks(spark):
+    from jsonschema_spark.operators.dedup import contamination_pairs
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight"),
+         (101, "completely unrelated training text about spark planning"),
+         (102, "prefix words then the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "bid long, btext string",
+    )
+    got = {(r["corpus_id"], r["bench_id"]): r["n_shared_ngrams"]
+           for r in contamination_pairs(corpus, bench, "doc_id", "text",
+                                        "bid", "btext", shingle_n=8).collect()}
+    # bench doc has two 8-grams; doc 100 and 102 contain both, 101 none
+    assert got == {(100, 1): 2, (102, 1): 2}

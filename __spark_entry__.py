@@ -1467,6 +1467,39 @@ GROUP BY 1, 2
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup over documents with a planted
+    shared footer (every even doc): the footer survives only in its first
+    occurrence; duplicate docs lose their whole line."""
+    from jsonschema_spark.operators.dedup import line_dedup
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit("\nshared footer boilerplate line")))
+        .otherwise(F.col("text")),
+    )
+    return line_dedup(d, "doc_id", "text2")
+
+
+_LINE_DEDUP_SQL = """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN text || chr(10) || 'shared footer boilerplate line'
+                       ELSE text END AS text2
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+      FROM s, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) ix),
+r AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+      FROM l)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped,
+       count(*) AS n_lines_kept
+FROM r WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def _pii_sql() -> str:
     from jsonschema_spark.operators.textstats import PII_PATTERNS
 
@@ -1567,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
+        "line_dedup": q_line_dedup,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -1668,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _curate_sql(),
         "pii_scrub": _pii_sql(),
         "contamination": _CONTAM_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,
     }

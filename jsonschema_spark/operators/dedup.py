@@ -578,3 +578,46 @@ def contamination_pairs(
         .groupBy("corpus_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_first: bool = True,
+) -> DataFrame:
+    """C4-style corpus-level LINE dedup: a line occurring in multiple
+    documents (boilerplate, navigation, license banners) survives only in
+    its first occurrence (min (doc_id, position)); every other copy is
+    dropped and the documents are reassembled in original line order.
+
+    Scale shape: posexplode → ONE window over the line-hash key (uniform
+    md5 partitioning, no skew) → re-aggregate per document. Two shuffles
+    total, both on high-entropy keys. A document whose every line was a
+    duplicate drops out entirely (nothing left to keep).
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    w = Window.partitionBy(F.md5(F.col("_line"))).orderBy("_id", "_pos")
+    ranked = lines.withColumn("_rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rank") == 1) if keep_first else ranked.filter(
+        F.col("_rank") > 0
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .select(F.col("_id").alias(id_col), "text_deduped", "n_lines_kept")
+    )

@@ -272,3 +272,18 @@ def test_contamination_pairs_flags_ngram_leaks(spark):
                                         "bid", "btext", shingle_n=8).collect()}
     # bench doc has two 8-grams; doc 100 and 102 contain both, 101 none
     assert got == {(100, 1): 2, (102, 1): 2}
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from jsonschema_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "unique one\nshared footer"),
+         (2, "unique two\nshared footer"),
+         (3, "shared footer")],  # every line a duplicate → doc drops out
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text_deduped"], r["n_lines_kept"])
+           for r in line_dedup(df, "doc_id", "text").collect()}
+    assert got == {1: ("unique one\nshared footer", 2),
+                   2: ("unique two", 1)}

@@ -174,3 +174,39 @@ def test_spark_encode_decode_roundtrip(spark):
     enc2 = encode_df(df, "doc", schema=None)
     out2 = decode_df(enc2, "bin", schema=None, out_col="doc2")
     assert out2.filter(canonical_json(F.col("doc")) != F.col("doc2")).count() == 0
+
+
+def test_schemaless_roundtrip_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    json_vals = st.recursive(
+        st.none() | st.booleans()
+        | st.integers(min_value=-2**62, max_value=2**62)
+        | st.floats(allow_nan=False, allow_infinity=False, width=64)
+        | st.text(max_size=40),
+        lambda children: st.lists(children, max_size=5)
+        | st.dictionaries(st.text(max_size=8), children, max_size=5),
+        max_leaves=20,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(json_vals)
+    def check(v):
+        got = decode_instance(encode_instance(v), None)
+        assert got == v and type(got) is type(v)
+
+    check()
+
+
+def test_bounded_int_roundtrip_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(-1000, 1000), st.integers(-1000, 1000), st.data())
+    def check(a, b, data):
+        lo, hi = min(a, b), max(a, b)
+        sch = {"type": "integer", "minimum": lo, "maximum": hi}
+        v = data.draw(st.integers(lo, hi))
+        assert decode_instance(encode_instance(v, sch), sch) == v
+
+    check()

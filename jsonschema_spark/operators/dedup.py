@@ -484,6 +484,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over candidate pairs → (doc_id, cluster_id).
 
@@ -493,18 +494,49 @@ def dedup_clusters(
     (cluster_id = the component's minimum id, the keep-min-id convention
     of dedup_exact).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels); converges in graph-diameter
-    rounds. Near-dup components are small and clique-like (diameter ≲ 3),
-    so this beats the large-star/small-star shuffle constant at this
-    graph shape; each round is one shuffle on the node id, and the loop
-    exits via a LAZY convergence check (count of changed labels).
-    localCheckpoint per round truncates the growing lineage — without it
-    round k replays rounds 1..k-1.
+    Two tiers — the pair graph is orders of magnitude smaller than the
+    corpus, so tier choice keys on EDGE count, not input size:
+    - ≤ ``driver_max_edges``: union-find on the driver (one collect of the
+      edge list, milliseconds of CPU) — even a 100 TB corpus commonly
+      produces a pair graph this small after LSH banding;
+    - larger: distributed iterative min-label propagation — each round
+      every node takes min(own, neighbors') labels; converges in
+      graph-diameter rounds (near-dup components are clique-like,
+      diameter ≲ 3). One shuffle per round; localCheckpoint truncates the
+      growing lineage; LAZY convergence check exits early.
     """
     edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
     edges = edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
     edges = edges.distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.select(F.col("x").alias("doc_id"), F.col("y").alias("cluster_id"))
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for r in edges.collect():
+            x, y = r["x"], r["y"]
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[ry] = rx
+        root_min: dict = {}
+        for node in parent:
+            root = find(node)
+            m = root_min.get(root)
+            if m is None or node < m:
+                root_min[root] = node
+        rows = [(node, root_min[find(node)]) for node in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("x").alias("id"))
         .distinct()

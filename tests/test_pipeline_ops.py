@@ -287,3 +287,17 @@ def test_line_dedup_keeps_first_occurrence(spark):
            for r in line_dedup(df, "doc_id", "text").collect()}
     assert got == {1: ("unique one\nshared footer", 2),
                    2: ("unique two", 1)}
+
+
+def test_dedup_clusters_distributed_tier_matches_driver_tier(spark):
+    from jsonschema_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    fast = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, driver_max_edges=0).collect()}
+    assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1,
+                            10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

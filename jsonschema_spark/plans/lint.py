@@ -10,8 +10,12 @@ Round-2 completion: valid_default / valid_examples (driver-side instance
 evaluator, plans/pyeval.py), invalid_external_ref (resolver-aware),
 simple_properties_identifiers, description_trailing_period,
 property_names_type_default, draft-3 disallow/divisibleBy defaults and
-extends wrappers. Remaining gap: content_* vocabulary gating (we lint
-dialect-agnostically).
+extends wrappers. Dialect-aware gating (the reference's vocabulary
+checks, ONLY_CONTINUE_IF(vocabularies...)): rules whose advice would be
+WRONG under an older dialect — definitions_to_defs, tuple_items_legacy,
+unnecessary_allof_ref_wrapper — fire only when the declared `$schema`
+(or explicit ``dialect=``) admits them; unknown/absent dialect is
+treated as 2020-12, matching the engine's default.
 """
 
 from __future__ import annotations
@@ -29,8 +33,25 @@ _BOUND_PAIRS = [
     ("minContains", "maxContains"),
 ]
 
+# $schema URI marker → dialect ordinal (higher = newer)
+_DIALECTS = {
+    "draft-03": 3, "draft-04": 4, "draft-06": 6, "draft-07": 7,
+    "2019-09": 9, "2020-12": 12,
+}
 
-def _findings(node: dict, path: str) -> list[dict]:
+
+def _dialect_ord(schema, explicit: str = None) -> int:
+    """Ordinal of the schema's dialect; absent/unknown ⇒ 2020-12 (the
+    engine's default dialect)."""
+    uri = explicit or (schema.get("$schema") if isinstance(schema, dict) else None)
+    if isinstance(uri, str):
+        for marker, ordn in _DIALECTS.items():
+            if marker in uri:
+                return ordn
+    return 12
+
+
+def _findings(node: dict, path: str, dia: int = 12) -> list[dict]:
     out = []
 
     def add(rule, severity, message):
@@ -77,7 +98,7 @@ def _findings(node: dict, path: str) -> list[dict]:
     for kw in ("minLength", "maxLength", "minItems", "maxItems", "minProperties", "maxProperties"):
         if kw in node and isinstance(node[kw], int) and node[kw] < 0:
             add("negative_bound", "error", f"{kw} must be non-negative")
-    if isinstance(node.get("items"), list):
+    if dia >= 12 and isinstance(node.get("items"), list):
         add("tuple_items_legacy", "warning", "array-form items is the draft-7 tuple form; use prefixItems")
     # --- reference-rule analogues (vendor/blaze/src/alterschema/linter/) ------
     if "const" in node and isinstance(node.get("enum"), list) and node["const"] not in node["enum"]:
@@ -116,7 +137,7 @@ def _findings(node: dict, path: str) -> list[dict]:
     if node.get("title") is not None and node.get("title") == node.get("description"):
         add("title_description_equal", "warning",
             "title and description are identical")  # title_description_equal.h
-    if "definitions" in node:
+    if dia >= 9 and "definitions" in node:
         add("definitions_to_defs", "warning",
             "use $defs instead of the legacy definitions keyword")  # definitions_to_defs.h
     # no-op defaults that can be removed outright (…_default.h family)
@@ -178,7 +199,8 @@ def _findings(node: dict, path: str) -> list[dict]:
             f"$anchor {anchor!r} is not a portable anchor name")  # portable_anchor_names.h
     allof = node.get("allOf")
     if (
-        isinstance(allof, list)
+        dia >= 9  # pre-2019-09 $ref ignores siblings: hoisting would change semantics
+        and isinstance(allof, list)
         and len(allof) == 1
         and isinstance(allof[0], dict)
         and set(allof[0]) == {"$ref"}
@@ -275,33 +297,36 @@ def _root_findings(schema: dict) -> list[dict]:
 
 
 def _walk(node: Union[dict, bool], path: str, out: list[dict], root=None,
-          base: str = "https://jsonschema-spark.invalid/root", resolver=None) -> None:
+          base: str = "https://jsonschema-spark.invalid/root", resolver=None,
+          dia: int = 12) -> None:
     if not isinstance(node, dict):
         return
     if isinstance(node.get("$id"), str):
         from urllib.parse import urldefrag, urljoin
 
         base = urldefrag(urljoin(base, node["$id"]))[0]
-    out.extend(_findings(node, path))
+    out.extend(_findings(node, path, dia))
     if root is not None:
         out.extend(_instance_findings(node, path, root, base, resolver))
     for key in ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions"):
         if isinstance(node.get(key), dict):
             for name, sub in node[key].items():
-                _walk(sub, f"{path}/{key}/{name}", out, root, base, resolver)
+                _walk(sub, f"{path}/{key}/{name}", out, root, base, resolver, dia)
     for key in ("items", "additionalProperties", "propertyNames", "not", "contains", "if", "then", "else"):
         if isinstance(node.get(key), dict):
-            _walk(node[key], f"{path}/{key}", out, root, base, resolver)
+            _walk(node[key], f"{path}/{key}", out, root, base, resolver, dia)
     for key in ("allOf", "anyOf", "oneOf", "prefixItems"):
         if isinstance(node.get(key), list):
             for i, sub in enumerate(node[key]):
-                _walk(sub, f"{path}/{key}/{i}", out, root, base, resolver)
+                _walk(sub, f"{path}/{key}/{i}", out, root, base, resolver, dia)
 
 
-def lint_schema(schema: Union[dict, bool], resolver: dict = None) -> list[dict]:
+def lint_schema(schema: Union[dict, bool], resolver: dict = None,
+                dialect: str = None) -> list[dict]:
     root = schema if isinstance(schema, dict) else None
     out: list[dict] = []
-    _walk(schema, "", out, root=root, resolver=resolver)
+    _walk(schema, "", out, root=root, resolver=resolver,
+          dia=_dialect_ord(schema, dialect))
     if isinstance(schema, dict):
         out.extend(_root_findings(schema))
     return out

@@ -158,3 +158,24 @@ def test_lint_draft3_defaults():
                                              "$defs": {"x": {}}})}
     assert {"divisible_by_default", "disallow_default",
             "unnecessary_extends_wrapper"} <= rules
+
+
+def test_lint_dialect_gating():
+    d7 = {"$schema": "http://json-schema.org/draft-07/schema#",
+          "definitions": {"x": {}},
+          "items": [{"type": "integer"}],
+          "allOf": [{"$ref": "#/definitions/x"}]}
+    rules7 = {f["rule"] for f in lint_schema(d7)}
+    # draft-07: definitions IS the keyword, tuple items is legal, and
+    # hoisting a lone allOf-$ref would CHANGE semantics ($ref ignores siblings)
+    assert "definitions_to_defs" not in rules7
+    assert "tuple_items_legacy" not in rules7
+    assert "unnecessary_allof_ref_wrapper" not in rules7
+    modern = dict(d7)
+    modern["$schema"] = "https://json-schema.org/draft/2020-12/schema"
+    rules12 = {f["rule"] for f in lint_schema(modern)}
+    assert {"definitions_to_defs", "tuple_items_legacy",
+            "unnecessary_allof_ref_wrapper"} <= rules12
+    # explicit dialect overrides the declared one
+    assert "definitions_to_defs" in {
+        f["rule"] for f in lint_schema(d7, dialect="2019-09")}

@@ -804,6 +804,43 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis (documents) -------------------------------------------------
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the coarse-quantizer scale path named in the brief):
+    in-engine centroids (one k-means step from hash-partitioned init),
+    cell assignment as a literal projection, n_probe=2 of 8 cells,
+    exact in-cell rescoring."""
+    from jsonschema_spark.operators.similarity import topk_ivf
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 10)
+    return topk_ivf(emb, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2)
+
+
+def _ann_ivf_sql() -> str:
+    # deferred: _QEMB/_COS_MICRO are defined later in the module
+    return f"""
+{_QEMB},
+pd AS (SELECT vec_id % 8 AS ci, i,
+              floor((sum(qe[i])::BIGINT)::DOUBLE / count(*))::BIGINT AS cv
+       FROM q, (SELECT unnest(range(1, 65)) AS i) ix GROUP BY 1, 2),
+cent AS (SELECT ci, list(cv ORDER BY i) AS cv FROM pd GROUP BY ci),
+d AS (SELECT q.vec_id, q.qe, c.ci,
+             list_sum([(q.qe[i]-c.cv[i])*(q.qe[i]-c.cv[i]) for i in range(1, 65)]) AS dist
+      FROM q, cent c),
+asg AS (SELECT vec_id, qe, ci,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ci ASC) AS rn
+        FROM d),
+corp AS (SELECT vec_id, qe, ci FROM asg WHERE rn = 1),
+qp AS (SELECT vec_id, qe, ci FROM asg WHERE rn <= 2 AND vec_id < 10),
+s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_COS_MICRO} AS cos_micro
+      FROM qp a JOIN corp b ON a.ci = b.ci AND b.vec_id != a.vec_id)
+SELECT q_id, neighbor_id, rnk::BIGINT AS rnk, cos_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_micro DESC, neighbor_id ASC) AS rnk
+  FROM s) WHERE rnk <= 5
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_spark.operators.textstats import text_quality
 
@@ -1594,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_quality": q_text_quality,
         "webtext_filters": q_webtext_filters,
         "token_budget": q_token_budget,
@@ -1696,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": _EMB_PAIRS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_LSH_SQL,
+        "ann_topk_ivf": _ann_ivf_sql(),
         "text_quality": _TEXT_QUALITY_SQL,
         "webtext_filters": _WEBTEXT_SQL,
         "token_budget": _token_budget_sql(),

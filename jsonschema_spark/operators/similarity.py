@@ -102,3 +102,98 @@ def topk_signlsh(
         )
     )
     return _topk(scored, k)
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+
+def ivf_centroids_df(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8, scale: int = 100
+) -> DataFrame:
+    """Coarse-quantizer centroids computed IN-ENGINE: one k-means step from
+    hash-partitioned init (cell j = floor(mean) of vectors with
+    id % n_centroids == j). Deterministic, engine-portable (the SQL oracle
+    computes the identical centroids), and one aggregation over the corpus
+    — no driver-side training loop. Returns (ci, cv array<long>)."""
+    q = df.select(
+        (F.col(id_col) % n_centroids).alias("ci"),
+        F.posexplode(quantize_embedding(F.col(vec_col), scale)).alias("pos", "v"),
+    )
+    # floor(exact-int sum / count) in ONE double division — engine `avg`
+    # implementations may differ in the last ulp; this formula cannot
+    per_dim = q.groupBy("ci", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).cast("long").alias("cv")
+    )
+    return (
+        per_dim.groupBy("ci")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cv")
+        )
+    )
+
+
+def _sqdist_lit(vec: Column, centroid: list) -> Column:
+    c = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """IVF ANN: corpus rows live in exactly one centroid cell; each query
+    probes its ``n_probe`` nearest cells and rescoring is exact in-cell.
+
+    Scale shape: the centroid table is tiny — collected once and embedded
+    as literals, so cell ASSIGNMENT is a pure projection (zero shuffle
+    over the corpus); the probe join keys on the cell id (n_probe rows per
+    query, queries broadcast); pair space pruned ~n_probe/n_centroids.
+    """
+    cents = sorted(
+        [(r["ci"], list(r["cv"])) for r in
+         ivf_centroids_df(corpus, id_col, vec_col, n_centroids, scale).collect()]
+    )
+
+    def assign_cols(vec: Column):
+        darr = F.array(*[_sqdist_lit(vec, cv) for _, cv in cents])
+        return darr
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_embedding(F.col(vec_col), scale).alias("_cq"),
+    ).withColumn("_cn", dot_q(F.col("_cq"), F.col("_cq")))
+    darr_c = assign_cols(F.col("_cq"))
+    # first minimum = smallest ci among ties (matches the oracle's ORDER BY dist, ci)
+    c = c.withColumn("_ci", (F.array_position(darr_c, F.array_min(darr_c)) - 1).cast("int"))
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_embedding(F.col(vec_col), scale).alias("_qq"),
+    ).withColumn("_qn", dot_q(F.col("_qq"), F.col("_qq")))
+    darr_q = assign_cols(F.col("_qq"))
+    probe_structs = F.array(
+        *[F.struct(darr_q[i].alias("d"), F.lit(i).alias("i")) for i in range(len(cents))]
+    )
+    probes = F.transform(F.slice(F.array_sort(probe_structs), 1, n_probe), lambda s: s["i"])
+    q = q.withColumn("_ci", F.explode(probes))
+
+    scored = c.join(
+        F.broadcast(q), (c["_ci"] == q["_ci"]) & (F.col("q_id") != F.col("neighbor_id"))
+    ).select(
+        "q_id",
+        "neighbor_id",
+        _cos_micro_pre(q["_qq"], F.col("_cq"), q["_qn"], F.col("_cn")).alias("cos_micro"),
+    )
+    return _topk(scored, k)

@@ -301,3 +301,19 @@ def test_dedup_clusters_distributed_tier_matches_driver_tier(spark):
             for r in dedup_clusters(pairs, driver_max_edges=0).collect()}
     assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1,
                             10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_topk_ivf_exact_within_probed_cells(spark):
+    from jsonschema_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = topk_ivf(emb, q, "vec_id", "embedding", k=3, n_centroids=4, n_probe=4)
+    bf = topk_bruteforce(emb, q, "vec_id", "embedding", k=3)
+    # probing EVERY cell ⇒ IVF must equal brute force exactly
+    got = {(r["q_id"], r["rnk"]): (r["neighbor_id"], r["cos_micro"]) for r in ivf.collect()}
+    want = {(r["q_id"], r["rnk"]): (r["neighbor_id"], r["cos_micro"]) for r in bf.collect()}
+    assert got == want
+    # n_probe < n_centroids prunes the pair space but stays a subset-ranking
+    pruned = topk_ivf(emb, q, "vec_id", "embedding", k=3, n_centroids=4, n_probe=1)
+    assert 0 < pruned.count() <= bf.count()

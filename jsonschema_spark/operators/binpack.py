@@ -274,6 +274,12 @@ class EncodeError(ValueError):
 
 def encode_value(plan: Plan, v, out: bytearray) -> None:
     k = plan.kind
+    if isinstance(v, bool) and k in (
+        "bounded_int", "floor_int", "roof_int", "int", "number"
+    ):
+        # python bool ⊂ int would silently coerce true → 1; JSON booleans
+        # are NOT numbers (the instance doesn't conform to the plan)
+        raise EncodeError(f"boolean {v} under a numeric encoding")
     if k == "const" or k == "null":
         return  # 0 bytes; decoder reconstructs from the plan
     if k == "enum":

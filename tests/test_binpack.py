@@ -210,3 +210,17 @@ def test_bounded_int_roundtrip_hypothesis():
         assert decode_instance(encode_instance(v, sch), sch) == v
 
     check()
+
+
+def test_nonconforming_values_rejected():
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.binpack import EncodeError
+
+    sch = {"type": "integer", "minimum": 0, "maximum": 5}
+    with _pytest.raises(EncodeError, match="boolean"):
+        encode_instance(True, sch)  # bool is not a number (despite bool ⊂ int)
+    with _pytest.raises(EncodeError):
+        encode_instance(99, sch)    # out of bounds
+    with _pytest.raises(EncodeError):
+        encode_instance("x", {"enum": [1, 2]})

@@ -280,28 +280,41 @@ def encode_value(plan: Plan, v, out: bytearray) -> None:
         # python bool ⊂ int would silently coerce true → 1; JSON booleans
         # are NOT numbers (the instance doesn't conform to the plan)
         raise EncodeError(f"boolean {v} under a numeric encoding")
-    if k == "const" or k == "null":
-        return  # 0 bytes; decoder reconstructs from the plan
+    if k == "const":
+        # 0 bytes — but the instance must BE the const, else decode would
+        # silently resurrect a different value
+        if canonical_dumps(v) != canonical_dumps(plan.const):
+            raise EncodeError(f"value {v!r} != const {plan.const!r}")
+        return
+    if k == "null":
+        if v is not None:
+            raise EncodeError(f"expected null, got {v!r}")
+        return
     if k == "enum":
         try:
             out += _varint(plan.choices.index(canonical_dumps(v)))
         except ValueError:
             raise EncodeError(f"value not in enum: {v!r}")
     elif k == "bounded_int":
-        off = (int(v) - plan.lo) // plan.mult
-        if off < 0 or int(v) > plan.hi:
-            raise EncodeError(f"integer {v} outside [{plan.lo}, {plan.hi}]")
+        off, rem = divmod(int(v) - plan.lo, plan.mult)
+        if off < 0 or int(v) > plan.hi or rem:
+            raise EncodeError(f"integer {v} outside [{plan.lo}, {plan.hi}] / x{plan.mult}")
         out += bytes([off]) if (plan.hi - plan.lo) // plan.mult < 256 else _varint(off)
     elif k == "floor_int":
-        if int(v) < plan.lo:
-            raise EncodeError(f"integer {v} below floor {plan.lo}")
-        out += _varint((int(v) - plan.lo) // plan.mult)
+        off, rem = divmod(int(v) - plan.lo, plan.mult)
+        if off < 0 or rem:
+            raise EncodeError(f"integer {v} below floor {plan.lo} / x{plan.mult}")
+        out += _varint(off)
     elif k == "roof_int":
-        if int(v) > plan.hi:
-            raise EncodeError(f"integer {v} above roof {plan.hi}")
-        out += _varint((plan.hi - int(v)) // plan.mult)
+        off, rem = divmod(plan.hi - int(v), plan.mult)
+        if off < 0 or rem:
+            raise EncodeError(f"integer {v} above roof {plan.hi} / x{plan.mult}")
+        out += _varint(off)
     elif k == "int":
-        out += _varint(_zigzag(int(v) // plan.mult))
+        q, rem = divmod(int(v), plan.mult)
+        if rem:
+            raise EncodeError(f"integer {v} is not a multiple of {plan.mult}")
+        out += _varint(_zigzag(q))
     elif k == "number":
         out += _enc_decimal(float(v))
     elif k == "string":

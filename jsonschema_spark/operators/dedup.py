@@ -534,8 +534,13 @@ def dedup_clusters(
             if m is None or node < m:
                 root_min[root] = node
         rows = [(node, root_min[find(node)]) for node in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[id_a].dataType  # preserve string/uuid/long ids
         return pairs.sparkSession.createDataFrame(
-            rows, "doc_id long, cluster_id long"
+            rows,
+            StructType([StructField("doc_id", id_type),
+                        StructField("cluster_id", id_type)]),
         )
     labels = (
         edges.select(F.col("x").alias("id"))
@@ -561,6 +566,13 @@ def dedup_clusters(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # silent non-convergence would hand keep_canonical a component with
+        # multiple "canonical" labels — fail loudly instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -634,11 +646,14 @@ def line_dedup(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     )
-    w = Window.partitionBy(F.md5(F.col("_line"))).orderBy("_id", "_pos")
-    ranked = lines.withColumn("_rank", F.row_number().over(w))
-    kept = ranked.filter(F.col("_rank") == 1) if keep_first else ranked.filter(
-        F.col("_rank") > 0
-    )
+    key = Window.partitionBy(F.md5(F.col("_line")))
+    if keep_first:
+        ranked = lines.withColumn("_rank", F.row_number().over(key.orderBy("_id", "_pos")))
+        kept = ranked.filter(F.col("_rank") == 1)
+    else:
+        # strict mode: EVERY copy of a corpus-duplicated line is dropped
+        ranked = lines.withColumn("_n", F.count(F.lit(1)).over(key))
+        kept = ranked.filter(F.col("_n") == 1)
     return (
         kept.groupBy("_id")
         .agg(

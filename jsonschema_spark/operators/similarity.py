@@ -14,6 +14,8 @@ engine-portable). Both are pure DataFrame plans:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -170,13 +172,28 @@ def topk_ivf(
         darr = F.array(*[_sqdist_lit(vec, cv) for _, cv in cents])
         return darr
 
+    # corpus-side assignment: vectorized numpy matmul over Arrow batches —
+    # the expression form is k interpreted array passes per row (the
+    # documented Catalyst higher-order cost); exact-int arithmetic, so the
+    # cell ids are IDENTICAL either way (np.argmin = first-min tie-break)
+    from pyspark.sql.types import IntegerType
+
+    C = np.array([cv for _, cv in cents], dtype=np.int64)
+    Cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def _assign(s: pd.Series) -> pd.Series:
+        X = np.stack(s.to_numpy()).astype(np.int64)
+        # dist = |x|^2 - 2 x·c + |c|^2; |x|^2 is constant per row → argmin
+        # over (-2 x·c + |c|^2) suffices and stays in exact int64
+        d = -2 * (X @ C.T) + Cn[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         quantize_embedding(F.col(vec_col), scale).alias("_cq"),
     ).withColumn("_cn", dot_q(F.col("_cq"), F.col("_cq")))
-    darr_c = assign_cols(F.col("_cq"))
-    # first minimum = smallest ci among ties (matches the oracle's ORDER BY dist, ci)
-    c = c.withColumn("_ci", (F.array_position(darr_c, F.array_min(darr_c)) - 1).cast("int"))
+    c = c.withColumn("_ci", _assign(F.col("_cq")))
 
     q = queries.select(
         F.col(id_col).alias("q_id"),

@@ -98,6 +98,11 @@ def validate(
         row_schema = df.schema
         if instance_cols is not None:
             keep = set(instance_cols)
+            missing = keep - {f.name for f in df.schema.fields}
+            if missing:
+                # a silently-dropped typo would make required properties
+                # "absent" and flip every verdict
+                raise ValueError(f"instance_cols not in DataFrame: {sorted(missing)}")
             row_schema = T.StructType([f for f in df.schema.fields if f.name in keep])
         compiled = cs.compile_flat(row_schema, mode="fast")
         return df.withColumn(valid_col, B(compiled.ok))

@@ -65,7 +65,21 @@ def _is_unsatisfiable(node: dict) -> bool:
     return False
 
 
-def _rewrite_node(node: dict, changed: list) -> None:
+def _mentions_unevaluated(node) -> bool:
+    if isinstance(node, dict):
+        if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+            return True
+        return any(_mentions_unevaluated(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_mentions_unevaluated(v) for v in node)
+    return False
+
+
+def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -> None:
+    """``annotations_matter``: the document uses unevaluated* somewhere, so
+    rules that would ERASE annotation sources (a successful anyOf branch's
+    properties marks, a bare `if`'s marks) are disabled — dropping them
+    changes which properties count as evaluated (2020-12 core §11)."""
     def mark():
         changed.append(True)
 
@@ -146,8 +160,10 @@ def _rewrite_node(node: dict, changed: list) -> None:
         elif len(types) != len(node["type"]):
             node["type"] = types
             mark()
-    # if without consequences is dead (rules/if_without_then_else.h)
-    if "if" in node and "then" not in node and "else" not in node:
+    # if without consequences is dead (rules/if_without_then_else.h) —
+    # UNLESS annotations matter: a bare `if`'s successful-branch marks feed
+    # unevaluated* even with no then/else
+    if "if" in node and "then" not in node and "else" not in node and not annotations_matter:
         node.pop("if")
         mark()
     # no-op defaults dropped (rules/*_default.h family)
@@ -172,8 +188,11 @@ def _rewrite_node(node: dict, changed: list) -> None:
     #  duplicate_anyof_branches / single_branch_anyof analogues)
     anyof = node.get("anyOf")
     if isinstance(anyof, list):
-        if any(b is True or b == {} for b in anyof):
-            node.pop("anyOf")  # one always-true branch satisfies the whole anyOf
+        if any(b is True or b == {} for b in anyof) and not annotations_matter:
+            # one always-true branch satisfies the whole anyOf — but the
+            # OTHER branches' annotations would be erased with it, so this
+            # only fires when no unevaluated* consumes annotations
+            node.pop("anyOf")
             mark()
         else:
             flat: list = []
@@ -383,9 +402,10 @@ def canonicalize(schema: Union[dict, bool]) -> Union[dict, bool]:
     if not isinstance(schema, dict):
         return schema
     out = copy.deepcopy(schema)
+    annotations_matter = _mentions_unevaluated(out)
     for _ in range(10):  # fixpoint with a safety bound
         changed: list = []
-        _walk_schema(out, lambda n: _rewrite_node(n, changed))
+        _walk_schema(out, lambda n: _rewrite_node(n, changed, annotations_matter))
         if not changed:
             break
     return out

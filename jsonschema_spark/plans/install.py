@@ -82,8 +82,12 @@ def install_schema(
                     "installed": False}
 
     # fetch root + transitive closure, bundle for offline use
+    # (http_resolver keys its registry by DEFRAGGED uri)
+    from urllib.parse import urldefrag
+
+    base = urldefrag(uri)[0]
     registry = http_resolver([uri], fetch=fetch, timeout=timeout)
-    root = registry[uri]
+    root = registry[base]
     registry = resolve_remote_refs(root, resolver=registry, fetch=fetch, timeout=timeout)
     bundled = bundle(root, registry) if isinstance(root, dict) else root
     text = json.dumps(bundled, indent=2, ensure_ascii=False) + "\n"

@@ -401,6 +401,8 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
             if isinstance(node.get(kw), str) and node[kw] != node[kw].strip():
                 node[kw] = node[kw].strip()
         if isinstance(node.get("description"), str):
+            # strips EVERY trailing period, matching the reference transform
+            # (description_trailing_period.h: while ends-with '.' pop_back)
             node["description"] = node["description"].rstrip(".")
         pn = node.get("propertyNames")
         if isinstance(pn, dict):

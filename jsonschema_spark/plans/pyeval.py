@@ -82,9 +82,11 @@ def _multiple_of(v, m) -> bool:
         return False
 
 
-def _collect_resources(doc: Schema, base: str, anchors: dict, ids: dict) -> None:
-    """Register every embedded $id resource and $anchor (compiler analogue:
-    embedded-resource auto-registration)."""
+def _collect_resources(doc: Schema, base: str, anchors: dict, ids: dict,
+                       dyn_anchors: dict) -> None:
+    """Register every embedded $id resource, $anchor and $dynamicAnchor —
+    keyed per-resource, so dynamic-scope search is boundary-aware
+    (compiler analogue: embedded-resource auto-registration)."""
     def walk(node, cur_base):
         if isinstance(node, dict):
             nid = node.get("$id")
@@ -97,6 +99,7 @@ def _collect_resources(doc: Schema, base: str, anchors: dict, ids: dict) -> None
             dyn = node.get("$dynamicAnchor")
             if isinstance(dyn, str):
                 anchors.setdefault((urldefrag(cur_base)[0], dyn), node)
+                dyn_anchors[(urldefrag(cur_base)[0], dyn)] = node
             for v in node.values():
                 walk(v, cur_base)
         elif isinstance(node, list):
@@ -125,13 +128,14 @@ class _Scope:
     def __init__(self, root: Schema, base: str, resolver: Optional[dict]):
         self.ids: dict[str, Schema] = {base: root}
         self.anchors: dict[tuple, Schema] = {}
+        self.dyn_anchors: dict[tuple, Schema] = {}
         self.roots: dict[str, Schema] = {base: root}
-        _collect_resources(root, base, self.anchors, self.ids)
+        _collect_resources(root, base, self.anchors, self.ids, self.dyn_anchors)
         for uri, doc in (resolver or {}).items():
             u = urldefrag(uri)[0]
             self.ids.setdefault(u, doc)
             self.roots[u] = doc
-            _collect_resources(doc, u, self.anchors, self.ids)
+            _collect_resources(doc, u, self.anchors, self.ids, self.dyn_anchors)
 
     def resolve(self, ref: str, base: str) -> tuple[Schema, str]:
         if ref.startswith("#"):  # same-document: robust to opaque base URIs
@@ -155,10 +159,13 @@ class _Scope:
 
 
 def _eval(schema: Schema, inst: Any, scope: _Scope, base: str, depth: int,
-          fmt_assert: bool) -> tuple[bool, set, set]:
+          fmt_assert: bool, chain: tuple = ()) -> tuple[bool, set, set]:
     """Returns (valid, evaluated_property_names, evaluated_item_indices)
     for THIS instance location (annotation semantics: only successful
-    subschemas contribute)."""
+    subschemas contribute). ``chain`` = dynamic scope: URIs of the
+    resources entered along this evaluation path, outermost first —
+    $dynamicRef/$recursiveRef resolve against it (2020-12 core §8.2.3.2),
+    matching the compiler's Config.dynamic_scope."""
     if schema is True or schema == {}:
         return True, set(), set()
     if schema is False:
@@ -169,31 +176,67 @@ def _eval(schema: Schema, inst: Any, scope: _Scope, base: str, depth: int,
         raise EvalError("evaluation recursion depth exceeded")
 
     if "$id" in schema and isinstance(schema["$id"], str):
-        base = urldefrag(urljoin(base, schema["$id"]))[0]
+        new_base = urldefrag(urljoin(base, schema["$id"]))[0]
+        if new_base != base:
+            base = new_base
+            if base not in chain:
+                chain = chain + (base,)
+    if not chain:
+        chain = (urldefrag(base)[0],)
 
     ok = True
     keys: set = set()
     idxs: set = set()
 
     def sub(s, v):
-        return _eval(s, v, scope, base, depth + 1, fmt_assert)
+        return _eval(s, v, scope, base, depth + 1, fmt_assert, chain)
 
     def merge(r):
         nonlocal keys, idxs
         keys |= r[1]
         idxs |= r[2]
 
+    cur_uri = urldefrag(base)[0]
+
     # --- reference keywords -------------------------------------------------
-    for rk in ("$ref", "$dynamicRef", "$recursiveRef"):
-        if rk in schema and isinstance(schema[rk], str):
-            ref = schema[rk]
-            if rk == "$recursiveRef":
-                ref = "#"
-            target, tbase = scope.resolve(ref, base)
-            r = _eval(target, inst, scope, tbase, depth + 1, fmt_assert)
-            ok &= r[0]
-            if r[0]:
-                merge(r)
+    if isinstance(schema.get("$ref"), str):
+        target, tbase = scope.resolve(schema["$ref"], base)
+        tchain = chain if urldefrag(tbase)[0] in chain else chain + (urldefrag(tbase)[0],)
+        r = _eval(target, inst, scope, tbase, depth + 1, fmt_assert, tchain)
+        ok &= r[0]
+        if r[0]:
+            merge(r)
+    if isinstance(schema.get("$dynamicRef"), str):
+        ref = schema["$dynamicRef"]
+        target, tbase = scope.resolve(ref, base)
+        name = urldefrag(urljoin(base, ref))[1]
+        if name and scope.dyn_anchors.get((cur_uri, name)) is not None and (
+            isinstance(target, dict) and target.get("$dynamicAnchor") == name
+        ):
+            # outermost resource in the dynamic scope wins
+            for uri in chain:
+                hit = scope.dyn_anchors.get((uri, name))
+                if hit is not None:
+                    target, tbase = hit, uri
+                    break
+        tchain = chain if urldefrag(tbase)[0] in chain else chain + (urldefrag(tbase)[0],)
+        r = _eval(target, inst, scope, tbase, depth + 1, fmt_assert, tchain)
+        ok &= r[0]
+        if r[0]:
+            merge(r)
+    if isinstance(schema.get("$recursiveRef"), str):
+        cur_root = scope.ids.get(cur_uri, schema)
+        target, tbase = cur_root, base
+        if isinstance(cur_root, dict) and cur_root.get("$recursiveAnchor") is True:
+            for uri in chain:  # outermost $recursiveAnchor: true wins
+                r_doc = scope.ids.get(uri)
+                if isinstance(r_doc, dict) and r_doc.get("$recursiveAnchor") is True:
+                    target, tbase = r_doc, uri
+                    break
+        r = _eval(target, inst, scope, tbase, depth + 1, fmt_assert, chain)
+        ok &= r[0]
+        if r[0]:
+            merge(r)
 
     # --- type / const / enum ------------------------------------------------
     t = schema.get("type")

@@ -43,8 +43,9 @@ def http_resolver(
     """Fetch each URI; returns the uri → parsed-schema registry."""
     out = {}
     for uri in uris:
-        text = fetch(uri) if fetch else _default_fetch(uri, timeout)
-        out[urldefrag(uri)[0]] = json.loads(text)
+        base = urldefrag(uri)[0]  # fragments are resolved locally, not fetched
+        text = fetch(base) if fetch else _default_fetch(base, timeout)
+        out[base] = json.loads(text)
     return out
 
 

@@ -224,3 +224,17 @@ def test_nonconforming_values_rejected():
         encode_instance(99, sch)    # out of bounds
     with _pytest.raises(EncodeError):
         encode_instance("x", {"enum": [1, 2]})
+
+
+def test_const_and_multiple_violations_rejected():
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.binpack import EncodeError
+
+    with _pytest.raises(EncodeError, match="const"):
+        encode_instance(5, {"const": 3})
+    with _pytest.raises(EncodeError, match="multiple|x2"):
+        encode_instance(5, {"type": "integer", "minimum": 0, "maximum": 10,
+                            "multipleOf": 2})
+    with _pytest.raises(EncodeError, match="null"):
+        encode_instance(0, {"type": "null"})

@@ -144,3 +144,21 @@ def test_canonicalize_preserves_semantics():
         for inst in _instances(rng):
             assert validate_py(schema, inst) == validate_py(canon, inst), (
                 schema, canon, inst)
+
+
+def test_annotation_sources_preserved_under_unevaluated():
+    # a successful anyOf branch's properties mark keys as evaluated — the
+    # always-true-branch drop must NOT fire when unevaluated* consumes them
+    s = {"anyOf": [True, {"properties": {"a": {"type": "string"}}}],
+         "unevaluatedProperties": False}
+    c = canonicalize(s)
+    assert validate_py(s, {"a": "x"}) is True
+    assert validate_py(c, {"a": "x"}) is True, c
+    # bare `if` annotations likewise
+    s2 = {"if": {"properties": {"a": {}}, "required": ["a"]},
+          "unevaluatedProperties": False}
+    c2 = canonicalize(s2)
+    assert validate_py(s2, {"a": 1}) is validate_py(c2, {"a": 1}) is True
+    # without unevaluated* in scope the simplifications still fire
+    assert "anyOf" not in canonicalize({"anyOf": [True, {"properties": {"a": {}}}]})
+    assert "if" not in canonicalize({"if": {"required": ["a"]}})

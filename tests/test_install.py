@@ -61,3 +61,10 @@ def test_install_all_from_config(tmp_path):
     results = install_all(project_dir=str(tmp_path), fetch=STORE.__getitem__)
     assert [r["installed"] for r in results] == [True]
     assert (tmp_path / "vendor" / "addr.json").exists()
+
+
+def test_install_uri_with_fragment(tmp_path):
+    r = install_schema("https://e.com/person.json#/properties/addr",
+                       "vendor/p.json", project_dir=str(tmp_path),
+                       fetch=STORE.__getitem__)
+    assert r["installed"] is True  # defragged lookup; whole doc vendored

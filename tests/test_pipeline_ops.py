@@ -317,3 +317,25 @@ def test_topk_ivf_exact_within_probed_cells(spark):
     # n_probe < n_centroids prunes the pair space but stays a subset-ranking
     pruned = topk_ivf(emb, q, "vec_id", "embedding", k=3, n_centroids=4, n_probe=1)
     assert 0 < pruned.count() <= bf.count()
+
+
+def test_line_dedup_strict_mode_drops_all_copies(spark):
+    from jsonschema_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "unique one\nshared footer"), (2, "unique two\nshared footer")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_deduped"]
+           for r in line_dedup(df, "doc_id", "text", keep_first=False).collect()}
+    # strict mode: EVERY copy of the duplicated line is gone
+    assert got == {1: "unique one", 2: "unique two"}
+
+
+def test_dedup_clusters_string_ids(spark):
+    from jsonschema_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("urlA", "urlB"), ("urlB", "urlC")], "id_a string, id_b string")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {"urlA": "urlA", "urlB": "urlA", "urlC": "urlA"}

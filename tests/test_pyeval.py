@@ -179,3 +179,33 @@ def test_lint_dialect_gating():
     # explicit dialect overrides the declared one
     assert "definitions_to_defs" in {
         f["rule"] for f in lint_schema(d7, dialect="2019-09")}
+
+
+def test_pyeval_cross_resource_dynamic_scope():
+    """The evaluator must agree with the compiler on cross-resource
+    $dynamicRef/$recursiveRef (outermost-resource-wins semantics)."""
+    LIST = {"$id": "https://example.com/list.json",
+            "$defs": {"default-elem": {"$dynamicAnchor": "elem"}},
+            "type": "array", "items": {"$dynamicRef": "#elem"}}
+    INTLIST = {"$id": "https://example.com/intlist.json",
+               "$defs": {"int-elem": {"$dynamicAnchor": "elem",
+                                      "type": "integer", "maximum": 90}},
+               "$ref": "https://example.com/list.json"}
+    reg = {"https://example.com/list.json": LIST}
+    assert validate_py(INTLIST, [95], resolver=reg) is False
+    assert validate_py(INTLIST, ["x"], resolver=reg) is False
+    assert validate_py(INTLIST, [1, 2], resolver=reg) is True
+    assert validate_py(LIST, ["x"]) is True  # base alone: anything goes
+
+    BASE = {"$id": "https://example.com/base.json", "$recursiveAnchor": True,
+            "type": "object",
+            "properties": {"v": {"type": "integer"},
+                           "next": {"$recursiveRef": "#"}}}
+    EXT = {"$id": "https://example.com/ext.json", "$recursiveAnchor": True,
+           "required": ["tag"], "$ref": "https://example.com/base.json"}
+    reg2 = {"https://example.com/base.json": BASE}
+    assert validate_py(EXT, {"tag": "t", "v": 1, "next": {"v": 2}},
+                       resolver=reg2) is False  # inner lacks tag
+    assert validate_py(EXT, {"tag": "t", "next": {"tag": "u"}},
+                       resolver=reg2) is True
+    assert validate_py(BASE, {"v": 1, "next": {"v": 2}}) is True

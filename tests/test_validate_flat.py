@@ -284,3 +284,13 @@ def test_instance_cols_restricts_flat_instance(spark):
     counted = {"maxProperties": 1}
     assert validate(df, counted).first()["valid"] is False
     assert validate(df, counted, instance_cols=["v"]).first()["valid"] is True
+
+
+def test_instance_cols_typo_raises(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark import validate
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with _pytest.raises(ValueError, match="instance_cols"):
+        validate(df, {"required": ["v"]}, instance_cols=["vv"])

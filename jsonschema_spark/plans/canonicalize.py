@@ -166,6 +166,43 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
     if "if" in node and "then" not in node and "else" not in node and not annotations_matter:
         node.pop("if")
         mark()
+    # empty then/else branches are no-ops (then_empty/else_empty analogues;
+    # {} contributes neither assertions nor annotations)
+    for kw in ("then", "else"):
+        if node.get(kw) is True or node.get(kw) == {}:
+            node.pop(kw)
+            mark()
+    # constant condition folding (if_then_else_implicit.h analogue): a
+    # boolean-constant `if` selects its branch statically; the untaken
+    # branch never contributes (failed/unreached branches are annotation-free)
+    if node.get("if") is True or node.get("if") == {}:
+        node.pop("if")
+        taken = node.pop("then", None)
+        node.pop("else", None)
+        if isinstance(taken, dict) and taken:
+            node.setdefault("allOf", []).append(taken)
+        elif taken is False:
+            node.clear()
+            node["not"] = {}
+            mark()
+            return
+        mark()
+    elif node.get("if") is False or (
+        isinstance(node.get("if"), dict)
+        and node["if"].get("not") == {}
+        and len(node["if"]) == 1
+    ):
+        node.pop("if")
+        node.pop("then", None)
+        taken = node.pop("else", None)
+        if isinstance(taken, dict) and taken:
+            node.setdefault("allOf", []).append(taken)
+        elif taken is False:
+            node.clear()
+            node["not"] = {}
+            mark()
+            return
+        mark()
     # no-op defaults dropped (rules/*_default.h family)
     for kw, noop in (("minLength", 0), ("minItems", 0), ("minProperties", 0)):
         if node.get(kw) == noop and not isinstance(node.get(kw), bool):

@@ -162,3 +162,24 @@ def test_annotation_sources_preserved_under_unevaluated():
     # without unevaluated* in scope the simplifications still fire
     assert "anyOf" not in canonicalize({"anyOf": [True, {"properties": {"a": {}}}]})
     assert "if" not in canonicalize({"if": {"required": ["a"]}})
+
+
+def test_constant_if_folding():
+    # if: true → then becomes an unconditional conjunct; else unreachable
+    s = canonicalize({"if": True, "then": {"minimum": 3}, "else": {"maximum": 1}})
+    assert validate_py(s, 5) is True and validate_py(s, 2) is False
+    assert "if" not in s and "else" not in s
+    # if: false → else applies; then unreachable
+    s2 = canonicalize({"if": False, "then": {"minimum": 3}, "else": {"maximum": 1}})
+    assert validate_py(s2, 1) is True and validate_py(s2, 2) is False
+    # false-schema condition folds the same way
+    s3 = canonicalize({"if": {"not": {}}, "else": {"maximum": 1}})
+    assert validate_py(s3, 1) is True and validate_py(s3, 2) is False
+    # constant condition into a false branch → unsatisfiable
+    assert canonicalize({"if": True, "then": False}) == FALSE
+    assert canonicalize({"if": False, "else": False}) == FALSE
+
+
+def test_empty_then_else_dropped():
+    s = canonicalize({"if": {"minimum": 0}, "then": {}, "else": True})
+    assert "then" not in s and "else" not in s

@@ -434,6 +434,60 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
         mark()
 
 
+def _collect_refs(node, out: set) -> None:
+    if isinstance(node, dict):
+        for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+            v = node.get(kw)
+            if isinstance(v, str):
+                out.add(v)
+        for v in node.values():
+            _collect_refs(v, out)
+    elif isinstance(node, list):
+        for v in node:
+            _collect_refs(v, out)
+
+
+def _has_identifiers(node) -> bool:
+    """An entry carrying $id/$anchor/$dynamicAnchor (or nesting one) may be
+    referenced by URI or anchor name — never safe to drop by pointer."""
+    if isinstance(node, dict):
+        if any(k in node for k in ("$id", "$anchor", "$dynamicAnchor")):
+            return True
+        return any(_has_identifiers(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_identifiers(v) for v in node)
+    return False
+
+
+def _drop_orphan_defs(root: dict, changed: list) -> None:
+    """orphan_definitions.h analogue — remove top-level $defs/definitions
+    entries no pointer reference reaches. Conservative: any non-pointer
+    reference in the document (anchor or absolute URI) or an entry with
+    identifiers disables dropping entirely."""
+    refs: set = set()
+    _collect_refs(root, refs)
+    if any(not r.startswith("#/") for r in refs):
+        return  # anchors / external URIs could reach defs invisibly
+    for kw in ("$defs", "definitions"):
+        defs = root.get(kw)
+        if not isinstance(defs, dict):
+            continue
+        prefix = f"#/{kw}/"
+        keep = {}
+        for name, sub in defs.items():
+            token = name.replace("~", "~0").replace("/", "~1")
+            used = any(r == f"{prefix}{token}" or r.startswith(f"{prefix}{token}/")
+                       for r in refs)
+            if used or _has_identifiers(sub):
+                keep[name] = sub
+        if len(keep) != len(defs):
+            changed.append(True)
+            if keep:
+                root[kw] = keep
+            else:
+                root.pop(kw)
+
+
 def canonicalize(schema: Union[dict, bool]) -> Union[dict, bool]:
     """Fixpoint canonical rewrite; returns a NEW schema."""
     if not isinstance(schema, dict):
@@ -443,6 +497,7 @@ def canonicalize(schema: Union[dict, bool]) -> Union[dict, bool]:
     for _ in range(10):  # fixpoint with a safety bound
         changed: list = []
         _walk_schema(out, lambda n: _rewrite_node(n, changed, annotations_matter))
+        _drop_orphan_defs(out, changed)
         if not changed:
             break
     return out

@@ -183,3 +183,19 @@ def test_constant_if_folding():
 def test_empty_then_else_dropped():
     s = canonicalize({"if": {"minimum": 0}, "then": {}, "else": True})
     assert "then" not in s and "else" not in s
+
+
+def test_orphan_defs_dropped():
+    s = canonicalize({"$defs": {"used": {"type": "integer"},
+                                "orphan": {"type": "string"},
+                                "chain": {"$ref": "#/$defs/orphan2"},
+                                "orphan2": {"minimum": 1}},
+                      "$ref": "#/$defs/used"})
+    # orphan + the chain that only orphans referenced are cascaded away
+    assert set(s["$defs"]) == {"used"}
+    # anchors / whole-doc refs disable dropping entirely (conservative)
+    s2 = canonicalize({"$defs": {"a": {"$anchor": "x"}, "b": {}},
+                       "properties": {"p": {"$ref": "#x"}}})
+    assert set(s2["$defs"]) == {"a", "b"}
+    s3 = canonicalize({"$defs": {"a": {}}, "properties": {"p": {"$ref": "#"}}})
+    assert "a" in s3["$defs"]

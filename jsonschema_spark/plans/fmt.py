@@ -85,3 +85,46 @@ def format_schema(schema: Union[dict, bool], indent: int = 2,
 def fmt_check(text: str, indent: int = 2, keep_ordering: bool = False) -> bool:
     """The `fmt --check` analogue: is ``text`` already formatted?"""
     return format_schema(json.loads(text), indent, keep_ordering) == text
+
+
+def fmt_paths(
+    paths,
+    check: bool = False,
+    indent: int = 2,
+    keep_ordering: bool = False,
+    extension: str = ".json",
+    ignore=(),
+) -> dict:
+    """The CLI's file/directory form: format (or --check) every schema
+    file under ``paths``. Returns {path: "ok" | "formatted" | "fail"} —
+    `fail` only in check mode; otherwise files are rewritten in place."""
+    import os
+
+    results: dict = {}
+
+    def one(fp):
+        with open(fp) as f:
+            text = f.read()
+        if fmt_check(text, indent, keep_ordering):
+            results[fp] = "ok"
+            return
+        if check:
+            results[fp] = "fail"
+            return
+        with open(fp, "w") as f:
+            f.write(format_schema(json.loads(text), indent, keep_ordering))
+        results[fp] = "formatted"
+
+    ignored = [os.path.abspath(i) for i in ignore]
+    for p in paths:
+        if os.path.isdir(p):
+            for root, dirs, files in os.walk(p):
+                if any(os.path.abspath(root).startswith(i) for i in ignored):
+                    dirs[:] = []
+                    continue
+                for name in sorted(files):
+                    if name.endswith(extension):
+                        one(os.path.join(root, name))
+        else:
+            one(p)
+    return results

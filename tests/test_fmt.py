@@ -69,3 +69,25 @@ def test_tuple_items_subschemas():
     schema = {"items": [{"minimum": 0, "type": "integer"}]}
     out = json.loads(format_schema(schema))
     assert list(out["items"][0]) == ["type", "minimum"]
+
+
+def test_fmt_paths_check_and_rewrite(tmp_path):
+    from jsonschema_spark.plans.fmt import fmt_paths
+
+    good = tmp_path / "good.json"
+    good.write_text(format_schema({"type": "string"}))
+    bad = tmp_path / "sub" / "bad.json"
+    bad.parent.mkdir()
+    bad.write_text('{"pattern": "a", "type": "string"}')
+    (tmp_path / "notes.txt").write_text("not a schema")
+    ignored = tmp_path / "vendor"
+    ignored.mkdir()
+    (ignored / "skip.json").write_text("{}")
+
+    res = fmt_paths([str(tmp_path)], check=True, ignore=[str(ignored)])
+    assert res == {str(good): "ok", str(bad): "fail"}
+    res2 = fmt_paths([str(tmp_path)], ignore=[str(ignored)])
+    assert res2[str(bad)] == "formatted"
+    out = json.loads(bad.read_text())
+    assert list(out) == ["type", "pattern"]  # canonical order applied
+    assert fmt_paths([str(bad)], check=True) == {str(bad): "ok"}

@@ -4,7 +4,7 @@ The reference ships a 126-rule canonicalizer
 (/root/reference/vendor/blaze/src/canonicalizer/rules/, driver
 canonicalize.cc:36-50) that rewrites schemas into simpler equivalent
 forms so the compiler sees fewer shapes. This module re-expresses the
-modern-dialect subset (~35 rules; each cites its reference analogue —
+modern-dialect subset (~40 rules; each cites its reference analogue —
 the remainder are draft-0-3 disallow/extends forms handled by
 plans/upgrade.py first, plus framing-only rules like dialect-URI
 normalization); ``canonicalize`` runs them to a fixpoint, mirroring the

@@ -514,6 +514,46 @@ FROM events GROUP BY 1
 """
 
 
+ENTRY_DOC_SCHEMA = {
+    "$id": "https://example.com/entry.schema.json",
+    "$defs": {
+        "amount": {"type": "integer", "minimum": 0, "maximum": 100},
+        "order": {"type": "object", "required": ["amt"],
+                  "properties": {"amt": {"$ref": "#/$defs/amount"}}},
+    },
+    "type": "object",
+    "required": ["orders"],
+}
+
+
+def q_validate_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--entrypoint analogue: validate instances against the subschema at
+    #/$defs/order while its $refs keep resolving against the FULL document
+    (the whole-document schema would reject these instances outright)."""
+    from jsonschema_spark import compile_entrypoint
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    e = F.col("event_id")
+    doc = F.concat(F.lit('{"amt": '), (e % 150 - 10).cast("string"), F.lit("}"))
+    cs = compile_entrypoint(ENTRY_DOC_SCHEMA, "#/$defs/order")
+    val = validate(ev.withColumn("doc", doc), cs, doc_col="doc")
+    return val.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+    )
+
+
+_ENTRYPOINT_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       sum(CASE WHEN (event_id % 150) BETWEEN 10 AND 110
+                THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN (event_id % 150) BETWEEN 10 AND 110
+                THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM events GROUP BY 1
+"""
+
+
 BINPACK_SCHEMA = {
     "type": "object", "required": ["k", "lang"],
     "additionalProperties": False,
@@ -1610,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_recursive": q_validate_recursive,
         "validate_dynamic_ref": q_validate_dynamic_ref,
         "binpack_sizes": q_binpack_sizes,
+        "validate_entrypoint": q_validate_entrypoint,
         "validate_unevaluated": q_validate_unevaluated,
         "annotations_docs": q_annotations_docs,
         "validate_formats": q_validate_formats,
@@ -1697,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_recursive": _RECURSE_SQL,
         "validate_dynamic_ref": _DYNREF_SQL,
         "binpack_sizes": _BINPACK_SQL,
+        "validate_entrypoint": _ENTRYPOINT_SQL,
         "validate_unevaluated": _UNEVAL_SQL,
         "annotations_docs": _ANNOT_SQL,
         "validate_formats": _formats_sql(),

@@ -154,6 +154,45 @@ CASES = [
                         "$ref": "#pos"}},
       "$ref": "#/$defs/sub"},
      [("1", True), ("-1", False)]),
+    # --- subtle interactions --------------------------------------------------
+    ("contains counts satisfy minContains AND maxContains together",
+     {"contains": {"type": "integer"}, "minContains": 2, "maxContains": 3},
+     [("[1,2]", True), ('[1,2,3,"x"]', True), ("[1]", False), ("[1,2,3,4]", False)]),
+    ("propertyNames composes with patternProperties",
+     {"propertyNames": {"pattern": "^[a-z]+$"},
+      "patternProperties": {"^a": {"type": "integer"}}},
+     [('{"ab":1}', True), ('{"ab":"x"}', False), ('{"AB":1}', False), ('{"zz":"ok"}', True)]),
+    ("exclusive bounds with float instance values",
+     {"exclusiveMinimum": 0.5, "exclusiveMaximum": 1.5},
+     [("0.5", False), ("1.0", True), ("1.5", False), ("0.500001", True)]),
+    ("required through dependentSchemas trigger chain",
+     {"dependentSchemas": {"a": {"dependentRequired": {"b": ["c"]}}}},
+     [('{"a":1}', True), ('{"a":1,"b":2,"c":3}', True), ('{"a":1,"b":2}', False),
+      ('{"b":2}', True)]),
+    ("not over combinator",
+     {"not": {"anyOf": [{"type": "string"}, {"minimum": 10}]}},
+     # null: minimum is vacuous for non-numbers → inner anyOf passes → not fails
+     [("5", True), ("15", False), ('"s"', False), ("null", False)]),
+    ("nested unevaluatedItems sees allOf prefixItems",
+     {"allOf": [{"prefixItems": [{"type": "integer"}]}],
+      "unevaluatedItems": {"type": "string"}},
+     [('[1,"a"]', True), ("[1,2]", False), ("[1]", True)]),
+    ("uniqueItems with mixed-type scalars",
+     {"uniqueItems": True},
+     [('[1,"1"]', True), ("[null,false,0]", True), ('[{"a":1},{"a":1.0}]', False)]),
+    ("pattern on property names via propertyNames pattern",
+     {"propertyNames": {"pattern": "^x-"}},
+     [('{"x-a":1,"x-b":2}', True), ('{"x-a":1,"y":2}', False), ("{}", True)]),
+    ("anchor ref inside allOf branch",
+     {"$defs": {"pos": {"$anchor": "p", "exclusiveMinimum": 0}},
+      "allOf": [{"$ref": "#p"}, {"multipleOf": 2}]},
+     [("4", True), ("-4", False), ("3", False)]),
+    ("if/then/else cascade with object conditions",
+     {"if": {"required": ["mode"]},
+      "then": {"required": ["value"]},
+      "else": {"maxProperties": 1}},
+     [('{"mode":1,"value":2}', True), ('{"mode":1}', False),
+      ('{"other":1}', True), ('{"a":1,"b":2}', False)]),
 ]
 
 

@@ -678,6 +678,33 @@ def q_drift_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return category_drift(_docs(spark, sf_dir), "lang", F.col("doc_id") % 2 == 0)
 
 
+def q_drift_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS over text length (baseline = even doc_ids):
+    max ECDF gap in integer ppm over every distinct value."""
+    from jsonschema_spark.operators.stats import numeric_drift
+
+    return numeric_drift(_docs(spark, sf_dir), "n_chars", F.col("doc_id") % 2 == 0)
+
+
+_DRIFT_NUM_SQL = """
+WITH g AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS nc
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT sum(nb) OVER (ORDER BY v) AS cb, sum(nc) OVER (ORDER BY v) AS cc,
+         sum(nb) OVER () AS tb, sum(nc) OVER () AS tc
+  FROM g
+)
+SELECT max(abs((cb * 1000000) // greatest(tb, 1)
+             - (cc * 1000000) // greatest(tc, 1)))::BIGINT AS ks_ppm,
+       max(tb)::BIGINT AS n_base, max(tc)::BIGINT AS n_cur
+FROM c
+"""
+
+
 def q_dedup_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.agg(
@@ -1657,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": q_profile_docs,
         "quantiles_n_chars": q_quantiles_n_chars,
         "drift_lang": q_drift_lang,
+        "drift_n_chars": q_drift_n_chars,
         "dedup_exact_counts": q_dedup_exact_counts,
         "dedup_exact_keep_first": q_dedup_exact_keep_first,
         "referential_lang": q_referential_lang,
@@ -1750,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_docs": _PROFILE_SQL,
         "quantiles_n_chars": _QUANTILES_SQL,
         "drift_lang": _DRIFT_SQL,
+        "drift_n_chars": _DRIFT_NUM_SQL,
         "dedup_exact_counts": """
             SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct_text,
                    count(*) - count(DISTINCT md5(text)) AS n_dup_docs

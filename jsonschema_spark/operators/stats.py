@@ -113,3 +113,56 @@ def category_drift(df: DataFrame, col: str, split: Column) -> DataFrame:
         "n_cur",
         F.floor(diff * 1000000 / (F.col("tot_base") * F.col("tot_cur"))).cast("long").alias("diff_ppm"),
     )
+
+
+def numeric_drift(
+    df: DataFrame,
+    col: str,
+    split: Column,
+    quantize: Optional[Column] = None,
+) -> DataFrame:
+    """Exact two-sample KS statistic between two row populations of the
+    same table (baseline = ``split`` true, current = false) — the
+    north-rule numeric drift check: max empirical-CDF gap over every
+    distinct value, reported in integer ppm so the oracle hash-matches.
+
+    Scale shape: one groupBy on the value (uniform), one ordered window
+    over the DISTINCT values only (for a continuous double column pass
+    ``quantize`` — e.g. ``F.floor(F.col(c) * 100)`` — so the distinct
+    domain stays bounded), integer-division CDF arithmetic throughout
+    (`div`, not float /: cum*1e6 overflows the double mantissa at
+    corpus scale).
+
+    Returns one row: (ks_ppm, n_base, n_cur).
+    """
+    from pyspark.sql.window import Window
+
+    v = (quantize if quantize is not None else F.col(col).cast("long")).alias("v")
+    g = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(v)
+        .agg(
+            F.sum(F.when(split, 1).otherwise(0)).cast("long").alias("nb"),
+            F.sum(F.when(split, 0).otherwise(1)).cast("long").alias("nc"),
+        )
+    )
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy()
+    d = g.select(
+        F.sum("nb").over(cum).alias("cb"),
+        F.sum("nc").over(cum).alias("cc"),
+        F.sum("nb").over(full).alias("tb"),
+        F.sum("nc").over(full).alias("tc"),
+    ).select(
+        F.abs(
+            F.expr("(cb * 1000000) div greatest(tb, 1)")
+            - F.expr("(cc * 1000000) div greatest(tc, 1)")
+        ).alias("gap"),
+        "tb",
+        "tc",
+    )
+    return d.agg(
+        F.max("gap").alias("ks_ppm"),
+        F.max("tb").alias("n_base"),
+        F.max("tc").alias("n_cur"),
+    )

@@ -339,3 +339,22 @@ def test_dedup_clusters_string_ids(spark):
         [("urlA", "urlB"), ("urlB", "urlC")], "id_a string, id_b string")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {"urlA": "urlA", "urlB": "urlA", "urlC": "urlA"}
+
+
+def test_numeric_drift_ks(spark):
+    from jsonschema_spark.operators.stats import numeric_drift
+
+    # identical populations → ks 0; disjoint → ks 1e6
+    same = spark.createDataFrame([(i, i % 10) for i in range(100)], "id long, v long")
+    r = numeric_drift(same, "v", F.col("id") % 2 == 0).first()
+    assert r["ks_ppm"] == 0 and r["n_base"] == 50 and r["n_cur"] == 50
+    disjoint = spark.createDataFrame(
+        [(i, 1 if i < 50 else 100) for i in range(100)], "id long, v long")
+    r2 = numeric_drift(disjoint, "v", F.col("id") < 50).first()
+    assert r2["ks_ppm"] == 1000000
+    # shifted: base uniform{0..9}, cur uniform{5..14} → KS = 0.5
+    shifted = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)] + [(i + 100, i % 10 + 5) for i in range(100)],
+        "id long, v long")
+    r3 = numeric_drift(shifted, "v", F.col("id") < 100).first()
+    assert r3["ks_ppm"] == 500000

@@ -345,7 +345,8 @@ def test_numeric_drift_ks(spark):
     from jsonschema_spark.operators.stats import numeric_drift
 
     # identical populations → ks 0; disjoint → ks 1e6
-    same = spark.createDataFrame([(i, i % 10) for i in range(100)], "id long, v long")
+    # (v depends on i//2 so each even/odd pair carries the same value)
+    same = spark.createDataFrame([(i, (i // 2) % 10) for i in range(100)], "id long, v long")
     r = numeric_drift(same, "v", F.col("id") % 2 == 0).first()
     assert r["ks_ppm"] == 0 and r["n_base"] == 50 and r["n_cur"] == 50
     disjoint = spark.createDataFrame(

@@ -224,6 +224,16 @@ def encoding_plan(schema: Union[dict, bool]) -> Plan:
         lo, hi = schema.get("minimum"), schema.get("maximum")
         mult = schema.get("multipleOf", 1)
         mult = int(mult) if isinstance(mult, (int, float)) and float(mult).is_integer() and mult >= 1 else 1
+        if mult > 1:
+            # multipleOf constrains v % mult == 0, NOT (v - lo) % mult == 0:
+            # snap the bounds to the multiple so offset = (v - lo) / mult is
+            # exact for every schema-valid v (mirrors the reference's
+            # FLOOR_MULTIPLE_ENUM_VARINT arithmetic, which offsets from the
+            # smallest multiple >= minimum)
+            if isinstance(lo, int) and not isinstance(lo, bool):
+                lo = -((-lo) // mult) * mult   # ceil to next multiple
+            if isinstance(hi, int) and not isinstance(hi, bool):
+                hi = (hi // mult) * mult       # floor to prev multiple
         if isinstance(lo, int) and isinstance(hi, int):
             return Plan("bounded_int", lo=lo, hi=hi, mult=mult)
             # BOUNDED_MULTIPLE_8BITS_ENUM_FIXED when range small, varint otherwise

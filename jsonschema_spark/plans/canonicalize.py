@@ -145,9 +145,15 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
         inner = node.pop("allOf")[0]
         node.update(inner)
         mark()
-    # double negation: not.not → allOf wrapper (rules/double_negation.h)
+    # double negation: not.not → allOf wrapper (rules/double_negation.h).
+    # Annotation-gated: `not` discards its subtree's annotations, but an
+    # allOf hoist lets them escape and mark properties as evaluated — a
+    # verdict flip under unevaluated* (same gating as anyOf-true / bare-if)
     nt = node.get("not")
-    if isinstance(nt, dict) and set(nt) == {"not"} and isinstance(nt["not"], (dict, bool)):
+    if (
+        not annotations_matter
+        and isinstance(nt, dict) and set(nt) == {"not"} and isinstance(nt["not"], (dict, bool))
+    ):
         inner = node.pop("not")["not"]
         node.setdefault("allOf", []).append(inner if isinstance(inner, dict) else ({} if inner else {"not": {}}))
         mark()
@@ -174,8 +180,12 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
             mark()
     # constant condition folding (if_then_else_implicit.h analogue): a
     # boolean-constant `if` selects its branch statically; the untaken
-    # branch never contributes (failed/unreached branches are annotation-free)
-    if node.get("if") is True or node.get("if") == {}:
+    # branch never contributes. Annotation-gated like bare-if: moving the
+    # taken branch into allOf changes its annotation scope relative to the
+    # conditional structure under unevaluated*
+    if annotations_matter:
+        pass
+    elif node.get("if") is True or node.get("if") == {}:
         node.pop("if")
         taken = node.pop("then", None)
         node.pop("else", None)
@@ -333,11 +343,21 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
         and (t_num in ("integer", "number")
              or (isinstance(t_num, list) and t_num and set(t_num) <= {"integer", "number"}))
     ):
-        lo = node.pop("minimum")
-        node.pop("maximum")
-        node.pop("type")
-        node["const"] = lo
-        mark()
+        ts = t_num if isinstance(t_num, list) else [t_num]
+        if any(_type_ok_py(node["minimum"], t) for t in ts):
+            lo = node.pop("minimum")
+            node.pop("maximum")
+            node.pop("type")
+            node["const"] = lo
+            mark()
+        else:
+            # bound contradicts the sibling type (e.g. integer ∧ min=max=1.5):
+            # unsatisfiable, NOT const — collapsing to const would flip the
+            # verdict for that very value
+            node.clear()
+            node["not"] = {}
+            mark()
+            return
     # integer-typed exclusive bounds fold to inclusive (exclusive_*_integer_to_*)
     if node.get("type") == "integer":
         em = node.get("exclusiveMinimum")

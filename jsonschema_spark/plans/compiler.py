@@ -102,10 +102,13 @@ class Config:
     # order. Internal fast-mode recompiles (not/if conditions, branch-ok
     # gates) intentionally DROP the sink — only the primary plan traces.
     trace_sink: Optional[list] = None
-    # Static dynamic scope: the chain of schema resources entered along the
-    # current compile path, outermost first (the reference's runtime
-    # resource stack, evaluator.h — statically known here because every
-    # reference is inlined). Empty ⇔ just the root resource.
+    # Static dynamic scope: the chain of (resource, base_uri) pairs entered
+    # along the current compile path, outermost first (the reference's
+    # runtime resource stack, evaluator.h — statically known here because
+    # every reference is inlined). Empty ⇔ just the root resource. The URI
+    # rides along so a $dynamicRef that wins in an OUTER resource compiles
+    # its target under THAT resource's root/base (fragment $refs inside the
+    # target resolve against the right document).
     dynamic_scope: tuple = ()
     # Parser-grade idn-hostname/idn-email/iri validation via pandas UDF
     # (functions/formats.py:format_ok_strict); False = pure-JVM regex
@@ -123,10 +126,10 @@ class Config:
                       format_strict=self.format_strict)
 
     def with_root(self, root, base_uri: str) -> "Config":
-        scope = self.dynamic_scope or (self.root,)
+        scope = self.dynamic_scope or ((self.root, self.base_uri),)
         return Config(base_uri, self.mode, self.format_assertion, root,
                       self.short_circuit, self.resolver, self.max_ref_depth,
-                      self.trace_sink, scope + (root,), self.format_strict)
+                      self.trace_sink, scope + ((root, base_uri),), self.format_strict)
 
 
 def _viol(cfg: Config, kw: str, loc: Union[str, Column], error: Column) -> Column:
@@ -290,16 +293,20 @@ def _resource_anchors(root, name: str, dynamic_only: bool):
 
 def _resolve_dynamic_ref(key: str, val, cfg: Config):
     """Static resolution of $dynamicRef/$recursiveRef against the
-    compile-time dynamic scope (outermost resource first)."""
-    scope = cfg.dynamic_scope or (cfg.root,)
+    compile-time dynamic scope (outermost resource first). Returns
+    ``(target_node, owning_resource, owning_base_uri)`` so the caller can
+    compile the target under the WINNING resource's root/base — fragment
+    $refs inside a cross-resource dynamic target must resolve against the
+    document that declared the anchor, not the referencing one."""
+    scope = cfg.dynamic_scope or ((cfg.root, cfg.base_uri),)
     if key == "$recursiveRef":
         if val != "#":
             raise SchemaError(f"$recursiveRef must be '#', got {val!r}")
         if isinstance(cfg.root, dict) and cfg.root.get("$recursiveAnchor") is True:
-            for res in scope:
+            for res, uri in scope:
                 if isinstance(res, dict) and res.get("$recursiveAnchor") is True:
-                    return res
-        return cfg.root
+                    return res, res, uri
+        return cfg.root, cfg.root, cfg.base_uri
     if not (isinstance(val, str) and val.startswith("#") and not val.startswith("#/")):
         raise SchemaError(
             f"$dynamicRef with non-fragment or pointer target {val!r} requires "
@@ -314,7 +321,7 @@ def _resolve_dynamic_ref(key: str, val, cfg: Config):
         )
     target = initial[0]
     if isinstance(target, dict) and target.get("$dynamicAnchor") == name:
-        for res in scope:  # outermost-first: the defining property of dynamic scope
+        for res, uri in scope:  # outermost-first: the defining property of dynamic scope
             hits = _resource_anchors(res, name, dynamic_only=True)
             if len(hits) > 1:
                 raise SchemaError(
@@ -322,8 +329,8 @@ def _resolve_dynamic_ref(key: str, val, cfg: Config):
                     f"(found {len(hits)})"
                 )
             if hits:
-                return hits[0]
-    return target
+                return hits[0], res, uri
+    return target, cfg.root, cfg.base_uri
 
 _TYPE_NAMES = {"null", "boolean", "integer", "number", "string", "array", "object"}
 
@@ -473,7 +480,8 @@ def compile_node(
                         _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))
                     )
         elif key in _DYNAMIC_KEYWORDS:
-            target = _resolve_dynamic_ref(key, val, cfg)
+            target, res, res_uri = _resolve_dynamic_ref(key, val, cfg)
+            sub_cfg = cfg if res is cfg.root else cfg.with_root(res, res_uri)
             ref_key = (cfg.base_uri, f"{key}:{val}")
             if ref_stack.count(ref_key) >= cfg.max_ref_depth:
                 parts.append(
@@ -481,7 +489,7 @@ def compile_node(
                           lambda d=cfg.max_ref_depth: M.msg_ref_depth(d))
                 )
             else:
-                sub = compile_node(target, ctx, kwp, cfg, ref_stack + (ref_key,))
+                sub = compile_node(target, ctx, kwp, sub_cfg, ref_stack + (ref_key,))
                 if sub.ok is not True:
                     parts.append(
                         _and_combine([sub], cfg, own=(kwp, ctx, lambda c=ctx: M.msg_ref(c)))
@@ -1026,6 +1034,12 @@ def _conjunctive_contributors(schema, cfg: Config, seen: tuple = ()) -> list:
     if isinstance(ref, str) and ref not in seen:
         target, sub_cfg = _resolve_ref(ref, cfg)
         out.extend(_conjunctive_contributors(target, sub_cfg, seen + (ref,)))
+    for dk in _DYNAMIC_KEYWORDS:
+        dval = schema.get(dk)
+        if isinstance(dval, str) and (dk, dval) not in seen:
+            target, res, res_uri = _resolve_dynamic_ref(dk, dval, cfg)
+            sub_cfg = cfg if res is cfg.root else cfg.with_root(res, res_uri)
+            out.extend(_conjunctive_contributors(target, sub_cfg, seen + ((dk, dval),)))
     return out
 
 
@@ -1076,6 +1090,17 @@ def _key_evaluated(schema, k: Column, ctx: Ctx, cfg: Config, ref_stack, is_root:
         if ref_stack.count(ref_key) < cfg.max_ref_depth:
             target, sub_cfg = _resolve_ref(ref, cfg)
             conds.append(_key_evaluated(target, k, ctx, sub_cfg, ref_stack + (ref_key,), False))
+    # $dynamicRef/$recursiveRef targets evaluate properties too — omitting
+    # them would spuriously reject under dynamic unevaluated*
+    for dk in _DYNAMIC_KEYWORDS:
+        dval = schema.get(dk)
+        if isinstance(dval, str):
+            ref_key = (cfg.base_uri, f"{dk}:{dval}")
+            if ref_stack.count(ref_key) < cfg.max_ref_depth:
+                target, res, res_uri = _resolve_dynamic_ref(dk, dval, cfg)
+                sub_cfg = cfg if res is cfg.root else cfg.with_root(res, res_uri)
+                conds.append(_key_evaluated(target, k, ctx, sub_cfg,
+                                            ref_stack + (ref_key,), False))
     # `not` contributes nothing: its annotations never propagate
     return or_(*conds)
 
@@ -1124,6 +1149,15 @@ def _item_evaluated(schema, x: Column, i: Column, ctx: Ctx, cfg: Config, ref_sta
         if ref_stack.count(ref_key) < cfg.max_ref_depth:
             target, sub_cfg = _resolve_ref(ref, cfg)
             conds.append(_item_evaluated(target, x, i, ctx, sub_cfg, ref_stack + (ref_key,), False))
+    for dk in _DYNAMIC_KEYWORDS:
+        dval = schema.get(dk)
+        if isinstance(dval, str):
+            ref_key = (cfg.base_uri, f"{dk}:{dval}")
+            if ref_stack.count(ref_key) < cfg.max_ref_depth:
+                target, res, res_uri = _resolve_dynamic_ref(dk, dval, cfg)
+                sub_cfg = cfg if res is cfg.root else cfg.with_root(res, res_uri)
+                conds.append(_item_evaluated(target, x, i, ctx, sub_cfg,
+                                             ref_stack + (ref_key,), False))
     return or_(*conds)
 
 

@@ -113,11 +113,17 @@ def _pointer(doc: Any, ptr: str) -> Any:
     cur = doc
     for raw in ptr.split("/")[1:]:
         tok = raw.replace("~1", "/").replace("~0", "~")
-        if isinstance(cur, list):
-            cur = cur[int(tok)]
-        elif isinstance(cur, dict):
-            cur = cur[tok]
-        else:
+        try:
+            if isinstance(cur, list):
+                cur = cur[int(tok)]
+            elif isinstance(cur, dict):
+                cur = cur[tok]
+            else:
+                raise EvalError(f"cannot resolve pointer {ptr!r}")
+        except (KeyError, IndexError, ValueError):
+            # dangling pointer (missing key, bad index) must surface as
+            # EvalError so callers (lint valid_default, invalid_external_ref)
+            # report instead of crash
             raise EvalError(f"cannot resolve pointer {ptr!r}")
     return cur
 

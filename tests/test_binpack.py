@@ -238,3 +238,26 @@ def test_const_and_multiple_violations_rejected():
                             "multipleOf": 2})
     with _pytest.raises(EncodeError, match="null"):
         encode_instance(0, {"type": "null"})
+
+
+def test_unaligned_bounds_with_multipleof():
+    # multipleOf constrains v % mult == 0, not (v - minimum) % mult == 0:
+    # bounds are snapped to the multiple at plan time so every schema-valid
+    # value encodes and round-trips (ADVICE r2: v=2 under min=1 raised)
+    from jsonschema_spark.operators.binpack import EncodeError
+
+    schema = {"type": "integer", "minimum": 1, "maximum": 9, "multipleOf": 2}
+    for v in (2, 4, 6, 8):
+        assert decode_instance(encode_instance(v, schema), schema) == v
+    for bad in (1, 3, 9, 10, 0):
+        try:
+            encode_instance(bad, schema)
+            assert False, f"{bad} should not encode"
+        except EncodeError:
+            pass
+    # floor-only and roof-only variants
+    fs = {"type": "integer", "minimum": 1, "multipleOf": 2}
+    assert decode_instance(encode_instance(2, fs), fs) == 2
+    rs = {"type": "integer", "maximum": 9, "multipleOf": 2}
+    assert decode_instance(encode_instance(-4, rs), rs) == -4
+    assert decode_instance(encode_instance(8, rs), rs) == 8

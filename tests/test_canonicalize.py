@@ -199,3 +199,36 @@ def test_orphan_defs_dropped():
     assert set(s2["$defs"]) == {"a", "b"}
     s3 = canonicalize({"$defs": {"a": {}}, "properties": {"p": {"$ref": "#"}}})
     assert "a" in s3["$defs"]
+
+
+def test_double_negation_gated_on_annotations():
+    # not.not → allOf would let the inner subtree's annotations escape a
+    # `not` (which discards them) and flip verdicts under unevaluated*
+    s = {"not": {"not": {"properties": {"a": {"type": "integer"}}}},
+         "unevaluatedProperties": False}
+    c = canonicalize(s)
+    assert validate_py(s, {"a": 1}) is validate_py(c, {"a": 1}) is False, c
+    # without unevaluated* in scope the rewrite still fires
+    c2 = canonicalize({"not": {"not": {"minimum": 3}}})
+    assert validate_py(c2, 5) is True and validate_py(c2, 1) is False
+    assert "not" not in c2
+
+
+def test_constant_if_fold_gated_on_annotations():
+    s = {"if": True, "then": {"properties": {"a": {}}},
+         "unevaluatedProperties": False}
+    c = canonicalize(s)
+    assert validate_py(s, {"a": 1}) is validate_py(c, {"a": 1}) is True, c
+
+
+def test_equal_bounds_const_respects_type():
+    # integer ∧ minimum=maximum=1.5 is unsatisfiable — must NOT become
+    # const 1.5 (which would accept 1.5)
+    s = {"type": "integer", "minimum": 1.5, "maximum": 1.5}
+    c = canonicalize(s)
+    assert validate_py(s, 1.5) is validate_py(c, 1.5) is False, c
+    # satisfiable equal bounds still collapse
+    c2 = canonicalize({"type": "number", "minimum": 1.5, "maximum": 1.5})
+    assert c2 == {"const": 1.5}
+    c3 = canonicalize({"type": "integer", "minimum": 3, "maximum": 3})
+    assert c3 == {"const": 3}

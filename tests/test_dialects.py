@@ -580,3 +580,45 @@ def test_embedded_id_anchor_scope(spark):
     docs = spark.createDataFrame([(1, '{"x": 5}'), (2, '{"x": 0}')], "id long, doc string")
     got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
     assert got == {1: True, 2: False}
+
+
+def test_dynamic_ref_cross_resource_target_fragment_ref(spark):
+    """A $dynamicRef won by an OUTER resource compiles under THAT resource:
+    fragment $refs inside the winning target resolve against the document
+    that declared the anchor, not the referencing one (ADVICE r2)."""
+    base = {
+        "$id": "https://example.com/base2.json",
+        "$defs": {"default-elem": {"$dynamicAnchor": "elem"}},
+        "type": "array",
+        "items": {"$dynamicRef": "#elem"},
+    }
+    ext = {
+        "$id": "https://example.com/ext2.json",
+        "$defs": {
+            "elem": {"$dynamicAnchor": "elem", "$ref": "#/$defs/payload"},
+            "payload": {"type": "integer"},   # only exists in ext
+        },
+        "$ref": "https://example.com/base2.json",
+    }
+    registry = {"https://example.com/base2.json": base}
+    docs = spark.createDataFrame([(1, '[1, 2]'), (2, '["x"]')], "id long, doc string")
+    cs = compile_schema(ext, resolver=registry)
+    got = {r["id"]: r["valid"] for r in validate(docs, cs, doc_col="doc").collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_unevaluated_through_dynamic_ref(spark):
+    """Properties evaluated via a $dynamicRef target must count as
+    evaluated for unevaluatedProperties (ADVICE r2: spurious rejection)."""
+    schema = {
+        "$defs": {"core": {"$dynamicAnchor": "core",
+                           "properties": {"a": {"type": "integer"}}}},
+        "$dynamicRef": "#core",
+        "unevaluatedProperties": False,
+    }
+    docs = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, '{"b": 1}'), (3, '{"a": 1, "b": 2}')],
+        "id long, doc string",
+    )
+    got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: False}

@@ -646,3 +646,14 @@ def test_http_resolver_injected_fetch():
     with _pytest.raises(ValueError, match="budget"):
         resolve_remote_refs({"$ref": "https://e.com/0.json"},
                             fetch=many.__getitem__, max_fetches=8)
+
+
+def test_lint_dangling_local_ref_reports_not_crashes():
+    # pyeval._pointer used to raise raw KeyError on a dangling local $ref,
+    # crashing lint_schema out of valid_default (ADVICE r2)
+    out = lint_schema({"default": 1, "$ref": "#/$defs/nope",
+                       "$defs": {"other": {"type": "integer"}}})
+    assert isinstance(out, list)  # must not raise
+    out2 = lint_schema({"examples": [1], "$ref": "#/$defs/a/9",
+                        "$defs": {"a": []}})
+    assert isinstance(out2, list)

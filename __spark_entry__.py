@@ -948,15 +948,18 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing through mapInPandas (stub decoder).
-
-    The sha/byte-length are SQL-checkable, but width/height/duration come
-    from the deterministic stub decoder, so this entry ships without an
-    oracle (driver records the weaker rows-only check)."""
+    """Real media-header decode through mapInPandas: payloads are genuine
+    PNG/GIF/JPEG/WAV/MP4 container headers (synthesized deterministically
+    from doc_id — operators/multimodal.py:synth_media_bytes) and the
+    "headers" decoder extracts dimensions/duration/sample-rate by pure
+    byte parsing (no pillow/ffmpeg). The oracle recomputes every planted
+    field arithmetically, so a parser regression breaks the hash."""
     from jsonschema_spark.operators.multimodal import extract_features, media_from_documents
 
-    media = media_from_documents(_docs(spark, sf_dir))
-    return extract_features(media)
+    media = media_from_documents(_docs(spark, sf_dir), payload="media")
+    return extract_features(media, decoder="headers").select(
+        "media_id", "kind", "format", "n_bytes",
+        "width", "height", "duration_ms", "sample_rate_hz", "channels")
 
 
 # ---------------------------------------------------------------------------
@@ -1815,4 +1818,33 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,
+        # mirrors operators/multimodal.py:synth_media_fields — the Spark
+        # side PARSES real container-header bytes; the oracle recomputes
+        # the planted fields arithmetically (byte sizes are the fixed
+        # header lengths emitted by synth_media_bytes)
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CASE WHEN doc_id % 3 = 1 THEN 'wav'
+                        WHEN doc_id % 3 = 2 THEN 'mp4'
+                        WHEN (doc_id % 9) // 3 = 0 THEN 'png'
+                        WHEN (doc_id % 9) // 3 = 1 THEN 'gif'
+                        ELSE 'jpeg' END AS format,
+                   (CASE WHEN doc_id % 3 = 1 THEN 44
+                         WHEN doc_id % 3 = 2 THEN 232
+                         WHEN (doc_id % 9) // 3 = 0 THEN 33
+                         WHEN (doc_id % 9) // 3 = 1 THEN 14
+                         ELSE 34 END)::BIGINT AS n_bytes,
+                   (CASE WHEN doc_id % 3 IN (0, 2)
+                         THEN 16 + (doc_id * 7) % 1000 END)::INT AS width,
+                   (CASE WHEN doc_id % 3 IN (0, 2)
+                         THEN 16 + (doc_id * 13) % 800 END)::INT AS height,
+                   (CASE WHEN doc_id % 3 IN (1, 2)
+                         THEN 100 + (doc_id * 31) % 60000 END)::BIGINT AS duration_ms,
+                   (CASE WHEN doc_id % 3 = 1
+                         THEN 8000 * (1 + doc_id % 5) END)::INT AS sample_rate_hz,
+                   (CASE WHEN doc_id % 3 = 1
+                         THEN 1 + doc_id % 2 END)::INT AS channels
+            FROM documents""",
     }

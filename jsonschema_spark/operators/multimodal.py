@@ -243,16 +243,95 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def media_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic synthetic media table from the documents fixture
-    (payload = utf-8 bytes; kind cycles image/audio/video)."""
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis: REAL container headers whose fields are
+# exact integer functions of media_id. The payload is genuine PNG/GIF/JPEG/
+# WAV/MP4 header bytes (truncated after the header, like crawled media
+# often is), so the "headers" decoder exercises real byte parsing while a
+# SQL oracle can recompute every expected field arithmetically.
+# ---------------------------------------------------------------------------
+
+def synth_media_fields(media_id: int) -> dict:
+    """The planted field values for ``synth_media_bytes(media_id)`` —
+    keep in lockstep with the SQL mirror in __spark_entry__."""
+    kind = ("image", "audio", "video")[media_id % 3]
+    w = 16 + (media_id * 7) % 1000
+    h = 16 + (media_id * 13) % 800
+    ms = 100 + (media_id * 31) % 60000
+    if kind == "image":
+        fmt = ("png", "gif", "jpeg")[(media_id % 9) // 3]
+        return {"kind": kind, "format": fmt, "width": w, "height": h,
+                "duration_ms": None, "sample_rate_hz": None, "channels": None}
+    if kind == "audio":
+        rate = 8000 * (1 + media_id % 5)   # 8/16/24/32/40 kHz — all % 500 == 0
+        ch = 1 + media_id % 2
+        return {"kind": kind, "format": "wav", "width": None, "height": None,
+                "duration_ms": ms, "sample_rate_hz": rate, "channels": ch}
+    return {"kind": kind, "format": "mp4", "width": w, "height": h,
+            "duration_ms": ms, "sample_rate_hz": None, "channels": None}
+
+
+def synth_media_bytes(media_id: int) -> bytes:
+    f = synth_media_fields(media_id)
+    if f["format"] == "png":
+        ihdr = struct.pack(">II", f["width"], f["height"]) + b"\x08\x02\x00\x00\x00"
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + ihdr + b"\x00\x00\x00\x00")                      # 33 bytes
+    if f["format"] == "gif":
+        return (b"GIF89a" + struct.pack("<HH", f["width"], f["height"])
+                + b"\x00\x00\x00" + b"\x3b")                       # 14 bytes
+    if f["format"] == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+               + struct.pack(">HH", f["height"], f["width"]) + b"\x01\x11\x00")
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"              # 35 bytes
+    if f["format"] == "wav":
+        rate, ch, bits = f["sample_rate_hz"], f["channels"], 16
+        byte_rate = rate * ch * (bits // 8)
+        data_sz = f["duration_ms"] * (byte_rate // 1000)   # exact: rate % 500 == 0
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, byte_rate, ch * bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 36 + data_sz) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", data_sz))            # 44 bytes
+    # mp4: ftyp + moov(mvhd v0 + trak(tkhd v0))
+    mvhd = (struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)                      # ctime/mtime
+            + struct.pack(">II", 1000, f["duration_ms"])    # timescale, duration
+            + b"\x00" * 80)
+    tkhd = (struct.pack(">I", 92) + b"tkhd" + b"\x00\x00\x00\x00"
+            + b"\x00" * 72
+            + struct.pack(">II", f["width"] << 16, f["height"] << 16))
+    moov = struct.pack(">I", 8 + 108 + 8 + 92) + b"moov" + mvhd \
+        + struct.pack(">I", 8 + 92) + b"trak" + tkhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov                                             # 232 bytes
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         payload: str = "text") -> DataFrame:
+    """Deterministic synthetic media table from the documents fixture.
+
+    payload="text": utf-8 bytes of the text column (opaque-binary plumbing;
+    pairs with the stub decoder). payload="media": real container-header
+    bytes from ``synth_media_bytes`` (pairs with the "headers" decoder and
+    an arithmetic SQL oracle). kind cycles image/audio/video either way.
+    """
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col(id_col) % 3 + 1).cast("int"),
     )
+    if payload == "media":
+        @F.pandas_udf(T.BinaryType())
+        def build(ids: pd.Series) -> pd.Series:
+            return ids.map(lambda i: synth_media_bytes(int(i)))
+
+        payload_col = build(F.col(id_col))
+    else:
+        payload_col = F.encode(F.col(text_col), "UTF-8")
     return docs.select(
         F.col(id_col).alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        payload_col.alias("payload"),
         F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
     )

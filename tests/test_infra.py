@@ -657,3 +657,67 @@ def test_lint_dangling_local_ref_reports_not_crashes():
     out2 = lint_schema({"examples": [1], "$ref": "#/$defs/a/9",
                         "$defs": {"a": []}})
     assert isinstance(out2, list)
+
+
+def test_media_header_parsers_golden():
+    """Hand-built container fixtures — independent of synth_media_bytes —
+    plus malformed/truncated negatives."""
+    import struct
+
+    from jsonschema_spark.operators.multimodal import (
+        parse_image_header, parse_media_header, parse_mp4_header,
+        parse_wav_header)
+
+    # PNG: 640x480
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"Z" * 4)
+    assert parse_image_header(png) == {"format": "png", "width": 640, "height": 480}
+    # GIF87a little-endian dims
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x91\x00\x00"
+    assert parse_image_header(gif) == {"format": "gif", "width": 320, "height": 200}
+    # JPEG with DQT + DHT segments BEFORE the SOF2 (progressive) marker,
+    # and a restart marker thrown in
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    dht = b"\xff\xc4" + struct.pack(">H", 19) + b"\x00" + b"\x02" * 16
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x01\x22\x00"
+    jpg = b"\xff\xd8" + dqt + dht + b"\xff\x01" + sof2 + b"\xff\xd9"
+    assert parse_image_header(jpg) == {"format": "jpeg", "width": 1920, "height": 1080}
+    # WAV 44.1k stereo 16-bit, 1s of data declared (odd-size chunk padding)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size → pad byte
+    wav = (b"RIFF" + struct.pack("<I", 36 + 176400) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt + junk
+           + b"data" + struct.pack("<I", 176400))
+    got = parse_wav_header(wav)
+    assert got == {"format": "wav", "sample_rate_hz": 44100, "channels": 2,
+                   "duration_ms": 1000}
+    # MP4 mvhd version 1 (64-bit duration), timescale 90000
+    mvhd1 = (struct.pack(">I", 120) + b"mvhd" + b"\x01\x00\x00\x00"
+             + struct.pack(">QQ", 0, 0) + struct.pack(">I", 90000)
+             + struct.pack(">Q", 90000 * 7) + b"\x00" * 80)
+    moov = struct.pack(">I", 8 + 120) + b"moov" + mvhd1
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"mp42" + struct.pack(">I", 0)
+    got = parse_mp4_header(ftyp + moov)
+    assert got["format"] == "mp4" and got["duration_ms"] == 7000
+    # negatives: wrong magic, truncated SOF, short buffers
+    assert parse_media_header(b"plain text")["format"] is None
+    assert parse_media_header(b"\xff\xd8\xff\xc0\x00\x0b\x08")["format"] is None
+    assert parse_media_header(b"RIFFxxxxWAVE")["format"] is None
+    assert parse_media_header(b"")["format"] is None
+    assert parse_media_header(b"GIF89a\x01")["format"] is None
+
+
+def test_media_headers_end_to_end(spark):
+    """payload="media" + decoder="headers": every parsed field equals the
+    planted arithmetic value (the oracle query's pytest twin)."""
+    from jsonschema_spark.operators.multimodal import synth_media_fields
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    media = media_from_documents(docs, payload="media")
+    feats = extract_features(media, decoder="headers")
+    for r in feats.collect():
+        exp = synth_media_fields(r["media_id"])
+        for k in ("kind", "format", "width", "height", "duration_ms",
+                  "sample_rate_hz", "channels"):
+            assert r[k] == exp[k], (r["media_id"], k, r[k], exp[k])
+        assert r["n_bytes"] > 0 and len(r["sha"]) == 64

@@ -38,6 +38,62 @@ def _is_plain_num(v) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
+def _type_accept_set(t) -> set:
+    """Concrete instance-type acceptance set for a `type` value —
+    "number" admits integers too, so expand it for disjointness tests."""
+    out = set()
+    for x in (t if isinstance(t, list) else [t]):
+        if x == "number":
+            out |= {"number", "integer"}
+        elif isinstance(x, str):
+            out.add(x)
+    return out
+
+
+# keyword → instance-type bucket it can constrain ("number" bucket covers
+# integer too). Used by non_applicable_type_specific_keywords: when the
+# declared type excludes the bucket, the keyword can never fire (assertion)
+# nor annotate (applicators only annotate instances of their bucket type).
+_KW_APPLICABLE = {
+    "minimum": "number", "maximum": "number",
+    "exclusiveMinimum": "number", "exclusiveMaximum": "number",
+    "multipleOf": "number",
+    "minLength": "string", "maxLength": "string", "pattern": "string",
+    "minItems": "array", "maxItems": "array", "uniqueItems": "array",
+    "prefixItems": "array", "items": "array", "contains": "array",
+    "minContains": "array", "maxContains": "array",
+    "required": "object", "minProperties": "object", "maxProperties": "object",
+    "properties": "object", "patternProperties": "object",
+    "additionalProperties": "object", "propertyNames": "object",
+    "dependentRequired": "object", "dependentSchemas": "object",
+}
+
+# pure-assertion validation keywords an enum/const member can be checked
+# against in isolation (no annotations, no applicator subtrees)
+_VALIDATION_KWS = (
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "multipleOf", "minLength", "maxLength", "pattern", "minItems",
+    "maxItems", "uniqueItems", "minProperties", "maxProperties", "required",
+)
+
+# keywords that make merging an allOf branch unsafe: identifiers (URI
+# targets), reference jumps, conditionals (pairing `if` from one branch
+# with `then` from another changes meaning), runtime-annotation consumers,
+# and SIBLING-COUPLED keywords whose semantics depend on adjacency in the
+# same schema object (additionalProperties ↔ properties, items ↔
+# prefixItems, minContains ↔ contains): merging them next to another
+# branch's trigger keyword would change what they mean
+_NO_MERGE_KWS = frozenset({
+    "$id", "$anchor", "$dynamicAnchor", "$ref", "$dynamicRef",
+    "$recursiveRef", "$recursiveAnchor", "$schema", "$vocabulary",
+    "$defs", "definitions",
+    "if", "then", "else", "not",
+    "unevaluatedProperties", "unevaluatedItems",
+    "additionalProperties", "additionalItems", "items",
+    "minContains", "maxContains",
+})
+
+
 def _type_ok_py(v, t: str) -> bool:
     from jsonschema_spark.plans.pyeval import _type_ok
 
@@ -57,8 +113,8 @@ def _is_unsatisfiable(node: dict) -> bool:
     if node.get("enum") == []:
         return True
     if (
-        isinstance(node.get("exclusiveMinimum"), (int, float))
-        and isinstance(node.get("exclusiveMaximum"), (int, float))
+        _is_plain_num(node.get("exclusiveMinimum"))
+        and _is_plain_num(node.get("exclusiveMaximum"))
         and node["exclusiveMinimum"] >= node["exclusiveMaximum"]
     ):
         return True
@@ -97,20 +153,16 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
         if len(dedup) != len(node["enum"]):
             node["enum"] = dedup
             mark()
-    # exclusive/inclusive bound folding (rules: exclusive_* implication)
-    if (
-        isinstance(node.get("exclusiveMinimum"), (int, float))
-        and isinstance(node.get("minimum"), (int, float))
-    ):
+    # exclusive/inclusive bound folding (rules: exclusive_* implication).
+    # _is_plain_num keeps draft-4 BOOLEAN exclusive markers out (True is an
+    # int to Python — comparing it as a bound silently erased the marker)
+    if _is_plain_num(node.get("exclusiveMinimum")) and _is_plain_num(node.get("minimum")):
         if node["exclusiveMinimum"] >= node["minimum"]:
             node.pop("minimum")
         else:
             node.pop("exclusiveMinimum")
         mark()
-    if (
-        isinstance(node.get("exclusiveMaximum"), (int, float))
-        and isinstance(node.get("maximum"), (int, float))
-    ):
+    if _is_plain_num(node.get("exclusiveMaximum")) and _is_plain_num(node.get("maximum")):
         if node["exclusiveMaximum"] <= node["maximum"]:
             node.pop("maximum")
         else:
@@ -446,6 +498,192 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
     ):
         node["items"] = node.pop("unevaluatedItems")
         mark()
+    # --- round-3 batch: reference-rule parity ------------------------------
+    # deprecated_false_drop: `deprecated: false` is the default — pure noise
+    if node.get("deprecated") is False:
+        node.pop("deprecated")
+        mark()
+    # recursive_anchor_false_drop: $recursiveAnchor: false is the default
+    if node.get("$recursiveAnchor") is False:
+        node.pop("$recursiveAnchor")
+        mark()
+    # exclusive_bounds boolean form is dialect-dependent (draft-4 semantics);
+    # handled in _root_passes under the classic-draft gate — see there.
+    # content_media_type_without_encoding / content_schema_without_media_type:
+    # content* are pure annotations in 2019-09/2020-12 — acceptance is
+    # unchanged; incomplete stacks are dropped like the reference does
+    if "contentMediaType" in node and "contentEncoding" not in node:
+        node.pop("contentMediaType")
+        mark()
+    if "contentSchema" in node and "contentMediaType" not in node:
+        node.pop("contentSchema")
+        mark()
+    # const_in_enum: const ∈ enum → enum redundant; const ∉ enum → nothing
+    # satisfies both → false schema
+    if "const" in node and isinstance(node.get("enum"), list):
+        ck = canonical_dumps(node["const"])
+        if any(canonical_dumps(v) == ck for v in node["enum"]):
+            node.pop("enum")
+        else:
+            node.clear()
+            node["not"] = {}
+        mark()
+        return
+    # minimum/maximum_real_for_integer: an integer-typed schema can fold a
+    # real bound to the nearest admissible integer
+    if node.get("type") == "integer":
+        import math
+
+        mn = node.get("minimum")
+        if isinstance(mn, float):
+            node["minimum"] = int(math.ceil(mn))
+            mark()
+        mx = node.get("maximum")
+        if isinstance(mx, float):
+            node["maximum"] = int(math.floor(mx))
+            mark()
+    # min_items_given_min_contains: ≥minContains matching items force
+    # length ≥ minContains, so a weaker minItems is redundant
+    if (
+        "contains" in node
+        and isinstance(node.get("minContains"), int)
+        and not isinstance(node.get("minContains"), bool)
+        and node["minContains"] >= 1
+        and isinstance(node.get("minItems"), int)
+        and not isinstance(node.get("minItems"), bool)
+        and node["minItems"] <= node["minContains"]
+    ):
+        node.pop("minItems")
+        mark()
+    # additional_items_implicit / non_applicable_additional_items:
+    # additionalItems is inert without tuple-form items
+    if "additionalItems" in node and not isinstance(node.get("items"), list):
+        node.pop("additionalItems")
+        mark()
+    # dependencies_property_tautology: requiring the trigger property in
+    # its own dependency list is a tautology (it must be present to fire)
+    dr = node.get("dependentRequired")
+    if isinstance(dr, dict):
+        for k, v in list(dr.items()):
+            if isinstance(v, list) and k in v:
+                dr[k] = [x for x in v if x != k]
+                mark()
+    # oneof_to_anyof_disjoint_types: pairwise type-disjoint branches can
+    # never overlap, so the exactly-one check degrades to any-of (cheaper
+    # plan: no pairwise-exclusion conjunct); annotation-equivalent since at
+    # most one branch can succeed either way
+    oneof = node.get("oneOf")
+    if (
+        isinstance(oneof, list) and len(oneof) >= 2 and "anyOf" not in node
+        and all(isinstance(b, dict) and "type" in b
+                and all(isinstance(x, str) for x in
+                        (b["type"] if isinstance(b["type"], list) else [b["type"]]))
+                for b in oneof)
+    ):
+        sets = [_type_accept_set(b["type"]) for b in oneof]
+        if all(not (sets[i] & sets[j])
+               for i in range(len(sets)) for j in range(i + 1, len(sets))):
+            node["anyOf"] = node.pop("oneOf")
+            mark()
+    # unsatisfiable_in_place_applicator_type: the node's type and its allOf
+    # branches' types must share at least one instance type
+    tsets = []
+    if "type" in node:
+        tsets.append(_type_accept_set(node["type"]))
+    for b in node.get("allOf") or []:
+        if isinstance(b, dict) and "type" in b:
+            tsets.append(_type_accept_set(b["type"]))
+    if len(tsets) >= 2:
+        inter = set.intersection(*tsets)
+        if not inter:
+            node.clear()
+            node["not"] = {}
+            mark()
+            return
+    # non_applicable_type_specific_keywords: the declared type excludes the
+    # keyword's instance-type bucket → it can neither assert nor annotate.
+    # Applicator subtrees carrying $id/$anchor stay (URI-reachable).
+    if "type" in node and not isinstance(node["type"], bool):
+        declared = _type_accept_set(node["type"])
+        if declared:   # unknown strings keep everything (conservative)
+            for kw, bucket in _KW_APPLICABLE.items():
+                if kw not in node:
+                    continue
+                applies = (bucket in declared
+                           or (bucket == "number" and "integer" in declared))
+                if not applies and not _has_identifiers(node[kw]):
+                    node.pop(kw)
+                    mark()
+    # enum_drop_redundant_validation / non_applicable_enum_validation_keywords:
+    # enum/const members are concrete — evaluate sibling pure-assertion
+    # keywords per member, keep survivors, drop the keywords
+    val_sub = {}
+    for kw in _VALIDATION_KWS:
+        if kw in node:
+            if kw == "uniqueItems":
+                if node[kw] is True:
+                    val_sub[kw] = True
+            elif not isinstance(node[kw], bool):
+                val_sub[kw] = node[kw]
+    if val_sub and ("enum" in node or "const" in node):
+        from jsonschema_spark.plans.pyeval import EvalError, validate_py
+
+        try:
+            if isinstance(node.get("enum"), list):
+                kept_m = [m for m in node["enum"] if validate_py(val_sub, m)]
+                for kw in val_sub:
+                    node.pop(kw)
+                if kept_m:
+                    node["enum"] = kept_m
+                else:
+                    node.clear()
+                    node["not"] = {}
+                mark()
+                return
+            if "const" in node:
+                ok_c = validate_py(val_sub, node["const"])
+                for kw in val_sub:
+                    node.pop(kw)
+                if not ok_c:
+                    node.clear()
+                    node["not"] = {}
+                mark()
+                return
+        except (EvalError, RecursionError):
+            pass
+    # type_boolean_as_enum, inverse direction: {true,false} enum IS the
+    # boolean type — a JVM type check beats deep canonical equality here
+    e = node.get("enum")
+    if (
+        isinstance(e, list) and len(e) == 2 and "type" not in node
+        and all(isinstance(x, bool) for x in e) and e[0] is not e[1]
+    ):
+        node.pop("enum")
+        node["type"] = "boolean"
+        mark()
+    # allof_merge_compatible_branches: key-disjoint branches free of
+    # reference/conditional/identifier keywords collapse into one (same
+    # conjunction, shallower plan; annotations unchanged — every conjunct's
+    # annotations apply regardless of grouping)
+    allof = node.get("allOf")
+    if isinstance(allof, list) and len(allof) >= 2:
+        merged: dict = {}
+        rest: list = []
+        did = False
+        for b in allof:
+            if (
+                isinstance(b, dict) and b
+                and not (set(b) & _NO_MERGE_KWS)
+                and not (set(b) & set(merged))
+            ):
+                if merged:
+                    did = True
+                merged.update(b)
+            else:
+                rest.append(b)
+        if did:
+            node["allOf"] = ([merged] if merged else []) + rest
+            mark()
     # unsatisfiable node → false schema marker (rules/unsatisfiable_*.h):
     # expressed as {"not": {}} which the compiler folds to constant False
     if _is_unsatisfiable(node) and node.get("not") != {}:
@@ -508,6 +746,321 @@ def _drop_orphan_defs(root: dict, changed: list) -> None:
                 root.pop(kw)
 
 
+_MODERN_DIALECTS = ("https://json-schema.org/draft/2019-09/",
+                    "https://json-schema.org/draft/2020-12/")
+
+
+def _normalize_dialect_uri(s: str) -> str:
+    """Official-dialect URI normalization (modern_official_dialect_with_http
+    / _with_empty_fragment, draft_official_dialect_with_https /
+    _without_empty_fragment): modern = https + no fragment, classic drafts
+    = http + trailing empty fragment — the forms each spec publishes."""
+    if s.startswith("http://json-schema.org/draft/20"):
+        s = "https://" + s[len("http://"):]
+    elif s.startswith("https://json-schema.org/draft-0"):
+        s = "http://" + s[len("https://"):]
+    if s.startswith(_MODERN_DIALECTS) and s.endswith("#"):
+        s = s[:-1]
+    elif s.startswith("http://json-schema.org/draft-0") and not s.endswith("#"):
+        s = s + "#"
+    return s
+
+
+def _doc_dynamic_anchor_names(root) -> set:
+    names = set()
+
+    def walk(n):
+        if isinstance(n, dict):
+            if isinstance(n.get("$dynamicAnchor"), str):
+                names.add(n["$dynamicAnchor"])
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                walk(v)
+
+    walk(root)
+    return names
+
+
+def _root_passes(out: dict, changed: list) -> None:
+    """Rules needing document-global context (refs, anchors, root identity)."""
+    # dependencies → dependentRequired/dependentSchemas split
+    # (dependencies_to_any_of family, expressed as the modern keyword split
+    # our compiler executes natively instead of blaze's anyOf encoding).
+    # Dialect-gated like the reference: in 2019-09/2020-12 `dependencies`
+    # is an unknown (no-op) keyword, so the split only fires for classic
+    # drafts where it actually asserted something.
+    dialect = out.get("$schema", "")
+    if isinstance(dialect, str) and "/draft-0" in dialect:
+        def dep_split(n):
+            if isinstance(n.get("dependencies"), dict):
+                deps = n.pop("dependencies")
+                for name, v in deps.items():
+                    if isinstance(v, list):
+                        n.setdefault("dependentRequired", {}).setdefault(name, v)
+                    elif isinstance(v, str):   # draft-3 single-property form
+                        n.setdefault("dependentRequired", {}).setdefault(name, [v])
+                    else:
+                        n.setdefault("dependentSchemas", {}).setdefault(name, v)
+                changed.append(True)
+        _walk_schema(out, dep_split)
+
+        # exclusive_bounds_false_drop + draft-4 boolean form: only under a
+        # classic-draft $schema does boolean exclusiveMinimum/Maximum assert
+        # anything (it flips the sibling bound to exclusive); in 2019-09/
+        # 2020-12 a boolean value for these keywords is malformed and ignored
+        # by evaluators, so rewriting it there would FLIP verdicts
+        # (e.g. {minimum:1, exclusiveMinimum:true} accepts 1 in 2020-12).
+        def ex_bool(n):
+            for exkw, bkw in (("exclusiveMinimum", "minimum"),
+                              ("exclusiveMaximum", "maximum")):
+                if isinstance(n.get(exkw), bool):
+                    flag = n.pop(exkw)
+                    if flag and _is_plain_num(n.get(bkw)):
+                        n[exkw] = n.pop(bkw)
+                    changed.append(True)
+        _walk_schema(out, ex_bool)
+    refs: set = set()
+    _collect_refs(out, refs)
+    # definitions_to_defs: rename when no reference could observe the path
+    if not any("definitions" in r for r in refs):
+        def rn(n):
+            if isinstance(n.get("definitions"), dict) and "$defs" not in n:
+                n["$defs"] = n.pop("definitions")
+                changed.append(True)
+        _walk_schema(out, rn)
+    # $schema dialect-URI normalization wherever a resource declares one
+    def dia(n):
+        s = n.get("$schema")
+        if isinstance(s, str):
+            ns = _normalize_dialect_uri(s)
+            if ns != s:
+                n["$schema"] = ns
+                changed.append(True)
+    _walk_schema(out, dia)
+    # ignored_metaschema: $schema is only meaningful at a resource root
+    def meta(n):
+        if n is not out and "$schema" in n and "$id" not in n:
+            n.pop("$schema")
+            changed.append(True)
+    _walk_schema(out, meta)
+    # dynamic_ref_to_static_ref: per 2020-12 §8.2.3.2 a $dynamicRef whose
+    # initially-resolved target carries a plain $anchor (not $dynamicAnchor)
+    # behaves exactly like $ref — static in ANY embedding, so the rewrite is
+    # safe even when this document later becomes a referenced resource.
+    dyn_names = _doc_dynamic_anchor_names(out)
+
+    def dyn(n):
+        dv = n.get("$dynamicRef")
+        if (
+            isinstance(dv, str) and dv.startswith("#") and not dv.startswith("#/")
+            and "$ref" not in n and dv[1:] not in dyn_names
+        ):
+            n["$ref"] = n.pop("$dynamicRef")
+            changed.append(True)
+        # 2019-09 mirror: $recursiveRef '#' with no $recursiveAnchor:true at
+        # the root is statically the current resource root
+        if (
+            n.get("$recursiveRef") == "#" and "$ref" not in n
+            and out.get("$recursiveAnchor") is not True
+        ):
+            n["$ref"] = "#"
+            n.pop("$recursiveRef")
+            changed.append(True)
+    _walk_schema(out, dyn)
+    # inline_single_use_ref: a local $defs target referenced exactly once,
+    # carrying no identifiers and no further references, inlines as an
+    # allOf conjunct ($ref is an in-place applicator — same annotations);
+    # the orphaned definition then cascades away.
+    refs = set()
+    all_refs: list = []
+
+    def cr(n):
+        if isinstance(n, dict):
+            for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+                if isinstance(n.get(kw), str):
+                    all_refs.append(n[kw])
+            for v in n.values():
+                cr(v)
+        elif isinstance(n, list):
+            for v in n:
+                cr(v)
+    cr(out)
+    from collections import Counter
+
+    counts = Counter(all_refs)
+
+    def inline(n):
+        rv = n.get("$ref")
+        if not (isinstance(rv, str) and rv.startswith("#/$defs/") and counts[rv] == 1):
+            return
+        tokens = rv[2:].split("/")
+        if len(tokens) != 2:   # only direct $defs children (no nested paths)
+            return
+        name = tokens[1].replace("~1", "/").replace("~0", "~")
+        target = out.get("$defs", {}).get(name) if isinstance(out.get("$defs"), dict) else None
+        if not isinstance(target, dict) or target is n:
+            return
+        t_refs: list = []
+        saved, all_refs[:] = all_refs[:], []
+        cr(target)
+        t_refs, all_refs[:] = all_refs[:], saved
+        if t_refs or _has_identifiers(target):
+            return   # recursion / URI-reachable content: keep the ref
+        n.pop("$ref")
+        n.setdefault("allOf", []).append(copy.deepcopy(target))
+        counts[rv] = 0
+        changed.append(True)
+    _walk_schema(out, inline)
+
+
+# ---------------------------------------------------------------------------
+# Reference-rule ledger: every file in
+# /root/reference/vendor/blaze/src/canonicalizer/rules/ (126 rules) mapped
+# to how this engine realizes it.
+#   direct  — implemented in this module as described by the rule
+#   inverse — implemented in the opposite rewrite direction: blaze
+#             normalizes toward enum-lists/anyOf-dispatch because its
+#             interpreter prefers those IR shapes; Catalyst prefers typed
+#             JVM predicates, so our canonical form is the other fixpoint
+#             of the same equivalence
+#   upgrade — realized by plans/upgrade.py's legacy-draft normalization
+#             (runs before canonicalize for draft 0-7 input)
+#   repr    — a representation-level no-op here ({} ≡ true everywhere;
+#             spec defaults are read directly instead of materialized)
+#   skip    — deliberately not applied, reason given
+# ---------------------------------------------------------------------------
+REFERENCE_RULES = {
+    "additional_items_implicit": "direct",
+    "allof_false_simplify": "direct",
+    "allof_merge_compatible_branches": "direct",
+    "anyof_false_simplify": "direct",
+    "anyof_remove_false_schemas": "direct",
+    "anyof_true_simplify": "direct",          # annotation-gated
+    "comment_drop": "direct",
+    "const_as_enum": "inverse",               # enum-singleton → const
+    "const_in_enum": "direct",
+    "const_with_type": "direct",
+    "content_media_type_without_encoding": "direct",
+    "content_schema_without_media_type": "direct",
+    "definitions_to_defs": "direct",
+    "dependencies_property_tautology": "direct",
+    "dependencies_to_any_of": "inverse",      # split to dependent* keywords
+    "dependencies_to_extends_disallow": "upgrade",  # draft-3 requires/dependencies
+    "dependent_required_tautology": "direct",
+    "dependent_required_to_any_of": "inverse",  # native dependentRequired compile
+    "dependent_schemas_to_any_of": "inverse",   # native dependentSchemas compile
+    "deprecated_false_drop": "direct",
+    "disallow_array_to_extends": "upgrade",
+    "disallow_double_negation": "upgrade",
+    "disallow_extends_to_type": "upgrade",
+    "disallow_narrows_type": "upgrade",
+    "disallow_to_array_of_schemas": "upgrade",
+    "disallow_type_union_to_extends": "upgrade",
+    "divisible_by_implicit": "upgrade",       # divisibleBy → multipleOf
+    "double_negation_elimination": "direct",  # annotation-gated
+    "draft3_type_any": "upgrade",
+    "draft_official_dialect_with_https": "direct",
+    "draft_official_dialect_without_empty_fragment": "direct",
+    "draft_ref_siblings": "upgrade",
+    "drop_allof_empty_schemas": "direct",
+    "drop_extends_empty_schemas": "upgrade",
+    "duplicate_allof_branches": "direct",
+    "duplicate_anyof_branches": "direct",
+    "duplicate_disallow_entries": "upgrade",  # disallow → not.anyOf, deduped there
+    "duplicate_enum_values": "direct",
+    "duplicate_required_values": "direct",
+    "dynamic_ref_to_static_ref": "direct",
+    "else_without_if": "direct",
+    "empty_definitions_drop": "direct",
+    "empty_defs_drop": "direct",
+    "empty_dependencies_drop": "direct",
+    "empty_dependent_required_drop": "direct",
+    "empty_dependent_schemas_drop": "direct",
+    "empty_disallow_drop": "upgrade",
+    "empty_object_as_true": "repr",           # compiler folds {} to constant pass
+    "enum_drop_redundant_validation": "direct",  # member-filter variant
+    "enum_filter_by_type": "direct",
+    "enum_split_by_type": "skip",  # blaze enum-dispatch IR; one isin beats N branches
+    "enum_with_type": "direct",
+    "equal_numeric_bounds_to_const": "direct",
+    "equal_numeric_bounds_to_enum": "inverse",  # const is the canonical singleton
+    "exclusive_bounds_false_drop": "direct",
+    "exclusive_maximum_boolean_integer_fold": "direct",
+    "exclusive_maximum_integer_to_maximum": "direct",
+    "exclusive_maximum_number_and_maximum": "direct",
+    "exclusive_minimum_boolean_integer_fold": "direct",
+    "exclusive_minimum_integer_to_minimum": "direct",
+    "exclusive_minimum_number_and_minimum": "direct",
+    "extends_to_array": "upgrade",
+    "flatten_nested_allof": "direct",
+    "flatten_nested_anyof": "direct",
+    "flatten_nested_extends": "upgrade",
+    "if_then_else_implicit": "direct",        # annotation-gated
+    "if_without_then_else": "direct",         # annotation-gated
+    "ignored_metaschema": "direct",
+    "implicit_contains_keywords": "repr",     # defaults read, not materialized
+    "implicit_object_keywords": "repr",
+    "inline_single_use_ref": "direct",
+    "items_implicit": "repr",
+    "max_contains_covered_by_max_items": "direct",
+    "max_contains_without_contains": "direct",
+    "max_decimal_implicit": "upgrade",        # maxDecimal → multipleOf
+    "maximum_can_equal_integer_fold": "upgrade",
+    "maximum_can_equal_true_drop": "upgrade",
+    "maximum_real_for_integer": "direct",
+    "min_contains_without_contains": "direct",
+    "min_items_given_min_contains": "direct",
+    "min_length_implicit": "inverse",         # minLength 0 dropped instead
+    "min_properties_covered_by_required": "direct",
+    "minimum_can_equal_integer_fold": "upgrade",
+    "minimum_can_equal_true_drop": "upgrade",
+    "minimum_real_for_integer": "direct",
+    "modern_official_dialect_with_empty_fragment": "direct",
+    "modern_official_dialect_with_http": "direct",
+    "multiple_of_implicit": "inverse",        # multipleOf 1 dropped for integer
+    "non_applicable_additional_items": "direct",
+    "non_applicable_disallow_types": "upgrade",
+    "non_applicable_enum_validation_keywords": "direct",
+    "non_applicable_type_specific_keywords": "direct",
+    "not_false": "direct",
+    "oneof_false_simplify": "direct",
+    "oneof_to_anyof_disjoint_types": "direct",
+    "optional_property_implicit": "upgrade",
+    "orphan_definitions": "direct",
+    "recursive_anchor_false_drop": "direct",
+    "required_properties_in_properties": "skip",  # blaze IR stub; no Catalyst win
+    "required_property_implicit": "upgrade",  # draft-0/2 optional-flag lift
+    "required_to_extends": "upgrade",
+    "single_branch_allof": "direct",
+    "single_branch_anyof": "direct",
+    "single_branch_oneof": "direct",
+    "single_type_array": "direct",
+    "then_without_if": "direct",
+    "type_array_to_any_of": "skip",   # one JVM typeof beats an anyOf fan-out
+    "type_boolean_as_enum": "inverse",  # {true,false} enum → type boolean
+    "type_inherit_in_place": "skip",  # blaze IR hint; Catalyst prunes statically
+    "type_null_as_enum": "inverse",   # enum [null] → const null (isNull plan)
+    "type_union_distribute_keywords": "skip",  # same family as type_array_to_any_of
+    "type_union_implicit": "direct",
+    "type_union_to_schemas": "skip",
+    "type_with_applicator_to_allof": "skip",
+    "type_with_applicator_to_extends": "skip",
+    "unevaluated_items_to_items": "direct",
+    "unevaluated_properties_to_additional_properties": "direct",
+    "unknown_keywords_prefix": "skip",  # unknown keywords are annotation sources
+    "unknown_local_ref": "skip",  # dangling refs hard-error; silent erase masks bugs
+    "unknown_type_names": "upgrade",
+    "unnecessary_allof_ref_wrapper_draft": "direct",  # single-branch hoist
+    "unnecessary_extends_ref_wrapper": "upgrade",
+    "unsatisfiable_drop_validation": "direct",
+    "unsatisfiable_exclusive_equal_bounds": "direct",
+    "unsatisfiable_in_place_applicator_type": "direct",
+    "unsatisfiable_type_and_enum": "direct",
+}
+
+
 def canonicalize(schema: Union[dict, bool]) -> Union[dict, bool]:
     """Fixpoint canonical rewrite; returns a NEW schema."""
     if not isinstance(schema, dict):
@@ -517,6 +1070,7 @@ def canonicalize(schema: Union[dict, bool]) -> Union[dict, bool]:
     for _ in range(10):  # fixpoint with a safety bound
         changed: list = []
         _walk_schema(out, lambda n: _rewrite_node(n, changed, annotations_matter))
+        _root_passes(out, changed)
         _drop_orphan_defs(out, changed)
         if not changed:
             break

@@ -847,6 +847,8 @@ def _k_unique_items(ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
     ``array_distinct`` (exact: one Spark array holds one numeric type).
     Slow path: VARIANT arrays and container-element arrays — canonical
     deep equality in an Arrow pudf (key order irrelevant, 1 == 1.0)."""
+    if ctx.is_type("array") is False:
+        return Compiled(True)  # statically non-array (e.g. flat row root)
     from jsonschema_spark.functions.canonical import unique_canonical
 
     arr = ctx.arr()
@@ -864,6 +866,8 @@ def _k_unique_items(ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
 
 
 def _k_prefix_items(val: list, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
+    if ctx.is_type("array") is False:
+        return Compiled(True)  # statically non-array (e.g. flat row root)
     factory = ctx.element_ctx_factory()
     arr = ctx.arr()
     parts = []
@@ -877,6 +881,8 @@ def _k_prefix_items(val: list, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Co
 
 
 def _k_items(val, ctx: Ctx, kwp: str, cfg: Config, start: int, ref_stack) -> Compiled:
+    if ctx.is_type("array") is False:
+        return Compiled(True)  # statically non-array (e.g. flat row root)
     factory = ctx.element_ctx_factory()
     arr = ctx.arr()
 
@@ -908,6 +914,8 @@ def _k_items(val, ctx: Ctx, kwp: str, cfg: Config, start: int, ref_stack) -> Com
 def _k_contains(schema: dict, val, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
     minimum = schema.get("minContains", 1)
     maximum = schema.get("maxContains")
+    if ctx.is_type("array") is False:
+        return Compiled(True)  # statically non-array (e.g. flat row root)
     factory = ctx.element_ctx_factory()
     arr = ctx.arr()
 

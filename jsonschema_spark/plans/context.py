@@ -351,6 +351,22 @@ class FlatRowCtx(Ctx):
     def is_type(self, t: str) -> Cond:
         return t == "object"
 
+    # The row is statically an object, so every scalar/array keyword guard
+    # (is_type(...) != "object") is the Python literal False and _guarded
+    # discards the leaf — these accessors only exist so the leaf expression
+    # can be *built* before being thrown away (e.g. a root-level multipleOf).
+    def str_val(self) -> Column:
+        return F.lit(None).cast("string")
+
+    def num_val(self) -> Column:
+        return F.lit(None).cast("double")
+
+    def bool_val(self) -> Column:
+        return F.lit(None).cast("boolean")
+
+    def arr(self) -> Column:
+        return F.lit(None).cast("array<string>")
+
     def obj_keys(self) -> Column:
         return F.filter(
             F.array(*[F.when(self.colf(n).isNotNull(), F.lit(n)) for n in self.fields]),

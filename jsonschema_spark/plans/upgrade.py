@@ -132,6 +132,26 @@ def _upgrade_node(node) -> None:
         flag = node.pop("exclusiveMaximum")
         if flag and "maximum" in node:
             node["exclusiveMaximum"] = node.pop("maximum")
+    # draft-1/2: maximumCanEqual/minimumCanEqual false → exclusive bounds
+    # (maximum_can_equal_* canonicalizer analogues); true is the default
+    if isinstance(node.get("maximumCanEqual"), bool):
+        if not node.pop("maximumCanEqual") and "maximum" in node:
+            node["exclusiveMaximum"] = node.pop("maximum")
+    if isinstance(node.get("minimumCanEqual"), bool):
+        if not node.pop("minimumCanEqual") and "minimum" in node:
+            node["exclusiveMinimum"] = node.pop("minimum")
+    # draft-3: "any" is no constraint (draft3_type_any); non-standard type
+    # names behave the same in old drafts (unknown_type_names)
+    _STD_TYPES = {"null", "boolean", "integer", "number", "string", "array",
+                  "object"}
+    t = node.get("type")
+    if t == "any":
+        node.pop("type")
+    elif isinstance(t, list) and any(
+        isinstance(x, str) and x not in _STD_TYPES for x in t
+    ):
+        # a union admitting "any"/unknown admits everything in draft-3
+        node.pop("type")
     # draft-3: extends → allOf, divisibleBy → multipleOf, disallow → not
     if "extends" in node:
         ext = node.pop("extends")
@@ -140,10 +160,18 @@ def _upgrade_node(node) -> None:
     if "divisibleBy" in node and "multipleOf" not in node:
         node["multipleOf"] = node.pop("divisibleBy")
     if "disallow" in node and "not" not in node:
+        # entries may be type names OR schemas (disallow_to_array_of_schemas)
         dis = node.pop("disallow")
-        types = [t for t in (dis if isinstance(dis, list) else [dis]) if isinstance(t, str)]
-        if types:
-            node["not"] = {"type": types if len(types) > 1 else types[0]}
+        branches = []
+        for d in (dis if isinstance(dis, list) else [dis]):
+            if isinstance(d, str):
+                branches.append({"type": d})
+            elif isinstance(d, dict):
+                branches.append(d)
+        if len(branches) == 1:
+            node["not"] = branches[0]
+        elif branches:
+            node["not"] = {"anyOf": branches}
     # dependencies → dependentRequired / dependentSchemas
     if isinstance(node.get("dependencies"), dict):
         deps = node.pop("dependencies")
@@ -169,6 +197,21 @@ def upgrade_schema(schema: Union[dict, bool]) -> Union[dict, bool]:
     if not isinstance(schema, dict):
         return schema
     out = copy.deepcopy(schema)
+    # drafts ≤7 IGNORE $ref siblings (draft_ref_siblings canonicalizer
+    # analogue): drop them BEFORE the keyword rewrite so the modern
+    # compiler — which honours siblings — keeps the legacy meaning. Only
+    # when the declared dialect is a classic draft; 2019-09+ (or an
+    # undeclared dialect) keeps siblings.
+    dialect = out.get("$schema", "")
+    if isinstance(dialect, str) and "/draft-0" in dialect:
+        def strip_ref_siblings(node):
+            if isinstance(node.get("$ref"), str) and len(node) > 1:
+                for k in [k for k in node
+                          if k not in ("$ref", "$id", "id", "$defs",
+                                       "definitions", "$comment", "title",
+                                       "description")]:
+                    node.pop(k)
+        _walk_schema(out, strip_ref_siblings)
     _walk_schema(out, _upgrade_node)
     _rewrite_refs(out, {"#/definitions": "#/$defs"})
     out["$schema"] = DIALECT_2020

@@ -174,7 +174,10 @@ def test_upgrade_draft3_keywords():
     up = upgrade_schema(legacy)
     assert up["allOf"] == [{"required": ["a"]}]
     assert up["multipleOf"] == 3 and "divisibleBy" not in up
-    assert up["not"] == {"type": ["string", "null"]}
+    assert up["not"] == {"anyOf": [{"type": "string"}, {"type": "null"}]}
+    # a schema entry in disallow survives as a branch
+    up2 = upgrade_schema({"disallow": [{"minimum": 3}, "string"]})
+    assert up2["not"] == {"anyOf": [{"minimum": 3}, {"type": "string"}]}
 
 
 def test_upgrade_walker_is_schema_location_aware():
@@ -509,12 +512,10 @@ def test_canonicalize_rules(spark):
         "if": {"type": "string"},
         "minItems": 0, "uniqueItems": False,
     })
-    assert s["const"] == "only" and "enum" not in s
-    assert s["exclusiveMinimum"] == 3 and "minimum" not in s
-    # const "only" satisfies type ["string"] → type dropped (const_with_type)
-    assert "type" not in s
-    assert "if" not in s and "minItems" not in s and "uniqueItems" not in s
-    assert {"minLength": 2} in s["allOf"] and {"maxLength": 5} in s["allOf"]
+    # round-3 rule set folds the whole thing: numeric bounds are dead
+    # against a string const, "only" satisfies minLength 2 / maxLength 5,
+    # type ["string"] is implied by the const (const_with_type)
+    assert s == {"const": "only"}
     # unsatisfiable → false schema; compiler folds it to a constant
     dead = canonicalize({"properties": {"x": {"minimum": 5, "maximum": 1}}})
     assert dead["properties"]["x"] == {"not": {}}

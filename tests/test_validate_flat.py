@@ -294,3 +294,25 @@ def test_instance_cols_typo_raises(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with _pytest.raises(ValueError, match="instance_cols"):
         validate(df, {"required": ["v"]}, instance_cols=["vv"])
+
+
+def test_root_inapplicable_keywords_vacuous(spark):
+    """The flat row is statically an object: scalar/array keywords at the
+    ROOT must compile to a vacuous pass (EVALUATE_BEGIN precondition-skip),
+    never crash — regression for FlatRowCtx scalar accessors."""
+    from jsonschema_spark import validate
+
+    df = spark.createDataFrame([(1,)], "x long")
+    vacuous = [
+        {"minLength": 3}, {"pattern": "^a"}, {"format": "email"},
+        {"minimum": 5}, {"exclusiveMaximum": 0}, {"multipleOf": 2},
+        {"minItems": 1}, {"uniqueItems": True},
+        {"contains": {"type": "integer"}},
+        {"prefixItems": [{"type": "string"}]},
+        {"items": {"type": "string"}},
+    ]
+    for sch in vacuous:
+        assert validate(df, sch).first()["valid"] is True, sch
+    # but keywords that DO apply to objects still assert
+    for sch in ({"const": 3}, {"enum": [1, 2]}, {"type": "string"}):
+        assert validate(df, sch).first()["valid"] is False, sch

@@ -1,10 +1,16 @@
 """Schema lint — anti-pattern rules, the `jsonschema lint` analogue.
 
-~33 of the reference's 46 linter rules
+All 46 of the reference's linter rules
 (/root/reference/vendor/blaze/src/alterschema/linter/ — each analogue
 cites its source file inline) re-expressed over plain dicts, plus
 ``lint_fix`` applying the auto-fixable ones (the `--fix` analogue).
-Each finding: {path, rule, severity, message}.
+Each finding: {path, rule, severity, message}. Round-3 closure:
+forbid_empty_enum (not-gated, fix rewrites to not:{}),
+incoherent_min_max_contains (contains-gated), items_schema_default
+naming, root-scoped top_level_examples, unnecessary_allof_wrapper
+(cross-branch keyword-frequency elevation with the canonicalizer's
+_NO_MERGE_KWS standing in for the reference's dependency/identity
+guards).
 
 Round-2 completion: valid_default / valid_examples (driver-side instance
 evaluator, plans/pyeval.py), invalid_external_ref (resolver-aware),
@@ -30,7 +36,8 @@ _BOUND_PAIRS = [
     ("minLength", "maxLength"),
     ("minItems", "maxItems"),
     ("minProperties", "maxProperties"),
-    ("minContains", "maxContains"),
+    # (minContains, maxContains) reported by the contains-gated
+    # incoherent_min_max_contains analogue below, not the generic pair rule
 ]
 
 # $schema URI marker → dialect ordinal (higher = newer)
@@ -58,8 +65,10 @@ def _findings(node: dict, path: str, dia: int = 12) -> list[dict]:
         out.append({"path": path or "/", "rule": rule, "severity": severity, "message": message})
 
     if "enum" in node:
-        if node["enum"] == []:
-            add("enum_empty", "error", "enum with no values matches nothing")
+        if node["enum"] == [] and "not" not in node:
+            # forbid_empty_enum.h (gated on no sibling `not` — the reference
+            # transform rewrites enum:[] to not:{} and must not collide)
+            add("forbid_empty_enum", "error", "enum with no values matches nothing")
         if "type" in node:
             add("enum_with_type", "warning", "type is redundant next to enum")
         seen, dupes = set(), set()
@@ -111,8 +120,6 @@ def _findings(node: dict, path: str, dia: int = 12) -> list[dict]:
         reprs = [repr(x) for x in node["examples"]]
         if len(set(reprs)) != len(reprs):
             add("duplicate_examples", "warning", "examples contains duplicate values")  # duplicate_examples.h
-        if not node["examples"]:
-            add("top_level_examples", "warning", "examples is empty")
     for kw in ("then", "else"):
         if node.get(kw) in (True, {}):
             add(f"{kw}_empty", "warning",
@@ -159,9 +166,22 @@ def _findings(node: dict, path: str, dia: int = 12) -> list[dict]:
     }
     for kw, noop_values in _DEFAULTS.items():
         if kw in node and any(node[kw] == v and type(node[kw]) is type(v) for v in noop_values):
-            add(f"{_snake(kw)}_default", "warning", f"{kw} is set to its no-op default")
+            # the reference names the true-schema `items` rule
+            # items_schema_default.h (items_array_default is the [] tuple form)
+            name = "items_schema" if kw == "items" else _snake(kw)
+            add(f"{name}_default", "warning", f"{kw} is set to its no-op default")
     if isinstance(node.get("items"), list) and not node["items"]:
         add("items_array_default", "warning", "empty tuple items has no effect")  # items_array_default.h
+    if (
+        "contains" in node
+        and isinstance(node.get("minContains"), int)
+        and isinstance(node.get("maxContains"), int)
+        and not isinstance(node["minContains"], bool)
+        and not isinstance(node["maxContains"], bool)
+        and node["minContains"] > node["maxContains"]
+    ):
+        add("incoherent_min_max_contains", "error",
+            "minContains greater than maxContains makes the schema unsatisfiable")  # incoherent_min_max_contains.h
     if (
         isinstance(node.get("maxContains"), int)
         and isinstance(node.get("maxItems"), int)
@@ -205,7 +225,7 @@ def _findings(node: dict, path: str, dia: int = 12) -> list[dict]:
         and isinstance(allof[0], dict)
         and set(allof[0]) == {"$ref"}
     ):
-        add("unnecessary_allof_ref_wrapper", "warning",
+        add("unnecessary_allof_ref_wrapper_modern", "warning",
             "allOf-wrapped lone $ref can be hoisted ($ref allows siblings since 2019-09)")  # unnecessary_allof_ref_wrapper_modern.h
     if isinstance(node.get("description"), str) and node["description"].endswith("."):
         add("description_trailing_period", "warning",
@@ -235,6 +255,54 @@ def _findings(node: dict, path: str, dia: int = 12) -> list[dict]:
     if isinstance(ext, dict) and set(ext) == {"$ref"}:
         add("unnecessary_extends_wrapper", "warning",
             "extends-wrapped lone $ref can be hoisted")  # unnecessary_extends_wrapper.h
+    lifted = _elevatable_allof_keywords(node)
+    if lifted:
+        add("unnecessary_allof_wrapper", "warning",
+            "keywords inside allOf that do not conflict with the parent "
+            f"schema can be elevated: {sorted(lifted)}")  # unnecessary_allof_wrapper.h
+    return out
+
+
+# annotation-only keywords: the reference walker's Annotation/Comment classes
+# — they neither assert nor applicate, so they don't participate in the
+# cross-branch frequency count and stay where they are
+_ANNOTATION_KWS = frozenset({
+    "title", "description", "default", "examples", "$comment",
+    "deprecated", "readOnly", "writeOnly",
+})
+
+
+def _elevatable_allof_keywords(node: dict) -> set:
+    """Keywords of allOf branches that can be hoisted into the parent
+    (unnecessary_allof_wrapper.h analogue): assertion/applicator keywords
+    appearing in exactly ONE branch, absent from the parent (or present
+    with an identical value), not identifier/conditional/sibling-coupled
+    (the canonicalizer's _NO_MERGE_KWS guard covers the reference's
+    dependency_blocked + identity checks), with unevaluated* anywhere in
+    the parent or branch suppressing the rule entirely."""
+    from jsonschema_spark.plans.canonicalize import _NO_MERGE_KWS
+
+    allof = node.get("allOf")
+    if not isinstance(allof, list) or not allof:
+        return set()
+    if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+        return set()
+    freq: dict = {}
+    for b in allof:
+        if isinstance(b, dict):
+            for k in b:
+                if k not in _ANNOTATION_KWS:
+                    freq[k] = freq.get(k, 0) + 1
+    out = set()
+    for b in allof:
+        if not isinstance(b, dict) or not b or set(b) & _NO_MERGE_KWS:
+            continue
+        for k, v in b.items():
+            if k in _ANNOTATION_KWS or freq.get(k, 0) != 1:
+                continue
+            if k in node and node[k] != v:
+                continue
+            out.add(k)
     return out
 
 
@@ -286,13 +354,19 @@ def _regex_compiles(pattern: str) -> bool:
         return False
 
 
-def _root_findings(schema: dict) -> list[dict]:
-    """Root-only advisory rules (top_level_title.h / top_level_description.h)."""
+def _root_findings(schema: dict, dia: int = 12) -> list[dict]:
+    """Root-only advisory rules (top_level_title.h / top_level_description.h /
+    top_level_examples.h — the examples rule fires at the ROOT pointer only,
+    when examples is absent or an empty array, draft-6+ metadata vocabulary)."""
     out = []
     for kw in ("title", "description"):
         if kw not in schema:
             out.append({"path": "/", "rule": f"top_level_{kw}", "severity": "info",
                         "message": f"root schema has no {kw}"})
+    ex = schema.get("examples")
+    if dia >= 6 and (ex is None or ex == []):
+        out.append({"path": "/", "rule": "top_level_examples", "severity": "info",
+                    "message": "set a non-empty examples array at the top level"})
     return out
 
 
@@ -328,7 +402,7 @@ def lint_schema(schema: Union[dict, bool], resolver: dict = None,
     _walk(schema, "", out, root=root, resolver=resolver,
           dia=_dialect_ord(schema, dialect))
     if isinstance(schema, dict):
-        out.extend(_root_findings(schema))
+        out.extend(_root_findings(schema, _dialect_ord(schema, dialect)))
     return out
 
 
@@ -371,6 +445,10 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
     def fix(node):
         if not isinstance(node, dict):
             return node
+        if node.get("enum") == [] and "not" not in node:
+            # forbid_empty_enum.h transform: enum [] → the false schema
+            node.pop("enum")
+            node["not"] = {}
         if "enum" in node and "type" in node:
             node.pop("type")
         if "const" in node:
@@ -423,6 +501,22 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
         if node.get("multipleOf") == 1 and not isinstance(node.get("multipleOf"), bool) \
                 and node.get("type") == "integer":
             node.pop("multipleOf")
+        # unnecessary_allof_wrapper.h transform: elevate the safe keywords,
+        # drop emptied branches, drop allOf itself when nothing remains
+        lifted = _elevatable_allof_keywords(node)
+        if lifted:
+            kept = []
+            for b in node["allOf"]:
+                if isinstance(b, dict):
+                    for k in list(b):
+                        if k in lifted:
+                            node.setdefault(k, b.pop(k))
+                if b or not isinstance(b, dict):
+                    kept.append(b)
+            if kept:
+                node["allOf"] = kept
+            else:
+                node.pop("allOf")
         for key in ("properties", "patternProperties", "dependentSchemas", "$defs", "definitions"):
             if isinstance(node.get(key), dict):
                 for sub in node[key].values():

@@ -448,6 +448,126 @@ def test_lint_reference_rule_analogues():
     assert fixed_int == {"type": "integer"}
 
 
+# one minimal trigger fixture per reference linter rule file
+# (/root/reference/vendor/blaze/src/alterschema/linter/<name>.h) — rule
+# names match the reference file names one-for-one
+_REF_LINT_FIXTURES = {
+    "comment_trim": {"$comment": " x "},
+    "conflicting_readonly_writeonly": {"readOnly": True, "writeOnly": True},
+    "const_not_in_enum": {"const": 5, "enum": [1]},
+    "content_schema_default": {"contentSchema": True},
+    "definitions_to_defs": {"definitions": {"a": {}}},
+    "dependencies_default": {"dependencies": {}},
+    "dependent_required_default": {"dependentRequired": {}},
+    "description_trailing_period": {"description": "x."},
+    "description_trim": {"description": " x "},
+    "disallow_default": {"disallow": []},
+    "divisible_by_default": {"type": "integer", "divisibleBy": 1},
+    "duplicate_examples": {"examples": [1, 1]},
+    "else_empty": {"if": {}, "else": {}},
+    "enum_to_const": {"enum": [1]},
+    "equal_numeric_bounds_to_const": {"type": "integer", "minimum": 1, "maximum": 1},
+    "forbid_empty_enum": {"enum": []},
+    "incoherent_min_max_contains": {"contains": {}, "minContains": 2, "maxContains": 1},
+    "invalid_external_ref": {"$ref": "https://nope.invalid/x.json"},
+    "items_array_default": {"items": []},
+    "items_schema_default": {"items": True},
+    "multiple_of_default": {"type": "integer", "multipleOf": 1},
+    "pattern_non_ecma_regex": {"pattern": "("},
+    "pattern_properties_default": {"patternProperties": {}},
+    "pattern_properties_non_ecma_regex": {"patternProperties": {"(": {}}},
+    "portable_anchor_names": {"$anchor": "9bad"},
+    "properties_default": {"properties": {}},
+    "property_names_default": {"propertyNames": {}},
+    "property_names_type_default": {"propertyNames": {"type": "string"}},
+    "simple_properties_identifiers": {"properties": {"a-b": {}}},
+    "then_empty": {"if": {}, "then": {}},
+    "title_description_equal": {"title": "x", "description": "x"},
+    "title_trailing_period": {"title": "x."},
+    "title_trim": {"title": " x "},
+    "top_level_description": {},
+    "top_level_examples": {},
+    "top_level_title": {},
+    "unevaluated_items_default": {"unevaluatedItems": True},
+    "unevaluated_properties_default": {"unevaluatedProperties": True},
+    "unknown_format_prefix": {"format": "frobnicate"},
+    "unnecessary_allof_ref_wrapper_modern": {"allOf": [{"$ref": "#/$defs/a"}],
+                                             "$defs": {"a": {}}},
+    "unnecessary_allof_wrapper": {"allOf": [{"required": ["a"]}]},
+    "unnecessary_extends_wrapper": {"extends": {"$ref": "#/definitions/a"},
+                                    "definitions": {"a": {}}},
+    "unsatisfiable_max_contains": {"contains": {}, "maxContains": 3, "maxItems": 3},
+    "unsatisfiable_min_properties": {"additionalProperties": False, "minProperties": 1},
+    "valid_default": {"type": "integer", "default": "nope"},
+    "valid_examples": {"type": "integer", "examples": ["nope"]},
+}
+
+
+def test_lint_full_reference_rule_parity():
+    """Every one of the reference's 46 linter rules has a same-named
+    analogue that fires on a minimal trigger fixture."""
+    assert len(_REF_LINT_FIXTURES) == 46
+    import os
+    ref_dir = "/root/reference/vendor/blaze/src/alterschema/linter"
+    if os.path.isdir(ref_dir):  # name-set parity against the actual files
+        ref_names = {f[:-2] for f in os.listdir(ref_dir) if f.endswith(".h")}
+        assert set(_REF_LINT_FIXTURES) == ref_names
+    for name, fixture in _REF_LINT_FIXTURES.items():
+        rules = {f["rule"] for f in lint_schema(fixture)}
+        assert name in rules, f"{name} did not fire on {fixture}"
+
+
+def test_lint_round3_closure_rules():
+    """forbid_empty_enum / incoherent_min_max_contains /
+    items_schema_default / top_level_examples / unnecessary_allof_wrapper
+    — the last five reference analogues (linter/*.h cited in lint.py)."""
+    s = {
+        "type": "object",
+        "allOf": [{"required": ["a"]}, {"minProperties": 1, "title": "x"}],
+        "properties": {
+            "a": {"enum": []},
+            "b": {"contains": {}, "minContains": 2, "maxContains": 1},
+            "c": {"items": True},
+        },
+    }
+    rules = {f["rule"] for f in lint_schema(s)}
+    assert {"forbid_empty_enum", "incoherent_min_max_contains",
+            "items_schema_default", "top_level_examples",
+            "unnecessary_allof_wrapper"} <= rules
+    # enum:[] with sibling `not` is NOT reported (reference gate) and the
+    # fix must not clobber the existing not
+    assert "forbid_empty_enum" not in {
+        f["rule"] for f in lint_schema({"enum": [], "not": {"type": "string"}})}
+    assert lint_fix({"enum": []}) == {"not": {}}
+    assert lint_fix({"enum": [], "not": {"type": "string"}}) == \
+        {"enum": [], "not": {"type": "string"}}
+    # min>max contains without a sibling contains keyword: silent (gated)
+    assert "incoherent_min_max_contains" not in {
+        f["rule"] for f in lint_schema({"minContains": 2, "maxContains": 1})}
+    # top_level_examples fires at the ROOT only, absent or empty both count,
+    # and a non-empty root examples silences it
+    assert "top_level_examples" in {f["rule"] for f in lint_schema({"examples": []})}
+    assert "top_level_examples" not in {
+        f["rule"] for f in lint_schema({"examples": [1]})}
+    # draft-4 has no examples vocabulary — rule gated off
+    assert "top_level_examples" not in {
+        f["rule"] for f in lint_schema(
+            {"$schema": "http://json-schema.org/draft-04/schema#"})}
+    # allOf elevation: unique non-conflicting keywords hoist, the annotation
+    # stays, the emptied branch disappears
+    fixed = lint_fix({"type": "object",
+                      "allOf": [{"required": ["a"]},
+                                {"minProperties": 1, "title": "t"}]})
+    assert fixed == {"type": "object", "required": ["a"],
+                     "minProperties": 1, "allOf": [{"title": "t"}]}
+    # keyword present in TWO branches never elevates (frequency guard)
+    dup = {"allOf": [{"required": ["a"]}, {"required": ["b"]}]}
+    assert lint_fix(dup) == dup
+    # unevaluated* anywhere in the parent suppresses elevation
+    ue = {"unevaluatedProperties": False, "allOf": [{"required": ["a"]}]}
+    assert "unnecessary_allof_wrapper" not in {f["rule"] for f in lint_schema(ue)}
+
+
 def test_yaml_reader_and_schema(spark, tmp_path):
     pytest.importorskip("yaml")
     from jsonschema_spark.sources.readers import load_schema_file, read_yaml_dir

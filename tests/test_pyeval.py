@@ -170,12 +170,12 @@ def test_lint_dialect_gating():
     # hoisting a lone allOf-$ref would CHANGE semantics ($ref ignores siblings)
     assert "definitions_to_defs" not in rules7
     assert "tuple_items_legacy" not in rules7
-    assert "unnecessary_allof_ref_wrapper" not in rules7
+    assert "unnecessary_allof_ref_wrapper_modern" not in rules7
     modern = dict(d7)
     modern["$schema"] = "https://json-schema.org/draft/2020-12/schema"
     rules12 = {f["rule"] for f in lint_schema(modern)}
     assert {"definitions_to_defs", "tuple_items_legacy",
-            "unnecessary_allof_ref_wrapper"} <= rules12
+            "unnecessary_allof_ref_wrapper_modern"} <= rules12
     # explicit dialect overrides the declared one
     assert "definitions_to_defs" in {
         f["rule"] for f in lint_schema(d7, dialect="2019-09")}

@@ -700,16 +700,15 @@ def _static_prop_names(ctx: Ctx) -> Optional[list[str]]:
 
 
 def _k_pattern_properties(val: dict, ctx: Ctx, kwp: str, cfg: Config, ref_stack) -> Compiled:
-    import re as _re
+    from jsonschema_spark.functions.strings import permissive_search_py
 
     static_names = _static_prop_names(ctx)
     parts = []
     for pattern, sub_schema in val.items():
         kwpp = f"{kwp}/{_ptr_escape(pattern)}"
         if static_names is not None:
-            rx = _re.compile(pattern)
             for name in static_names:
-                if rx.search(name):
+                if permissive_search_py(pattern, name):
                     child = ctx.get_prop(name)
                     parts.append(_apply_subschema(sub_schema, child, kwpp, cfg, ref_stack))
         else:
@@ -744,7 +743,7 @@ def _k_extra_properties(
 ) -> Compiled:
     """Shared body of additionalProperties and (static) unevaluatedProperties:
     apply ``val`` to every property not in ``declared`` / matching ``patterns``."""
-    import re as _re
+    from jsonschema_spark.functions.strings import permissive_search_py
 
     static_names = _static_prop_names(ctx)
 
@@ -752,7 +751,7 @@ def _k_extra_properties(
         extra = [
             n
             for n in static_names
-            if n not in declared and not any(_re.compile(p).search(n) for p in patterns)
+            if n not in declared and not any(permissive_search_py(p, n) for p in patterns)
         ]
         parts = []
         for name in extra:

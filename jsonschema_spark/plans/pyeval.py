@@ -276,10 +276,10 @@ def _eval(schema: Schema, inst: Any, scope: _Scope, base: str, depth: int,
         if isinstance(schema.get("maxLength"), int):
             ok &= len(inst) <= schema["maxLength"]
         if isinstance(schema.get("pattern"), str):
-            try:
-                ok &= re.search(schema["pattern"], inst) is not None
-            except re.error:
-                pass  # non-compiling pattern: lint territory, not assertion
+            from jsonschema_spark.functions.strings import permissive_search_py
+
+            # permissive-PCRE2 dialect, same as every engine route
+            ok &= bool(permissive_search_py(schema["pattern"], inst))
         fmt = schema.get("format")
         if fmt_assert and isinstance(fmt, str) and fmt in FORMATS:
             ok &= format_py(fmt, inst)
@@ -345,10 +345,9 @@ def _eval(schema: Schema, inst: Any, scope: _Scope, base: str, depth: int,
                 if r[0]:
                     keys.add(name)
             for p, ps in pats.items():
-                try:
-                    hit = re.search(p, name) is not None
-                except re.error:
-                    hit = False
+                from jsonschema_spark.functions.strings import permissive_search_py
+
+                hit = bool(permissive_search_py(p, name))
                 if hit:
                     matched = True
                     r = sub(ps, v)

@@ -376,8 +376,11 @@ def test_config_file_resolver(tmp_path, spark):
 
 
 def test_regex_residual_routing(spark):
-    """Patterns Java's dialect would reject route to the PCRE pudf with
-    ECMA semantics: [] never matches, [^] matches anything."""
+    """Permissive-dialect empty classes hold end-to-end: [] never matches,
+    [^] matches anything. Since round 3 both stay JVM-side — the dialect
+    translator rewrites them to (?!) / (?s:.) — and only genuinely
+    Java-uncompilable patterns (dangling braces, \\c escapes) route to the
+    PCRE pudf (tests/test_regex_dialect.py is the full corpus)."""
     schema = {"properties": {"s": {"pattern": "a[^]z"}}}
     docs = spark.createDataFrame(
         [(1, '{"s": "a!z"}'), (2, '{"s": "az"}')], "id long, doc string"
@@ -387,8 +390,10 @@ def test_regex_residual_routing(spark):
     from jsonschema_spark.functions.strings import _java_dialect_safe
 
     assert _java_dialect_safe("^a{2,3}b$")
-    assert not _java_dialect_safe("a{")
-    assert not _java_dialect_safe("[]")
+    assert _java_dialect_safe("[]")       # translated to (?!) — JVM route
+    assert _java_dialect_safe("[^]")      # translated to .  under (?s)
+    assert not _java_dialect_safe("a{")   # Java literal-brace hazard
+    assert not _java_dialect_safe(r"\cJ")  # PCRE2_NEVER_BACKSLASH_C
 
 
 def test_dynamic_ref_static_resolution(spark):

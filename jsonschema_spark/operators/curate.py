@@ -59,12 +59,16 @@ def curation_report(
     text_col: str,
     **kwargs,
 ) -> dict:
-    """Funnel counts: {'input': n, 'quality_kept': n, 'curated': n}."""
-    n_in = df.count()
-    kept = df.filter(webtext_keep(F.col(text_col),
-                                  kwargs.get("min_words", 50),
-                                  kwargs.get("max_words", 100000),
-                                  kwargs.get("min_stopwords", 2)))
-    n_kept = kept.count()
+    """Funnel counts: {'input': n, 'quality_kept': n, 'curated': n}.
+    Input and quality-kept come from ONE pass (conditional count over the
+    scan); only the curated tally needs the pipeline's own action."""
+    keep = webtext_keep(F.col(text_col),
+                        kwargs.get("min_words", 50),
+                        kwargs.get("max_words", 100000),
+                        kwargs.get("min_stopwords", 2))
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+    ).collect()[0]
     n_cur = curate_corpus(df, id_col, text_col, **kwargs).count()
-    return {"input": n_in, "quality_kept": n_kept, "curated": n_cur}
+    return {"input": row["n_in"], "quality_kept": row["n_kept"], "curated": n_cur}

@@ -114,11 +114,23 @@ def ivf_centroids_df(
 ) -> DataFrame:
     """Coarse-quantizer centroids computed IN-ENGINE: one k-means step from
     hash-partitioned init (cell j = floor(mean) of vectors with
-    id % n_centroids == j). Deterministic, engine-portable (the SQL oracle
-    computes the identical centroids), and one aggregation over the corpus
-    — no driver-side training loop. Returns (ci, cv array<long>)."""
+    id % n_centroids == j for numeric ids; non-numeric ids go through the
+    portable 56-bit md5 prefix first, so string keys neither crash nor
+    depend on JVM hash quality). Deterministic, engine-portable (the SQL
+    oracle computes the identical centroids: ``id % n`` /
+    ``conv(substr(md5(id),1,14),16,10) % n``), and one aggregation over
+    the corpus — no driver-side training loop. Returns (ci, cv array<long>)."""
+    id_field = df.schema[id_col].dataType.typeName()
+    if id_field in ("byte", "short", "integer", "long"):
+        cell = F.pmod(F.col(id_col), F.lit(n_centroids))
+    else:
+        cell = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10)
+            .cast("long"),
+            F.lit(n_centroids),
+        )
     q = df.select(
-        (F.col(id_col) % n_centroids).alias("ci"),
+        cell.alias("ci"),
         F.posexplode(quantize_embedding(F.col(vec_col), scale)).alias("pos", "v"),
     )
     # floor(exact-int sum / count) in ONE double division — engine `avg`

@@ -319,6 +319,21 @@ def test_topk_ivf_exact_within_probed_cells(spark):
     assert 0 < pruned.count() <= bf.count()
 
 
+def test_topk_ivf_string_ids(spark):
+    """String id columns route through the portable md5 cell hash instead
+    of crashing on `id % n` (round-2 advice on ivf_centroids_df)."""
+    from jsonschema_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .withColumn("sid", F.concat(F.lit("v-"), F.col("vec_id"))))
+    q = emb.filter(F.col("vec_id") < 3)
+    ivf = topk_ivf(emb, q, "sid", "embedding", k=3, n_centroids=4, n_probe=4)
+    bf = topk_bruteforce(emb, q, "sid", "embedding", k=3)
+    got = {(r["q_id"], r["rnk"]): (r["neighbor_id"], r["cos_micro"]) for r in ivf.collect()}
+    want = {(r["q_id"], r["rnk"]): (r["neighbor_id"], r["cos_micro"]) for r in bf.collect()}
+    assert got == want
+
+
 def test_line_dedup_strict_mode_drops_all_copies(spark):
     from jsonschema_spark.operators.dedup import line_dedup
 

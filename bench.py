@@ -77,6 +77,23 @@ def main() -> None:
     for name, fn in qs.items():
         bench(name, lambda fn=fn: _run(fn(spark, sf_dir)))
 
+    # scale-path variants (VERDICT r2 #9): the oracle queries above run the
+    # exact no-cutoff mirrors so DuckDB can replay them; these time the
+    # guarded invocations a 100 TB run would actually use.
+    from jsonschema_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench(
+        "dedup_jaccard_pairs_maxdf",
+        lambda: _run(jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                                   min_ppm=500000, max_df=200)),
+    )
+    bench(
+        "dedup_minhash_pairs_maxbanddf",
+        lambda: _run(minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=6,
+                                       max_band_df=200)),
+    )
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(PAGES_ROWS / timings["validate_pages_fast"]) if timings.get("validate_pages_fast") else None
     out = {

@@ -40,6 +40,7 @@ def curate_corpus(
     k: int = 12,
     bands: int = 6,
     shingle_n: int = 3,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     kept = df.filter(
         webtext_keep(F.col(text_col), min_words, max_words, min_stopwords)
@@ -48,7 +49,7 @@ def curate_corpus(
     # checkpoint once so the quality filter isn't recomputed per consumer
     kept = kept.localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(kept, id_col, text_col, k=k, bands=bands,
-                              shingle_n=shingle_n)
+                              shingle_n=shingle_n, max_band_df=max_band_df)
     clusters = dedup_clusters(pairs)
     return keep_canonical(kept, clusters, id_col)
 

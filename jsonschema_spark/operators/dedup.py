@@ -120,13 +120,27 @@ def minhash_lsh_pairs(
     k: int = 12,
     bands: int = 6,
     shingle_n: int = 3,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band → (id_a, id_b,
     n_shared_bands). Null/shingle-less docs never produce candidates.
 
     Plan: one scan → signature select → explode bands (k/bands values per
     band) → self-equi-join on (band, band_key) — a hash join on uniform
-    keys; AQE handles residual bucket skew."""
+    keys; AQE handles residual bucket skew.
+
+    ``max_band_df`` is the corpus-scale skew guard (the banding analogue
+    of ``jaccard_pairs``'s ``max_df``): a band key shared by c documents
+    emits c·(c-1)/2 candidate pairs, so one degenerate bucket — empty
+    pages, boilerplate templates — shared by 0.1% of a 10^12-doc crawl
+    would emit ~5·10^17 pairs. AQE's skew-join split rebalances the join
+    TASKS but cannot shrink that output. With ``max_band_df`` set, band
+    keys whose document frequency exceeds it are dropped from the index
+    before the join (one extra count-aggregate + semi-join, shuffling on
+    the same (band, band_key) the join itself uses). Members of an
+    over-cap bucket are near-identical boilerplate; exact dedup or a
+    per-bucket canonical pick handles them separately. Default None keeps
+    the exact LSH semantics (the oracle mirror)."""
     rows_per_band = k // bands
     sig = minhash_signatures_df(df, id_col, text_col, k, shingle_n)
     band_entries = [
@@ -144,6 +158,14 @@ def minhash_lsh_pairs(
     # materialize once: both self-join sides read the checkpoint instead of
     # recomputing the signature aggregation (tiny: k longs per doc)
     bandsdf = bandsdf.localCheckpoint(eager=True)
+    if max_band_df is not None:
+        cold_keys = (
+            bandsdf.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_band_df)
+            .drop("_df")
+        )
+        bandsdf = bandsdf.join(cold_keys, ["band", "band_key"], "left_semi")
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a._id") < F.col("b._id")))

@@ -374,3 +374,28 @@ def test_numeric_drift_ks(spark):
         "id long, v long")
     r3 = numeric_drift(shifted, "v", F.col("id") < 100).first()
     assert r3["ks_ppm"] == 500000
+
+
+def test_lsh_max_band_df_defuses_hot_band(spark):
+    """Degenerate-corpus skew stress (VERDICT r2 #8): 10% of the corpus is
+    one identical boilerplate doc, so all its band keys collapse to one hot
+    bucket — a bucket of c docs emits c*(c-1)/2 pairs. max_band_df drops
+    over-cap band keys BEFORE the self-join; distinct rare docs still pair
+    normally."""
+    n, hot = 300, 30  # 10% boilerplate
+    rows = [(i, "empty page boilerplate template footer nav " * 3) for i in range(hot)]
+    rows += [(i, f"rare{i} unique{i} words{i} " + ("alpha beta gamma " if i % 2 else "delta eps zeta "))
+             for i in range(hot, n)]
+    # plant ONE rare near-dup pair that must survive the cutoff
+    rows += [(n, "the quick brown fox jumps over the lazy dog today"),
+             (n + 1, "the quick brown fox jumps over the lazy dog today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = minhash_lsh_pairs(df, "doc_id", "text", k=12, bands=6)
+    assert full.filter((F.col("id_a") < hot) & (F.col("id_b") < hot)).count() == hot * (hot - 1) // 2
+    cut = minhash_lsh_pairs(df, "doc_id", "text", k=12, bands=6, max_band_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in cut.collect()}
+    assert not any(a < hot and b < hot for a, b in got)  # hot bucket defused
+    assert (n, n + 1) in got  # rare dup still found
+    # the cutoff join stays an equi-join (no cross-product in the plan)
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -66,7 +66,11 @@ def load_completed(
             recorded = (m.get("lineage") or {}).get("snapshot_id")
             if recorded != snapshot_id:
                 continue
-        done.append(m["partition"])
+        # a NULL partition is never "done" — and a None inside the isin()
+        # skip-list would make the IN predicate NULL for every unmatched
+        # value, silently skipping ALL remaining partitions
+        if m["partition"] is not None:
+            done.append(m["partition"])
     return done
 
 
@@ -79,32 +83,88 @@ def run_validation_checkpointed(
     input_path: Optional[str] = None,
     sketch_col: Optional[str] = None,
     lineage: Optional[dict] = None,
+    wave_size: Optional[int] = None,
 ) -> RunResult:
     """Validate ``df`` partition-wise with resume-on-restart.
 
     Completed partitions (matching manifests) are pruned from the scan;
-    the remainder runs as one job writing verdict-annotated output
-    partitioned by ``partition_col``, then one aggregate pass emits
-    per-partition metrics manifests.
-    """
+    the remainder runs writing verdict-annotated output partitioned by
+    ``partition_col``, then an aggregate pass emits per-partition metrics
+    manifests.
+
+    ``wave_size`` bounds the failure blast radius: with it set, the TODO
+    partition values are processed in waves of that many partitions — one
+    Spark job + one manifest commit per wave — so a crash loses at most
+    one wave of work and the rerun's partition pruning skips every
+    committed wave. At 10^12 rows day-partitioned this is a driver loop
+    over ~365/wave_size iterations, not a per-partition loop. Default
+    ``None`` keeps the single-job shape (manifests commit at job end)."""
     fp = schema_fingerprint(schema)
     done = load_completed(manifest_dir, fp,
                           (lineage or {}).get("snapshot_id"))
+
+    if wave_size:
+        # one cheap distinct over the (partition-pruned) TODO scan — on a
+        # real Iceberg table this is a metadata-only partitions query
+        todo_f = (
+            (F.col(partition_col).isNull() | ~F.col(partition_col).isin(done))
+            if done else F.lit(True)
+        )
+        vals = [
+            r[0]
+            for r in df.filter(todo_f).select(partition_col).distinct().collect()
+        ]
+        # NULL partition values are never "done" (no manifest key); fold
+        # them into the first wave so they are (re)processed exactly once
+        has_null = any(v is None for v in vals)
+        vals = sorted(v for v in vals if v is not None)
+        waves = [vals[i:i + wave_size] for i in range(0, len(vals), wave_size)]
+        if has_null:
+            waves = waves or [[]]
+        result = RunResult([], done, {})
+        for i, wave in enumerate(waves):
+            wf = F.col(partition_col).isin(wave)
+            if i == 0 and has_null:
+                wf = wf | F.col(partition_col).isNull()
+            part = _run_scope(df, schema, partition_col, out_dir, manifest_dir,
+                              wf, fp, input_path, sketch_col, lineage)
+            result.processed_partitions.extend(part.processed_partitions)
+            result.metrics.update(part.metrics)
+        return result
+
     # Null-safe skip filter: `~isin(done)` alone is NULL for NULL partition
     # values, silently dropping those rows on resumed runs. Policy: a NULL
     # partition value is never considered "done" (its manifest key is not
     # representable), so NULL-partition rows are (re)processed every run.
-    todo_df = (
-        df.filter(F.col(partition_col).isNull() | ~F.col(partition_col).isin(done))
+    scope = (
+        (F.col(partition_col).isNull() | ~F.col(partition_col).isin(done))
         if done
-        else df
+        else F.lit(True)
     )
+    part = _run_scope(df, schema, partition_col, out_dir, manifest_dir,
+                      scope, fp, input_path, sketch_col, lineage)
+    return RunResult(part.processed_partitions, done, part.metrics)
 
-    annotated = validate(todo_df, schema)
+
+def _run_scope(
+    df: DataFrame,
+    schema: Union[dict, bool],
+    partition_col: str,
+    out_dir: str,
+    manifest_dir: str,
+    scope,
+    fp: str,
+    input_path: Optional[str],
+    sketch_col: Optional[str],
+    lineage: Optional[dict],
+) -> RunResult:
+    """One job over ``df.filter(scope)`` + one manifest commit."""
+    annotated = validate(df.filter(scope), schema)
     (
         # dynamic partition overwrite: re-processed partitions (e.g. after a
-        # schema-fingerprint change) REPLACE their stale output instead of
-        # appending duplicates; untouched partitions are left alone
+        # schema-fingerprint change or a killed run's partial files) REPLACE
+        # their stale output instead of appending duplicates; untouched
+        # partitions are left alone
         annotated.write.partitionBy(partition_col)
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
@@ -116,11 +176,7 @@ def run_validation_checkpointed(
         # the committed files (not the input) makes the manifest reflect
         # exactly what landed on disk
         annotated.sparkSession.read.parquet(out_dir)
-        .filter(
-            (F.col(partition_col).isNull() | ~F.col(partition_col).isin(done))
-            if done
-            else F.lit(True)
-        )
+        .filter(scope)
         .groupBy(partition_col)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -146,6 +202,12 @@ def run_validation_checkpointed(
     metrics = {}
     for r in metrics_rows:
         value = r[partition_col]
+        if value is None:
+            # policy: NULL-partition rows are written (dynamic overwrite
+            # keeps them duplicate-free) but never manifested as "done" —
+            # they are reprocessed every run
+            metrics["null"] = {"n_rows": r["n_rows"], "n_valid": r["n_valid"]}
+            continue
         m = {
             "partition": value,
             "partition_col": partition_col,
@@ -174,4 +236,4 @@ def run_validation_checkpointed(
         os.replace(tmp, _manifest_path(manifest_dir, value))  # atomic commit
         processed.append(value)
         metrics[str(value)] = {"n_rows": r["n_rows"], "n_valid": r["n_valid"]}
-    return RunResult(processed, done, metrics)
+    return RunResult(processed, [], metrics)

@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--sketch-col", default=None)
     p.add_argument("--snapshot-id", default=None,
                    help="pin the input to an Iceberg snapshot (resume safety)")
+    p.add_argument("--wave-size", type=int, default=None,
+                   help="partitions per manifest-commit wave (bounds how "
+                        "much work a crash can lose; default: one job)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +71,7 @@ def main() -> None:
         lineage={"snapshot_id": table.snapshot_id,
                  "partition_spec": table.partition_spec,
                  "source": table.source},
+        wave_size=args.wave_size,
     )
     print(
         json.dumps(

@@ -90,6 +90,48 @@ def test_checkpoint_resume_skips_done(spark, tmp_path):
     assert spark.read.parquet(out).count() == 100
 
 
+def test_checkpoint_waves_commit_incrementally_and_survive_crash(spark, tmp_path):
+    """wave_size bounds the blast radius: a crash after wave 1 leaves wave
+    1's manifests committed, and the rerun skips those partitions."""
+    schema = {"properties": {"v": {"type": "integer", "minimum": 0}}}
+    df = spark.range(0, 120).select(
+        (F.col("id") % 6).alias("day"), (F.col("id") - 60).alias("v")
+    )
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifests")
+
+    # crash mid-run: fail the second wave's write by poisoning the scope
+    # filter after one successful wave
+    import jsonschema_spark.operators.checkpoint as cp
+
+    real = cp._run_scope
+    calls = []
+
+    def crashing(*a, **k):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("killed")
+        return real(*a, **k)
+
+    cp._run_scope = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            run_validation_checkpointed(df, schema, "day", out, man, wave_size=2)
+    finally:
+        cp._run_scope = real
+
+    done_after_crash = sorted(
+        json.load(open(os.path.join(man, f)))["partition"] for f in os.listdir(man)
+    )
+    assert done_after_crash == [0, 1]  # exactly one wave committed
+
+    # resume: completed wave skipped, remaining 4 partitions run in 2 waves
+    r2 = run_validation_checkpointed(df, schema, "day", out, man, wave_size=2)
+    assert sorted(r2.skipped_partitions) == [0, 1]
+    assert sorted(r2.processed_partitions) == [2, 3, 4, 5]
+    assert spark.read.parquet(out).count() == 120  # no dupes, nothing lost
+    assert len(os.listdir(man)) == 6
+
+
 # --- streaming ----------------------------------------------------------------
 
 

@@ -15,9 +15,12 @@ SURVEY.md §3.3). Model:
   partitions);
 - a changed schema fingerprint invalidates all manifests (full rerun).
 
-The whole TODO set still runs as ONE Spark job (no driver-side
+By default the whole TODO set runs as ONE Spark job (no driver-side
 per-partition loop): filter → validate → write partitioned → per-partition
-metrics agg → manifests.
+metrics agg → manifests. With ``wave_size`` set, the TODO partitions run
+in waves of that many — one job + one manifest commit per wave — bounding
+how much work a mid-run crash can lose (soaked for real: a SIGKILLed 16M-row
+spark-submit resumes past its committed waves; scripts/soak_resume.py).
 """
 
 from __future__ import annotations

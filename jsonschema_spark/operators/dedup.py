@@ -521,11 +521,16 @@ def dedup_clusters(
     - ≤ ``driver_max_edges``: union-find on the driver (one collect of the
       edge list, milliseconds of CPU) — even a 100 TB corpus commonly
       produces a pair graph this small after LSH banding;
-    - larger: distributed iterative min-label propagation — each round
-      every node takes min(own, neighbors') labels; converges in
-      graph-diameter rounds (near-dup components are clique-like,
-      diameter ≲ 3). One shuffle per round; localCheckpoint truncates the
-      growing lineage; LAZY convergence check exits early.
+    - larger: distributed min-label propagation WITH pointer jumping —
+      each round every node takes min(own, neighbors', and its label's
+      label). The label graph is a forest pointing at smaller ids, so the
+      label-of-label join halves every pointer chain per round: O(log
+      diameter) rounds total, vs O(diameter) for plain propagation.
+      Duplicate-of-duplicate chains (mirror-of-mirror pages) routinely
+      give components of diameter in the thousands — plain propagation
+      provably stalls there (surfaced by the sf1 pipeline bench at 2M
+      docs). Two shuffles per round; localCheckpoint truncates the
+      growing lineage; convergence check exits early.
     """
     edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
     edges = edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
@@ -576,14 +581,25 @@ def dedup_clusters(
             .groupBy("x")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.x, "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+        )
+        # pointer jump (path halving): label ← label(label). Every label IS
+        # some node's id, so the self-join is total; parents only shrink.
+        parents = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            stepped.join(parents, stepped.label == parents.pid)
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_chg"),
+                F.least("label", "plabel").alias("label"),
+                (F.least("label", "plabel") < F.col("_old")).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:

@@ -48,12 +48,22 @@ def documents_df(spark: SparkSession, n_rows: int,
     short = (sel >= 8) & (sel < 23)
     n_words = F.when(short, _h(3, seed) % 8 + 3).otherwise(_h(3, seed) % 150 + 55)
 
+    # ~25% of words carry a distinctive hashed token from a 100k space:
+    # without them a small closed vocabulary gives random doc pairs a
+    # nonzero shingle Jaccard, and at n^2 pair scale even J ~ 1e-3
+    # percolates LSH candidates into one giant component (real webtext
+    # has a heavy-tailed open vocabulary; this models it)
     words = F.transform(
         F.sequence(F.lit(0), n_words - 1),
-        lambda j: F.element_at(
-            F.array(*[F.lit(w) for w in _VOCAB]),
-            ((F.xxhash64(seed, j, F.lit(7)) % len(_VOCAB) + len(_VOCAB))
-             % len(_VOCAB)).cast("int") + 1,
+        lambda j: F.when(
+            F.pmod(F.xxhash64(seed, j, F.lit(11)), F.lit(4)) == 0,
+            F.concat(F.lit("t"), F.pmod(F.xxhash64(seed, j, F.lit(13)), F.lit(100000)).cast("string")),
+        ).otherwise(
+            F.element_at(
+                F.array(*[F.lit(w) for w in _VOCAB]),
+                ((F.xxhash64(seed, j, F.lit(7)) % len(_VOCAB) + len(_VOCAB))
+                 % len(_VOCAB)).cast("int") + 1,
+            )
         ),
     )
     near = (sel >= 6) & (sel < 8)

@@ -38,7 +38,7 @@ def ensure_docs(spark, rows: int) -> str:
     return path
 
 
-def run_pipeline(spark, path: str, max_band_df: int) -> dict:
+def run_pipeline(spark, path: str, max_band_df: int, k: int, bands: int) -> dict:
     from pyspark.sql import functions as F
 
     from jsonschema_spark.operators.dedup import (
@@ -51,24 +51,39 @@ def run_pipeline(spark, path: str, max_band_df: int) -> dict:
     stages: dict[str, dict] = {}
 
     def stage(name, fn):
+        # operators run eager checkpoints at CONSTRUCTION time, so each
+        # stage builds its own DataFrame inside the timed block
         t0 = time.perf_counter()
-        n = fn()
+        df, n = fn()
         stages[name] = {"rows": n, "sec": round(time.perf_counter() - t0, 2)}
-        return n
+        return df
 
     docs = spark.read.parquet(path)
     n_in = docs.count()
-    kept = docs.filter(webtext_keep(F.col("text"), 50, 100000, 2))
-    kept = kept.localCheckpoint(eager=False)
-    stage("quality_kept", lambda: kept.count())
-    pairs = minhash_lsh_pairs(kept, "doc_id", "text", k=12, bands=6,
-                              max_band_df=max_band_df)
-    pairs = pairs.localCheckpoint(eager=False)
-    stage("lsh_pairs", lambda: pairs.count())
-    clusters = dedup_clusters(pairs)
-    clusters = clusters.localCheckpoint(eager=False)
-    stage("clusters", lambda: clusters.count())
-    stage("curated", lambda: keep_canonical(kept, clusters, "doc_id").count())
+
+    def s_quality():
+        kept = docs.filter(
+            webtext_keep(F.col("text"), 50, 100000, 2)
+        ).localCheckpoint(eager=True)
+        return kept, kept.count()
+
+    kept = stage("quality_kept", s_quality)
+
+    def s_pairs():
+        pairs = minhash_lsh_pairs(kept, "doc_id", "text", k=k, bands=bands,
+                                  max_band_df=max_band_df)
+        pairs = pairs.localCheckpoint(eager=True)
+        return pairs, pairs.count()
+
+    pairs = stage("lsh_pairs", s_pairs)
+
+    def s_clusters():
+        clusters = dedup_clusters(pairs).localCheckpoint(eager=True)
+        return clusters, clusters.count()
+
+    clusters = stage("clusters", s_clusters)
+    stage("curated",
+          lambda: (None, keep_canonical(kept, clusters, "doc_id").count()))
     total = round(sum(s["sec"] for s in stages.values()), 2)
     return {"input_rows": n_in, "stages": stages, "total_sec": total}
 
@@ -79,6 +94,8 @@ def main() -> int:
     ap.add_argument("--small", type=int, default=200_000)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--max-band-df", type=int, default=256)
+    ap.add_argument("--k", type=int, default=12)
+    ap.add_argument("--bands", type=int, default=4)
     args = ap.parse_args()
 
     from jsonschema_spark.session import get_spark
@@ -87,8 +104,8 @@ def main() -> int:
     big_path = ensure_docs(spark, args.rows)
     small_path = ensure_docs(spark, args.small)
 
-    small = run_pipeline(spark, small_path, args.max_band_df)
-    big = run_pipeline(spark, big_path, args.max_band_df)
+    small = run_pipeline(spark, small_path, args.max_band_df, args.k, args.bands)
+    big = run_pipeline(spark, big_path, args.max_band_df, args.k, args.bands)
 
     ratio = args.rows / args.small
     blowup = {
@@ -101,6 +118,14 @@ def main() -> int:
         "cores": args.cores,
         "corpus_ratio": ratio,
         "max_band_df": args.max_band_df,
+        "k": args.k,
+        "bands": args.bands,
+        # LSH candidate count has an intrinsic n^2 * P_fp term with
+        # P_fp = bands * J_background^rows_per_band — banding precision
+        # must SCALE with corpus size (rows_per_band up as n up) or the
+        # false-positive term dominates; rows_per_band=3 keeps it
+        # negligible through 10^7 docs, 4-5 at crawl scale
+        "note": "rows_per_band = k/bands; see BASELINE.md sf1 section",
         "small": small,
         "big": big,
         # per-stage (rows_big/rows_small)/corpus_ratio — 1.0 = exactly

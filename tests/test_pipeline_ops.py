@@ -399,3 +399,17 @@ def test_lsh_max_band_df_defuses_hot_band(spark):
     # the cutoff join stays an equi-join (no cross-product in the plan)
     plan = cut._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    """Duplicate-of-duplicate chains give components whose diameter far
+    exceeds any fixed round budget; pointer jumping must converge a
+    300-node path in O(log d) rounds (plain propagation needs 300)."""
+    from jsonschema_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs, driver_max_edges=0, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(301)}

@@ -91,7 +91,7 @@ def main() -> None:
     bench(
         "dedup_minhash_pairs_maxbanddf",
         lambda: _run(minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=6,
-                                       max_band_df=200)),
+                                       max_band_df=200, portable=False)),
     )
 
     total = round(sum(timings.values()), 3)

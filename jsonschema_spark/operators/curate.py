@@ -41,6 +41,7 @@ def curate_corpus(
     bands: int = 6,
     shingle_n: int = 3,
     max_band_df: int | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     kept = df.filter(
         webtext_keep(F.col(text_col), min_words, max_words, min_stopwords)
@@ -49,7 +50,8 @@ def curate_corpus(
     # checkpoint once so the quality filter isn't recomputed per consumer
     kept = kept.localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(kept, id_col, text_col, k=k, bands=bands,
-                              shingle_n=shingle_n, max_band_df=max_band_df)
+                              shingle_n=shingle_n, max_band_df=max_band_df,
+                              portable=portable)
     clusters = dedup_clusters(pairs)
     return keep_canonical(kept, clusters, id_col)
 

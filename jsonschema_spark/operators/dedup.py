@@ -85,21 +85,34 @@ def minhash_signature(text: Column, k: int = 12, shingle_n: int = 3) -> Column:
 
 
 def minhash_signatures_df(
-    df: DataFrame, id_col: str, text_col: str, k: int = 12, shingle_n: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 12, shingle_n: int = 3,
+    portable: bool = True
 ) -> DataFrame:
     """Per-doc MinHash signatures as columns mh0..mh{k-1} — the scale
     shape: explode distinct shingles once, hash k ways per shingle row,
     then ONE aggregation (map-side partial mins compress each partition
     to one row per doc before the shuffle). Docs with no shingles drop
-    out (they cannot participate in similarity)."""
+    out (they cannot participate in similarity).
+
+    ``portable=True`` (default) hashes with hash56 (md5-derived) so DuckDB
+    can replay the exact signatures — the oracle-mirrored form. The k md5
+    rounds per shingle dominate pipeline cost at scale, so
+    ``portable=False`` switches to seeded ``xxhash64`` (one cheap JVM
+    intrinsic per (shingle, seed)); the signatures differ numerically but
+    are an equally valid MinHash sample — pair RECALL semantics are
+    unchanged, only which hash family draws the permutations."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
     )
-    hashed = sh.select(
-        "_id",
-        *[hash56(F.concat(F.lit(f"{j}:"), F.col("_s"))).alias(f"mh{j}") for j in range(k)],
-    )
+    if portable:
+        hashes = [
+            hash56(F.concat(F.lit(f"{j}:"), F.col("_s"))).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    else:
+        hashes = [F.xxhash64(F.col("_s"), F.lit(j)).alias(f"mh{j}") for j in range(k)]
+    hashed = sh.select("_id", *hashes)
     return hashed.groupBy("_id").agg(*[F.min(f"mh{j}").alias(f"mh{j}") for j in range(k)])
 
 
@@ -121,6 +134,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     shingle_n: int = 3,
     max_band_df: int | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band → (id_a, id_b,
     n_shared_bands). Null/shingle-less docs never produce candidates.
@@ -142,7 +156,8 @@ def minhash_lsh_pairs(
     per-bucket canonical pick handles them separately. Default None keeps
     the exact LSH semantics (the oracle mirror)."""
     rows_per_band = k // bands
-    sig = minhash_signatures_df(df, id_col, text_col, k, shingle_n)
+    sig = minhash_signatures_df(df, id_col, text_col, k, shingle_n,
+                                portable=portable)
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),

@@ -38,7 +38,8 @@ def ensure_docs(spark, rows: int) -> str:
     return path
 
 
-def run_pipeline(spark, path: str, max_band_df: int, k: int, bands: int) -> dict:
+def run_pipeline(spark, path: str, max_band_df: int, k: int, bands: int,
+                 portable: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from jsonschema_spark.operators.dedup import (
@@ -70,8 +71,11 @@ def run_pipeline(spark, path: str, max_band_df: int, k: int, bands: int) -> dict
     kept = stage("quality_kept", s_quality)
 
     def s_pairs():
+        # portable=False: the scale path draws minhash permutations from
+        # seeded xxhash64 instead of the oracle-replayable md5 form — same
+        # recall semantics, k cheap JVM intrinsics instead of k md5 rounds
         pairs = minhash_lsh_pairs(kept, "doc_id", "text", k=k, bands=bands,
-                                  max_band_df=max_band_df)
+                                  max_band_df=max_band_df, portable=portable)
         pairs = pairs.localCheckpoint(eager=True)
         return pairs, pairs.count()
 

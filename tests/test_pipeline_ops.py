@@ -413,3 +413,14 @@ def test_dedup_clusters_long_chain_converges_logarithmically(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup_clusters(pairs, driver_max_edges=0, max_iters=12).collect()}
     assert got == {i: 0 for i in range(301)}
+
+
+def test_minhash_fast_hash_family_finds_same_dups(docs):
+    """portable=False swaps the md5 permutation family for seeded
+    xxhash64 (the scale path): exact duplicates must still collide on
+    every band, and the unrelated doc must not pair with anything."""
+    fast = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=6,
+                                       portable=False).collect()}
+    assert fast[(1, 2)] == 6          # exact dup: all bands shared
+    assert not any(4 in p for p in fast)  # unrelated doc stays unpaired

@@ -97,10 +97,15 @@ def minhash_signatures_df(
     ``portable=True`` (default) hashes with hash56 (md5-derived) so DuckDB
     can replay the exact signatures — the oracle-mirrored form. The k md5
     rounds per shingle dominate pipeline cost at scale, so
-    ``portable=False`` switches to seeded ``xxhash64`` (one cheap JVM
-    intrinsic per (shingle, seed)); the signatures differ numerically but
-    are an equally valid MinHash sample — pair RECALL semantics are
-    unchanged, only which hash family draws the permutations."""
+    ``portable=False`` switches to the textbook linear-permutation
+    family: ONE ``xxhash64`` per shingle (string hashing is the expensive
+    part, proportional to length — Catalyst's subexpression elimination
+    evaluates it once), then k affine maps h_j = (a_j·h + b_j) mod p over
+    a 31-bit base hash (p = 2^31-1; 31-bit operands keep every product
+    inside int64 — Spark 4 ANSI mode THROWS on long overflow). The
+    signatures differ numerically but are an equally valid MinHash
+    sample — pair RECALL semantics are unchanged, only which hash family
+    draws the permutations."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
@@ -111,7 +116,16 @@ def minhash_signatures_df(
             for j in range(k)
         ]
     else:
-        hashes = [F.xxhash64(F.col("_s"), F.lit(j)).alias(f"mh{j}") for j in range(k)]
+        import random
+
+        p31 = (1 << 31) - 1
+        rng = random.Random(0x5EED)
+        coef = [(rng.randrange(1, p31), rng.randrange(0, p31)) for _ in range(k)]
+        h = F.xxhash64(F.col("_s")).bitwiseAND(F.lit(p31))
+        hashes = [
+            ((F.lit(a) * h + F.lit(b)) % F.lit(p31)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(coef)
+        ]
     hashed = sh.select("_id", *hashes)
     return hashed.groupBy("_id").agg(*[F.min(f"mh{j}").alias(f"mh{j}") for j in range(k)])
 

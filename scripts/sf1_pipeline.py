@@ -137,8 +137,19 @@ def main() -> int:
         "stage_growth_vs_linear": blowup,
         "super_linear": [k for k, v in blowup.items() if v > 1.5],
     }
-    with open(os.path.join(ROOT, "BENCH_sf1.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # append as a measured point (never clobber previously recorded points)
+    bench_path = os.path.join(ROOT, "BENCH_sf1.json")
+    doc = {"metric": out["metric"], "points": []}
+    if os.path.exists(bench_path):
+        try:
+            prev = json.load(open(bench_path))
+            if "points" in prev:
+                doc = prev
+        except (json.JSONDecodeError, OSError):
+            pass
+    doc["points"].append(out)
+    with open(bench_path, "w") as f:
+        json.dump(doc, f, indent=1)
     print(json.dumps(out))
     return 0 if not out["super_linear"] else 1
 

@@ -55,6 +55,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(sz >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
+def word_shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram hashes WITHOUT materializing shingle strings:
+    hash each token once, then combine n consecutive token hashes with a
+    fixed-width ``xxhash64(long, ..., long)`` — no per-shingle string
+    allocation, and the downstream explode/shuffle rows are 8-byte longs
+    instead of ~25-byte strings. Same Jaccard semantics as
+    ``word_shingles`` modulo 64-bit hash collisions (negligible); used by
+    the non-portable (scale) minhash path."""
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if n == 1:
+        return F.array_distinct(th)
+    sz = F.size(th)
+    cols = [F.slice(th, i + 1, sz - (n - 1)).alias(f"g{i}") for i in range(n)]
+    zipped = F.arrays_zip(*cols)
+    grams = F.transform(zipped, lambda s: F.xxhash64(*[s[f"g{i}"] for i in range(n)]))
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<long>"))
+
+
 # --- exact ------------------------------------------------------------------
 
 
@@ -106,11 +125,11 @@ def minhash_signatures_df(
     signatures differ numerically but are an equally valid MinHash
     sample — pair RECALL semantics are unchanged, only which hash family
     draws the permutations."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
-    )
     if portable:
+        sh = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
+        )
         hashes = [
             hash56(F.concat(F.lit(f"{j}:"), F.col("_s"))).alias(f"mh{j}")
             for j in range(k)
@@ -121,7 +140,12 @@ def minhash_signatures_df(
         p31 = (1 << 31) - 1
         rng = random.Random(0x5EED)
         coef = [(rng.randrange(1, p31), rng.randrange(0, p31)) for _ in range(k)]
-        h = F.xxhash64(F.col("_s")).bitwiseAND(F.lit(p31))
+        # shingle-hash explode: 8-byte long rows, no shingle strings built
+        sh = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingle_hashes(F.col(text_col), shingle_n)).alias("_s"),
+        )
+        h = F.col("_s").bitwiseAND(F.lit(p31))
         hashes = [
             ((F.lit(a) * h + F.lit(b)) % F.lit(p31)).alias(f"mh{j}")
             for j, (a, b) in enumerate(coef)

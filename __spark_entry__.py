@@ -938,6 +938,16 @@ def q_webtext_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 Table A1): per-doc
+    character-coverage of the most frequent {2,3,4}-gram and of duplicated
+    {5,6}-grams, floor-ppm, plus the threshold conjunction. One scan, one
+    tagged explode over all five n-gram families, two shuffles."""
+    from jsonschema_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-budget accounting: whitespace words + GPT-2-style
     pretokenizer counts (RE2∩Java-safe regex — the SAME pattern text runs
@@ -1452,6 +1462,61 @@ FROM m
 """
 
 
+def _repetition_sql() -> str:
+    """Mirror of textstats.repetition_stats: same tokenization (_TOKS),
+    same coverage definition (count*char-length of the space-joined gram),
+    same single-IEEE-division floor-ppm, same Table A1 thresholds."""
+    from jsonschema_spark.operators.textstats import (
+        REPETITION_DUP_NS, REPETITION_MAX_PPM, REPETITION_TOP_NS)
+
+    ns = sorted({*REPETITION_TOP_NS, *REPETITION_DUP_NS})
+    legs = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, chars, {n} AS n,
+         unnest(list_transform(range(1, len(toks) - {n} + 2),
+                i -> array_to_string(toks[i : i + {n - 1}], ' '))) AS gm
+  FROM t"""
+        for n in ns
+    )
+    tops = ",\n".join(
+        f"""   floor(coalesce(max(CASE WHEN n = {n} THEN c * glen END), 0)
+         * 1000000 / chars)::BIGINT AS top{n}_ppm"""
+        for n in REPETITION_TOP_NS
+    )
+    dups = ",\n".join(
+        f"""   floor(coalesce(sum(CASE WHEN n = {n} AND c >= 2 THEN c * glen END), 0)
+         * 1000000 / chars)::BIGINT AS dup{n}_ppm"""
+        for n in REPETITION_DUP_NS
+    )
+    names = [f"top{n}_ppm" for n in REPETITION_TOP_NS] + [
+        f"dup{n}_ppm" for n in REPETITION_DUP_NS]
+    outs = ",\n".join(f"       coalesce(st.{c}, 0)::BIGINT AS {c}" for c in names)
+    conds = " AND ".join(
+        f"coalesce(st.top{n}_ppm, 0) <= {REPETITION_MAX_PPM[('top', n)]}"
+        for n in REPETITION_TOP_NS
+    ) + " AND " + " AND ".join(
+        f"coalesce(st.dup{n}_ppm, 0) <= {REPETITION_MAX_PPM[('dup', n)]}"
+        for n in REPETITION_DUP_NS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, greatest(length(text), 1) AS chars
+           FROM documents WHERE text IS NOT NULL),
+g AS (
+{legs}
+),
+cnt AS (SELECT doc_id, chars, n, gm, length(gm) AS glen, count(*) AS c
+        FROM g GROUP BY doc_id, chars, n, gm),
+st AS (SELECT doc_id, chars,
+{tops},
+{dups}
+  FROM cnt GROUP BY doc_id, chars)
+SELECT s.doc_id,
+{outs},
+       CASE WHEN {conds} THEN 1 ELSE 0 END::BIGINT AS keep
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) s
+LEFT JOIN st ON s.doc_id = st.doc_id
+"""
+
+
 def _token_budget_sql() -> str:
     from jsonschema_spark.operators.textstats import BPE_TOKEN_RE
 
@@ -1706,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_quality": q_text_quality,
         "webtext_filters": q_webtext_filters,
+        "gopher_repetition": q_gopher_repetition,
         "token_budget": q_token_budget,
         "curate_docs": q_curate_docs,
         "pii_scrub": q_pii_scrub,
@@ -1811,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ann_ivf_sql(),
         "text_quality": _TEXT_QUALITY_SQL,
         "webtext_filters": _WEBTEXT_SQL,
+        "gopher_repetition": _repetition_sql(),
         "token_budget": _token_budget_sql(),
         "curate_docs": _curate_sql(),
         "pii_scrub": _pii_sql(),

@@ -191,6 +191,117 @@ def _webtext_exprs(t: Column, min_words: int, max_words: int,
     return cols, keep
 
 
+REPETITION_TOP_NS = (2, 3, 4)
+REPETITION_DUP_NS = (5, 6)
+# Gopher Table A1 removal thresholds (fraction of characters), in ppm:
+# most-common {2,3,4}-gram coverage > 0.20/0.18/0.16; duplicated
+# {5,6}-gram coverage > 0.15/0.14.
+REPETITION_MAX_PPM = {
+    ("top", 2): 200000, ("top", 3): 180000, ("top", 4): 160000,
+    ("dup", 5): 150000, ("dup", 6): 140000,
+}
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Non-distinct word n-grams (space-joined) — same slice/zip build as
+    ``dedup.word_shingles`` (O(tokens) per row) but KEEPING multiplicity:
+    repetition stats are about how often a gram repeats."""
+    if n == 1:
+        return toks
+    sz = F.size(toks)
+    cols = [F.slice(toks, i + 1, sz - (n - 1)).alias(f"g{i}") for i in range(n)]
+    zipped = F.arrays_zip(*cols)
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)]))
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _tag_grams(grams: Column, n: int) -> Column:
+    # factory keeps n out of the higher-order lambda's parameter list
+    # (two-param transform lambdas silently bind the element index)
+    return F.transform(
+        grams, lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("g"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = REPETITION_TOP_NS,
+    dup_ns: tuple[int, ...] = REPETITION_DUP_NS,
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 appendix A, Table A1):
+    per document, the fraction of characters covered by (a) the most
+    frequent word n-gram for n in `top_ns` and (b) all word n-grams that
+    occur more than once for n in `dup_ns`. Coverage of a gram with count
+    c and char-length L is defined as c*L (occurrences may overlap; this
+    is the standard published approximation), the denominator is
+    length(text), and every ratio is floor-ppm so the DuckDB oracle
+    hash-matches. `keep` is the conjunction of the Table A1 thresholds.
+
+    Scale shape: ONE scan of (id, text); all n-gram families are built as
+    arrays in a single projection, tagged with n, flattened and exploded
+    once (a sentinel n=0 element keeps gram-less short docs alive through
+    the explode, so no spine re-scan/join is needed); then groupBy
+    (doc, n, gram) with map-side partial counts and one per-doc
+    conditional aggregation. Two shuffles, zero joins, independent of
+    len(top_ns)+len(dup_ns).
+
+    Reference analogue: the reference engine has no corpus operators; this
+    extends the webtext_filters family (sourcemeta/jsonschema validates
+    docs one-by-one — corpus-level curation is the Spark-native addition).
+    """
+    th = REPETITION_MAX_PPM if thresholds is None else thresholds
+    ns = sorted({*top_ns, *dup_ns})
+    t = F.col(text_col)
+    toks = tokens(t)
+    sentinel = F.array(F.struct(F.lit(0).cast("int").alias("n"), F.lit("").alias("g")))
+    combined = F.concat(
+        sentinel, F.flatten(F.array(*[_tag_grams(_word_grams(toks, n), n) for n in ns]))
+    )
+    base = df.where(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).alias("_chars"),
+        combined.alias("_gs"),
+    )
+    ex = base.select(
+        "doc_id", "_chars", F.explode("_gs").alias("_s")
+    ).select("doc_id", "_chars", F.col("_s.n").alias("_n"), F.col("_s.g").alias("_g"))
+    cnt = (
+        ex.groupBy("doc_id", "_chars", "_n", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("doc_id", "_chars", "_n", F.length("_g").alias("_glen"), "_c")
+    )
+    chars1 = F.greatest(F.col("_chars"), F.lit(1))
+    cov = F.col("_c") * F.col("_glen")
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.floor(
+                F.coalesce(F.max(F.when(F.col("_n") == n, cov)), F.lit(0))
+                * 1000000 / chars1
+            ).cast("long").alias(f"top{n}_ppm")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.floor(
+                F.coalesce(F.sum(F.when((F.col("_n") == n) & (F.col("_c") >= 2), cov)), F.lit(0))
+                * 1000000 / chars1
+            ).cast("long").alias(f"dup{n}_ppm")
+        )
+    st = cnt.groupBy("doc_id", "_chars").agg(*aggs)
+    names = [f"top{n}_ppm" for n in top_ns] + [f"dup{n}_ppm" for n in dup_ns]
+    keep = F.lit(True)
+    for n in top_ns:
+        keep = keep & (F.col(f"top{n}_ppm") <= th[("top", n)])
+    for n in dup_ns:
+        keep = keep & (F.col(f"dup{n}_ppm") <= th[("dup", n)])
+    return st.select(
+        F.col("doc_id"), *[F.col(c) for c in names], keep.cast("long").alias("keep")
+    )
+
+
 # GPT-2-style pretokenizer, restricted to the Java∩RE2 common subset (the
 # published pattern's `'s|'t|...` contractions and trailing-space lookahead
 # need lookahead, which RE2 lacks — the oracle must run the SAME regex):

@@ -212,6 +212,35 @@ def test_webtext_filters_rules(spark):
     assert rows[1]["n_gopher_stopwords"] >= 2
 
 
+def test_repetition_stats_gopher_table_a1(spark):
+    from jsonschema_spark.operators.textstats import repetition_stats
+
+    natural = ("the quick brown fox jumps over one lazy dog while many "
+               "other animals watch from nearby trees and fields today "
+               "because every sentence here keeps introducing new words "
+               "without ever repeating earlier phrases again anywhere")
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"),          # dominant 2-gram
+         (2, natural),                     # no repeated grams at all
+         (3, "p q r s t " * 4),            # duplicated 5-gram block
+         (4, "x"),                         # too short for any gram
+         (5, None)],                       # null text dropped
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(docs, "doc_id", "text").collect()}
+    assert 5 not in rows
+    # doc 1: "a b" occurs 4x, len 3, chars 15 -> floor(4*3*1e6/15) = 800000
+    assert rows[1]["top2_ppm"] == 800000 and rows[1]["keep"] == 0
+    # doc 2: every gram unique -> dup coverage 0, top coverage tiny
+    assert rows[2]["dup5_ppm"] == 0 and rows[2]["dup6_ppm"] == 0
+    assert rows[2]["keep"] == 1
+    # doc 3: the repeated 5-gram pushes dup5 far over 150000
+    assert rows[3]["dup5_ppm"] > 150000 and rows[3]["keep"] == 0
+    # doc 4: gram-less docs survive the left join with all-zero stats
+    assert rows[4]["top2_ppm"] == 0 and rows[4]["keep"] == 1
+
+
 def test_curate_corpus_funnel(spark):
     from jsonschema_spark.operators.curate import curate_corpus, curation_report
 

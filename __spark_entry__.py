@@ -948,6 +948,25 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: portable md5 bucket in
+    [0, 1e6) over 'split:doc_id', cumulative-ppm range assignment
+    (98/1/1). Pure projection — zero shuffle; id-stable under corpus
+    growth."""
+    from jsonschema_spark.operators.curate import hash_split
+
+    return hash_split(_docs(spark, sf_dir), "doc_id")
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext normalization: control chars → space, whitespace runs
+    collapsed, trimmed; before/after char counts. Pure-JVM regexp passes
+    in the scan projection."""
+    from jsonschema_spark.operators.textstats import clean_text
+
+    return clean_text(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-budget accounting: whitespace words + GPT-2-style
     pretokenizer counts (RE2∩Java-safe regex — the SAME pattern text runs
@@ -1462,6 +1481,22 @@ FROM m
 """
 
 
+def _hash_split_sql() -> str:
+    """Mirror of curate.hash_split with the DEFAULT_SPLITS ppm ladder."""
+    from jsonschema_spark.operators.curate import DEFAULT_SPLITS
+
+    bucket = _h56("'split:' || doc_id::VARCHAR") + " % 1000000"
+    acc, whens = 0, []
+    for name, ppm in DEFAULT_SPLITS[:-1]:
+        acc += ppm
+        whens.append(f"WHEN b < {acc} THEN '{name}'")
+    return f"""
+WITH h AS (SELECT doc_id, {bucket} AS b FROM documents)
+SELECT doc_id, b::BIGINT AS bucket_ppm,
+       CASE {' '.join(whens)} ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split
+FROM h"""
+
+
 def _repetition_sql() -> str:
     """Mirror of textstats.repetition_stats: same tokenization (_TOKS),
     same coverage definition (count*char-length of the space-joined gram),
@@ -1772,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "webtext_filters": q_webtext_filters,
         "gopher_repetition": q_gopher_repetition,
+        "hash_split": q_hash_split,
+        "clean_text": q_clean_text,
         "token_budget": q_token_budget,
         "curate_docs": q_curate_docs,
         "pii_scrub": q_pii_scrub,
@@ -1878,6 +1915,15 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "webtext_filters": _WEBTEXT_SQL,
         "gopher_repetition": _repetition_sql(),
+        "hash_split": _hash_split_sql(),
+        "clean_text": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS text_clean,
+       length(text)::BIGINT AS n_chars_raw,
+       length(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')))::BIGINT AS n_chars_clean
+FROM documents WHERE text IS NOT NULL""",
         "token_budget": _token_budget_sql(),
         "curate_docs": _curate_sql(),
         "pii_scrub": _pii_sql(),

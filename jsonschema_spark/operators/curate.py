@@ -75,3 +75,45 @@ def curation_report(
     ).collect()[0]
     n_cur = curate_corpus(df, id_col, text_col, **kwargs).count()
     return {"input": row["n_in"], "quality_kept": row["n_kept"], "curated": n_cur}
+
+
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 980000), ("val", 10000), ("test", 10000))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a portable md5 bucket in
+    [0, 1e6) over `salt:id` picks the split by cumulative ppm ranges.
+    Id-stable — growing the corpus never reassigns an existing doc, and
+    changing `salt` draws an independent partition (the standard
+    held-out-set discipline for training corpora). Pure projection: zero
+    shuffle, zero Python, composes under the scan's column pruning.
+
+    `splits` is an ordered (name, ppm) list summing to 1,000,000.
+    """
+    from jsonschema_spark.operators.dedup import hash56
+
+    total = sum(p for _, p in splits)
+    if total != 1000000:
+        raise ValueError(f"split ppm must sum to 1000000, got {total}")
+    bucket = hash56(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ) % 1000000
+    expr = F.lit(splits[-1][0])
+    acc = 0
+    conds = []
+    for name, ppm in splits[:-1]:
+        acc += ppm
+        conds.append((acc, name))
+    for acc, name in reversed(conds):
+        expr = F.when(bucket < acc, name).otherwise(expr)
+    return df.select(
+        F.col(id_col),
+        bucket.cast("long").alias("bucket_ppm"),
+        expr.alias("split"),
+    )

@@ -191,6 +191,23 @@ def _webtext_exprs(t: Column, min_words: int, max_words: int,
     return cols, keep
 
 
+def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Webtext normalization pass: control characters (C0 + DEL) become
+    spaces, whitespace runs collapse to one space, ends trimmed. Two
+    pure-JVM regexp_replace passes inside the scan projection — zero
+    shuffle, zero Python; the before/after char counts make shrinkage
+    auditable downstream."""
+    t = F.col(text_col)
+    no_ctrl = F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", " ")
+    collapsed = F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+    return df.where(t.isNotNull()).select(
+        F.col(id_col),
+        collapsed.alias("text_clean"),
+        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(collapsed).cast("long").alias("n_chars_clean"),
+    )
+
+
 REPETITION_TOP_NS = (2, 3, 4)
 REPETITION_DUP_NS = (5, 6)
 # Gopher Table A1 removal thresholds (fraction of characters), in ppm:

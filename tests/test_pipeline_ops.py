@@ -241,6 +241,45 @@ def test_repetition_stats_gopher_table_a1(spark):
     assert rows[4]["top2_ppm"] == 0 and rows[4]["keep"] == 1
 
 
+def test_hash_split_deterministic_and_stable(spark):
+    from jsonschema_spark.operators.curate import hash_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(docs, "doc_id", splits=(("train", 800000), ("val", 200000)))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    frac_val = sum(1 for r in rows.values() if r["split"] == "val") / 2000
+    assert 0.15 < frac_val < 0.25          # ~20% within hash noise
+    # id-stable: a bigger corpus assigns the same splits to the old ids
+    bigger = hash_split(
+        spark.range(0, 4000).withColumnRenamed("id", "doc_id"),
+        "doc_id", splits=(("train", 800000), ("val", 200000)))
+    for r in bigger.collect():
+        if r["doc_id"] < 2000:
+            assert r["split"] == rows[r["doc_id"]]["split"]
+    # a different salt draws an independent partition
+    other = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id",
+                                 splits=(("train", 800000), ("val", 200000)),
+                                 salt="fold2").collect()}
+    assert any(other[i] != rows[i]["split"] for i in rows)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", splits=(("train", 1),))
+
+
+def test_clean_text_normalizes_whitespace_and_control(spark):
+    from jsonschema_spark.operators.textstats import clean_text
+
+    docs = spark.createDataFrame(
+        [(1, "a\x00b\tc   d \x7f e\n\nf "), (2, "  already clean  "), (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in clean_text(docs, "doc_id", "text").collect()}
+    assert 3 not in rows
+    assert rows[1]["text_clean"] == "a b c d e f"
+    assert rows[2]["text_clean"] == "already clean"
+    assert rows[1]["n_chars_raw"] > rows[1]["n_chars_clean"]
+
+
 def test_curate_corpus_funnel(spark):
     from jsonschema_spark.operators.curate import curate_corpus, curation_report
 

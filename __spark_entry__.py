@@ -1512,8 +1512,11 @@ def _repetition_sql() -> str:
   FROM t"""
         for n in ns
     )
+    # most-frequent gram (tie -> longest) via one packed-int64 max:
+    # (count << 31) | glen, decoded back to count*glen coverage
     tops = ",\n".join(
-        f"""   floor(coalesce(max(CASE WHEN n = {n} THEN c * glen END), 0)
+        f"""   floor(coalesce((max(CASE WHEN n = {n} THEN c * 2147483648 + glen END) >> 31)
+                  * (max(CASE WHEN n = {n} THEN c * 2147483648 + glen END) & 2147483647), 0)
          * 1000000 / chars)::BIGINT AS top{n}_ppm"""
         for n in REPETITION_TOP_NS
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, functions as F
@@ -85,12 +86,19 @@ def _translate_permissive(pattern: str, target: str) -> str | None:
     Returns None when no faithful translation exists for the target."""
     if target == "re2":
         # constructs RE2 cannot express at all: backreferences, lookaround,
-        # atomic groups / Java-style named groups, possessive quantifiers
-        if re.search(r"\\[1-9]", pattern):
+        # atomic groups / Java-style named groups, possessive quantifiers.
+        # Detection must not fire on ESCAPED metachars ('\\1' is a literal
+        # backslash + digit, not a backref): drop '\\\\' pairs before the
+        # backref scan, then all remaining escapes before the construct
+        # scans — deletion can only create false positives (conservative
+        # fallback), never hide a real unescaped construct.
+        no_bs_pairs = pattern.replace("\\\\", "")
+        if re.search(r"\\[1-9]", no_bs_pairs):
             return None
-        if re.search(r"\(\?[=!<>]", pattern):
+        unescaped = re.sub(r"\\.", "", no_bs_pairs)
+        if re.search(r"\(\?[=!<>]", unescaped):
             return None
-        if re.search(r"(?<!\\)[*+?}]\+", pattern):
+        if re.search(r"[*+?}]\+", unescaped):
             return None
     dollar = {"java": r"\z", "python": r"\Z", "re2": r"\z"}[target]
     keep_dollar = bool(_INLINE_M_RE.search(pattern))
@@ -196,6 +204,23 @@ def _java_dialect_safe(pattern: str) -> bool:
     return True
 
 
+@lru_cache(maxsize=4096)
+def _compiled_permissive_py(pattern: str):
+    """Translate + compile once per distinct pattern: callers invoke
+    permissive_search_py per instance / per property name in driver-side
+    loops (pyeval, lint valid_default/valid_examples), so re-translation
+    per call dominated their cost. None = pattern does not compile."""
+    try:
+        import regex as _re_mod
+    except ImportError:  # pragma: no cover
+        import re as _re_mod
+    translated = _translate_permissive(pattern, "python")
+    try:
+        return _re_mod.compile(translated)
+    except Exception:
+        return None
+
+
 def permissive_search_py(pattern: str, value: str | None) -> bool | None:
     """Driver-side reference evaluator: unanchored search with the Python
     `regex` module under the translated permissive-PCRE2 semantics. This is
@@ -203,14 +228,8 @@ def permissive_search_py(pattern: str, value: str | None) -> bool | None:
     every execution route to."""
     if value is None:
         return None
-    try:
-        import regex as _re_mod
-    except ImportError:  # pragma: no cover
-        import re as _re_mod
-    translated = _translate_permissive(pattern, "python")
-    try:
-        rx = _re_mod.compile(translated)
-    except Exception:
+    rx = _compiled_permissive_py(pattern)
+    if rx is None:
         return False
     return bool(rx.search(value))
 

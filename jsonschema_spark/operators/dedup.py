@@ -638,7 +638,10 @@ def dedup_clusters(
             "id",
             F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-        )
+        ).localCheckpoint(eager=True)
+        # ^ stepped feeds BOTH sides of the pointer-jump self-join below;
+        # without the checkpoint the neighbor-min join+agg is planned (and
+        # executed) twice per round (CLAUDE.md self-join rule)
         # pointer jump (path halving): label ← label(label). Every label IS
         # some node's id, so the self-join is total; parents only shrink.
         parents = stepped.select(

@@ -113,9 +113,14 @@ def parse_wav_header(b: bytes) -> Optional[dict]:
             data_sz = sz
         i += 8 + sz + (sz & 1)   # chunks are word-aligned
     if rate and ch and bits and data_sz is not None:
-        byte_rate = rate * ch * (bits // 8)
+        # sub-byte sample widths (e.g. 4-bit IMA ADPCM) give a zero
+        # whole-byte rate — use bit-rate math so a real crawled file
+        # can't divide-by-zero and kill the task
+        bit_rate = rate * ch * bits
+        if bit_rate <= 0:
+            return None
         return {"format": "wav", "sample_rate_hz": rate, "channels": ch,
-                "duration_ms": data_sz * 1000 // byte_rate}
+                "duration_ms": data_sz * 8 * 1000 // bit_rate}
     return None
 
 

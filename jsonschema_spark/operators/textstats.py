@@ -249,13 +249,16 @@ def repetition_stats(
     thresholds: dict | None = None,
 ) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 appendix A, Table A1):
-    per document, the fraction of characters covered by (a) the most
-    frequent word n-gram for n in `top_ns` and (b) all word n-grams that
-    occur more than once for n in `dup_ns`. Coverage of a gram with count
-    c and char-length L is defined as c*L (occurrences may overlap; this
-    is the standard published approximation), the denominator is
-    length(text), and every ratio is floor-ppm so the DuckDB oracle
-    hash-matches. `keep` is the conjunction of the Table A1 thresholds.
+    per document, the fraction of characters covered by (a) the MOST
+    FREQUENT word n-gram for n in `top_ns` (count ties broken toward the
+    longer gram — deterministic cross-engine, unlike insertion-order
+    argmax) and (b) all word n-grams that occur more than once for n in
+    `dup_ns`. Coverage of a gram with count c and char-length L is c*L
+    (occurrences may overlap; the standard published approximation), the
+    denominator is length(text), and every ratio is floor-ppm so the
+    DuckDB oracle hash-matches. The top-gram argmax is one packed-int64
+    max — (count << 31) | len — so no window/second aggregation is
+    needed. `keep` is the conjunction of the Table A1 thresholds.
 
     Scale shape: ONE scan of (id, text); all n-gram families are built as
     arrays in a single projection, tagged with n, flattened and exploded
@@ -292,12 +295,16 @@ def repetition_stats(
     )
     chars1 = F.greatest(F.col("_chars"), F.lit(1))
     cov = F.col("_c") * F.col("_glen")
+    p31 = 1 << 31  # glen < 2^31 always; packed max = lexicographic (c, glen)
     aggs = []
     for n in top_ns:
+        packed = F.max(
+            F.when(F.col("_n") == n, F.col("_c") * F.lit(p31) + F.col("_glen"))
+        )
+        top_cov = F.shiftright(packed, 31) * packed.bitwiseAND(F.lit(p31 - 1))
         aggs.append(
             F.floor(
-                F.coalesce(F.max(F.when(F.col("_n") == n, cov)), F.lit(0))
-                * 1000000 / chars1
+                F.coalesce(top_cov, F.lit(0)) * 1000000 / chars1
             ).cast("long").alias(f"top{n}_ppm")
         )
     for n in dup_ns:

@@ -131,11 +131,18 @@ def _mentions_unevaluated(node) -> bool:
     return False
 
 
-def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -> None:
+_NO_PROT: tuple[set, set] = (set(), set())
+
+
+def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False,
+                  prot: tuple[set, set] = _NO_PROT) -> None:
     """``annotations_matter``: the document uses unevaluated* somewhere, so
     rules that would ERASE annotation sources (a successful anyOf branch's
     properties marks, a bare `if`'s marks) are disabled — dropping them
-    changes which properties count as evaluated (2020-12 core §11)."""
+    changes which properties count as evaluated (2020-12 core §11).
+    ``prot``: pointer/identifier protection sets (_pointer_protection) —
+    rules that collapse a node to the false schema or drop a subtree skip
+    nodes a $ref still needs to resolve through."""
     def mark():
         changed.append(True)
 
@@ -237,7 +244,9 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
     # conditional structure under unevaluated*
     if annotations_matter:
         pass
-    elif node.get("if") is True or node.get("if") == {}:
+    elif (node.get("if") is True or node.get("if") == {}) and not (
+        node.get("then") is False and _clear_blocked(node, prot)
+    ):
         node.pop("if")
         taken = node.pop("then", None)
         node.pop("else", None)
@@ -249,11 +258,11 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
             mark()
             return
         mark()
-    elif node.get("if") is False or (
+    elif (node.get("if") is False or (
         isinstance(node.get("if"), dict)
         and node["if"].get("not") == {}
         and len(node["if"]) == 1
-    ):
+    )) and not (node.get("else") is False and _clear_blocked(node, prot)):
         node.pop("if")
         node.pop("then", None)
         taken = node.pop("else", None)
@@ -309,13 +318,14 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
                 if kb not in seen_b:
                     seen_b.add(kb)
                     dedup_b.append(b)
+            if not dedup_b:
+                if not _clear_blocked(node, prot):
+                    node.clear()
+                    node["not"] = {}  # all branches false → unsatisfiable
+                    mark()
+                return
             if len(dedup_b) != len(flat):
                 mark()
-            if not dedup_b:
-                node.clear()
-                node["not"] = {}  # all branches false → unsatisfiable
-                mark()
-                return
             if len(dedup_b) == 1 and isinstance(dedup_b[0], dict) and not (
                 set(dedup_b[0]) & set(node) - {"anyOf"}
             ):
@@ -330,9 +340,10 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
                 if not (b is False or (isinstance(b, dict) and b.get("not") == {} and len(b) == 1))]
         if len(kept) != len(oneof):  # oneof_false_simplify
             if not kept:
-                node.clear()
-                node["not"] = {}
-                mark()
+                if not _clear_blocked(node, prot):
+                    node.clear()
+                    node["not"] = {}
+                    mark()
                 return
             node["oneOf"] = kept
             mark()
@@ -346,7 +357,7 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
     if isinstance(node.get("allOf"), list) and any(
         b is False or (isinstance(b, dict) and b.get("not") == {} and len(b) == 1)
         for b in node["allOf"]
-    ):
+    ) and not _clear_blocked(node, prot):
         node.clear()
         node["not"] = {}
         mark()
@@ -369,22 +380,26 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
         ts = node["type"] if isinstance(node["type"], list) else [node["type"]]
         if any(_type_ok_py(node["const"], t) for t in ts):
             node.pop("type")
-        else:
+        elif not _clear_blocked(node, prot):
             node.clear()
             node["not"] = {}
+        else:
+            return
         mark()
         return
     # enum values filtered by sibling type, then type dropped (enum_filter_by_type)
     if isinstance(node.get("enum"), list) and "type" in node:
         ts = node["type"] if isinstance(node["type"], list) else [node["type"]]
         kept_e = [v for v in node["enum"] if any(_type_ok_py(v, t) for t in ts)]
+        if not kept_e:
+            if not _clear_blocked(node, prot):
+                node.clear()
+                node["not"] = {}
+                mark()
+            return
         node["enum"] = kept_e
         node.pop("type")
         mark()
-        if not kept_e:
-            node.clear()
-            node["not"] = {}
-            return
     # equal inclusive numeric bounds collapse to const (equal_numeric_bounds_to_const)
     t_num = node.get("type")
     if (
@@ -402,7 +417,7 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
             node.pop("type")
             node["const"] = lo
             mark()
-        else:
+        elif not _clear_blocked(node, prot):
             # bound contradicts the sibling type (e.g. integer ∧ min=max=1.5):
             # unsatisfiable, NOT const — collapsing to const would flip the
             # verdict for that very value
@@ -524,9 +539,11 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
         ck = canonical_dumps(node["const"])
         if any(canonical_dumps(v) == ck for v in node["enum"]):
             node.pop("enum")
-        else:
+        elif not _clear_blocked(node, prot):
             node.clear()
             node["not"] = {}
+        else:
+            return
         mark()
         return
     # minimum/maximum_real_for_integer: an integer-typed schema can fold a
@@ -595,7 +612,7 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
             tsets.append(_type_accept_set(b["type"]))
     if len(tsets) >= 2:
         inter = set.intersection(*tsets)
-        if not inter:
+        if not inter and not _clear_blocked(node, prot):
             node.clear()
             node["not"] = {}
             mark()
@@ -611,7 +628,7 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
                     continue
                 applies = (bucket in declared
                            or (bucket == "number" and "integer" in declared))
-                if not applies and not _has_identifiers(node[kw]):
+                if not applies and not _drop_blocked(node[kw], prot):
                     node.pop(kw)
                     mark()
     # enum_drop_redundant_validation / non_applicable_enum_validation_keywords:
@@ -631,6 +648,8 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
         try:
             if isinstance(node.get("enum"), list):
                 kept_m = [m for m in node["enum"] if validate_py(val_sub, m)]
+                if not kept_m and _clear_blocked(node, prot):
+                    return
                 for kw in val_sub:
                     node.pop(kw)
                 if kept_m:
@@ -642,6 +661,8 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
                 return
             if "const" in node:
                 ok_c = validate_py(val_sub, node["const"])
+                if not ok_c and _clear_blocked(node, prot):
+                    return
                 for kw in val_sub:
                     node.pop(kw)
                 if not ok_c:
@@ -686,7 +707,8 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False) -
             mark()
     # unsatisfiable node → false schema marker (rules/unsatisfiable_*.h):
     # expressed as {"not": {}} which the compiler folds to constant False
-    if _is_unsatisfiable(node) and node.get("not") != {}:
+    if _is_unsatisfiable(node) and node.get("not") != {} \
+            and not _clear_blocked(node, prot):
         node.clear()
         node["not"] = {}
         mark()
@@ -703,6 +725,59 @@ def _collect_refs(node, out: set) -> None:
     elif isinstance(node, list):
         for v in node:
             _collect_refs(v, out)
+
+
+def _unescape_ptr(seg: str) -> str:
+    return seg.replace("~1", "/").replace("~0", "~")
+
+
+def _pointer_protection(root) -> tuple[set, set]:
+    """Ids of nodes that local JSON-pointer refs resolve THROUGH (strict
+    ancestors of a target) and ids of the targets themselves. A
+    destructive rewrite must not erase the children of an ancestor (the
+    pointer would dangle) nor drop a targeted subtree. Recomputed per
+    fixpoint iteration; id-based, so a subtree that a rule MOVES keeps
+    its protection for the rest of the pass."""
+    refs: set = set()
+    _collect_refs(root, refs)
+    ancestors: set = set()
+    targets: set = set()
+    for r in refs:
+        if not r.startswith("#/"):
+            continue
+        cur = root
+        path = [cur]
+        for seg in r[2:].split("/"):
+            s = _unescape_ptr(seg)
+            if isinstance(cur, dict) and s in cur:
+                cur = cur[s]
+            elif isinstance(cur, list):
+                try:
+                    cur = cur[int(s)]
+                except (ValueError, IndexError):
+                    break
+            else:
+                break
+            path.append(cur)
+        for n in path[:-1]:
+            if isinstance(n, (dict, list)):
+                ancestors.add(id(n))
+        if isinstance(path[-1], (dict, list)):
+            targets.add(id(path[-1]))
+    return ancestors, targets
+
+
+def _clear_blocked(node, prot) -> bool:
+    """node.clear() erases the subtree under every keyword: blocked when a
+    pointer resolves through this node or the subtree carries $id/$anchor
+    (URI/anchor-reachable from elsewhere)."""
+    return id(node) in prot[0] or _has_identifiers(node)
+
+
+def _drop_blocked(sub, prot) -> bool:
+    """Dropping a keyword's subtree outright: blocked when a pointer
+    targets it, resolves through it, or it carries identifiers."""
+    return id(sub) in prot[0] or id(sub) in prot[1] or _has_identifiers(sub)
 
 
 def _has_identifiers(node) -> bool:
@@ -764,6 +839,16 @@ def _normalize_dialect_uri(s: str) -> str:
     elif s.startswith("http://json-schema.org/draft-0") and not s.endswith("#"):
         s = s + "#"
     return s
+
+
+def _doc_has_recursive_anchor(root) -> bool:
+    if isinstance(root, dict):
+        if root.get("$recursiveAnchor") is True:
+            return True
+        return any(_doc_has_recursive_anchor(v) for v in root.values())
+    if isinstance(root, list):
+        return any(_doc_has_recursive_anchor(v) for v in root)
+    return False
 
 
 def _doc_dynamic_anchor_names(root) -> set:
@@ -859,11 +944,15 @@ def _root_passes(out: dict, changed: list) -> None:
         ):
             n["$ref"] = n.pop("$dynamicRef")
             changed.append(True)
-        # 2019-09 mirror: $recursiveRef '#' with no $recursiveAnchor:true at
-        # the root is statically the current resource root
+        # 2019-09 mirror: $recursiveRef '#' is statically the enclosing
+        # resource root ONLY when no $recursiveAnchor:true exists anywhere
+        # in the document — an embedded $id resource that declares the
+        # anchor retargets the ref dynamically to the outermost anchored
+        # resource in scope, which '#' cannot express (same doc-wide
+        # conservative gate as the $dynamicRef rewrite above)
         if (
             n.get("$recursiveRef") == "#" and "$ref" not in n
-            and out.get("$recursiveAnchor") is not True
+            and not _doc_has_recursive_anchor(out)
         ):
             n["$ref"] = "#"
             n.pop("$recursiveRef")
@@ -1069,7 +1158,8 @@ def canonicalize(schema: Union[dict, bool]) -> Union[dict, bool]:
     annotations_matter = _mentions_unevaluated(out)
     for _ in range(10):  # fixpoint with a safety bound
         changed: list = []
-        _walk_schema(out, lambda n: _rewrite_node(n, changed, annotations_matter))
+        prot = _pointer_protection(out)
+        _walk_schema(out, lambda n: _rewrite_node(n, changed, annotations_matter, prot))
         _root_passes(out, changed)
         _drop_orphan_defs(out, changed)
         if not changed:

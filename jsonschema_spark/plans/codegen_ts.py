@@ -120,10 +120,16 @@ class _Emitter:
         self.prefix = prefix
         self.resolver = resolver or {}
         self.cache: dict[str, tuple] = {}
+        self.by_pointer: dict[tuple, str] = {}
         self.decls: list[str] = []
         self.emitted: set[tuple] = set()
 
     def mangle(self, pointer: tuple, symbol: list[str]) -> str:
+        # one name per pointer: a second $ref to the same target must
+        # reuse the name its declaration was emitted under, not mint a
+        # fresh (never-declared) alias from its own symbol path
+        if pointer in self.by_pointer:
+            return self.by_pointer[pointer]
         name = _symbol_to_identifier(self.prefix, symbol)
         while True:
             if name in self.cache:
@@ -132,6 +138,7 @@ class _Emitter:
                 name = "_" + name
             else:
                 self.cache[name] = pointer
+                self.by_pointer[pointer] = name
                 return name
 
     def _check(self, schema: dict, kind: str, pointer: tuple) -> None:

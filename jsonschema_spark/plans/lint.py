@@ -30,6 +30,8 @@ import copy
 import re
 from typing import Union
 
+from jsonschema_spark.functions.canonical import canonical_dumps
+
 _BOUND_PAIRS = [
     ("minimum", "maximum"),
     ("exclusiveMinimum", "exclusiveMaximum"),
@@ -272,13 +274,51 @@ _ANNOTATION_KWS = frozenset({
 })
 
 
+# hoisting keyword k next to a parent that carries one of these would
+# CHANGE the parent keyword's meaning (adjacency coupling): properties/
+# patternProperties shield keys from a sibling additionalProperties,
+# prefixItems shifts where a sibling items starts, contains is the
+# subject of min/maxContains
+_PARENT_COUPLING = {
+    "properties": ("additionalProperties",),
+    "patternProperties": ("additionalProperties",),
+    "prefixItems": ("items", "additionalItems"),
+    "contains": ("maxContains", "minContains"),
+}
+
+
+def _single_branch_inlinable(node: dict, inner: dict) -> bool:
+    """Whether a lone combinator branch can be merged into its parent
+    without changing semantics: every inner key must be absent from the
+    parent (or JSON-equal — setdefault would silently DROP a conflicting
+    constraint), must not be identifier/conditional-coupled
+    (_NO_MERGE_KWS), and must not change the meaning of an
+    adjacency-sensitive parent keyword (_PARENT_COUPLING). A lone modern
+    `$ref` wrapper is inlinable when the parent has no $ref of its own."""
+    from jsonschema_spark.plans.canonicalize import _NO_MERGE_KWS
+
+    if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+        return False
+    for k, v in inner.items():
+        if k == "$ref" and "$ref" not in node:
+            continue  # $ref allows siblings since 2019-09
+        if k in _NO_MERGE_KWS:
+            return False
+        if k in node and canonical_dumps(node[k]) != canonical_dumps(v):
+            return False
+        if any(p in node for p in _PARENT_COUPLING.get(k, ())):
+            return False
+    return True
+
+
 def _elevatable_allof_keywords(node: dict) -> set:
     """Keywords of allOf branches that can be hoisted into the parent
     (unnecessary_allof_wrapper.h analogue): assertion/applicator keywords
     appearing in exactly ONE branch, absent from the parent (or present
     with an identical value), not identifier/conditional/sibling-coupled
     (the canonicalizer's _NO_MERGE_KWS guard covers the reference's
-    dependency_blocked + identity checks), with unevaluated* anywhere in
+    dependency_blocked + identity checks, _PARENT_COUPLING the
+    adjacency-sensitive parent keywords), with unevaluated* anywhere in
     the parent or branch suppressing the rule entirely."""
     from jsonschema_spark.plans.canonicalize import _NO_MERGE_KWS
 
@@ -300,7 +340,10 @@ def _elevatable_allof_keywords(node: dict) -> set:
         for k, v in b.items():
             if k in _ANNOTATION_KWS or freq.get(k, 0) != 1:
                 continue
-            if k in node and node[k] != v:
+            # JSON-level equality, not Python == (True == 1 conflation)
+            if k in node and canonical_dumps(node[k]) != canonical_dumps(v):
+                continue
+            if any(p in node for p in _PARENT_COUPLING.get(k, ())):
                 continue
             out.add(k)
     return out
@@ -465,7 +508,10 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
             node["required"] = list(dict.fromkeys(node["required"]))
         for kw in ("allOf", "anyOf", "oneOf"):
             if isinstance(node.get(kw), list) and len(node[kw]) == 1 and isinstance(node[kw][0], dict):
-                inner = node.pop(kw)[0]
+                inner = node[kw][0]
+                if not _single_branch_inlinable(node, inner):
+                    continue
+                node.pop(kw)
                 for k, v in inner.items():
                     node.setdefault(k, v)
         if "if" in node and "then" not in node and "else" not in node:

@@ -241,6 +241,19 @@ def test_repetition_stats_gopher_table_a1(spark):
     assert rows[4]["top2_ppm"] == 0 and rows[4]["keep"] == 1
 
 
+def test_repetition_top_gram_is_most_frequent_not_max_coverage(spark):
+    """Gopher takes the MOST FREQUENT n-gram's coverage; a longer but
+    rarer gram with a bigger count*len product must not win."""
+    from jsonschema_spark.operators.textstats import repetition_stats
+
+    txt = "aa bb aa bb aa bb longgram1 longgram2 x longgram1 longgram2"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = repetition_stats(df, "doc_id", "text").collect()[0]
+    import math
+    # 'aa bb' c=3 len=5 (cov 15) beats 'longgram1 longgram2' c=2 len=19 (cov 38)
+    assert r["top2_ppm"] == math.floor(3 * 5 * 1000000 / len(txt))
+
+
 def test_hash_split_deterministic_and_stable(spark):
     from jsonschema_spark.operators.curate import hash_split
 

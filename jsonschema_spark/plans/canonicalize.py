@@ -94,6 +94,50 @@ _NO_MERGE_KWS = frozenset({
 })
 
 
+# keyword pairs whose MEANING depends on what sits next to them in the
+# same schema object: hoisting one of a pair into a parent carrying the
+# other changes semantics even when the key sets are disjoint
+# (additionalProperties is shielded by adjacent properties/patternProperties;
+# items starts after an adjacent prefixItems; min/maxContains quantify an
+# adjacent contains; then/else activate on an adjacent if)
+_ADJ_PAIRS: tuple = (
+    (frozenset({"properties", "patternProperties"}),
+     frozenset({"additionalProperties", "unevaluatedProperties"})),
+    (frozenset({"prefixItems"}),
+     frozenset({"items", "additionalItems", "unevaluatedItems"})),
+    (frozenset({"contains"}), frozenset({"minContains", "maxContains"})),
+    (frozenset({"if"}), frozenset({"then", "else"})),
+)
+
+# keywords that never survive a move to a different schema object: scope/
+# identifier keywords (URI base, anchors, vocab), $defs/definitions (local
+# pointer paths into them would change), and unevaluated* (their annotation
+# visibility scope is the schema object they sit in)
+_NEVER_HOIST = frozenset({
+    "$id", "$anchor", "$dynamicAnchor", "$schema", "$vocabulary",
+    "$recursiveAnchor", "$defs", "definitions",
+    "unevaluatedProperties", "unevaluatedItems",
+})
+
+
+def _hoist_blocked(node: dict, inner: dict, lst, prot) -> bool:
+    """Whether merging single combinator branch ``inner`` (an element of
+    list ``lst``) into ``node`` is UNSOUND despite disjoint keys: scope
+    keywords, adjacency-coupled keyword pairs (fuzz-caught: hoisting a
+    not.not-unwrapped `properties` next to an additionalProperties:false
+    parent let the properties shield keys aP used to reject), or a local
+    JSON pointer whose path runs through the moved subtree."""
+    ia, na = set(inner), set(node)
+    if ia & _NEVER_HOIST:
+        return True
+    if id(inner) in prot[0] or id(inner) in prot[1] or id(lst) in prot[0]:
+        return True
+    for a, b in _ADJ_PAIRS:
+        if (ia & a and na & b) or (ia & b and na & a):
+            return True
+    return False
+
+
 def _type_ok_py(v, t: str) -> bool:
     from jsonschema_spark.plans.pyeval import _type_ok
 
@@ -200,6 +244,7 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False,
         and len(allof) == 1
         and isinstance(allof[0], dict)
         and not (set(allof[0]) & set(node) - {"allOf"})
+        and not _hoist_blocked(node, allof[0], allof, prot)
     ):
         inner = node.pop("allOf")[0]
         node.update(inner)
@@ -328,7 +373,7 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False,
                 mark()
             if len(dedup_b) == 1 and isinstance(dedup_b[0], dict) and not (
                 set(dedup_b[0]) & set(node) - {"anyOf"}
-            ):
+            ) and not _hoist_blocked(node, dedup_b[0], anyof, prot):
                 node.pop("anyOf")
                 node.update(dedup_b[0])
                 mark()
@@ -349,7 +394,7 @@ def _rewrite_node(node: dict, changed: list, annotations_matter: bool = False,
             mark()
         if len(kept) == 1 and isinstance(kept[0], dict) and not (
             set(kept[0]) & set(node) - {"oneOf"}
-        ):  # single_branch_oneof
+        ) and not _hoist_blocked(node, kept[0], oneof, prot):  # single_branch_oneof
             node.pop("oneOf")
             node.update(kept[0])
             mark()
@@ -1155,9 +1200,14 @@ def canonicalize(schema: Union[dict, bool]) -> Union[dict, bool]:
     if not isinstance(schema, dict):
         return schema
     out = copy.deepcopy(schema)
-    annotations_matter = _mentions_unevaluated(out)
     for _ in range(10):  # fixpoint with a safety bound
         changed: list = []
+        # recomputed per pass, not once: a pass can rewrite the last
+        # unevaluated* to additionalProperties, after which the
+        # annotation-erasing rules become legal again — computing this
+        # before the loop left them disabled forever (fuzz-caught
+        # non-idempotence)
+        annotations_matter = _mentions_unevaluated(out)
         prot = _pointer_protection(out)
         _walk_schema(out, lambda n: _rewrite_node(n, changed, annotations_matter, prot))
         _root_passes(out, changed)

@@ -492,11 +492,31 @@ def lint_fix(schema: Union[dict, bool]) -> Union[dict, bool]:
             # forbid_empty_enum.h transform: enum [] → the false schema
             node.pop("enum")
             node["not"] = {}
-        if "enum" in node and "type" in node:
+        # enum_with_type.h / const_with_type.h: `type` is redundant next to
+        # enum/const ONLY when every value already conforms to it — the
+        # reference rule's condition is all_of(enum, type-matches); dropping
+        # unconditionally would WIDEN the schema (fuzz-caught verdict flip:
+        # {"enum":[10,"ab"],"type":"integer"} must keep rejecting "ab").
+        from jsonschema_spark.plans.canonicalize import _type_ok_py
+
+        def _types_admit(v) -> bool:
+            ts = node["type"] if isinstance(node["type"], list) else [node["type"]]
+            return any(_type_ok_py(v, t) for t in ts if isinstance(t, str))
+
+        if "enum" in node and "type" in node and isinstance(node["enum"], list) \
+                and all(_types_admit(v) for v in node["enum"]):
             node.pop("type")
         if "const" in node:
-            node.pop("type", None)
-            node.pop("enum", None)
+            if "type" in node and _types_admit(node["const"]):
+                node.pop("type")
+            # const_not_in_enum.h is report-only (mutates=false): only drop
+            # the enum when the const is a member, else the divergence is a
+            # finding, not a fix
+            if isinstance(node.get("enum"), list) and any(
+                canonical_dumps(v) == canonical_dumps(node["const"])
+                for v in node["enum"]
+            ):
+                node.pop("enum")
         if "enum" in node and isinstance(node["enum"], list):
             seen, dedup = set(), []
             for v in node["enum"]:

@@ -486,3 +486,30 @@ def test_rule_batch_preserves_semantics():
         for inst in insts:
             assert validate_py(schema, inst) == validate_py(canon, inst), (
                 schema, canon, inst)
+
+
+def test_annotations_matter_recomputed_per_pass():
+    """A pass that rewrites the last unevaluated* to additionalProperties
+    re-enables the annotation-erasing rules on the NEXT pass — computing
+    annotations_matter once left if-false branches alive (fuzz-caught
+    non-idempotence)."""
+    s = {"type": "object",
+         "properties": {"o": {"if": {"not": {}}, "then": {"type": "integer"}},
+                        "s": {"properties": {"b": {"type": "array"}},
+                              "unevaluatedProperties": {"type": "integer"}}}}
+    c = canonicalize(s)
+    assert c == canonicalize(c)
+    assert c["properties"]["o"] == {}
+
+
+def test_fuzz_equivalence_smoke():
+    """Committed slice of scripts/fuzz_equivalence.py: recursive random
+    schemas (nested combinators, const/enum/type conflicts, local $refs)
+    hold canonicalize/lint_fix acceptance-preservation + idempotence."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/fuzz_equivalence.py", "400", "7"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr

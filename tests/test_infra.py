@@ -883,3 +883,28 @@ def test_media_headers_end_to_end(spark):
                   "sample_rate_hz", "channels"):
             assert r[k] == exp[k], (r["media_id"], k, r[k], exp[k])
         assert r["n_bytes"] > 0 and len(r["sha"]) == 64
+
+
+def test_lint_fix_type_drop_gated_on_value_conformance():
+    """enum_with_type.h / const_with_type.h drop `type` ONLY when every
+    enum value / the const conforms to it; const_not_in_enum.h is
+    report-only (mutates=false). Unconditional drops widened the schema
+    (fuzz-caught verdict flips)."""
+    from jsonschema_spark.plans.pyeval import validate_py
+
+    # mixed-type enum: type must survive (it still rejects "ab" and 2.5)
+    s = {"enum": [10, "ab", 2.5], "type": ["integer", "boolean"]}
+    f = lint_fix(s)
+    assert validate_py(f, 2.5) is False and validate_py(f, "ab") is False
+    assert validate_py(f, 10) is True
+    # all-conforming enum: type drops
+    assert lint_fix({"enum": [1, 2], "type": "integer"}) == {"enum": [1, 2]}
+    # inside `not` the widening inverts the verdict — the original repro
+    s2 = {"not": {"enum": ["a1", 1.5, 1.0], "type": "string"}}
+    assert validate_py(lint_fix(s2), 1.5) is validate_py(s2, 1.5) is True
+    # const not in enum: keep both (divergence is a finding, not a fix)
+    s3 = {"enum": [-3, True], "type": "integer", "const": 10}
+    f3 = lint_fix(s3)
+    assert validate_py(f3, 10) is False
+    # const in enum: enum drops; conforming type drops too
+    assert lint_fix({"const": 2, "enum": [1, 2], "type": "integer"}) == {"const": 2}

@@ -976,6 +976,63 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency scoring (Wenzek et al. 2020): an add-one bigram
+    model trained IN-ENGINE on the reference-domain subset (source src0-2),
+    every doc scored by mean smoothed bigram probability in integer ppm
+    (bit-stable stand-in for negative perplexity — no transcendental log).
+    Model side: one explode + one groupBy, broadcast to the scoring side;
+    scoring: explode → two broadcast joins → one groupBy(doc)."""
+    from jsonschema_spark.operators.lm import ngram_lm_score
+
+    d = _docs(spark, sf_dir)
+    ref = d.where(F.col("source").isin("src0", "src1", "src2"))
+    return ngram_lm_score(d, "doc_id", "text", ref_df=ref)
+
+
+def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram buckets
+    (portable md5 → 1024 buckets), per-bucket add-one probabilities for the
+    target domain (source src0-2) vs the raw corpus, per-doc weight =
+    Σ_tokens (p_target_ppm − p_raw_ppm). The 1024 bucket weights embed as
+    one literal array, so scoring is a pure scan projection + one
+    groupBy(doc) — zero joins."""
+    from jsonschema_spark.operators.lm import dsir_weight
+
+    d = _docs(spark, sf_dir)
+    target = d.where(F.col("source").isin("src0", "src1", "src2"))
+    return dsir_weight(d, "doc_id", "text", target_df=target, raw_df=d)
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl dedup discipline: one row per user_id, latest ts wins, ties
+    toward the larger event_id — ONE groupBy taking max(struct(...)) with
+    map-side partial aggregation (no window sort)."""
+    from jsonschema_spark.operators.dedup import dedup_keep_latest
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    kept = dedup_keep_latest(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        ["user_id"], "ts", "event_id")
+    return kept.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id", "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+        "n_versions")
+
+
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified token-budget sampling: per language, docs
+    ordered by a portable md5 hash (id-stable shuffle), kept while the
+    running token total stays within 2000 — window cumsum over ~24-byte
+    projected triples, text never shuffled."""
+    from jsonschema_spark.operators.curate import budget_sample
+
+    return budget_sample(
+        _docs(spark, sf_dir), "doc_id", "text", 2000, stratify_col="lang")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real media-header decode through mapInPandas: payloads are genuine
     PNG/GIF/JPEG/WAV/MP4 container headers (synthesized deterministically
@@ -1820,7 +1877,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "lm_score": q_lm_score,
+        "dsir_weight": q_dsir_weight,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "budget_sample": q_budget_sample,
     }
+
+
+_REF_SRC = "('src0', 'src1', 'src2')"
+
+# add-one bigram LM trained on the src0-2 subset, every doc scored by mean
+# smoothed bigram probability in floor-ppm (mirror of operators/lm.py:
+# ngram_lm_score — same tokenization, same integer formula order)
+_LM_SCORE_SQL = f"""
+WITH reft AS (SELECT {_TOKS} AS toks FROM documents WHERE source IN {_REF_SRC}),
+rbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM reft, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix
+        WHERE len(toks) >= 2),
+cc2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM rbg GROUP BY 1, 2),
+cc1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM cc2 GROUP BY 1),
+vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM reft)),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dbg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix
+        WHERE len(toks) >= 2),
+sc AS (SELECT doc_id,
+              floor((coalesce(cc2.c2, 0) + 1) * 1000000
+                    / (coalesce(cc1.c1, 0) + (SELECT v FROM vv)))::BIGINT AS p
+       FROM dbg LEFT JOIN cc2 USING (w1, w2) LEFT JOIN cc1 USING (w1)),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               floor(sum(p)::DOUBLE / count(*))::BIGINT AS s
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(agg.s, 0)::BIGINT AS lm_score_ppm
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+# DSIR hashed-unigram importance weights: 1024 md5 buckets, add-one ppm
+# probabilities target (src0-2) vs raw (all), per-doc sum (mirror of
+# operators/lm.py:dsir_weight / dsir_bucket_weights)
+_DSIR_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, source,
+               ({_h56('w')} % 1024) AS b
+        FROM (SELECT doc_id, source, unnest(toks) AS w FROM t)),
+ct AS (SELECT b, count(*)::BIGINT AS c FROM tok WHERE source IN {_REF_SRC} GROUP BY 1),
+cr AS (SELECT b, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tt AS (SELECT count(*)::BIGINT AS n FROM tok WHERE source IN {_REF_SRC}),
+tr AS (SELECT count(*)::BIGINT AS n FROM tok),
+wt AS (SELECT tok.doc_id,
+              ((coalesce(ct.c, 0) + 1) * 1000000) // ((SELECT n FROM tt) + 1024)
+            - ((coalesce(cr.c, 0) + 1) * 1000000) // ((SELECT n FROM tr) + 1024) AS w
+       FROM tok LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS s
+        FROM wt GROUP BY 1)
+SELECT d.doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(agg.s, 0)::BIGINT AS dsir_weight_ppm
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+_KEEP_LATEST_SQL = """
+WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_versions
+           FROM events)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id, event_type,
+       floor(value * 1000)::BIGINT AS value_milli, n_versions::BIGINT AS n_versions
+FROM r WHERE rn = 1"""
+
+
+def _budget_sample_sql(budget: int = 2000) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, lang, len({_TOKS})::BIGINT AS n_tokens,
+                  {_h56("'budget:' || doc_id::VARCHAR")} AS h
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM t)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1963,4 +2097,8 @@ FROM documents WHERE text IS NOT NULL""",
                    (CASE WHEN doc_id % 3 = 1
                          THEN 1 + doc_id % 2 END)::INT AS channels
             FROM documents""",
+        "lm_score": _LM_SCORE_SQL,
+        "dsir_weight": _DSIR_SQL,
+        "dedup_keep_latest": _KEEP_LATEST_SQL,
+        "budget_sample": _budget_sample_sql(2000),
     }

@@ -117,3 +117,51 @@ def hash_split(
         bucket.cast("long").alias("bucket_ppm"),
         expr.alias("split"),
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    stratify_col: str | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic token-budget sampling: within each stratum (e.g.
+    language), order documents by a portable md5 hash of `salt:id` (an
+    id-stable shuffle — growing the corpus never reorders existing docs
+    relative to each other) and keep docs while the running token total
+    stays within `budget_tokens`. The first doc that would overflow the
+    budget, and everything after it, is dropped. Output keeps the running
+    total (`cum_tokens`) for auditability.
+
+    Scale shape: one window cumulative sum per stratum — a shuffle on the
+    stratum key plus a per-stratum sort of (hash, id, n_tokens) TRIPLES
+    (not documents: the projection drops `text` before the sort, so the
+    shuffle moves ~24 bytes/doc). Stratum count is small (languages), so
+    per-stratum skew is the scale risk: at crawl scale pre-aggregate the
+    token histogram per hash-prefix bucket to find the cutoff hash, then
+    broadcast the per-stratum cutoffs — the window form here IS that
+    computation when strata fit a task, and the oracle-exact semantics
+    are identical.
+    """
+    from pyspark.sql.window import Window
+
+    from jsonschema_spark.operators.dedup import hash56, tokens
+
+    h = hash56(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    slim = df.select(
+        F.col(id_col),
+        *([F.col(stratify_col)] if stratify_col else []),
+        h.alias("_h"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    part = Window.partitionBy(stratify_col) if stratify_col else Window.partitionBy()
+    w = part.orderBy("_h", id_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = slim.select(
+        id_col,
+        *([stratify_col] if stratify_col else []),
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return cum.where(F.col("cum_tokens") <= budget_tokens)

@@ -762,3 +762,35 @@ def line_dedup(
         )
         .select(F.col("_id").alias(id_col), "text_deduped", "n_lines_kept")
     )
+
+
+def dedup_keep_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep the most recent row per key — the Common-Crawl recrawl
+    discipline (one row per url, latest warc_ts wins; here generically
+    keyed). Ties on the timestamp break toward the LARGEST tiebreak value
+    so the winner is deterministic cross-engine.
+
+    Scale shape: ONE groupBy over the keys taking max(struct(ts, tiebreak,
+    payload...)) — struct max is lexicographic, so this is argmax-by-
+    (ts, tiebreak) with full map-side partial aggregation. No window, no
+    sort, no second pass: a window row_number() would sort every key
+    group; the struct-max streams. Payload columns ride inside the struct.
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    ordered = [ts_col, tiebreak_col] + [
+        c for c in payload if c not in (ts_col, tiebreak_col)
+    ]
+    agg = df.groupBy(*key_cols).agg(
+        F.max(F.struct(*ordered)).alias("_top"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return agg.select(
+        *key_cols,
+        *[F.col(f"_top.{c}").alias(c) for c in ordered],
+        "n_versions",
+    )

@@ -1,0 +1,220 @@
+"""Corpus language-model scoring for training-data curation.
+
+Two published webtext-curation signals the reference's table-scale story
+does not cover, expressed Spark-first:
+
+- ``ngram_lm_score`` — CCNet-style fluency scoring (Wenzek et al. 2020
+  score web text with a reference-domain KenLM and keep the low-perplexity
+  head). Here the reference LM is an add-one-smoothed bigram model TRAINED
+  IN-ENGINE on a reference subset of the corpus itself, and the score is an
+  integer-ppm mean bigram probability — a monotone stand-in for negative
+  perplexity that is bit-stable across Spark and DuckDB (no transcendental
+  log/exp whose last-ulp differs between JVM and libm).
+
+- ``dsir_weight`` — DSIR-style importance weights (Xie et al. 2023:
+  hashed n-gram features, importance = log p_target/p_raw summed over
+  features). Same integer-exact treatment: per-bucket add-one probabilities
+  in ppm, token weight = p_target_ppm − p_raw_ppm (the first-order
+  surrogate of the log-ratio: monotone in p_t/p_r around small
+  probabilities), summed over the document's tokens with multiplicity.
+  A float log-ratio variant is available behind ``exact_log=True`` for
+  in-engine use where cross-engine bit-stability is not required.
+
+Scale shape (both operators):
+- the MODEL side is aggregated with one groupBy over exploded tokens
+  (map-side partial aggregation; bigram/bucket cardinality is bounded by
+  ``min_count`` pruning / the fixed bucket count, not corpus size), then
+  BROADCAST to the scoring side — scoring never shuffles the corpus;
+- the SCORING side is explode → broadcast-join → one groupBy(doc) —
+  two shuffles of (doc_id, small ints) total, no Python anywhere;
+- dsir's 2**bucket_bits weights collapse to a literal array lookup
+  (the IVF-centroid trick), making scoring a pure scan projection.
+
+Reference framing: sourcemeta/jsonschema has no LM surface; these extend
+the table-scale curation suite (SURVEY.md §2.9) alongside the Gopher/C4
+filters in operators/textstats.py.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from jsonschema_spark.operators.dedup import hash56, tokens
+
+PPM = 1_000_000
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+
+
+def bigram_model(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the add-one bigram model on the reference subset.
+
+    Returns (bigram_counts, prefix_counts, vocab_size):
+    - bigram_counts: (w1, w2, c2) with c2 >= min_count
+    - prefix_counts: (w1, c1) where c1 = Σ_w2 c2 BEFORE pruning, so the
+      smoothed probabilities stay a proper distribution per prefix
+    - vocab_size: distinct token types in the reference corpus (the
+      add-one denominator's V)
+
+    One explode of the reference corpus feeds all three aggregates.
+    """
+    toks = ref_df.select(tokens(F.col(text_col)).alias("_toks"))
+    sz = F.size("_toks")
+    pairs = toks.where(sz >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("_toks", 1, sz - 1).alias("w1"),
+                F.slice("_toks", 2, sz - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # materialize the bigram counts once: prefixes derive from them and
+    # BOTH tables broadcast to the scoring side — without the checkpoint
+    # the reference-corpus explode would run once per consumer (model
+    # training is already an action: vocab collects below)
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).localCheckpoint(eager=True)
+    prefixes = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    if min_count > 1:
+        bigrams = bigrams.where(F.col("c2") >= min_count)
+    vocab = toks.select(F.explode("_toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    ).collect()[0]["v"]
+    return bigrams, prefixes, int(vocab)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_df: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Score every document by mean smoothed bigram probability under a
+    model trained on ``ref_df`` (defaults to ``df`` itself — in-domain
+    fluency). Output: (id_col, n_bigrams, lm_score_ppm) where
+    lm_score_ppm = floor( Σ_bigrams floor(PPM·(c2+1)/(c1+V)) / n_bigrams ),
+    integer-exact in any engine. Documents with < 2 tokens score 0.
+
+    CCNet keeps the low-perplexity head; here that is the HIGH
+    lm_score_ppm head (probability, not perplexity — same ordering,
+    reversed sign). ``min_count`` prunes the broadcast bigram table —
+    at crawl scale set it so the model fits executor memory; pruned
+    bigrams fall back to the unseen-bigram smoothed score, which is the
+    standard count-cutoff LM approximation.
+    """
+    ref = ref_df if ref_df is not None else df
+    bigrams, prefixes, v = bigram_model(
+        ref, ref_text_col or text_col, min_count=min_count
+    )
+    toks = _doc_tokens(df, id_col, text_col)
+    sz = F.size("_toks")
+    doc_bg = toks.select(
+        id_col,
+        F.when(
+            sz >= 2,
+            F.arrays_zip(
+                F.slice("_toks", 1, sz - 1).alias("w1"),
+                F.slice("_toks", 2, sz - 1).alias("w2"),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        .alias("_bgs"),
+    ).select(id_col, F.explode_outer("_bgs").alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    scored = (
+        doc_bg
+        .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(prefixes), ["w1"], "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("w1").isNotNull(),
+                F.floor(
+                    (F.coalesce("c2", F.lit(0)) + 1) * PPM
+                    / (F.coalesce("c1", F.lit(0)) + v)
+                ),
+            ).alias("_p_ppm"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("_p_ppm").alias("n_bigrams"),
+        F.coalesce(
+            F.floor(F.sum("_p_ppm") / F.greatest(F.count("_p_ppm"), F.lit(1))),
+            F.lit(0),
+        ).cast("long").alias("lm_score_ppm"),
+    )
+
+
+def dsir_bucket_weights(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str = "text",
+    bucket_bits: int = 10,
+) -> list[int]:
+    """Per-bucket importance weights, returned as a dense python list of
+    length 2**bucket_bits (driver-side size is the FIXED bucket count,
+    never corpus-bound): weight[b] = p_target_ppm(b) − p_raw_ppm(b) with
+    p_ppm(b) = floor(PPM·(cnt[b]+1)/(total+B)) — add-one over B buckets.
+    Token → bucket via the portable 56-bit md5 hash, so any engine can
+    reproduce the assignment."""
+    b_n = 1 << bucket_bits
+
+    def counts(src: DataFrame) -> dict[int, int]:
+        rows = (
+            src.select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .select((hash56(F.col("w")) % b_n).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["b"]: r["c"] for r in rows}
+
+    ct, cr = counts(target_df), counts(raw_df)
+    tot_t, tot_r = sum(ct.values()), sum(cr.values())
+    out = []
+    for b in range(b_n):
+        pt = (ct.get(b, 0) + 1) * PPM // (tot_t + b_n)
+        pr = (cr.get(b, 0) + 1) * PPM // (tot_r + b_n)
+        out.append(pt - pr)
+    return out
+
+
+def dsir_weight(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    raw_df: DataFrame | None = None,
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """DSIR importance weight per document: Σ_tokens weight[bucket(token)]
+    (with multiplicity), plus n_tokens. ``raw_df`` defaults to ``df``.
+    The 2**bucket_bits weights are embedded as ONE literal array, so the
+    scoring pass is explode → element_at → groupBy(doc): the per-token
+    lookup happens inside the scan projection, zero joins."""
+    weights = dsir_bucket_weights(
+        target_df, raw_df if raw_df is not None else df, text_col, bucket_bits
+    )
+    b_n = len(weights)
+    lit = F.array(*[F.lit(w) for w in weights])
+    tok = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("w")
+    )
+    per_tok = tok.select(
+        id_col,
+        F.when(
+            F.col("w").isNotNull(),
+            F.element_at(lit, (hash56(F.col("w")) % b_n).cast("int") + 1),
+        ).alias("_w"),
+    )
+    return per_tok.groupBy(id_col).agg(
+        F.count("_w").alias("n_tokens"),
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("dsir_weight_ppm"),
+    )

@@ -505,3 +505,105 @@ def test_minhash_fast_hash_family_finds_same_dups(docs):
                                        portable=False).collect()}
     assert fast[(1, 2)] == 6          # exact dup: all bands shared
     assert not any(4 in p for p in fast)  # unrelated doc stays unpaired
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Add-one bigram model on a corpus small enough to check by hand."""
+    from jsonschema_spark.operators.lm import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "z z")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs, "doc_id", "text").collect()}
+    # model over all docs: c2(a,b)=3 c2(b,a)=1 c2(z,z)=1; c1(a)=3 c1(b)=1
+    # c1(z)=1; V={a,b,x,z}=4
+    ab = (3 + 1) * 1000000 // (3 + 4)   # 571428
+    ba = (1 + 1) * 1000000 // (1 + 4)   # 400000
+    zz = (1 + 1) * 1000000 // (1 + 4)   # 400000
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["lm_score_ppm"] == (ab + ba + ab) // 3
+    assert out[2]["lm_score_ppm"] == ab
+    assert out[3]["n_bigrams"] == 0 and out[3]["lm_score_ppm"] == 0
+    assert out[4]["lm_score_ppm"] == zz
+
+
+def test_ngram_lm_score_ref_subset_and_unseen(spark):
+    from jsonschema_spark.operators.lm import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "q r")], "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "a b a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_lm_score(docs, "doc_id", "text", ref_df=ref).collect()}
+    # ref model: c2(a,b)=2 wait: "a b a b" -> (a,b),(b,a),(a,b): c2(a,b)=2
+    # c2(b,a)=1, c1(a)=2 c1(b)=1, V=2
+    assert out[1]["lm_score_ppm"] == (2 + 1) * 1000000 // (2 + 2)
+    # fully unseen bigram AND prefix: floor(1e6 * 1 / (0 + V))
+    assert out[2]["lm_score_ppm"] == 1000000 // 2
+
+
+def test_dsir_weight_separates_domains(spark):
+    from jsonschema_spark.operators.lm import dsir_weight
+
+    target = spark.createDataFrame(
+        [(i, "wiki tokens curated prose " * 5) for i in range(10)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, "spam casino click here " * 5) for i in range(10)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "wiki tokens curated prose"), (2, "spam casino click here"),
+         (3, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_weight(docs, "doc_id", "text", target_df=target, raw_df=raw)
+           .collect()}
+    assert out[1]["dsir_weight_ppm"] > 0 > out[2]["dsir_weight_ppm"]
+    assert out[1]["n_tokens"] == 4
+    assert out[3]["n_tokens"] == 0 and out[3]["dsir_weight_ppm"] == 0
+
+
+def test_dedup_keep_latest(spark):
+    from datetime import datetime
+
+    from jsonschema_spark.operators.dedup import dedup_keep_latest
+
+    rows = [
+        (1, datetime(2026, 1, 1), 100, "a"),
+        (1, datetime(2026, 1, 3), 101, "b"),   # latest for key 1
+        (2, datetime(2026, 1, 2), 102, "c"),
+        (2, datetime(2026, 1, 2), 103, "d"),   # ts tie -> larger id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, payload string")
+    out = {r["user_id"]: r for r in
+           dedup_keep_latest(df, ["user_id"], "ts", "event_id").collect()}
+    assert out[1]["payload"] == "b" and out[1]["n_versions"] == 2
+    assert out[2]["event_id"] == 103 and out[2]["payload"] == "d"
+
+
+def test_budget_sample_matches_python_mirror(spark):
+    import hashlib
+
+    from jsonschema_spark.operators.curate import budget_sample
+
+    rows = [(i, "tok " * (i % 7 + 1), "en" if i % 2 else "de")
+            for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    budget = 30
+    out = budget_sample(df, "doc_id", "text", budget, stratify_col="lang").collect()
+    # python mirror of the portable hash ordering + running total
+    def h(i):
+        return int(hashlib.md5(f"budget:{i}".encode()).hexdigest()[:14], 16)
+    expect = {}
+    for lang in ("en", "de"):
+        cum = 0
+        for i in sorted([r[0] for r in rows if r[2] == lang],
+                        key=lambda i: (h(i), i)):
+            n = i % 7 + 1
+            if cum + n > budget:
+                break
+            cum += n
+            expect[i] = cum
+    got = {r["doc_id"]: r["cum_tokens"] for r in out}
+    assert got == expect
+    assert all(r["cum_tokens"] <= budget for r in out)

@@ -607,3 +607,24 @@ def test_budget_sample_matches_python_mirror(spark):
     got = {r["doc_id"]: r["cum_tokens"] for r in out}
     assert got == expect
     assert all(r["cum_tokens"] <= budget for r in out)
+
+
+def test_dsir_fast_path_same_semantics(spark):
+    """portable=False (xxhash64 buckets) keeps the domain separation and
+    determinism; only the bucket assignment differs from the md5 path."""
+    from jsonschema_spark.operators.lm import dsir_weight
+
+    target = spark.createDataFrame(
+        [(i, "wiki tokens curated prose " * 5) for i in range(10)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "wiki tokens curated prose"), (2, "spam casino click here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["dsir_weight_ppm"] for r in
+           dsir_weight(docs, "doc_id", "text", target_df=target,
+                       portable=False).collect()}
+    out2 = {r["doc_id"]: r["dsir_weight_ppm"] for r in
+            dsir_weight(docs, "doc_id", "text", target_df=target,
+                        portable=False).collect()}
+    assert out == out2
+    assert out[1] > out[2]

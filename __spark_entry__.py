@@ -1817,6 +1817,80 @@ FROM t
 # ---------------------------------------------------------------------------
 
 
+def _messy_url():
+    """Deterministic Common-Crawl-style MESSY url per (doc_id, source):
+    mixed-case scheme/host, default + explicit ports, duplicate path
+    slashes, unsorted query with tracking params, fragments — every
+    normalization step (operators/urltools.py) is exercised. The DuckDB
+    oracle rebuilds the identical string (_MESSY_URL_SQL)."""
+    c, src = F.col("doc_id"), F.col("source")
+    return F.concat(
+        F.when(c % 3 == 0, F.lit("HTTP")).when(c % 3 == 1, F.lit("https"))
+         .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(c % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(c % 2 == 0, F.upper(src)).otherwise(src),
+        F.when(c % 5 == 0, F.lit(".example.CO.UK"))
+         .when(c % 5 == 1, F.lit(".Crawl-Site.ORG"))
+         .otherwise(F.lit(".example.com")),
+        F.when(c % 7 == 0, F.lit(":80")).when(c % 7 == 1, F.lit(":8080"))
+         .when(c % 7 == 2, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/a//b/"), (c % 20).cast("string"),
+        F.when(c % 2 == 0, F.lit("?b=2&utm_source=x&a=1")).otherwise(F.lit("")),
+        F.when(c % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+_MESSY_URL_SQL = """(
+  CASE doc_id%3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END
+  || '://'
+  || CASE WHEN doc_id%4=0 THEN 'WWW.' ELSE '' END
+  || CASE WHEN doc_id%2=0 THEN upper(source) ELSE source END
+  || CASE doc_id%5 WHEN 0 THEN '.example.CO.UK' WHEN 1 THEN '.Crawl-Site.ORG'
+          ELSE '.example.com' END
+  || CASE doc_id%7 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' WHEN 2 THEN ':443' ELSE '' END
+  || '/a//b/' || (doc_id%20)::VARCHAR
+  || CASE WHEN doc_id%2=0 THEN '?b=2&utm_source=x&a=1' ELSE '' END
+  || CASE WHEN doc_id%6=0 THEN '#sec' ELSE '' END
+)"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over crawl-messy urls — pure codegen scan
+    projection (one shared RE2∩Java regex, lowercased scheme/host,
+    default-port strip, slash collapse, tracking-param drop + bytewise
+    query sort, fragment drop) plus host / registered-domain extraction."""
+    from jsonschema_spark.operators.urltools import normalize_urls_df
+
+    df = _docs(spark, sf_dir).select("doc_id", "source") \
+        .withColumn("url", _messy_url())
+    return normalize_urls_df(df).select("doc_id", "url_norm", "host",
+                                        "reg_domain")
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl stats (page count, distinct canonical
+    urls, total chars) — ONE skew-safe groupBy with map-side partials."""
+    from jsonschema_spark.operators.urltools import host_stats_df
+
+    df = _docs(spark, sf_dir).select("doc_id", "source", "n_chars") \
+        .withColumn("url", _messy_url())
+    return host_stats_df(df, "url", size_col="n_chars")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact url-level dedup after canonicalization, keep-latest-fetch:
+    ONE groupBy max(struct(ts, payload)) per canonical url."""
+    from jsonschema_spark.operators.urltools import url_dedup_df
+
+    df = _docs(spark, sf_dir).select("doc_id", "source") \
+        .withColumn("url", _messy_url()) \
+        .withColumn("fetch_ts", (F.col("doc_id") * 37) % 1000)
+    kept = url_dedup_df(df.select("url", "fetch_ts", "doc_id"),
+                        "url", order_cols=("fetch_ts",))
+    return kept.select("url_norm", "fetch_ts", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -1881,6 +1955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weight": q_dsir_weight,
         "dedup_keep_latest": q_dedup_keep_latest,
         "budget_sample": q_budget_sample,
+        "url_normalize": q_url_normalize,
+        "host_stats": q_host_stats,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1955,6 +2032,67 @@ c AS (SELECT doc_id, lang, n_tokens,
                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
       FROM t)
 SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}"""
+
+
+def _url_norm_core_sql() -> str:
+    """Shared CTE chain: messy url -> parsed parts -> normalized url +
+    host + registered domain (mirror of operators/urltools.py steps 1-5,
+    same regex, same group numbers, same bytewise param sort)."""
+    from jsonschema_spark.operators.urltools import (
+        TRACKING_RE, TWO_LEVEL_SUFFIXES, _URL_RE)
+
+    sufs = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return f"""
+u AS (SELECT doc_id, source, n_chars, {_MESSY_URL_SQL} AS url FROM documents),
+p AS (SELECT doc_id, n_chars, url,
+        lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
+        lower(regexp_extract(url, '{_URL_RE}', 2)) AS host,
+        regexp_extract(url, '{_URL_RE}', 3) AS port,
+        regexp_replace(regexp_extract(url, '{_URL_RE}', 4),
+                       '/{{2,}}', '/', 'g') AS path,
+        list_sort(list_filter(
+          string_split(substr(regexp_extract(url, '{_URL_RE}', 5), 2), '&'),
+          x -> NOT regexp_matches(x, '{TRACKING_RE}') AND x <> '')) AS kept
+      FROM u),
+n AS (SELECT doc_id, n_chars, url, host,
+        scheme || '://' || host
+        || CASE WHEN port='' OR (scheme='http' AND port=':80')
+                  OR (scheme='https' AND port=':443') THEN '' ELSE port END
+        || CASE WHEN path='' THEN '/' ELSE path END
+        || CASE WHEN len(kept)=0 THEN ''
+                ELSE '?' || array_to_string(kept, '&') END AS url_norm,
+        (SELECT CASE
+           WHEN len(ls) <= 1 THEN host
+           WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ({sufs})
+             THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+           ELSE ls[-2] || '.' || ls[-1] END
+         FROM (SELECT string_split(host, '.') AS ls)) AS reg_domain
+      FROM p)"""
+
+
+def _url_normalize_sql() -> str:
+    return (f"WITH {_url_norm_core_sql()} "
+            "SELECT doc_id, url_norm, host, reg_domain FROM n")
+
+
+def _host_stats_sql() -> str:
+    return f"""WITH {_url_norm_core_sql()}
+SELECT reg_domain, count(*)::BIGINT AS n_pages,
+       count(DISTINCT url_norm)::BIGINT AS n_urls,
+       sum(n_chars)::BIGINT AS total_size
+FROM n GROUP BY 1"""
+
+
+def _url_dedup_sql() -> str:
+    # mirror of url_dedup_df's max(struct(fetch_ts, url, doc_id)):
+    # lexicographic max == ORDER BY each field DESC
+    return f"""WITH {_url_norm_core_sql()},
+r AS (SELECT url_norm, (doc_id*37)%1000 AS fetch_ts, doc_id,
+             row_number() OVER (PARTITION BY url_norm
+                                ORDER BY (doc_id*37)%1000 DESC,
+                                         url DESC, doc_id DESC) AS rn
+      FROM n)
+SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2101,4 +2239,7 @@ FROM documents WHERE text IS NOT NULL""",
         "dsir_weight": _DSIR_SQL,
         "dedup_keep_latest": _KEEP_LATEST_SQL,
         "budget_sample": _budget_sample_sql(2000),
+        "url_normalize": _url_normalize_sql(),
+        "host_stats": _host_stats_sql(),
+        "url_dedup": _url_dedup_sql(),
     }

@@ -1,0 +1,200 @@
+"""URL canonicalization and host-level statistics for web-crawl curation.
+
+The north-rule input table is Common-Crawl-style pages keyed by ``url``.
+Before any url-keyed operation (exact url dedup, host-partitioned
+boilerplate removal, per-domain sampling budgets) the url must be
+CANONICALIZED — crawls carry the same page as ``HTTP://WWW.Example.com:80/a``
+and ``http://www.example.com/a``. sourcemeta/jsonschema's table-scale story
+(SURVEY.md §2.9: uniqueness + referential checks over url/host) assumes this
+normalization exists; these operators provide it Spark-first.
+
+Scale shape: every function here is a PURE COLUMN PROJECTION — regexp
+parse + string ops inside the scan, zero shuffles, zero Python, fully
+codegen. The only higher-order function (tracking-param filter) runs over
+a handful of query params per row. ``host_stats`` adds exactly one
+groupBy(registered_domain) with map-side partial aggregation.
+
+Cross-engine contract: ONE regex (`_URL_RE`) with identical group numbers
+and only RE2∩Java-safe constructs is used by both the Spark path and the
+DuckDB oracle mirror, so normalized strings are byte-identical.
+
+Normalization steps (documented order, each mirrored in the oracle):
+1. lowercase scheme and host;
+2. strip default ports (http:80, https:443); other ports kept;
+3. collapse duplicate slashes in the PATH component; empty path -> "/";
+4. drop tracking query params (utm_*, fbclid, gclid, msclkid), sort the
+   survivors bytewise, re-join with "&"; empty query -> no "?";
+5. drop the fragment.
+
+``registered_domain`` uses a small embedded two-level public-suffix set
+(the full PSL is a data file, not an algorithm change — swap
+``TWO_LEVEL_SUFFIXES`` for the published list at deployment).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# RE2∩Java-safe absolute-URL parse (crawl URLs are always absolute
+# http/https). Groups: 1 scheme, 2 host, 3 :port, 4 path, 5 ?query, 6 #frag.
+_URL_RE = r"^([^:/?#]+)://([^/?#:]*)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+
+# tracking params dropped by step 4 (shared with the oracle mirror)
+TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+# second-level public suffixes where the registered domain is 3 labels
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+def _grp(url: Column, i: int) -> Column:
+    return F.regexp_extract(url, _URL_RE, i)
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """Parse an absolute URL into its components (unnormalized).
+
+    Returns a dict of Column: scheme, host, port (string, '' if absent),
+    path, query ('' if absent, no '?'), fragment ('' if absent, no '#').
+    Non-matching strings parse to all-empty components (never null, never
+    a task-killing error — one malformed row must not fail a 100 TB scan).
+    """
+    return {
+        "scheme": _grp(url, 1),
+        "host": _grp(url, 2),
+        "port": F.when(_grp(url, 3) != "", F.substring(_grp(url, 3), 2, 10))
+                 .otherwise(F.lit("")),
+        "path": _grp(url, 4),
+        "query": F.when(_grp(url, 5) != "",
+                        F.substring(_grp(url, 5), 2, 1_000_000))
+                  .otherwise(F.lit("")),
+        "fragment": F.when(_grp(url, 6) != "",
+                           F.substring(_grp(url, 6), 2, 1_000_000))
+                     .otherwise(F.lit("")),
+    }
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of ``url`` as one Column expression (steps 1-5 in the
+    module docstring). Pure codegen projection; safe on malformed rows
+    (regex no-match -> '://' skeleton, flagged by ``is_valid_url``)."""
+    scheme = F.lower(_grp(url, 1))
+    host = F.lower(_grp(url, 2))
+    port = _grp(url, 3)  # ':NNN' or ''
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit(":80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit(":443")))
+    )
+    port_n = F.when(keep_port, port).otherwise(F.lit(""))
+    path = _grp(url, 4)
+    path_n = F.regexp_replace(path, "/{2,}", "/")
+    path_n = F.when(path_n == "", F.lit("/")).otherwise(path_n)
+    q = _grp(url, 5)  # '?a=1&b=2' or ''
+    params = F.split(F.substring(q, 2, 1_000_000), "&")
+    kept = F.array_sort(
+        F.filter(params, lambda p: ~p.rlike(TRACKING_RE) & (p != ""))
+    )
+    q_n = F.when(
+        (q != "") & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_n, path_n, q_n)
+
+
+def is_valid_url(url: Column) -> Column:
+    """True when the row parses as an absolute http(s) URL."""
+    return F.lower(_grp(url, 1)).isin("http", "https") & (_grp(url, 2) != "")
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host component."""
+    return F.lower(_grp(url, 2))
+
+
+def registered_domain(url: Column) -> Column:
+    """eTLD+1 under the embedded two-level suffix set: the unit of
+    per-site statistics, skew salting and sampling budgets. 'www.' and
+    other subdomain labels collapse into the registrable owner."""
+    host = host_of(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & two_level, last3)
+        .otherwise(last2)
+    )
+
+
+def normalize_urls_df(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Add (out_col, host, reg_domain) — one scan projection."""
+    u = F.col(url_col)
+    return df.withColumns({
+        out_col: normalize_url(u),
+        "host": host_of(u),
+        "reg_domain": registered_domain(u),
+    })
+
+
+def host_stats_df(
+    df: DataFrame,
+    url_col: str = "url",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain crawl statistics: page count, distinct
+    canonical urls (exact url-level dedup size), and total payload bytes
+    when ``size_col`` is given.
+
+    ONE groupBy on reg_domain (map-side partials); the heavy-tailed host
+    distribution of real crawls makes this the table you consult before
+    choosing salting/sampling strategies — and it is itself skew-safe
+    because count/countDistinct partials shrink each host to one row per
+    task before the shuffle."""
+    u = F.col(url_col)
+    base = df.select(
+        registered_domain(u).alias("reg_domain"),
+        normalize_url(u).alias("_un"),
+        *( [F.col(size_col).alias("_sz")] if size_col else [] ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("_un").alias("n_urls"),
+    ]
+    if size_col:
+        aggs.append(F.sum("_sz").cast("long").alias("total_size"))
+    return base.groupBy("reg_domain").agg(*aggs)
+
+
+def url_dedup_df(
+    df: DataFrame,
+    url_col: str = "url",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep ONE row per canonical url — the crawl-recrawl discipline.
+
+    The kept row is the lexicographic MAXIMUM of (order_cols..., remaining
+    columns...) — e.g. order_cols=("warc_ts",) keeps the newest fetch,
+    deterministic on ties via the remaining columns. Same shape as
+    dedup.keep_latest: ONE groupBy
+    max(struct(order, payload)) with map-side partials — no window sort,
+    no shuffle of more than one surviving row per url per task."""
+    cols = [c for c in df.columns]
+    key = normalize_url(F.col(url_col)).alias("_uk")
+    order = [F.col(c) for c in order_cols] + [
+        F.col(c) for c in cols if c not in order_cols
+    ]
+    packed = df.select(key, F.struct(*order).alias("_row"))
+    kept = packed.groupBy("_uk").agg(F.max("_row").alias("_row"))
+    return kept.select(F.col("_uk").alias("url_norm"),
+                       *[F.col(f"_row.{c}").alias(c) for c in cols])

@@ -1,0 +1,119 @@
+"""URL canonicalization / host stats (operators/urltools.py).
+
+Hand-computed normalization fixtures, idempotence, and the per-domain
+aggregate shapes. The DuckDB-mirror gate for these lives in
+__spark_entry__ (url_normalize / host_stats / url_dedup queries).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.urltools import (
+    host_of,
+    host_stats_df,
+    is_valid_url,
+    normalize_url,
+    normalize_urls_df,
+    registered_domain,
+    url_dedup_df,
+    url_parts,
+)
+
+CASES = [
+    # (raw, normalized)
+    ("HTTP://WWW.Example.COM:80/a/b", "http://www.example.com/a/b"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/a//b///c", "http://example.com/a/b/c"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?utm_source=x&a=1&fbclid=9", "http://example.com/p?a=1"),
+    ("http://example.com/p?utm_source=x", "http://example.com/p"),
+    ("http://example.com/p?a=1#frag", "http://example.com/p?a=1"),
+    ("http://example.com/#top", "http://example.com/"),
+    ("http://example.com:8080/q?gclid=1&z=3&msclkid=2&utm_medium=m",
+     "http://example.com:8080/q?z=3"),
+]
+
+
+def test_normalize_fixtures(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    got = [r["n"] for r in
+           df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    assert got == [n for _, n in CASES]
+
+
+def test_normalize_idempotent(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    once = df.select(normalize_url(F.col("url")).alias("url"))
+    twice = once.select(normalize_url(F.col("url")).alias("url"))
+    assert [r["url"] for r in once.collect()] == \
+           [r["url"] for r in twice.collect()]
+
+
+def test_parts_and_validity(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://Host.Org:81/p/q?a=1#z",), ("not a url",), ("ftp://x/y",)],
+        ["url"],
+    )
+    p = url_parts(F.col("url"))
+    rows = df.select(
+        p["scheme"].alias("s"), p["host"].alias("h"), p["port"].alias("po"),
+        p["path"].alias("pa"), p["query"].alias("q"), p["fragment"].alias("f"),
+        is_valid_url(F.col("url")).alias("ok"),
+    ).collect()
+    r = rows[0]
+    assert (r["s"], r["h"], r["po"], r["pa"], r["q"], r["f"], r["ok"]) == \
+           ("HTTPS", "Host.Org", "81", "/p/q", "a=1", "z", True)
+    assert rows[1]["ok"] is False and rows[1]["h"] == ""
+    assert rows[2]["ok"] is False and rows[2]["s"] == "ftp"
+
+
+@pytest.mark.parametrize("url,dom", [
+    ("http://a.b.example.co.uk/x", "example.co.uk"),
+    ("http://www.example.com/x", "example.com"),
+    ("http://example.com/x", "example.com"),
+    ("http://deep.sub.site.org/x", "site.org"),
+    ("http://localhost/x", "localhost"),
+    ("http://shop.com.au/x", "shop.com.au"),  # 2-label host on a 2-level suffix
+])
+def test_registered_domain(spark, url, dom):
+    df = spark.createDataFrame([(url,)], ["url"])
+    assert df.select(registered_domain(F.col("url")).alias("d")) \
+             .collect()[0]["d"] == dom
+
+
+def test_host_stats(spark):
+    df = spark.createDataFrame([
+        ("http://www.site.com/a?utm_source=1", 10),
+        ("HTTP://SITE.com:80/a", 20),        # same reg_domain, DIFFERENT url
+        ("http://site.com/a", 30),           # dup of previous after norm
+        ("http://other.co.uk/b", 5),
+    ], ["url", "sz"])
+    rows = {r["reg_domain"]: r for r in
+            host_stats_df(df, "url", size_col="sz").collect()}
+    assert rows["site.com"]["n_pages"] == 3
+    assert rows["site.com"]["n_urls"] == 2  # www vs bare host stay distinct
+    assert rows["site.com"]["total_size"] == 60
+    assert rows["other.co.uk"]["n_pages"] == 1
+
+
+def test_url_dedup_keep_latest(spark):
+    df = spark.createDataFrame([
+        ("http://a.com/p?b=2&a=1", 100, "old"),
+        ("http://A.com:80/p?a=1&b=2&utm_source=x", 200, "new"),
+        ("http://b.com/q", 50, "only"),
+    ], ["url", "ts", "tag"])
+    out = {r["url_norm"]: r for r in
+           url_dedup_df(df, "url", order_cols=("ts",)).collect()}
+    assert len(out) == 2
+    assert out["http://a.com/p?a=1&b=2"]["tag"] == "new"
+    assert out["http://b.com/q"]["tag"] == "only"
+
+
+def test_normalize_df_columns(spark):
+    df = spark.createDataFrame([("http://www.x.example.co.uk:80/a//b",)],
+                               ["url"])
+    r = normalize_urls_df(df).collect()[0]
+    assert r["url_norm"] == "http://www.x.example.co.uk/a/b"
+    assert r["host"] == "www.x.example.co.uk"
+    assert r["reg_domain"] == "example.co.uk"

@@ -93,6 +93,16 @@ def main() -> None:
         lambda: _run(minhash_lsh_pairs(docs, "doc_id", "text", k=12, bands=6,
                                        max_band_df=200, portable=False)),
     )
+    from jsonschema_spark.operators.lm import ngram_lm_score
+    from pyspark.sql import functions as _F
+
+    bench(
+        "lm_score_fast",
+        lambda: _run(ngram_lm_score(
+            docs, "doc_id", "text",
+            ref_df=docs.where(_F.col("source").isin("src0", "src1", "src2")),
+            min_count=2, portable=False)),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(PAGES_ROWS / timings["validate_pages_fast"]) if timings.get("validate_pages_fast") else None

@@ -542,6 +542,20 @@ def test_ngram_lm_score_ref_subset_and_unseen(spark):
     assert out[2]["lm_score_ppm"] == 1000000 // 2
 
 
+def test_ngram_lm_score_fast_path_matches_portable(spark):
+    """portable=False (xxhash64-keyed broadcast joins) must score exactly
+    like the string-keyed family — no 64-bit collisions on a toy vocab."""
+    from jsonschema_spark.operators.lm import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "a b"), (3, "x"), (4, "z z q"), (5, None)],
+        "doc_id long, text string")
+    want = sorted(ngram_lm_score(docs, "doc_id", "text").collect())
+    got = sorted(
+        ngram_lm_score(docs, "doc_id", "text", portable=False).collect())
+    assert got == want
+
+
 def test_dsir_weight_separates_domains(spark):
     from jsonschema_spark.operators.lm import dsir_weight
 

@@ -1891,6 +1891,37 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("url_norm", "fetch_ts", "doc_id")
 
 
+def _incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic 'new crawl': exact recrawls (doc_id<50), near dups
+    with the first token stripped (50-99), and genuinely novel pages
+    (100-149) — ids offset by 200000. The DuckDB oracle rebuilds the
+    identical table (_INCR_NEW_SQL)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    novel = F.concat_ws(" ", *[
+        F.concat(F.lit(f"nv{s}"), F.col("doc_id").cast("string"))
+        for s in "abcde"
+    ])
+    return d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.when(F.col("doc_id") < 50, F.col("text"))
+         .when(F.col("doc_id") < 100,
+               F.regexp_replace("text", r"^\S+\s*", ""))
+         .otherwise(novel).alias("text"),
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: new docs surviving BOTH the exact
+    text-hash anti-join and the asymmetric new-vs-corpus MinHash-LSH
+    candidate join (operators/dedup.py:dedup_against_corpus)."""
+    from jsonschema_spark.operators.dedup import dedup_against_corpus
+
+    kept = dedup_against_corpus(
+        _incremental_new_docs(spark, sf_dir), _docs(spark, sf_dir),
+        "doc_id", "text", k=12, bands=6, shingle_n=3)
+    return kept.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -1958,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "host_stats": q_host_stats,
         "url_dedup": q_url_dedup,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2068,6 +2100,47 @@ n AS (SELECT doc_id, n_chars, url, host,
            ELSE ls[-2] || '.' || ls[-1] END
          FROM (SELECT string_split(host, '.') AS ls)) AS reg_domain
       FROM p)"""
+
+
+_SHINGLE3 = ("CASE WHEN len(toks) >= 3 "
+             "THEN list_distinct([array_to_string(toks[i:i+2], ' ') "
+             "for i in range(1, len(toks)-2+1)]) "
+             "ELSE []::VARCHAR[] END")
+
+
+def _dedup_incremental_sql() -> str:
+    """Mirror of dedup_against_corpus over the synthetic new crawl:
+    exact md5 anti-join (NOT EXISTS — null-safe, a NULL in an IN-list
+    silently drops every row), then the asymmetric band join on the same
+    portable 12-hash / 6-band signatures as _MINHASH_PAIRS_SQL."""
+    novel = " || ' ' || ".join(
+        f"('nv{s}' || doc_id::VARCHAR)" for s in "abcde")
+    return f"""
+WITH newdocs AS (
+  SELECT doc_id + 200000 AS doc_id,
+         CASE WHEN doc_id < 50 THEN text
+              WHEN doc_id < 100 THEN regexp_replace(text, '^\\S+\\s*', '')
+              ELSE {novel} END AS text
+  FROM documents WHERE doc_id < 150),
+ex AS (SELECT n.doc_id, n.text FROM newdocs n
+       WHERE NOT EXISTS (SELECT 1 FROM documents d
+                         WHERE md5(d.text) = md5(n.text))),
+nt AS (SELECT doc_id, {_TOKS} AS toks FROM ex),
+nsh AS (SELECT doc_id, {_SHINGLE3} AS s FROM nt),
+nsig AS (SELECT doc_id, {_SIG12} AS sig FROM nsh WHERE len(s) > 0),
+nbands AS (SELECT doc_id, b.j AS band,
+                  sig[2*b.j+1]::VARCHAR || '_' || sig[2*b.j+2]::VARCHAR AS band_key
+           FROM nsig, (SELECT unnest(range(0, 6)) AS j) b),
+rt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+rsh AS (SELECT doc_id, {_SHINGLE3} AS s FROM rt),
+rsig AS (SELECT doc_id, {_SIG12} AS sig FROM rsh WHERE len(s) > 0),
+rbands AS (SELECT doc_id, b.j AS band,
+                  sig[2*b.j+1]::VARCHAR || '_' || sig[2*b.j+2]::VARCHAR AS band_key
+           FROM rsig, (SELECT unnest(range(0, 6)) AS j) b),
+hits AS (SELECT DISTINCT n.doc_id FROM nbands n
+         JOIN rbands r ON n.band = r.band AND n.band_key = r.band_key)
+SELECT e.doc_id, length(e.text)::BIGINT AS n_chars FROM ex e
+WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = e.doc_id)"""
 
 
 def _url_normalize_sql() -> str:
@@ -2242,4 +2315,5 @@ FROM documents WHERE text IS NOT NULL""",
         "url_normalize": _url_normalize_sql(),
         "host_stats": _host_stats_sql(),
         "url_dedup": _url_dedup_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
     }

@@ -164,6 +164,41 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
+def _banded_table(
+    df: DataFrame, id_col: str, text_col: str, k: int, bands: int,
+    shingle_n: int, portable: bool, max_band_df: int | None,
+) -> DataFrame:
+    """(_id, band, band_key) rows for LSH joins — signature agg, band
+    explode, ONE eager localCheckpoint (every join side reads the
+    checkpoint instead of recomputing the aggregation; tiny: k longs per
+    doc), optional hot-band cutoff (see minhash_lsh_pairs)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures_df(df, id_col, text_col, k, shingle_n,
+                                portable=portable)
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    bandsdf = sig.select(
+        "_id", F.explode(F.array(*band_entries)).alias("b")
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    bandsdf = bandsdf.localCheckpoint(eager=True)
+    if max_band_df is not None:
+        cold_keys = (
+            bandsdf.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_band_df)
+            .drop("_df")
+        )
+        bandsdf = bandsdf.join(cold_keys, ["band", "band_key"], "left_semi")
+    return bandsdf
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -193,32 +228,8 @@ def minhash_lsh_pairs(
     over-cap bucket are near-identical boilerplate; exact dedup or a
     per-bucket canonical pick handles them separately. Default None keeps
     the exact LSH semantics (the oracle mirror)."""
-    rows_per_band = k // bands
-    sig = minhash_signatures_df(df, id_col, text_col, k, shingle_n,
-                                portable=portable)
-    band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    bandsdf = sig.select(
-        "_id", F.explode(F.array(*band_entries)).alias("b")
-    ).select("_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
-    # materialize once: both self-join sides read the checkpoint instead of
-    # recomputing the signature aggregation (tiny: k longs per doc)
-    bandsdf = bandsdf.localCheckpoint(eager=True)
-    if max_band_df is not None:
-        cold_keys = (
-            bandsdf.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_band_df)
-            .drop("_df")
-        )
-        bandsdf = bandsdf.join(cold_keys, ["band", "band_key"], "left_semi")
+    bandsdf = _banded_table(df, id_col, text_col, k, bands, shingle_n,
+                            portable, max_band_df)
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a._id") < F.col("b._id")))
@@ -682,6 +693,91 @@ def keep_canonical(
     broadcast here."""
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(losers, df[id_col] == losers.doc_id, "left_anti")
+
+
+def cross_corpus_lsh_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    max_band_df: int | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Asymmetric LSH: (new_id, ref_id, n_shared_bands) for every NEW
+    document sharing ≥1 MinHash band with an EXISTING-corpus document —
+    the incremental-crawl analogue of ``minhash_lsh_pairs``. Both sides
+    are banded independently (each gets its own signature aggregation and
+    hot-band cutoff) and meet in ONE equi-join on (band, band_key); no
+    ``a < b`` triangle condition — the sides are disjoint corpora.
+
+    Scale note: the REF side of a crawl refresh is the big one (the
+    accumulated corpus). Its banded table is a pure function of the
+    corpus — at 100 TB persist it once (bucketed by (band, band_key)) and
+    reuse it across refreshes instead of recomputing signatures per run;
+    this function recomputes both sides for self-contained semantics."""
+    nb = _banded_table(new_df, id_col, text_col, k, bands, shingle_n,
+                       portable, max_band_df)
+    rb = _banded_table(ref_df, id_col, text_col, k, bands, shingle_n,
+                       portable, max_band_df)
+    return (
+        nb.alias("n")
+        .join(rb.alias("r"),
+              (F.col("n.band") == F.col("r.band"))
+              & (F.col("n.band_key") == F.col("r.band_key")))
+        .groupBy(F.col("n._id").alias("new_id"), F.col("r._id").alias("ref_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    max_band_df: int | None = None,
+    portable: bool = True,
+    near: bool = True,
+) -> DataFrame:
+    """Incremental-crawl dedup discipline: return the NEW rows that are
+    neither exact nor (``near=True``) near duplicates of the existing
+    corpus. Two-stage, cheap-first:
+
+    1. EXACT: anti-join on the text hash (md5 portable / xxhash64 fast) —
+       one co-partitioned shuffle on a uniform key, no skew. This alone
+       removes the recrawl bulk (unchanged pages) before any shingling.
+    2. NEAR: LSH candidates of the survivors vs the corpus
+       (``cross_corpus_lsh_pairs``); any candidate kills the new doc.
+       LSH candidacy is the standard refresh policy (MinHash banding
+       errs toward dropping boilerplate look-alikes); thread the pairs
+       through ``jaccard_on_candidates`` first if a verified-Jaccard
+       threshold is required.
+
+    Output: all new_df columns, only surviving rows."""
+    h = (F.md5(F.col(text_col)) if portable
+         else F.xxhash64(F.col(text_col)).cast("string"))
+    ref_keys = ref_df.select(h.alias("_tk")).distinct()
+    survivors = (
+        new_df.withColumn("_tk", h)
+        .join(ref_keys, ["_tk"], "left_anti")
+        .drop("_tk")
+    )
+    if not near:
+        return survivors
+    # near pass only sees exact-survivors: the candidate join shrinks with
+    # the recrawl overlap instead of paying full corpus x corpus banding
+    survivors = survivors.localCheckpoint(eager=False)
+    hits = cross_corpus_lsh_pairs(
+        survivors, ref_df, id_col, text_col, k, bands, shingle_n,
+        max_band_df, portable,
+    ).select(F.col("new_id").alias("_hit")).distinct()
+    return survivors.join(
+        hits, survivors[id_col] == F.col("_hit"), "left_anti")
 
 
 def contamination_pairs(

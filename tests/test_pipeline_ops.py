@@ -507,6 +507,42 @@ def test_minhash_fast_hash_family_finds_same_dups(docs):
     assert not any(4 in p for p in fast)  # unrelated doc stays unpaired
 
 
+def test_cross_corpus_dedup(spark):
+    """Incremental-crawl dedup: exact recrawls die in stage 1, near dups
+    die in the LSH stage, novel docs survive with payload intact."""
+    from jsonschema_spark.operators.dedup import (
+        cross_corpus_lsh_pairs, dedup_against_corpus)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    new = spark.createDataFrame([
+        (101, base),                                    # exact recrawl
+        (102, base.replace("delta", "DELTA")),          # near dup
+        (103, "totally fresh unseen page words here now"),  # novel
+    ], "doc_id long, text string")
+
+    pairs = {(r["new_id"], r["ref_id"]) for r in
+             cross_corpus_lsh_pairs(new, ref, "doc_id", "text").collect()}
+    assert (101, 1) in pairs and (102, 1) in pairs
+    assert not any(n == 103 for n, _ in pairs)
+
+    kept = dedup_against_corpus(new, ref, "doc_id", "text")
+    assert [r["doc_id"] for r in kept.collect()] == [103]
+    assert kept.columns == ["doc_id", "text"]
+
+    exact_only = {r["doc_id"] for r in
+                  dedup_against_corpus(new, ref, "doc_id", "text",
+                                       near=False).collect()}
+    assert exact_only == {102, 103}
+
+    # fast family: same verdicts, xxhash64 machinery end to end
+    kept_fast = dedup_against_corpus(new, ref, "doc_id", "text",
+                                     portable=False)
+    assert [r["doc_id"] for r in kept_fast.collect()] == [103]
+
+
 def test_ngram_lm_score_hand_computed(spark):
     """Add-one bigram model on a corpus small enough to check by hand."""
     from jsonschema_spark.operators.lm import ngram_lm_score

@@ -1922,6 +1922,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.length("text").cast("long").alias("n_chars"))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span accounting (suffix-array dedup stand-in, Lee et
+    al. 2022): exact 8-token windows occurring >=2 times corpus-wide
+    (multiplicity, within-doc included) per document, in floor-ppm."""
+    from jsonschema_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), "doc_id", "text",
+                          span_tokens=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -1990,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "url_dedup": q_url_dedup,
         "dedup_incremental": q_dedup_incremental,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -2141,6 +2152,27 @@ hits AS (SELECT DISTINCT n.doc_id FROM nbands n
          JOIN rbands r ON n.band = r.band AND n.band_key = r.band_key)
 SELECT e.doc_id, length(e.text)::BIGINT AS n_chars FROM ex e
 WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = e.doc_id)"""
+
+
+def _dup_spans_sql(n: int = 8) -> str:
+    """Mirror of dup_span_stats: every n-token window with multiplicity,
+    hot grams = total count >= 2, ppm via the same double-divide-floor."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS g
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks)-{n}+2)) AS i) ix
+      WHERE len(toks) >= {n}),
+pd AS (SELECT doc_id, g, count(*) AS m FROM g GROUP BY 1, 2),
+tot AS (SELECT g FROM pd GROUP BY g HAVING sum(m) >= 2),
+agg AS (SELECT pd.doc_id, sum(pd.m) AS n_spans,
+               coalesce(sum(CASE WHEN tot.g IS NOT NULL THEN pd.m END), 0) AS n_dup
+        FROM pd LEFT JOIN tot ON pd.g = tot.g GROUP BY 1)
+SELECT doc_id, n_spans::BIGINT AS n_spans, n_dup::BIGINT AS n_dup_spans,
+       floor(n_dup * 1000000 / n_spans)::BIGINT AS dup_span_ppm
+FROM agg
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT, 0::BIGINT
+FROM t WHERE len(toks) < {n}"""
 
 
 def _url_normalize_sql() -> str:
@@ -2316,4 +2348,5 @@ FROM documents WHERE text IS NOT NULL""",
         "host_stats": _host_stats_sql(),
         "url_dedup": _url_dedup_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
+        "dup_spans": _dup_spans_sql(8),
     }

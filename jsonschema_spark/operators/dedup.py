@@ -860,6 +860,85 @@ def line_dedup(
     )
 
 
+def span_grams(text: Column, n: int, portable: bool = True) -> Column:
+    """Word n-grams WITH multiplicity (every window position, unlike the
+    set-semantics ``word_shingles``) — the unit of duplicated-span
+    accounting. Same O(tokens) slice-zip construction; portable=False
+    yields combined xxhash64 longs instead of strings."""
+    toks = tokens(text)
+    if not portable:
+        toks = F.transform(toks, lambda t: F.xxhash64(t))
+    sz = F.size(toks)
+    cols = [F.slice(toks, i + 1, sz - (n - 1)).alias(f"g{i}") for i in range(n)]
+    zipped = F.arrays_zip(*cols)
+    if portable:
+        grams = F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)]))
+        empty = F.array().cast("array<string>")
+    else:
+        grams = F.transform(
+            zipped, lambda s: F.xxhash64(*[s[f"g{i}"] for i in range(n)]))
+        empty = F.array().cast("array<long>")
+    return F.when(sz >= n, grams).otherwise(empty)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    min_count: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-span accounting — the scalable stand-in
+    for suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": substrings of ~50 tokens
+    repeated anywhere in the corpus are memorization fuel). A span here
+    is an exact ``span_tokens``-token window; it is DUPLICATED when its
+    n-gram occurs ≥ ``min_count`` times corpus-wide (counting multiplicity,
+    within-doc repeats included — same semantics as the suffix array).
+
+    Output: (id_col, n_spans, n_dup_spans, dup_span_ppm) for EVERY doc
+    (docs shorter than span_tokens get 0/0/0). Filter
+    ``dup_span_ppm >= threshold`` to drop template-heavy docs (the
+    RefinedWeb policy), or use n_dup_spans as a removal budget.
+
+    Plan: explode windows → groupBy(doc, gram) m [shuffle 1, map-side
+    partials] → gram totals from the (doc,gram) partials [shuffle 2,
+    one row per distinct gram] filtered to hot grams → join back on gram
+    [shuffle 3] → ONE groupBy(doc). Everything after the explode carries
+    (doc_id, gram-hash, count) triples — the text never shuffles.
+    ``portable=False`` keeps windows as combined xxhash64 longs (8-byte
+    shuffle rows, no window strings materialized) — the crawl-scale path;
+    portable=True builds oracle-replayable gram strings."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(span_grams(F.col(text_col), span_tokens, portable))
+        .alias("_g"),
+    )
+    # hot-gram totals derive FROM per_doc: checkpoint the shared
+    # intermediate or both join sides re-run the explode+aggregation
+    per_doc = grams.groupBy("_id", "_g").agg(
+        F.count("_g").alias("_m")).localCheckpoint(eager=True)
+    hot = (
+        per_doc.groupBy("_g").agg(F.sum("_m").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    joined = per_doc.join(
+        hot.withColumn("_dup", F.lit(1)), ["_g"], "left")
+    return joined.groupBy("_id").agg(
+        F.sum("_m").cast("long").alias("n_spans"),
+        F.coalesce(F.sum(F.when(F.col("_dup").isNotNull(), F.col("_m"))),
+                   F.lit(0)).cast("long").alias("n_dup_spans"),
+    ).select(
+        F.col("_id").alias(id_col), "n_spans", "n_dup_spans",
+        F.when(F.col("n_spans") > 0,
+               F.floor(F.col("n_dup_spans") * 1_000_000 / F.col("n_spans")))
+         .otherwise(F.lit(0)).cast("long").alias("dup_span_ppm"),
+    )
+
+
 def dedup_keep_latest(
     df: DataFrame,
     key_cols: list[str],

@@ -543,6 +543,33 @@ def test_cross_corpus_dedup(spark):
     assert [r["doc_id"] for r in kept_fast.collect()] == [103]
 
 
+def test_dup_span_stats_hand_computed(spark):
+    """3-token spans, hand-counted duplicates across and within docs."""
+    from jsonschema_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e"),        # spans: abc bcd cde
+        (2, "x a b c d y"),      # spans: xab abc bcd cdy  (abc,bcd shared)
+        (3, "p q r p q r p q"),  # pqr qrp rpq pqr qrp rpq: within-doc dups
+        (4, "t u"),              # too short: 0 spans
+        (5, None),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dup_span_stats(docs, "doc_id", "text", span_tokens=3).collect()}
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (3, 2)  # abc bcd
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (4, 2)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (6, 6)
+    assert out[3]["dup_span_ppm"] == 1_000_000
+    assert (out[4]["n_spans"], out[4]["dup_span_ppm"]) == (0, 0)
+    assert (out[5]["n_spans"], out[5]["dup_span_ppm"]) == (0, 0)
+    assert out[1]["dup_span_ppm"] == 2 * 1_000_000 // 3
+
+    fast = {r["doc_id"]: tuple(r) for r in
+            dup_span_stats(docs, "doc_id", "text", span_tokens=3,
+                           portable=False).collect()}
+    assert fast == {k: tuple(v) for k, v in out.items()}
+
+
 def test_ngram_lm_score_hand_computed(spark):
     """Add-one bigram model on a corpus small enough to check by hand."""
     from jsonschema_spark.operators.lm import ngram_lm_score

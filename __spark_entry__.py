@@ -1932,6 +1932,20 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                           span_tokens=8)
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-scoped boilerplate removal: a planted per-source footer (on
+    75% of each source's docs) is stripped everywhere in that source,
+    while the same-shaped line is kept where its in-source df is 1."""
+    from jsonschema_spark.operators.textstats import boilerplate_strip
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 4 != 3,
+               F.concat(F.col("text"), F.lit("\nfooter of "), F.col("source")))
+         .otherwise(F.col("text")).alias("text2"))
+    return boilerplate_strip(d, "doc_id", "text2", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2001,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dedup_incremental": q_dedup_incremental,
         "dup_spans": q_dup_spans,
+        "boilerplate_strip": q_boilerplate_strip,
     }
 
 
@@ -2173,6 +2188,26 @@ FROM agg
 UNION ALL
 SELECT doc_id, 0::BIGINT, 0::BIGINT, 0::BIGINT
 FROM t WHERE len(toks) < {n}"""
+
+
+_BOILERPLATE_SQL = """
+WITH d AS (SELECT doc_id, source,
+                  CASE WHEN doc_id % 4 <> 3
+                       THEN text || chr(10) || 'footer of ' || source
+                       ELSE text END AS text2
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, source, string_split(text2, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, source, i - 1 AS pos, ls[i] AS line
+      FROM s, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) ix),
+hot AS (SELECT source, md5(line) AS lk FROM l GROUP BY 1, 2
+        HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT l.* FROM l WHERE NOT EXISTS
+          (SELECT 1 FROM hot h
+           WHERE h.source = l.source AND h.lk = md5(l.line)))
+SELECT doc_id, source, string_agg(line, chr(10) ORDER BY pos) AS text_stripped,
+       count(*) AS n_lines_kept
+FROM kept GROUP BY 1, 2
+"""
 
 
 def _url_normalize_sql() -> str:
@@ -2349,4 +2384,5 @@ FROM documents WHERE text IS NOT NULL""",
         "url_dedup": _url_dedup_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "dup_spans": _dup_spans_sql(8),
+        "boilerplate_strip": _BOILERPLATE_SQL,
     }

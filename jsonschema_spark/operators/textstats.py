@@ -380,3 +380,58 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         clean = F.regexp_replace(clean, pat, token)
     return df.filter(t.isNotNull()).select(*out_cols, clean.alias("text_clean"))
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_df: int = 2,
+) -> DataFrame:
+    """Site-scoped boilerplate removal: a LINE appearing in >= ``min_df``
+    distinct documents of the same group (host / registered domain — pair
+    with operators/urltools.py) is navigation/footer/cookie-banner
+    boilerplate and is stripped from EVERY document in that group; the
+    survivors are reassembled in original line order. This is the
+    host-scoped sibling of ``dedup.line_dedup`` (C4 keeps one global
+    copy; site-scoped removal is the CCNet/RefinedWeb recipe — a phrase
+    common across one site is boilerplate even when rare globally).
+
+    Output: (id_col, group_col, text_stripped, n_lines_kept). Documents
+    whose every line was boilerplate drop out (same policy as
+    line_dedup; drop or quarantine them downstream).
+
+    Scale shape: posexplode -> groupBy(group, line-md5) countDistinct
+    [shuffle 1, high-entropy key: the LINE hash is in it, so one giant
+    host cannot hot-spot a partition] -> anti-join back on the same key
+    [shuffle 2, co-partitioned] -> groupBy(doc) reassembly [shuffle 3 —
+    inherent: line surgery must move text]. The exploded lines feed both
+    the frequency side and the join probe side: checkpointed once."""
+    lines = df.select(
+        F.col(group_col).alias("_grp"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lk", F.md5("_line")).localCheckpoint(eager=True)
+    hot = (
+        lines.groupBy("_grp", "_lk")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_grp", "_lk")
+    )
+    kept = lines.join(hot, ["_grp", "_lk"], "left_anti")
+    return (
+        kept.groupBy("_id", "_grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text_stripped"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .select(F.col("_id").alias(id_col), F.col("_grp").alias(group_col),
+                "text_stripped", "n_lines_kept")
+    )

@@ -543,6 +543,27 @@ def test_cross_corpus_dedup(spark):
     assert [r["doc_id"] for r in kept_fast.collect()] == [103]
 
 
+def test_boilerplate_strip_host_scoped(spark):
+    """A line shared by >=2 docs of the SAME host dies everywhere in that
+    host; the same line on another host (df=1 there) survives."""
+    from jsonschema_spark.operators.textstats import boilerplate_strip
+
+    docs = spark.createDataFrame([
+        (1, "a.com", "cookie banner\nreal content one"),
+        (2, "a.com", "cookie banner\nreal content two"),
+        (3, "b.com", "cookie banner\nother text"),
+        (4, "a.com", "cookie banner"),              # fully boilerplate
+    ], "doc_id long, host string, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_strip(docs, "doc_id", "text", "host").collect()}
+    assert out[1]["text_stripped"] == "real content one"
+    assert out[2]["text_stripped"] == "real content two"
+    assert out[3]["text_stripped"] == "cookie banner\nother text"
+    assert out[3]["n_lines_kept"] == 2
+    assert 4 not in out  # nothing left
+    assert out[1]["host"] == "a.com"
+
+
 def test_dup_span_stats_hand_computed(spark):
     """3-token spans, hand-counted duplicates across and within docs."""
     from jsonschema_spark.operators.dedup import dup_span_stats

@@ -1946,6 +1946,18 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_strip(d, "doc_id", "text2", "source")
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (heavy-tail host guard): keep each
+    source's 15 smallest id-stable portable-hash docs, exact window
+    mode; n_group carries the pre-cap size for auditability."""
+    from jsonschema_spark.operators.curate import domain_cap_sample
+
+    kept = domain_cap_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "doc_id", "source", cap=15)
+    return kept.select("doc_id", "source", "n_group")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2016,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dup_spans": q_dup_spans,
         "boilerplate_strip": q_boilerplate_strip,
+        "domain_cap": q_domain_cap,
     }
 
 
@@ -2210,6 +2223,18 @@ FROM kept GROUP BY 1, 2
 """
 
 
+def _domain_cap_sql(cap: int = 30) -> str:
+    h = _h56("'domcap:' || doc_id::VARCHAR")
+    return f"""
+WITH c AS (SELECT source, count(*) AS n_group FROM documents GROUP BY 1),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {h}, doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.source, c.n_group
+FROM r JOIN c USING (source) WHERE rn <= {cap}"""
+
+
 def _url_normalize_sql() -> str:
     return (f"WITH {_url_norm_core_sql()} "
             "SELECT doc_id, url_norm, host, reg_domain FROM n")
@@ -2385,4 +2410,5 @@ FROM documents WHERE text IS NOT NULL""",
         "dedup_incremental": _dedup_incremental_sql(),
         "dup_spans": _dup_spans_sql(8),
         "boilerplate_strip": _BOILERPLATE_SQL,
+        "domain_cap": _domain_cap_sql(15),
     }

@@ -165,3 +165,60 @@ def budget_sample(
         F.sum("n_tokens").over(w).alias("cum_tokens"),
     )
     return cum.where(F.col("cum_tokens") <= budget_tokens)
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    exact: bool = True,
+    salt: str = "domcap",
+) -> DataFrame:
+    """Cap every group (registered domain / source / host — pair with
+    operators/urltools.py) at ``cap`` documents, chosen deterministically
+    by an id-stable portable hash — the standard crawl-curation guard
+    against one template farm dominating the corpus (heavy-tailed host
+    distributions put >1% of Common-Crawl pages on a handful of domains).
+
+    ``exact=True``: keep each group's ``cap`` smallest ``hash(salt:id)``
+    rows — one window row_number per group over (hash, id) PAIRS (text is
+    not in the sort: the projection joins back by id). A single
+    pathological group sorts in one task; at crawl scale flip to
+    ``exact=False``.
+
+    ``exact=False`` (the 100 TB path): keep a row when
+    ``hash % 1e6 < 1e6·cap/n_group`` — a pure scan predicate after ONE
+    count aggregate joined back on the group key. Group sizes follow
+    Binomial(n, cap/n): the cap is hit within ±√cap, nothing sorts,
+    nothing hot-spots (the decision is per-ROW, made from the row's own
+    hash + the group's count). Id-stable: recrawls keep the same sample
+    modulo the count drift.
+
+    Output: the kept rows (all df columns) plus ``n_group``."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    h = hash56(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    if exact:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(group_col).orderBy("_h", id_col)
+        slim = df.select(F.col(id_col), F.col(group_col), h.alias("_h"))
+        kept_ids = (
+            slim.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap)
+            .select(id_col)
+        )
+        return (
+            df.join(kept_ids, [id_col], "left_semi")
+            .join(counts, [group_col], "left")
+        )
+    keep_ppm = F.least(
+        F.lit(1_000_000),
+        F.floor(F.lit(1_000_000) * cap / F.col("n_group")),
+    )
+    return (
+        df.join(counts, [group_col], "left")
+        .where(F.pmod(h, F.lit(1_000_000)) < keep_ppm)
+    )

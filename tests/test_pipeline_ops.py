@@ -543,6 +543,38 @@ def test_cross_corpus_dedup(spark):
     assert [r["doc_id"] for r in kept_fast.collect()] == [103]
 
 
+def test_domain_cap_sample(spark):
+    from jsonschema_spark.operators.curate import domain_cap_sample
+
+    rows = [(i, "big.com" if i < 47 else "small.org", f"t{i}")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+    kept = domain_cap_sample(df, "doc_id", "host", cap=5).collect()
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r["host"], []).append(r["doc_id"])
+    assert len(by_host["big.com"]) == 5          # capped exactly
+    assert len(by_host["small.org"]) == 3        # under cap: all kept
+    assert all(r["n_group"] in (47, 3) for r in kept)
+    # deterministic: same ids every run
+    again = {r["doc_id"] for r in
+             domain_cap_sample(df, "doc_id", "host", cap=5).collect()}
+    assert {r["doc_id"] for r in kept} == again
+
+    # approx path: under-cap groups fully kept (ppm clamps to 1e6),
+    # over-cap groups land near the cap, id-stable
+    ap = domain_cap_sample(df, "doc_id", "host", cap=5, exact=False).collect()
+    small = [r for r in ap if r["host"] == "small.org"]
+    big = [r for r in ap if r["host"] == "big.com"]
+    assert len(small) == 3
+    assert 0 < len(big) <= 15
+    ap2 = {r["doc_id"] for r in
+           domain_cap_sample(df, "doc_id", "host", cap=5,
+                             exact=False).collect()}
+    assert {r["doc_id"] for r in ap} == ap2
+
+
 def test_boilerplate_strip_host_scoped(spark):
     """A line shared by >=2 docs of the SAME host dies everywhere in that
     host; the same line on another host (df=1 there) survives."""

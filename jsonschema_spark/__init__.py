@@ -48,7 +48,34 @@ from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.fmt import fmt_check, format_schema
 from jsonschema_spark.plans.pyeval import validate_py
 from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
-from jsonschema_spark.operators.curate import curate_corpus, curation_report
+from jsonschema_spark.operators.curate import (
+    budget_sample,
+    curate_corpus,
+    curation_report,
+    domain_cap_sample,
+    hash_split,
+)
+from jsonschema_spark.operators.dedup import (
+    cross_corpus_lsh_pairs,
+    dedup_against_corpus,
+    dedup_clusters,
+    dedup_keep_latest,
+    dup_span_stats,
+    jaccard_pairs,
+    keep_canonical,
+    line_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures_df,
+)
+from jsonschema_spark.operators.textstats import boilerplate_strip, clean_text
+from jsonschema_spark.operators.urltools import (
+    host_stats_df,
+    normalize_url,
+    normalize_urls_df,
+    registered_domain,
+    url_dedup_df,
+)
+from jsonschema_spark.operators.lm import dsir_weight, ngram_lm_score
 from jsonschema_spark.operators.binpack import (
     binpack_decode,
     binpack_encode,
@@ -110,6 +137,28 @@ __all__ = [
     "encoding_plan",
     "curate_corpus",
     "curation_report",
+    "budget_sample",
+    "domain_cap_sample",
+    "hash_split",
+    "cross_corpus_lsh_pairs",
+    "dedup_against_corpus",
+    "dedup_clusters",
+    "dedup_keep_latest",
+    "dup_span_stats",
+    "jaccard_pairs",
+    "keep_canonical",
+    "line_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures_df",
+    "boilerplate_strip",
+    "clean_text",
+    "normalize_url",
+    "normalize_urls_df",
+    "registered_domain",
+    "host_stats_df",
+    "url_dedup_df",
+    "dsir_weight",
+    "ngram_lm_score",
     "upgrade_schema",
     "needs_upgrade",
     "__version__",

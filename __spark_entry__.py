@@ -1958,6 +1958,48 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "n_group")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embeddings clustered by the
+    deterministic coarse quantizer, cosine near-dup pairs searched WITHIN
+    each cluster only (the paper's n²→n²/k pruning), connected components,
+    keep the min-id canonical row. Output = surviving vec_ids."""
+    from jsonschema_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    kept = semantic_dedup(e, "vec_id", "embedding", min_cos_micro=450000, n_centroids=8)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE
+q AS (SELECT vec_id, [floor(x::DOUBLE*100)::BIGINT for x in embedding] AS qe FROM embeddings),
+pd AS (SELECT vec_id % 8 AS ci, i,
+              floor((sum(qe[i])::BIGINT)::DOUBLE / count(*))::BIGINT AS cv
+       FROM q, (SELECT unnest(range(1, 65)) AS i) ix GROUP BY 1, 2),
+cent AS (SELECT ci, list(cv ORDER BY i) AS cv FROM pd GROUP BY ci),
+d AS (SELECT q.vec_id, q.qe, c.ci,
+             list_sum([(q.qe[i]-c.cv[i])*(q.qe[i]-c.cv[i]) for i in range(1, 65)]) AS dist
+      FROM q, cent c),
+asg AS (SELECT vec_id, qe, ci,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ci ASC) AS rn
+        FROM d),
+corp AS (SELECT vec_id, qe, ci FROM asg WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM corp a JOIN corp b ON a.ci = b.ci AND a.vec_id < b.vec_id
+          WHERE {{cos}} >= 450000),
+edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(x, y) AS (SELECT x, y FROM edges
+                UNION SELECT x, x FROM edges
+                UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+comp AS (SELECT x AS vec_id, min(y) AS cluster_id FROM reach GROUP BY 1)
+SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+WHERE c.cluster_id IS NULL OR c.cluster_id = e.vec_id
+ORDER BY 1
+""".replace("{cos}", _COS_MICRO)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2029,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2411,4 +2454,5 @@ FROM documents WHERE text IS NOT NULL""",
         "dup_spans": _dup_spans_sql(8),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),
+        "semantic_dedup": _semantic_dedup_sql(),
     }

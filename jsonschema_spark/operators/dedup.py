@@ -481,7 +481,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with quantized cosine ≥ threshold → (id_a, id_b,
     cos_micro). Exact (no candidate pruning) — the LSH-pruned scale path
-    is ``similarity.topk_signlsh``.
+    is ``similarity.topk_signlsh``; the cluster-pruned one is
+    ``similarity.semantic_dedup_pairs``.
 
     Distributed block-pair matmul: rows are hashed into ``n_blocks``
     blocks; each row is replicated to the n_blocks block-PAIRS it belongs
@@ -494,13 +495,28 @@ def embedding_near_dup_pairs(
     executor. Shuffle volume is n_blocks× the quantized input (int64
     vectors), uniform by construction (md5-quality block hash).
     """
+    q = df.select(
+        F.col(id_col).alias("_id"), quantize_embedding(F.col(vec_col), scale).alias("_q")
+    )
+    return blocked_cosine_pairs(q, min_cos_micro, n_blocks)
+
+
+def blocked_cosine_pairs(
+    q: DataFrame,
+    min_cos_micro: int,
+    n_blocks: int,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Block-pair cogrouped-matmul scorer over ``(_id long, _q
+    array<long>)`` rows (see embedding_near_dup_pairs for the shape
+    argument). When ``cell_col`` is given the shuffle key becomes
+    (cell, pa, pb): only rows of the SAME cell are ever scored against
+    each other — the semantic-dedup pruning — while per-task memory stays
+    bounded by the block size even for a giant cell."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    q = df.select(
-        F.col(id_col).alias("_id"), quantize_embedding(F.col(vec_col), scale).alias("_q")
-    )
     q = q.withColumn(
         "_blk", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int")
     )
@@ -513,8 +529,9 @@ def embedding_near_dup_pairs(
             for j in range(n_blocks)
         ]
     )
-    rep = q.select("_id", "_q", "_blk", F.explode(pair_entries).alias("_p")).select(
-        "_id", "_q", "_blk", F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb")
+    keys = ([cell_col] if cell_col else []) + ["pa", "pb"]
+    rep = q.select("*", F.explode(pair_entries).alias("_p")).select(
+        *([c for c in q.columns] + [F.col("_p.pa").alias("pa"), F.col("_p.pb").alias("pb")])
     )
 
     out_schema = T.StructType(
@@ -534,7 +551,7 @@ def embedding_near_dup_pairs(
         ).astype(np.int64)
 
     def score(key, pdf):
-        pa, pb = key
+        pa, pb = key[-2], key[-1]
         if pa == pb:
             ids = pdf["_id"].to_numpy(dtype=np.int64)
             mat = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
@@ -562,7 +579,7 @@ def embedding_near_dup_pairs(
             }
         )
 
-    return rep.groupBy("pa", "pb").applyInPandas(score, out_schema)
+    return rep.groupBy(*keys).applyInPandas(score, out_schema)
 
 
 def dedup_clusters(

@@ -148,6 +148,25 @@ def ivf_centroids_df(
     )
 
 
+def _cell_assign_udf(cents: list):
+    """Vectorized nearest-centroid assignment over Arrow batches.
+    dist = |x|² − 2x·c + |c|²; |x|² is constant per row, so argmin over
+    (−2x·c + |c|²) suffices and stays in exact int64. np.argmin's
+    first-min tie-break equals the oracle's ORDER BY (dist, ci) rn=1."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.array([cv for _, cv in cents], dtype=np.int64)
+    Cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def _assign(s: pd.Series) -> pd.Series:
+        X = np.stack(s.to_numpy()).astype(np.int64)
+        d = -2 * (X @ C.T) + Cn[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign
+
+
 def _sqdist_lit(vec: Column, centroid: list) -> Column:
     c = F.array(*[F.lit(int(v)) for v in centroid])
     return F.aggregate(
@@ -188,18 +207,7 @@ def topk_ivf(
     # the expression form is k interpreted array passes per row (the
     # documented Catalyst higher-order cost); exact-int arithmetic, so the
     # cell ids are IDENTICAL either way (np.argmin = first-min tie-break)
-    from pyspark.sql.types import IntegerType
-
-    C = np.array([cv for _, cv in cents], dtype=np.int64)
-    Cn = (C * C).sum(axis=1)
-
-    @F.pandas_udf(IntegerType())
-    def _assign(s: pd.Series) -> pd.Series:
-        X = np.stack(s.to_numpy()).astype(np.int64)
-        # dist = |x|^2 - 2 x·c + |c|^2; |x|^2 is constant per row → argmin
-        # over (-2 x·c + |c|^2) suffices and stays in exact int64
-        d = -2 * (X @ C.T) + Cn[None, :]
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+    _assign = _cell_assign_udf(cents)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -226,3 +234,77 @@ def topk_ivf(
         _cos_micro_pre(q["_qq"], F.col("_cq"), q["_qn"], F.col("_cn")).alias("cos_micro"),
     )
     return _topk(scored, k)
+
+
+# --- SemDeDup (semantic deduplication) ----------------------------------------
+
+
+def semantic_cells(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8, scale: int = 100
+) -> DataFrame:
+    """Assign every row to its nearest coarse-quantizer cell → df columns
+    plus ``_ci`` (int cell id) and ``_q`` (quantized vector).
+
+    Scale shape: centroids are one aggregation over the corpus
+    (ivf_centroids_df) collected as n_centroids tiny rows; assignment is a
+    pure Arrow-batched projection against those literals — ZERO shuffle of
+    the corpus. Deterministic and oracle-replayable (same centroid
+    formula, first-min tie-break)."""
+    cents = sorted(
+        [(r["ci"], list(r["cv"])) for r in
+         ivf_centroids_df(df, id_col, vec_col, n_centroids, scale).collect()]
+    )
+    assign = _cell_assign_udf(cents)
+    q = df.withColumn("_q", quantize_embedding(F.col(vec_col), scale))
+    return q.withColumn("_ci", assign(F.col("_q")))
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos_micro: int = 450000,
+    n_centroids: int = 8,
+    scale: int = 100,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup:
+    data-efficient learning at web-scale through semantic deduplication"):
+    embeddings are clustered by the deterministic coarse quantizer and
+    cosine near-duplicates are searched ONLY within each cluster —
+    the paper's pruning that turns exact all-pairs O(n²·d) into
+    Σ_c n_c²·d ≈ n²·d/k under balanced cells. Cross-cluster near-dups are
+    missed by design (the documented recall trade; raise n_centroids with
+    corpus size so cells stay bounded, k ∝ n keeps per-cell work linear).
+
+    Plan: centroid agg → literal-projection cell assignment (no shuffle)
+    → same-cell block-pair cogrouped matmul (dedup.blocked_cosine_pairs
+    keyed on (_ci, pa, pb)), so one giant cell still cannot exceed
+    per-task memory ≈ (cell/n_blocks)·d·8 bytes."""
+    from jsonschema_spark.operators.dedup import blocked_cosine_pairs
+
+    cells = semantic_cells(df, id_col, vec_col, n_centroids, scale)
+    q = cells.select(F.col(id_col).alias("_id"), "_q", "_ci")
+    return blocked_cosine_pairs(q, min_cos_micro, n_blocks, cell_col="_ci")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos_micro: int = 450000,
+    n_centroids: int = 8,
+    scale: int = 100,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup end-to-end: within-cluster cosine pairs → connected
+    components → keep the min-id canonical row per duplicate group
+    (deterministic, engine-portable stand-in for the paper's
+    keep-farthest-from-centroid choice; the keep POLICY is orthogonal to
+    the pruning structure). Returns surviving rows of ``df``."""
+    from jsonschema_spark.operators.dedup import dedup_clusters, keep_canonical
+
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, min_cos_micro, n_centroids, scale, n_blocks
+    )
+    return keep_canonical(df, dedup_clusters(pairs), id_col)

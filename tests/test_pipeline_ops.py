@@ -758,3 +758,72 @@ def test_dsir_fast_path_same_semantics(spark):
                         portable=False).collect()}
     assert out == out2
     assert out[1] > out[2]
+
+
+def test_semantic_dedup_single_cell_equals_exact(spark):
+    """n_centroids=1 puts every row in one cell: SemDeDup's within-cluster
+    pair search must then reproduce the exact all-pairs scorer verbatim
+    (same threshold, same blocked matmul)."""
+    from jsonschema_spark.operators.similarity import semantic_dedup_pairs
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) / 5 for j in range(8)]) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sem = {
+        (r["id_a"], r["id_b"]): r["cos_micro"]
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", min_cos_micro=500000, n_centroids=1, n_blocks=3
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_micro"]
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", min_cos_micro=500000, n_blocks=3
+        ).collect()
+    }
+    assert sem == exact and len(sem) > 0
+
+
+def test_semantic_dedup_pairs_are_exact_same_cell_subset(spark):
+    """SemDeDup pairs == exact near-dup pairs restricted to same-cell rows
+    (the documented cross-cluster recall trade, nothing more or less)."""
+    from jsonschema_spark.operators.similarity import semantic_cells, semantic_dedup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cell = {
+        r["vec_id"]: r["_ci"]
+        for r in semantic_cells(emb, "vec_id", "embedding", n_centroids=4).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_micro"]
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cos_micro=100000
+        ).collect()
+    }
+    want = {p: c for p, c in exact.items() if cell[p[0]] == cell[p[1]]}
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_micro"]
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", min_cos_micro=100000, n_centroids=4
+        ).collect()
+    }
+    assert got == want
+    assert len(want) < len(exact)  # some cross-cell pairs really are pruned
+
+
+def test_semantic_dedup_keeps_min_id_canonical(spark):
+    from jsonschema_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),
+        (7, [1.0, 0.0, 0.0, 0.0]),   # dup of 5 → dropped
+        (9, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", min_cos_micro=990000, n_centroids=1
+        ).collect()
+    )
+    assert kept == [3, 5, 9]

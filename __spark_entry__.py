@@ -1958,6 +1958,35 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "n_group")
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with Spark's NATIVE session windows
+    (groupBy(user, session_window(ts, gap)): one exchange of map-side
+    partially-aggregated rows, then Sort + MergingSessions — vs two full
+    window passes for the classic lag() formulation). 12 h gap over the
+    events table → 3292 sessions at sf0.01."""
+    from jsonschema_spark.operators.stats import sessionize
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return sessionize(ev, "user_id", "ts", gap="12 hours", value_col="value")
+
+
+_SESSIONIZE_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 12 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events, sum(floor(value*1000)::BIGINT) AS value_milli
+FROM g GROUP BY user_id, sid
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embeddings clustered by the
     deterministic coarse quantizer, cosine near-dup pairs searched WITHIN
@@ -2072,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
         "semantic_dedup": q_semantic_dedup,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -2455,4 +2485,5 @@ FROM documents WHERE text IS NOT NULL""",
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),
         "semantic_dedup": _semantic_dedup_sql(),
+        "sessionize_events": _SESSIONIZE_SQL,
     }

@@ -827,3 +827,35 @@ def test_semantic_dedup_keeps_min_id_canonical(spark):
         ).collect()
     )
     assert kept == [3, 5, 9]
+
+
+def test_sessionize_gap_boundary_and_chain(spark):
+    """Native session-window semantics, hand-computed: consecutive gaps
+    <= gap merge — INCLUSIVE boundary: an event at exactly prev_ts + gap
+    joins the session (chains extend past one gap-length total span);
+    end = last ts + gap."""
+    from jsonschema_spark.operators.stats import sessionize
+
+    rows = [
+        # user 1: 00:00, 00:10, 00:25, 00:41 — 15min-exact gap MERGES
+        # (inclusive boundary), 16min splits
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 00:25:00"), (1, "2024-01-01 00:41:00"),
+        # user 2: chain 0/10/20/30min all merge though total span 30 > 15
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:10:00"),
+        (2, "2024-01-01 00:20:00"), (2, "2024-01-01 00:30:00"),
+        (3, "2024-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+        "user_id", "cast(ts_s as timestamp) AS ts"
+    )
+    out = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sessionize(df, "user_id", "ts", gap="15 minutes").collect()
+    }
+    assert out == {
+        (1, "2024-01-01 00:00:00.000000"): ("2024-01-01 00:40:00.000000", 3),
+        (1, "2024-01-01 00:41:00.000000"): ("2024-01-01 00:56:00.000000", 1),
+        (2, "2024-01-01 00:00:00.000000"): ("2024-01-01 00:45:00.000000", 4),
+        (3, "2024-01-01 05:00:00.000000"): ("2024-01-01 05:15:00.000000", 1),
+    }

@@ -1734,6 +1734,40 @@ GROUP BY 1, 2
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop step over contamination_pairs: corpus docs (id >= 20)
+    sharing >= 3 distinct 5-grams with any simulated eval doc (ids 0-19)
+    are removed; output = surviving doc_ids."""
+    from jsonschema_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext"))
+    kept = decontaminate(
+        d.filter(F.col("doc_id") >= 20), bench, "doc_id", "text",
+        "bid", "btext", shingle_n=5, min_shared_ngrams=3)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+{_DOC_TOKS},
+sh5 AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_distinct([array_to_string(toks[i:i+4], ' ')
+                                 for i in range(1, len(toks)-4+1)])
+             ELSE []::VARCHAR[] END AS s FROM t),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh5),
+hits AS (SELECT c.doc_id FROM g c JOIN g b ON c.g = b.g
+         WHERE b.doc_id < 20 AND c.doc_id >= 20
+         GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 3)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id >= 20
+  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+ORDER BY 1
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-level line dedup over documents with a planted
     shared footer (every even doc): the footer survives only in its first
@@ -2085,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
+        "decontaminate_docs": q_decontaminate,
         "line_dedup": q_line_dedup,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -2441,6 +2476,7 @@ FROM documents WHERE text IS NOT NULL""",
         "curate_docs": _curate_sql(),
         "pii_scrub": _pii_sql(),
         "contamination": _CONTAM_SQL,
+        "decontaminate_docs": _decontaminate_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
         "langid": _langid_sql(),
         "fingerprint": _FINGERPRINT_SQL,

@@ -831,6 +831,36 @@ def contamination_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_n: int = 8,
+    min_shared_ngrams: int = 1,
+) -> DataFrame:
+    """GPT-3/PaLM-style test-set decontamination, the DROP step on top of
+    ``contamination_pairs``: remove every corpus document sharing ≥
+    ``min_shared_ngrams`` distinct word n-grams with ANY single benchmark
+    document. Returns the surviving corpus rows.
+
+    Scale shape: the benchmark side is tiny by definition → broadcast
+    hash join against streamed corpus n-grams (no corpus-side shuffle
+    before the join); flagged ids are rare → the final left_anti is
+    AQE-broadcast. One corpus scan end-to-end."""
+    hits = (
+        contamination_pairs(
+            corpus, bench, id_col, text_col, bench_id_col, bench_text_col, shingle_n
+        )
+        .filter(F.col("n_shared_ngrams") >= min_shared_ngrams)
+        .select("corpus_id")
+        .distinct()
+    )
+    return corpus.join(hits, corpus[id_col] == hits.corpus_id, "left_anti")
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,

@@ -859,3 +859,28 @@ def test_sessionize_gap_boundary_and_chain(spark):
         (2, "2024-01-01 00:00:00.000000"): ("2024-01-01 00:45:00.000000", 4),
         (3, "2024-01-01 05:00:00.000000"): ("2024-01-01 05:15:00.000000", 1),
     }
+
+
+def test_decontaminate_drops_on_per_bench_threshold(spark):
+    from jsonschema_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),   # 3 shared trigrams w/ bench 1
+            (101, "zeta eta theta iota kappa"),        # none
+            (102, "alpha beta gamma nothing else"),    # 1 shared trigram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon and more")],
+        "bid long, btext string",
+    )
+    kept1 = sorted(r["doc_id"] for r in decontaminate(
+        corpus, bench, "doc_id", "text", "bid", "btext",
+        shingle_n=3, min_shared_ngrams=1).collect())
+    assert kept1 == [101]
+    kept3 = sorted(r["doc_id"] for r in decontaminate(
+        corpus, bench, "doc_id", "text", "bid", "btext",
+        shingle_n=3, min_shared_ngrams=3).collect())
+    assert kept3 == [101, 102]

@@ -78,3 +78,29 @@ def test_quality_filter_is_python_free(spark):
 
     plan = _plan(webtext_filters(spark.read.parquet(DOCS), "doc_id", "text"))
     assert "EvalPython" not in plan  # neither Batch- nor Arrow-
+
+
+def test_sessionize_single_exchange_no_python(spark):
+    from jsonschema_spark.operators.stats import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = sessionize(ev, "user_id", "ts", gap="12 hours", value_col="value")
+    # native session windows: partial agg map-side, ONE exchange, then
+    # Sort + MergingSessions — and never a per-event Python stage
+    simple = _plan(df, "simple")
+    assert simple.count("Exchange") == 1
+    assert "MergingSessions" in simple
+    assert "EvalPython" not in _plan(df)
+
+
+def test_semantic_dedup_pairs_no_cross_product_arrow_only(spark):
+    from jsonschema_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = semantic_dedup_pairs(emb, "vec_id", "embedding", n_centroids=4)
+    plan = _plan(pairs, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    full = _plan(pairs)
+    # cell assignment + in-cell scoring are Arrow-batched, never row-at-a-time
+    assert "BatchEvalPython" not in full

@@ -1966,6 +1966,39 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                           span_tokens=8)
 
 
+def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup REMOVAL action (Lee et al. 2022): tokens
+    covered by any 8-token window repeated >=2 times corpus-wide are cut,
+    survivors rejoin in order (canonical token stream)."""
+    from jsonschema_spark.operators.dedup import dup_span_remove
+
+    return dup_span_remove(
+        _docs(spark, sf_dir), "doc_id", "text", span_tokens=8, min_count=2)
+
+
+def _dup_span_remove_sql(n: int = 8) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, i, array_to_string(toks[i:i+{n - 1}], ' ') AS g
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks)-{n}+2)) AS i) ix
+      WHERE len(toks) >= {n}),
+hot AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT w.doc_id, w.i + j.j AS cpos
+        FROM w JOIN hot USING (g), (SELECT unnest(range(0, {n})) AS j) j),
+tok AS (SELECT doc_id, i AS tpos, toks[i] AS tok
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i) ix),
+kept AS (SELECT tok.* FROM tok WHERE NOT EXISTS
+         (SELECT 1 FROM cov c WHERE c.doc_id = tok.doc_id AND c.cpos = tok.tpos)),
+re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_clean,
+              count(*) AS n_kept FROM kept GROUP BY 1)
+SELECT t.doc_id, coalesce(re.text_clean, '') AS text_clean,
+       coalesce(len(t.toks), 0)::BIGINT AS n_tokens,
+       (coalesce(len(t.toks), 0) - coalesce(re.n_kept, 0))::BIGINT AS n_removed
+FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+ORDER BY 1
+"""
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site-scoped boilerplate removal: a planted per-source footer (on
     75% of each source's docs) is stripped everywhere in that source,
@@ -2133,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dedup_incremental": q_dedup_incremental,
         "dup_spans": q_dup_spans,
+        "dup_span_remove": q_dup_span_remove,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
         "semantic_dedup": q_semantic_dedup,
@@ -2518,6 +2552,7 @@ FROM documents WHERE text IS NOT NULL""",
         "url_dedup": _url_dedup_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "dup_spans": _dup_spans_sql(8),
+        "dup_span_remove": _dup_span_remove_sql(8),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),
         "semantic_dedup": _semantic_dedup_sql(),

@@ -912,7 +912,13 @@ def span_grams(text: Column, n: int, portable: bool = True) -> Column:
     set-semantics ``word_shingles``) — the unit of duplicated-span
     accounting. Same O(tokens) slice-zip construction; portable=False
     yields combined xxhash64 longs instead of strings."""
-    toks = tokens(text)
+    return span_grams_from_tokens(tokens(text), n, portable)
+
+
+def span_grams_from_tokens(toks: Column, n: int, portable: bool = True) -> Column:
+    """span_grams over an already-tokenized column — gram index i is the
+    0-based START TOKEN of the window (dup_span_remove depends on this
+    alignment to map hot windows back to covered token positions)."""
     if not portable:
         toks = F.transform(toks, lambda t: F.xxhash64(t))
     sz = F.size(toks)
@@ -983,6 +989,92 @@ def dup_span_stats(
         F.when(F.col("n_spans") > 0,
                F.floor(F.col("n_dup_spans") * 1_000_000 / F.col("n_spans")))
          .otherwise(F.lit(0)).cast("long").alias("dup_span_ppm"),
+    )
+
+
+def dup_span_remove(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    min_count: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """The REMOVAL action of substring dedup (Lee et al. 2022) on top of
+    ``dup_span_stats``' accounting: every token position covered by ≥1
+    duplicated window (an exact ``span_tokens``-token n-gram occurring ≥
+    ``min_count`` times corpus-wide, multiplicity) is cut, and survivors
+    rejoin with single spaces in original order. Output text is the
+    CANONICAL token stream (trim/lower/whitespace-collapse — the same
+    stream the spans were counted over), so results are engine-portable.
+
+    Output: (id_col, text_clean, n_tokens, n_removed) for EVERY input doc
+    (null/short docs pass through with n_removed=0; a doc whose every
+    token was duplicated comes back with text_clean='').
+
+    Plan: window posexplode [checkpointed once — both the hot-gram total
+    and the join-back read it] → hot grams ≥ min_count → duplicated
+    window STARTS (rare by construction) → covered positions (explode k
+    per dup start, distinct) → token posexplode anti-join on (doc, pos) →
+    ONE reassembly groupBy. Gram/position rows shuffle as (id, long)
+    pairs; the token stream shuffles exactly once, for the inherent
+    reassembly. ``portable=False`` carries 8-byte combined-xxhash64
+    window keys (the crawl-scale path)."""
+    k = span_tokens
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    w = base.select(
+        "_id",
+        F.posexplode(span_grams_from_tokens(F.col("_toks"), k, portable)).alias(
+            "_pos", "_g"
+        ),
+    ).localCheckpoint(eager=True)
+    hot = (
+        w.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    covered = (
+        w.join(hot, "_g")
+        .select(
+            F.col("_id").alias("_cid"),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))).alias(
+                "_cpos"
+            ),
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        "_id", F.posexplode(F.col("_toks")).alias("_tpos", "_tok")
+    )
+    kept = tokpos.join(
+        covered,
+        (tokpos["_id"] == covered["_cid"]) & (tokpos["_tpos"] == covered["_cpos"]),
+        "left_anti",
+    )
+    re = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tpos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_tokens = F.when(F.col("_toks").isNull(), F.lit(0)).otherwise(F.size("_toks"))
+    return (
+        base.select("_id", n_tokens.cast("long").alias("n_tokens"))
+        .join(re, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )
 
 

@@ -884,3 +884,36 @@ def test_decontaminate_drops_on_per_bench_threshold(spark):
         corpus, bench, "doc_id", "text", "bid", "btext",
         shingle_n=3, min_shared_ngrams=3).collect())
     assert kept3 == [101, 102]
+
+
+def test_dup_span_remove_hand_computed(spark):
+    """Removal action: token positions covered by any duplicated k-window
+    are cut; overlapping windows merge; short/null docs pass through;
+    a fully-duplicated doc comes back empty. Both hash families agree."""
+    from jsonschema_spark.operators.dedup import dup_span_remove
+
+    rows = [
+        # docs 1/2 share the 3-gram "a b c" (positions 0-2 in both);
+        # doc 1 continues uniquely, doc 2 IS the duplicated span only
+        (1, "a b c unique tail here"),
+        (2, "A B   C"),                    # case/whitespace canonicalized
+        (3, "short doc"),                  # < k tokens → untouched
+        (4, None),                         # null text → passes through
+        # doc 5: within-doc repeat "x y z x y z x y z" — windows
+        # (x y z), (y z x), (z x y) each occur >= 2 times → all covered
+        (5, "x y z x y z x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (True, False):
+        out = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in dup_span_remove(
+                df, "doc_id", "text", span_tokens=3, min_count=2,
+                portable=portable,
+            ).collect()
+        }
+        assert out[1] == ("unique tail here", 6, 3)
+        assert out[2] == ("", 3, 3)
+        assert out[3] == ("short doc", 2, 0)
+        assert out[4] == ("", 0, 0)
+        assert out[5] == ("", 9, 9)

@@ -1966,6 +1966,37 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                           span_tokens=8)
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization over documents with planted
+    DECOMPOSED text (every third doc gains ' cafe' + combining acute +
+    an Angstrom sign): composed output, changed flag, char deltas."""
+    from jsonschema_spark.operators.textstats import nfc_normalize
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" cafe\u0301 \u212bngstrom")),
+        ).otherwise(F.col("text")).alias("text2"),
+    )
+    return nfc_normalize(d, "doc_id", "text2")
+
+
+_NFC_SQL = """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+                       THEN text || ' cafe' || chr(769) || ' ' || chr(8491) || 'ngstrom'
+                       ELSE text END AS text2
+           FROM documents)
+SELECT doc_id, nfc_normalize(text2) AS text_nfc,
+       CASE WHEN text2 IS NULL THEN false
+            ELSE nfc_normalize(text2) <> text2 END AS changed,
+       coalesce(length(text2), 0)::BIGINT AS n_chars,
+       coalesce(length(nfc_normalize(text2)), 0)::BIGINT AS n_chars_nfc
+FROM d
+"""
+
+
 def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The substring-dedup REMOVAL action (Lee et al. 2022): tokens
     covered by any 8-token window repeated >=2 times corpus-wide are cut,
@@ -2167,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dup_spans": q_dup_spans,
         "dup_span_remove": q_dup_span_remove,
+        "nfc_normalize": q_nfc_normalize,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
         "semantic_dedup": q_semantic_dedup,
@@ -2553,6 +2585,7 @@ FROM documents WHERE text IS NOT NULL""",
         "dedup_incremental": _dedup_incremental_sql(),
         "dup_spans": _dup_spans_sql(8),
         "dup_span_remove": _dup_span_remove_sql(8),
+        "nfc_normalize": _NFC_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),
         "semantic_dedup": _semantic_dedup_sql(),

@@ -917,3 +917,27 @@ def test_dup_span_remove_hand_computed(spark):
         assert out[3] == ("short doc", 2, 0)
         assert out[4] == ("", 0, 0)
         assert out[5] == ("", 9, 9)
+
+
+def test_nfc_normalize_composes_without_folding(spark):
+    """NFC composes combining marks (e+U+0301 -> é, U+212B -> Å) but must
+    NOT fold compatibility forms (ligature ﬁ stays — that's NFKC)."""
+    from jsonschema_spark.operators.textstats import nfc_normalize
+
+    rows = [
+        (1, "café"),          # decomposed → café (4+1 chars → 4)
+        (2, "Ångstrom"),       # Angstrom sign → Å U+00C5
+        (3, "ﬁle"),            # ligature ﬁ: unchanged under NFC
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_nfc"], r["changed"], r["n_chars"], r["n_chars_nfc"])
+        for r in nfc_normalize(df, "doc_id", "text").collect()
+    }
+    assert out[1] == ("caf\u00e9", True, 5, 4)
+    assert out[2] == ("\u00c5ngstrom", True, 8, 8)
+    assert out[3] == ("\ufb01le", False, 3, 3)
+    assert out[4] == (None, False, 0, 0)
+    assert out[5] == ("plain ascii", False, 11, 11)

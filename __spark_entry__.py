@@ -1966,6 +1966,39 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                           span_tokens=8)
 
 
+_MIX_TARGET = {"en": 400000, "de": 300000, "fr": 200000, "es": 100000}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting applied as deterministic id-stable
+    sampling: per-lang weights = ratio-of-ratios vs the binding group
+    (integer-ppm, one double op order both engines), keep when
+    hash56(mix:id) % 1e6 < weight. Langs outside the target drop."""
+    from jsonschema_spark.operators.curate import mixture_sample
+
+    kept = mixture_sample(_docs(spark, sf_dir), "doc_id", "lang", _MIX_TARGET)
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _mixture_sample_sql() -> str:
+    h = _h56("'mix:' || doc_id::VARCHAR")
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_TARGET.items())
+    )
+    return f"""
+WITH c AS (SELECT lang AS grp, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT grp, n, CASE grp {case} ELSE 0 END AS tp FROM c),
+b AS (SELECT tp AS tb, n AS nb FROM t WHERE tp > 0
+      ORDER BY tp::DOUBLE / n::DOUBLE DESC, grp ASC LIMIT 1),
+w AS (SELECT grp, CASE WHEN tp > 0
+                       THEN floor(1000000.0 * (tp*nb)::DOUBLE / (n*tb)::DOUBLE)::BIGINT
+                       ELSE 0 END AS wppm FROM t, b)
+SELECT d.doc_id, d.lang FROM documents d JOIN w ON d.lang = w.grp
+WHERE {h} % 1000000 < w.wppm
+ORDER BY 1
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2199,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_span_remove": q_dup_span_remove,
         "nfc_normalize": q_nfc_normalize,
+        "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
         "semantic_dedup": q_semantic_dedup,
@@ -2586,6 +2620,7 @@ FROM documents WHERE text IS NOT NULL""",
         "dup_spans": _dup_spans_sql(8),
         "dup_span_remove": _dup_span_remove_sql(8),
         "nfc_normalize": _NFC_SQL,
+        "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),
         "semantic_dedup": _semantic_dedup_sql(),

@@ -222,3 +222,84 @@ def domain_cap_sample(
         df.join(counts, [group_col], "left")
         .where(F.pmod(h, F.lit(1_000_000)) < keep_ppm)
     )
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str, target_ppm: dict, salt: str = "mix"
+) -> DataFrame:
+    """Per-group DOWN-sampling weights realizing a target training
+    mixture (the apply step of data-mixing recipes — fixed curated
+    proportions à la The Pile / DoReMi-learned weights): the group with
+    the highest target/actual ratio is the BINDING group and keeps
+    everything (sampling cannot upsample); every other group keeps
+    weight_g = (target_g/n_g) / (target_bind/n_bind), as integer ppm.
+    Groups absent from ``target_ppm`` get weight 0 (dropped).
+
+    Exactness: the ratio of ratios is computed as ONE double multiply +
+    ONE divide over exact int64 cross-products —
+    floor(1e6·(t_g·n_bind) / (n_g·t_bind)) — the identical op order the
+    SQL oracle uses, so weights hash-match bit-for-bit. The binding group
+    is argmax of (t/n double, group) — deterministic tie-break.
+
+    One count aggregate over the corpus; everything downstream operates
+    on the tiny per-group table. Returns (group, n_docs, target_ppm,
+    weight_ppm)."""
+    pairs = []
+    for k in sorted(target_ppm):
+        pairs += [F.lit(k), F.lit(int(target_ppm[k]))]
+    tmap = F.create_map(*pairs)
+    counts = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("target_ppm", F.coalesce(tmap[F.col("grp")], F.lit(0)).cast("long"))
+    )
+    binding = (
+        counts.where(F.col("target_ppm") > 0)
+        .orderBy(
+            (F.col("target_ppm").cast("double") / F.col("n_docs").cast("double")).desc(),
+            F.col("grp").asc(),
+        )
+        .limit(1)
+        .select(F.col("target_ppm").alias("_tb"), F.col("n_docs").alias("_nb"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(binding))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "target_ppm",
+            F.when(
+                F.col("target_ppm") > 0,
+                F.floor(
+                    F.lit(1000000.0)
+                    * (F.col("target_ppm") * F.col("_nb")).cast("double")
+                    / (F.col("n_docs") * F.col("_tb")).cast("double")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame, id_col: str, group_col: str, target_ppm: dict, salt: str = "mix"
+) -> DataFrame:
+    """Apply ``mixture_weights`` as deterministic id-stable sampling:
+    keep a row iff ``hash56(salt:id) % 1e6 < weight_ppm(group)``. One
+    count aggregate + a broadcast of the tiny weight table + a pure scan
+    predicate — nothing sorts, the per-row decision cannot hot-spot
+    (same shape as domain_cap_sample's approx mode); realized group sizes
+    land within Binomial noise of the target mixture."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    w = mixture_weights(df, group_col, target_ppm, salt).select(
+        F.col(group_col).alias("_grp"), "weight_ppm"
+    )
+    h = hash56(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(w), df[group_col] == F.col("_grp"))
+        .where(F.pmod(h, F.lit(1_000_000)) < F.col("weight_ppm"))
+        .drop("_grp", "weight_ppm")
+    )

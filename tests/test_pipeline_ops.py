@@ -941,3 +941,27 @@ def test_nfc_normalize_composes_without_folding(spark):
     assert out[3] == ("\ufb01le", False, 3, 3)
     assert out[4] == (None, False, 0, 0)
     assert out[5] == ("plain ascii", False, 11, 11)
+
+
+def test_mixture_weights_binding_group_and_ppm(spark):
+    """The group with the highest target/actual ratio keeps everything
+    (weight 1e6); others scale by the exact ratio-of-ratios; groups
+    outside the target get 0."""
+    from jsonschema_spark.operators.curate import mixture_sample, mixture_weights
+
+    rows = [(i, "en" if i < 60 else ("de" if i < 90 else "zz")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # en: 60 docs, target 50% → r=.5/60; de: 30 docs, target 50% → r=.5/30 (binding)
+    w = {
+        r["lang"]: (r["n_docs"], r["target_ppm"], r["weight_ppm"])
+        for r in mixture_weights(df, "lang", {"en": 500000, "de": 500000}).collect()
+    }
+    assert w["de"] == (30, 500000, 1000000)
+    assert w["en"] == (60, 500000, 500000)   # exactly half of binding ratio
+    assert w["zz"] == (10, 0, 0)
+    kept = mixture_sample(df, "doc_id", "lang", {"en": 500000, "de": 500000})
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang.get("zz") is None          # dropped entirely
+    assert by_lang["de"] == 30                # binding group keeps all
+    assert 15 <= by_lang["en"] <= 45          # ~30 expected, binomial noise

@@ -160,3 +160,41 @@ def violation_stream(
         .select(*id_cols, "_v.keywordLocation", "_v.absoluteKeywordLocation",
                 "_v.instanceLocation", "_v.error")
     )
+
+
+def stream_sessionize(
+    sdf: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the same native
+    ``session_window`` aggregation as the batch operator
+    (operators/stats.py:sessionize), under a watermark: open sessions
+    live in the state store and FINALIZE once the watermark passes
+    session end + gap, so state is bounded by (active users × horizon),
+    not stream length. Late events inside the watermark merge/extend
+    their session exactly as in batch (inclusive gap boundary); use
+    outputMode('append') so only finalized sessions emit.
+
+    Output: (user, session_start, session_end, n_events[, value_milli])
+    with the batch operator's engine-portable formatting."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.floor(F.col(value_col) * 1000).cast("long")).alias("value_milli")
+        )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("_w"))
+        .agg(*aggs)
+        .select(
+            F.col(user_col),
+            F.date_format(F.col("_w.start"), fmt).alias("session_start"),
+            F.date_format(F.col("_w.end"), fmt).alias("session_end"),
+            *[F.col(c) for c in ("n_events",) + (("value_milli",) if value_col else ())],
+        )
+    )

@@ -908,3 +908,34 @@ def test_lint_fix_type_drop_gated_on_value_conformance():
     assert validate_py(f3, 10) is False
     # const in enum: enum drops; conforming type drops too
     assert lint_fix({"const": 2, "enum": [1, 2], "type": "integer"}) == {"const": 2}
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming session_window under a watermark must produce exactly the
+    batch sessionize() sessions once the stream is drained
+    (availableNow + append = every session finalized)."""
+    from jsonschema_spark.operators.stats import sessionize
+    from jsonschema_spark.streaming.validate import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    # user 99 is a far-future sentinel: it advances the final watermark
+    # past every June-1 session end so append mode FINALIZES them; its
+    # own (still-open) session is the one row allowed to differ.
+    rows = [(i % 5, f"2021-06-01 00:{(i * 7) % 60:02d}:00", float(i)) for i in range(40)]
+    rows.append((99, "2021-06-02 00:00:00", 0.0))
+    batch = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_sessionize(sdf, "user_id", "ts", gap="5 minutes",
+                            watermark="1 second", value_col="value")
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from sessions").collect()
+           if r["user_id"] != 99}
+    want = {tuple(r) for r in sessionize(
+        batch, "user_id", "ts", gap="5 minutes", value_col="value").collect()
+        if r["user_id"] != 99}
+    assert got == want and len(want) > 5

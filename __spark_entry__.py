@@ -1999,6 +1999,16 @@ ORDER BY 1
 """
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (repetitive spam compresses
+    far below natural text). NON-SQL-expressible (no DEFLATE in DuckDB):
+    rows-only correctness by design; exact values pinned by the
+    python-mirror unit test."""
+    from jsonschema_spark.operators.textstats import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2232,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_span_remove": q_dup_span_remove,
         "nfc_normalize": q_nfc_normalize,
+        "compression_ratio": q_compression_ratio,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,

@@ -470,3 +470,50 @@ def nfc_normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.coalesce(F.length("_orig"), F.lit(0)).cast("long").alias("n_chars"),
         F.coalesce(F.length("text_nfc"), F.lit(0)).cast("long").alias("n_chars_nfc"),
     )
+
+
+def _zlib_len_udf(level: int):
+    @F.pandas_udf("long")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series(
+            [
+                None if t is None else len(zlib.compress(t.encode("utf-8"), level))
+                for t in s
+            ],
+            dtype="Int64",
+        )
+
+    return _clen
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> DataFrame:
+    """zlib(DEFLATE) compression ratio as a repetitiveness/quality signal
+    (the CCNet/quality-classifier heuristic: template spam and keyword
+    stuffing compress to a fraction of natural text; near-random noise
+    stays ≈ 1e6 ppm). One Arrow-batched Python pass — the per-row work is
+    a C-level DEFLATE call, no shuffle, and only (id, two longs) leave
+    the stage; the ratio is a JVM-side exact integer formula.
+
+    Genuinely non-SQL-expressible (DuckDB has no DEFLATE function), so
+    the driver's correctness row is rows-only by design; the
+    python-mirror unit test pins exact values instead.
+
+    Output: (id_col, n_bytes, n_bytes_zlib, ratio_ppm)."""
+    clen = _zlib_len_udf(level)
+    payload = F.encode(F.col(text_col), "UTF-8")
+    out = df.select(
+        F.col(id_col),
+        F.coalesce(F.octet_length(payload), F.lit(0)).cast("long").alias("n_bytes"),
+        F.coalesce(clen(F.col(text_col)), F.lit(0)).cast("long").alias("n_bytes_zlib"),
+    )
+    return out.withColumn(
+        "ratio_ppm",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.floor(F.col("n_bytes_zlib") * F.lit(1_000_000) / F.col("n_bytes")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

@@ -965,3 +965,33 @@ def test_mixture_weights_binding_group_and_ppm(spark):
     assert by_lang.get("zz") is None          # dropped entirely
     assert by_lang["de"] == 30                # binding group keeps all
     assert 15 <= by_lang["en"] <= 45          # ~30 expected, binomial noise
+
+
+def test_compression_ratio_python_mirror(spark):
+    """No SQL oracle exists for DEFLATE — pin exact values against the
+    same zlib call, and check the signal direction (repetitive text
+    compresses much harder than varied text)."""
+    import zlib
+
+    from jsonschema_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (1, "spam spam spam " * 50),
+        (2, "the quick brown fox jumps over the lazy dog and then wanders off"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bytes"], r["n_bytes_zlib"], r["ratio_ppm"])
+        for r in compression_ratio(df, "doc_id", "text").collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert out[i] == (0, 0, 0)
+            continue
+        raw = t.encode("utf-8")
+        z = len(zlib.compress(raw, 6))  # b'' still costs the 8-byte header
+        want_ppm = (z * 1_000_000) // len(raw) if raw else 0
+        assert out[i] == (len(raw), z, want_ppm), i
+    assert out[1][2] < 100_000 < out[2][2]  # spam ≪ varied text

@@ -2009,6 +2009,30 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease proxy: three JVM regexp_count calls in the
+    scan projection + one fixed-op-order double formula (milli-points)."""
+    from jsonschema_spark.operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_READABILITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id,
+             coalesce(len(toks), 0)::BIGINT AS n_words,
+             greatest(1, coalesce(len(regexp_extract_all(text, '[.!?]+')), 0))::BIGINT AS n_sentences,
+             coalesce(len(regexp_extract_all(lower(text), '[aeiouy]+')), 0)::BIGINT AS n_syllables
+      FROM t)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN floor(206835.0 - 1015.0 * n_words / n_sentences
+                                - 84600.0 * n_syllables / n_words)::BIGINT
+       END AS flesch_milli
+FROM c
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2243,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_remove": q_dup_span_remove,
         "nfc_normalize": q_nfc_normalize,
         "compression_ratio": q_compression_ratio,
+        "readability": q_readability,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2631,6 +2656,7 @@ FROM documents WHERE text IS NOT NULL""",
         "dup_spans": _dup_spans_sql(8),
         "dup_span_remove": _dup_span_remove_sql(8),
         "nfc_normalize": _NFC_SQL,
+        "readability": _READABILITY_SQL,
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

@@ -517,3 +517,41 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6)
         .otherwise(F.lit(0))
         .cast("long"),
     )
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease proxy over the raw text — the standard
+    cheap-quality signal next to the Gopher/C4 ratios. Syllables are
+    approximated as ASCII vowel-group runs (the classic heuristic) and
+    sentences as terminal-punctuation runs, so the whole operator is
+    THREE JVM regexp_count calls inside the scan projection — zero
+    Python, zero shuffle, and every count is exact, making the one
+    fixed-op-order double formula engine-portable:
+
+        flesch_milli = floor(206835 − 1015·words/sentences
+                                    − 84600·syllables/words)
+
+    Docs with no words (or no sentence punctuation → sentences floored
+    at 1) get flesch_milli NULL rather than a fake score.
+
+    Output: (id_col, n_words, n_sentences, n_syllables, flesch_milli)."""
+    t = F.col(text_col)
+    words = F.coalesce(F.size(tokens(t)), F.lit(0)).cast("long")
+    sents = F.greatest(
+        F.lit(1), F.coalesce(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(0))
+    ).cast("long")
+    syls = F.coalesce(
+        F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), F.lit(0)
+    ).cast("long")
+    flesch = F.floor(
+        F.lit(206835.0)
+        - F.lit(1015.0) * words / sents
+        - F.lit(84600.0) * syls / words
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+        F.when(words > 0, flesch).alias("flesch_milli"),
+    )

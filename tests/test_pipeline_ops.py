@@ -995,3 +995,28 @@ def test_compression_ratio_python_mirror(spark):
         want_ppm = (z * 1_000_000) // len(raw) if raw else 0
         assert out[i] == (len(raw), z, want_ppm), i
     assert out[1][2] < 100_000 < out[2][2]  # spam ≪ varied text
+
+
+def test_readability_hand_computed(spark):
+    import math
+
+    from jsonschema_spark.operators.textstats import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+        (2, "no terminal punctuation here"),  # sentences floored at 1
+        (3, ""),                              # no words → NULL score
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"], r["flesch_milli"])
+        for r in readability(df, "doc_id", "text").collect()
+    }
+    # doc 1: vowel groups: e,a,a,e,o,a  -> 6; flesch = 206.835 - 1.015*3 - 84.6*1
+    w, s, syl = 6, 2, 6
+    want = math.floor(206835.0 - 1015.0 * w / s - 84600.0 * syl / w)
+    assert out[1] == (6, 2, 6, want)
+    assert out[2][1] == 1 and out[2][3] is not None
+    assert out[3] == (0, 1, 0, None)
+    assert out[4] == (0, 1, 0, None)

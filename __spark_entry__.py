@@ -2033,6 +2033,30 @@ FROM c
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints: min 5-gram hash per sliding
+    4-window, leftmost tie-break, consecutive dedup — one window min per
+    doc, mirrored frame-for-frame in the oracle."""
+    from jsonschema_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=5, w=4)
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    h = _h56(f"array_to_string(toks[i:i+{k - 1}], ' ')")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos, {h} AS h
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks)-{k}+2)) AS i) ix
+      WHERE len(toks) >= {k}),
+sel AS (SELECT doc_id,
+               min({{'h': h, 'pos': pos}}) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m
+        FROM g)
+SELECT DISTINCT doc_id, m.pos::BIGINT AS pos, m.h AS gram_h56 FROM sel
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2268,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "compression_ratio": q_compression_ratio,
         "readability": q_readability,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2657,6 +2682,7 @@ FROM documents WHERE text IS NOT NULL""",
         "dup_span_remove": _dup_span_remove_sql(8),
         "nfc_normalize": _NFC_SQL,
         "readability": _READABILITY_SQL,
+        "winnow_fingerprints": _winnow_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

@@ -555,3 +555,55 @@ def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         syls.alias("n_syllables"),
         F.when(words > 0, flesch).alias("flesch_milli"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): hash every k-token gram, slide a w-gram window and
+    select each window's MINIMUM hash (ties → leftmost position), then
+    deduplicate consecutive selections. Guarantees any match of length ≥
+    w+k-1 tokens shares a fingerprint — LOCAL fingerprints for partial
+    overlap/plagiarism detection, where the whole-doc rolling hash
+    (``fingerprint``) only catches identical documents.
+
+    Plan: gram posexplode → ONE window min(struct(hash, pos)) per doc
+    (rows w-frame — Spark and the SQL oracle share frame semantics and
+    the struct tie-break) → distinct. Tail windows shrink below w grams
+    (both engines truncate frames identically): a superset of the
+    classic selection, so the ≥ w+k−1 match guarantee is preserved and
+    docs with fewer than w grams still fingerprint (their global min).
+    The window partitions by doc id:
+    per-doc work is linear and a single giant doc is the only skew unit
+    (cap upstream via webtext max_words).
+
+    Output: (id_col, pos, gram_h56) — one row per selected fingerprint."""
+    from pyspark.sql.window import Window
+
+    from jsonschema_spark.operators.dedup import span_grams
+
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(span_grams(F.col(text_col), k)).alias("_pos", "_g"),
+    ).select("_id", "_pos", hash56(F.col("_g")).alias("_h"))
+    win = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = g.select(
+        "_id", F.min(F.struct("_h", "_pos")).over(win).alias("_m")
+    ).where(F.col("_m").isNotNull())
+    return (
+        sel.select(
+            F.col("_id").alias(id_col),
+            F.col("_m._pos").alias("pos"),
+            F.col("_m._h").alias("gram_h56"),
+        )
+        .distinct()
+    )

@@ -1020,3 +1020,27 @@ def test_readability_hand_computed(spark):
     assert out[2][1] == 1 and out[2][3] is not None
     assert out[3] == (0, 1, 0, None)
     assert out[4] == (0, 1, 0, None)
+
+
+def test_winnow_guarantee_and_short_doc(spark):
+    """The winnowing guarantee: any shared token run of length >= w+k-1
+    (here 8) yields at least one COMMON fingerprint hash, whatever the
+    surrounding context; a doc with exactly k tokens gets exactly one
+    fingerprint (its only gram)."""
+    from jsonschema_spark.operators.textstats import winnow_fingerprints
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"zeta {shared} eta theta iota kappa"),
+        (3, "exactly five tokens right here"),   # 5 tokens == k
+        (4, "tiny"),                               # < k → no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_h56"])
+    assert by_doc[1] & by_doc[2]               # shared run → shared print
+    assert len(by_doc[3]) == 1
+    assert 4 not in by_doc

@@ -2057,6 +2057,67 @@ SELECT DISTINCT doc_id, m.pos::BIGINT AS pos, m.h AS gram_h56 FROM sel
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by TF * integer-IDF-surrogate
+    (floor(1e6*N/df) — ln-free so scores are exact int64 both engines)."""
+    from jsonschema_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=5)
+
+
+def _tfidf_sql(k: int = 5) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             floor(n.n * 1000000 / dft.dft)::BIGINT AS idf_ppm
+      FROM tf JOIN dft USING (term), n),
+r AS (SELECT *, (tf * idf_ppm)::BIGINT AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf * idf_ppm DESC, term ASC) AS rnk
+      FROM s)
+SELECT doc_id, term, tf::BIGINT AS tf, idf_ppm, score, rnk::BIGINT AS rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning metric (Sorscher et al. 2022): quantized
+    cosine of each embedding to its OWN cluster centroid — low = outlier,
+    high = redundant prototype; zero joins, zero shuffles."""
+    from jsonschema_spark.operators.similarity import prototypicality
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return prototypicality(e, "vec_id", "embedding", n_centroids=8)
+
+
+def _prototypicality_sql() -> str:
+    dot_qc = "list_sum([c.qe[i]*ct.cv[i] for i in range(1, 65)])"
+    dot_qq = "list_sum([c.qe[i]*c.qe[i] for i in range(1, 65)])"
+    dot_cc = "list_sum([ct.cv[i]*ct.cv[i] for i in range(1, 65)])"
+    return f"""
+{_QEMB},
+pd AS (SELECT vec_id % 8 AS ci, i,
+              floor((sum(qe[i])::BIGINT)::DOUBLE / count(*))::BIGINT AS cv
+       FROM q, (SELECT unnest(range(1, 65)) AS i) ix GROUP BY 1, 2),
+cent AS (SELECT ci, list(cv ORDER BY i) AS cv FROM pd GROUP BY ci),
+d AS (SELECT q.vec_id, q.qe, c.ci,
+             list_sum([(q.qe[i]-c.cv[i])*(q.qe[i]-c.cv[i]) for i in range(1, 65)]) AS dist
+      FROM q, cent c),
+asg AS (SELECT vec_id, qe, ci,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ci ASC) AS rn
+        FROM d),
+corp AS (SELECT vec_id, qe, ci FROM asg WHERE rn = 1)
+SELECT c.vec_id, c.ci::BIGINT AS ci,
+       floor(1000000.0 * {dot_qc}::DOUBLE /
+             sqrt(({dot_qq} * {dot_cc})::DOUBLE))::BIGINT AS cos_centroid_micro
+FROM corp c JOIN cent ct ON c.ci = ct.ci
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2293,6 +2354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "readability": q_readability,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "prototypicality": q_prototypicality,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2683,6 +2746,8 @@ FROM documents WHERE text IS NOT NULL""",
         "nfc_normalize": _NFC_SQL,
         "readability": _READABILITY_SQL,
         "winnow_fingerprints": _winnow_sql(),
+        "tfidf_top_terms": _tfidf_sql(),
+        "prototypicality": _prototypicality_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

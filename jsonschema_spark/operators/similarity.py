@@ -308,3 +308,46 @@ def semantic_dedup(
         df, id_col, vec_col, min_cos_micro, n_centroids, scale, n_blocks
     )
     return keep_canonical(df, dedup_clusters(pairs), id_col)
+
+
+def prototypicality(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8, scale: int = 100
+) -> DataFrame:
+    """Per-point prototypicality: quantized cosine between each embedding
+    and ITS OWN cluster centroid (Sorscher et al. 2022 "Beyond neural
+    scaling laws" SSL-prototypes pruning metric — low scorers are
+    outliers/noise candidates, high scorers are redundant prototypes;
+    prune from either end by rank). Companion to semantic_dedup on the
+    same deterministic coarse quantizer.
+
+    Scale shape: centroids = ONE aggregation collected as n tiny rows;
+    everything per-row after that is a projection against centroid
+    LITERALS — cell assignment (vectorized argmin pudf) and the cosine
+    (dot with the assigned centroid via element_at over a literal
+    array-of-arrays) — ZERO joins, ZERO shuffles. The dot products are
+    Catalyst higher-order expressions (interpreted per element, 3·d ops
+    per row); fold them into the assignment pudf if they ever dominate a
+    bench.
+
+    Output: (id_col, ci, cos_centroid_micro)."""
+    cents = sorted(
+        [(r["ci"], list(r["cv"])) for r in
+         ivf_centroids_df(df, id_col, vec_col, n_centroids, scale).collect()]
+    )
+    assign = _cell_assign_udf(cents)
+    cells = df.withColumn("_q", quantize_embedding(F.col(vec_col), scale)).withColumn(
+        "_ci", assign(F.col("_q"))
+    )
+    cent_arr = F.array(*[
+        F.array(*[F.lit(int(v)) for v in cv]) for _, cv in cents
+    ])
+    cv = F.element_at(cent_arr, F.col("_ci") + 1)
+    return cells.select(
+        F.col(id_col),
+        F.col("_ci").cast("long").alias("ci"),
+        F.floor(
+            F.lit(1000000.0)
+            * dot_q(F.col("_q"), cv).cast("double")
+            / F.sqrt((dot_q(F.col("_q"), F.col("_q")) * dot_q(cv, cv)).cast("double"))
+        ).cast("long").alias("cos_centroid_micro"),
+    )

@@ -607,3 +607,48 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF·IDF — with an
+    ln-free integer IDF surrogate, idf_ppm = floor(1e6·N/df_t), so every
+    score is EXACT int64 arithmetic (transcendental log differs in the
+    last ulp across engines; the surrogate is strictly monotone in 1/df_t,
+    so per-doc rankings agree with true idf whenever tf ties — and the
+    ranking is what the operator returns). Ties → lexicographic term.
+
+    Plan: token explode → ONE groupBy(doc, term) for tf [shuffle 1,
+    map-side partials, checkpointed — the term-df aggregate derives from
+    it] → groupBy(term) countDistinct-free df (count of (doc,term) rows
+    per term) [shuffle 2, one row per distinct term] → join back on term
+    [shuffle 3] → per-doc top-k window [shuffle 4 on doc id]. The text
+    never shuffles; N is one scalar aggregate.
+
+    Output: (id_col, term, tf, idf_ppm, score, rnk), rnk 1..k."""
+    from pyspark.sql.window import Window
+
+    t = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t"))
+    tf = t.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
+    dft = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dft, "_t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_ppm", F.floor(F.col("_n") * F.lit(1_000_000) / F.col("_df")).cast("long"))
+        .withColumn("score", (F.col("tf") * F.col("idf_ppm")).cast("long"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("_t").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_t").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            "idf_ppm",
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

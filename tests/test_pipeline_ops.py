@@ -1044,3 +1044,41 @@ def test_winnow_guarantee_and_short_doc(spark):
     assert by_doc[1] & by_doc[2]               # shared run → shared print
     assert len(by_doc[3]) == 1
     assert 4 not in by_doc
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    from jsonschema_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "common common common rare"),
+        (2, "common filler words here"),
+        (3, "common words again appear"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["idf_ppm"], r["score"])
+           for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()}
+    # doc 1: 'rare' df=1 → idf 3e6, score 3e6; 'common' tf=3, df=3 → idf 1e6, score 3e6
+    # tie at 3e6 → lexicographic: 'common' before 'rare'
+    assert out[(1, 1)] == ("common", 3, 1_000_000, 3_000_000)
+    assert out[(1, 2)] == ("rare", 1, 3_000_000, 3_000_000)
+    # doc 2: every unique term df=1 beats 'common' (df=3)
+    assert out[(2, 1)][2] == 3_000_000 and out[(2, 1)][0] == "filler"
+
+
+def test_prototypicality_orders_outliers_last(spark):
+    """A point far from its cluster mass scores lower cosine-to-centroid
+    than the tight cluster members; single-cell mode makes the geometry
+    hand-checkable."""
+    from jsonschema_spark.operators.similarity import prototypicality
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0, 0.0]),
+        (4, [-1.0, 0.2, 0.0, 0.0]),   # the outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["ci"], r["cos_centroid_micro"])
+           for r in prototypicality(df, "vec_id", "embedding", n_centroids=1).collect()}
+    assert all(ci == 0 for ci, _ in out.values())
+    assert out[4][1] < min(out[i][1] for i in (1, 2, 3))

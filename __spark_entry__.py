@@ -2118,6 +2118,27 @@ FROM corp c JOIN cent ct ON c.ci = ct.ci
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-keyed train/val/test split: every doc of one source lands in
+    the same split (near-dup siblings cannot straddle train/test)."""
+    from jsonschema_spark.operators.curate import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs(spark, sf_dir), "doc_id", "source",
+        splits=(("train", 800000), ("val", 100000), ("test", 100000)))
+
+
+def _leakage_split_sql() -> str:
+    h = _h56("'split:' || source")
+    return f"""
+SELECT doc_id, source, ({h} % 1000000)::BIGINT AS bucket_ppm,
+       CASE WHEN {h} % 1000000 < 800000 THEN 'train'
+            WHEN {h} % 1000000 < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2356,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "tfidf_top_terms": q_tfidf_top_terms,
         "prototypicality": q_prototypicality,
+        "leakage_safe_split": q_leakage_safe_split,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2748,6 +2770,7 @@ FROM documents WHERE text IS NOT NULL""",
         "winnow_fingerprints": _winnow_sql(),
         "tfidf_top_terms": _tfidf_sql(),
         "prototypicality": _prototypicality_sql(),
+        "leakage_safe_split": _leakage_split_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

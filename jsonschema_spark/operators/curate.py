@@ -303,3 +303,46 @@ def mixture_sample(
         .where(F.pmod(h, F.lit(1_000_000)) < F.col("weight_ppm"))
         .drop("_grp", "weight_ppm")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the GROUP hash (registered
+    domain / source / host — pair with urltools.registered_domain)
+    instead of the doc id: every document of one group lands in the SAME
+    split, so near-duplicates and templated siblings of one site cannot
+    straddle train/test (the standard leakage guard hash_split alone
+    does not give). Same id-stable cumulative-ppm ladder, still a pure
+    projection — zero shuffle, zero Python; realized split SIZES now
+    carry group-level (not doc-level) binomial noise, so expect wider
+    deviation when a few groups dominate (that is the point: cap first
+    with domain_cap_sample if sizes must be tight).
+
+    Output: (id_col, group_col, bucket_ppm, split)."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    total = sum(p for _, p in splits)
+    if total != 1000000:
+        raise ValueError(f"split ppm must sum to 1000000, got {total}")
+    bucket = hash56(
+        F.concat(F.lit(salt + ":"), F.col(group_col).cast("string"))
+    ) % 1000000
+    expr = F.lit(splits[-1][0])
+    acc = 0
+    conds = []
+    for name, ppm in splits[:-1]:
+        acc += ppm
+        conds.append((acc, name))
+    for acc, name in reversed(conds):
+        expr = F.when(bucket < acc, name).otherwise(expr)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        bucket.cast("long").alias("bucket_ppm"),
+        expr.alias("split"),
+    )

@@ -1082,3 +1082,19 @@ def test_prototypicality_orders_outliers_last(spark):
            for r in prototypicality(df, "vec_id", "embedding", n_centroids=1).collect()}
     assert all(ci == 0 for ci, _ in out.values())
     assert out[4][1] < min(out[i][1] for i in (1, 2, 3))
+
+
+def test_leakage_safe_split_group_coherence(spark):
+    from jsonschema_spark.operators.curate import leakage_safe_split
+
+    rows = [(i, f"site{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = leakage_safe_split(
+        df, "doc_id", "host",
+        splits=(("train", 800000), ("val", 100000), ("test", 100000))).collect()
+    by_host: dict = {}
+    for r in out:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    # every host maps to exactly ONE split — the leakage guarantee
+    assert all(len(s) == 1 for s in by_host.values())
+    assert len({next(iter(s)) for s in by_host.values()}) >= 2

@@ -54,12 +54,17 @@ from jsonschema_spark.operators.curate import (
     curation_report,
     domain_cap_sample,
     hash_split,
+    leakage_safe_split,
+    mixture_sample,
+    mixture_weights,
 )
 from jsonschema_spark.operators.dedup import (
     cross_corpus_lsh_pairs,
     dedup_against_corpus,
     dedup_clusters,
     dedup_keep_latest,
+    decontaminate,
+    dup_span_remove,
     dup_span_stats,
     jaccard_pairs,
     keep_canonical,
@@ -67,7 +72,21 @@ from jsonschema_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures_df,
 )
-from jsonschema_spark.operators.textstats import boilerplate_strip, clean_text
+from jsonschema_spark.operators.textstats import (
+    boilerplate_strip,
+    clean_text,
+    compression_ratio,
+    nfc_normalize,
+    readability,
+    tfidf_top_terms,
+    winnow_fingerprints,
+)
+from jsonschema_spark.operators.similarity import (
+    prototypicality,
+    semantic_dedup,
+    semantic_dedup_pairs,
+)
+from jsonschema_spark.operators.stats import sessionize
 from jsonschema_spark.operators.urltools import (
     host_stats_df,
     normalize_url,

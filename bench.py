@@ -103,6 +103,12 @@ def main() -> None:
             ref_df=docs.where(_F.col("source").isin("src0", "src1", "src2")),
             min_count=2, portable=False)),
     )
+    from jsonschema_spark.operators.textstats import repetition_stats
+
+    bench(
+        "gopher_repetition_fast",
+        lambda: _run(repetition_stats(docs, "doc_id", "text", portable=False)),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(PAGES_ROWS / timings["validate_pages_fast"]) if timings.get("validate_pages_fast") else None

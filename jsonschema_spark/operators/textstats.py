@@ -249,6 +249,7 @@ def repetition_stats(
     top_ns: tuple[int, ...] = REPETITION_TOP_NS,
     dup_ns: tuple[int, ...] = REPETITION_DUP_NS,
     thresholds: dict | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 appendix A, Table A1):
     per document, the fraction of characters covered by (a) the MOST
@@ -268,7 +269,11 @@ def repetition_stats(
     the explode, so no spine re-scan/join is needed); then groupBy
     (doc, n, gram) with map-side partial counts and one per-doc
     conditional aggregation. Two shuffles, zero joins, independent of
-    len(top_ns)+len(dup_ns).
+    len(top_ns)+len(dup_ns). ``portable=False`` replaces the gram STRING
+    in the shuffle key with (xxhash64, char-length) — 12-byte rows
+    instead of up-to-gram-length strings, same fast/portable split as
+    minhash/dsir/span_grams (counts exact up to 2^-64 hash collisions;
+    the shipped oracle query keeps the portable family).
 
     Reference analogue: the reference engine has no corpus operators; this
     extends the webtext_filters family (sourcemeta/jsonschema validates
@@ -290,11 +295,22 @@ def repetition_stats(
     ex = base.select(
         "doc_id", "_chars", F.explode("_gs").alias("_s")
     ).select("doc_id", "_chars", F.col("_s.n").alias("_n"), F.col("_s.g").alias("_g"))
-    cnt = (
-        ex.groupBy("doc_id", "_chars", "_n", "_g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .select("doc_id", "_chars", "_n", F.length("_g").alias("_glen"), "_c")
-    )
+    if portable:
+        cnt = (
+            ex.groupBy("doc_id", "_chars", "_n", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select("doc_id", "_chars", "_n", F.length("_g").alias("_glen"), "_c")
+        )
+    else:
+        hashed = ex.select(
+            "doc_id", "_chars", "_n",
+            F.xxhash64(F.col("_g")).alias("_gh"), F.length("_g").alias("_glen"),
+        )
+        cnt = (
+            hashed.groupBy("doc_id", "_chars", "_n", "_gh", "_glen")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select("doc_id", "_chars", "_n", "_glen", "_c")
+        )
     chars1 = F.greatest(F.col("_chars"), F.lit(1))
     cov = F.col("_c") * F.col("_glen")
     p31 = 1 << 31  # glen < 2^31 always; packed max = lexicographic (c, glen)

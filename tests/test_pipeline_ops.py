@@ -1098,3 +1098,15 @@ def test_leakage_safe_split_group_coherence(spark):
     # every host maps to exactly ONE split — the leakage guarantee
     assert all(len(s) == 1 for s in by_host.values())
     assert len({next(iter(s)) for s in by_host.values()}) >= 2
+
+
+def test_repetition_fast_path_matches_portable(spark):
+    """portable=False swaps gram strings for (xxhash64, len) shuffle keys;
+    every output column must match the portable family exactly."""
+    from jsonschema_spark.operators.textstats import repetition_stats
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: tuple(r) for r in repetition_stats(d, "doc_id", "text").collect()}
+    b = {r["doc_id"]: tuple(r) for r in repetition_stats(
+        d, "doc_id", "text", portable=False).collect()}
+    assert a == b and len(a) > 100

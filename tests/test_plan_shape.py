@@ -104,3 +104,33 @@ def test_semantic_dedup_pairs_no_cross_product_arrow_only(spark):
     full = _plan(pairs)
     # cell assignment + in-cell scoring are Arrow-batched, never row-at-a-time
     assert "BatchEvalPython" not in full
+
+
+def test_prototypicality_zero_shuffle_projection(spark):
+    from jsonschema_spark.operators.similarity import prototypicality
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(prototypicality(emb, "vec_id", "embedding", n_centroids=4), "simple")
+    # after the collected centroid agg, scoring is a pure projection:
+    # no exchange, no join in the returned plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_leakage_split_pure_projection(spark):
+    from jsonschema_spark.operators.curate import leakage_safe_split
+
+    d = spark.read.parquet(DOCS)
+    plan = _plan(leakage_safe_split(d, "doc_id", "source"), "simple")
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_tfidf_no_cross_product(spark):
+    from jsonschema_spark.operators.textstats import tfidf_top_terms
+
+    d = spark.read.parquet(DOCS)
+    plan = _plan(tfidf_top_terms(d, "doc_id", "text"), "simple")
+    assert "CartesianProduct" not in plan
+    # the one-row N aggregate joins via broadcast nested loop ON PURPOSE
+    # (a single-row build side); the term join must be a hash join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -2139,6 +2139,59 @@ FROM documents
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality measurement IN-ENGINE ("measure, don\'t guess"):
+    recall of the MinHash-LSH candidate set against the exact Jaccard
+    truth set (>= 0.5) on the planted-near-dup corpus, plus the candidate
+    count the banding paid for it. One row: (n_true, n_cand, n_hit,
+    recall_ppm)."""
+    from jsonschema_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    d = _docs_with_near_dups(spark, sf_dir)
+    exact = jaccard_pairs(d, "doc_id", "text", shingle_n=3,
+                          min_ppm=500000).select("id_a", "id_b")
+    cand = (minhash_lsh_pairs(d, "doc_id", "text", k=12, bands=6)
+            .select("id_a", "id_b").distinct())
+    joined = exact.join(cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_hit"),
+    ).crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+    return row.select(
+        "n_true", "n_cand", "n_hit",
+        F.floor(F.col("n_hit") * F.lit(1_000_000) /
+                F.greatest(F.col("n_true"), F.lit(1))).cast("long").alias("recall_ppm"),
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+{_AUG_SH},
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b FROM common
+          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+          WHERE floor(n_common * 1000000 / (sa.n + sb.n - n_common))::BIGINT >= 500000),
+sig AS (SELECT doc_id, {_SIG12} AS sig FROM sh WHERE len(s) > 0),
+bands AS (SELECT doc_id, b.j AS band,
+                 sig[2*b.j+1]::VARCHAR || '_' || sig[2*b.j+2]::VARCHAR AS band_key
+          FROM sig, (SELECT unnest(range(0, 6)) AS j) b),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+       (SELECT count(*) FROM truth t JOIN cand c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT AS n_hit,
+       floor((SELECT count(*) FROM truth t JOIN cand c
+                ON t.id_a = c.id_a AND t.id_b = c.id_b) * 1000000
+             / greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_ppm
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2378,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "prototypicality": q_prototypicality,
         "leakage_safe_split": q_leakage_safe_split,
+        "lsh_recall": q_lsh_recall,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2771,6 +2825,7 @@ FROM documents WHERE text IS NOT NULL""",
         "tfidf_top_terms": _tfidf_sql(),
         "prototypicality": _prototypicality_sql(),
         "leakage_safe_split": _leakage_split_sql(),
+        "lsh_recall": _lsh_recall_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

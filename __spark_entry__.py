@@ -2192,6 +2192,50 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
 """
 
 
+_QUOTE_FILLER = (" quotefarm filler alpha beta gamma delta epsilon zeta"
+                 " eta theta iota kappa lambda mu nu xi omicron pi rho")
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups: docs 0-9 are each embedded inside
+    a longer planted quote-farm doc (id+200000) — containment flags the
+    embedding at ~1e6 ppm where Jaccard stays low."""
+    from jsonschema_spark.operators.dedup import containment_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    quotes = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_QUOTE_FILLER)).alias("text"),
+    )
+    return containment_pairs(
+        d.unionAll(quotes), "doc_id", "text", shingle_n=3, min_ppm=900000)
+
+
+def _containment_sql() -> str:
+    filler = _QUOTE_FILLER
+    return f"""
+WITH aug AS (SELECT doc_id, text FROM documents UNION ALL
+             SELECT doc_id + 200000, text || \'{filler}\'
+             FROM documents WHERE doc_id < 10),
+t AS (SELECT doc_id, {_AUG_TOKS} AS toks FROM aug),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-2+1)])
+            ELSE []::VARCHAR[] END AS s FROM t),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, n_common,
+       floor(n_common * 1000000 / (sa.n + sb.n - n_common))::BIGINT AS jaccard_ppm,
+       floor(n_common * 1000000 / least(sa.n, sb.n))::BIGINT AS containment_ppm
+FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE floor(n_common * 1000000 / least(sa.n, sb.n))::BIGINT >= 900000
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2432,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypicality": q_prototypicality,
         "leakage_safe_split": q_leakage_safe_split,
         "lsh_recall": q_lsh_recall,
+        "containment_pairs": q_containment_pairs,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2826,6 +2871,7 @@ FROM documents WHERE text IS NOT NULL""",
         "prototypicality": _prototypicality_sql(),
         "leakage_safe_split": _leakage_split_sql(),
         "lsh_recall": _lsh_recall_sql(),
+        "containment_pairs": _containment_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

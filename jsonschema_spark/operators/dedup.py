@@ -348,6 +348,64 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard_ppm") >= min_ppm) if min_ppm else out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_ppm: int = 500000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment
+    floor(1e6·|A∩B| / min(|A|,|B|)) — catching what Jaccard structurally
+    cannot: a short document quoted or embedded inside a much longer one
+    scores containment ≈ 1e6 while its Jaccard ≈ |small|/|big| stays
+    under any sane threshold (aggregator sites, quote farms, page-plus-
+    boilerplate wrappers). Same inverted-index join + exact rescoring
+    plan as ``jaccard_pairs`` (one extra column in the final projection),
+    same ``max_df`` hot-shingle guard; emits both scores so one pass
+    serves both policies.
+
+    Output: (id_a, id_b, n_common, jaccard_ppm, containment_ppm),
+    filtered on containment_ppm ≥ min_ppm."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    inv = sh.select("_id", F.explode("_sh").alias("g"))
+    if max_df is not None:
+        rare = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("g")
+        )
+        inv = inv.join(rare, "g", "left_semi")
+    sizes = sh.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.floor(
+                F.col("n_common") * 1000000
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("long").alias("jaccard_ppm"),
+            F.floor(
+                F.col("n_common") * 1000000 / F.least(F.col("n_a"), F.col("n_b"))
+            ).cast("long").alias("containment_ppm"),
+        )
+    )
+    return out.filter(F.col("containment_ppm") >= min_ppm) if min_ppm else out
+
+
 def jaccard_on_candidates(
     df: DataFrame,
     pairs: DataFrame,

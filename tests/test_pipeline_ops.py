@@ -1110,3 +1110,24 @@ def test_repetition_fast_path_matches_portable(spark):
     b = {r["doc_id"]: tuple(r) for r in repetition_stats(
         d, "doc_id", "text", portable=False).collect()}
     assert a == b and len(a) > 100
+
+
+def test_containment_catches_embedding_jaccard_misses(spark):
+    from jsonschema_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "one two three four five"),
+        # doc 2 embeds doc 1 inside much more text
+        (2, "one two three four five plus lots of extra words "
+            "making this document much longer than the quoted one"),
+        (3, "totally different content here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): (r["jaccard_ppm"], r["containment_ppm"])
+           for r in containment_pairs(df, "doc_id", "text",
+                                      shingle_n=3, min_ppm=900000).collect()}
+    assert (1, 2) in out
+    j, c = out[(1, 2)]
+    assert c == 1_000_000         # every shingle of doc 1 is inside doc 2
+    assert j < 500_000            # Jaccard alone would have missed it
+    assert not any(3 in p for p in out)

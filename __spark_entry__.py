@@ -2236,6 +2236,66 @@ WHERE floor(n_common * 1000000 / least(sa.n, sb.n))::BIGINT >= 900000
 """
 
 
+def q_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup recall vs exact all-pairs at the same cosine threshold —
+    quantifies the documented cross-cluster miss honestly: (n_true,
+    n_cand, n_hit, recall_ppm). NOTE the fixture is the WORST case for
+    cell co-location: cos >= 0.45 pairs over near-random embeddings are
+    weakly similar, so they scatter across the 8 cells (measured recall
+    ~0.21 here). Real semantic duplicates sit at cos >= 0.95 and land in
+    the same cell — the paper's regime; the measurement exists so the
+    trade is a NUMBER, not a hope, and moves with n_centroids/threshold."""
+    from jsonschema_spark.operators.dedup import embedding_near_dup_pairs
+    from jsonschema_spark.operators.similarity import semantic_dedup_pairs
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    exact = embedding_near_dup_pairs(
+        e, "vec_id", "embedding", min_cos_micro=450000).select("id_a", "id_b")
+    sem = (semantic_dedup_pairs(e, "vec_id", "embedding",
+                                min_cos_micro=450000, n_centroids=8)
+           .select("id_a", "id_b").distinct())
+    joined = exact.join(sem.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_hit"),
+    ).crossJoin(sem.agg(F.count(F.lit(1)).alias("n_cand")))
+    return row.select(
+        "n_true", "n_cand", "n_hit",
+        F.floor(F.col("n_hit") * F.lit(1_000_000) /
+                F.greatest(F.col("n_true"), F.lit(1))).cast("long").alias("recall_ppm"),
+    )
+
+
+def _semantic_recall_sql() -> str:
+    return f"""
+{_QEMB},
+pd AS (SELECT vec_id % 8 AS ci, i,
+              floor((sum(qe[i])::BIGINT)::DOUBLE / count(*))::BIGINT AS cv
+       FROM q, (SELECT unnest(range(1, 65)) AS i) ix GROUP BY 1, 2),
+cent AS (SELECT ci, list(cv ORDER BY i) AS cv FROM pd GROUP BY ci),
+d AS (SELECT q.vec_id, q.qe, c.ci,
+             list_sum([(q.qe[i]-c.cv[i])*(q.qe[i]-c.cv[i]) for i in range(1, 65)]) AS dist
+      FROM q, cent c),
+asg AS (SELECT vec_id, qe, ci,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, ci ASC) AS rn
+        FROM d),
+corp AS (SELECT vec_id, qe, ci FROM asg WHERE rn = 1),
+truth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM q a JOIN q b ON a.vec_id < b.vec_id
+          WHERE {_COS_MICRO} >= 450000),
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM corp a JOIN corp b ON a.ci = b.ci AND a.vec_id < b.vec_id
+         WHERE {_COS_MICRO} >= 450000)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+       (SELECT count(*) FROM truth t JOIN cand c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT AS n_hit,
+       floor((SELECT count(*) FROM truth t JOIN cand c
+                ON t.id_a = c.id_a AND t.id_b = c.id_b) * 1000000
+             / greatest((SELECT count(*) FROM truth), 1))::BIGINT AS recall_ppm
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2477,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "lsh_recall": q_lsh_recall,
         "containment_pairs": q_containment_pairs,
+        "semantic_recall": q_semantic_recall,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2872,6 +2933,7 @@ FROM documents WHERE text IS NOT NULL""",
         "leakage_safe_split": _leakage_split_sql(),
         "lsh_recall": _lsh_recall_sql(),
         "containment_pairs": _containment_sql(),
+        "semantic_recall": _semantic_recall_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

@@ -2296,6 +2296,77 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
 """
 
 
+def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-curation pipeline in one query — per-domain cap →
+    Gopher/C4 quality gate → MinHash-LSH near-dup components → canonical
+    keep → per-source doc + BPE-token accounting. Every stage is the
+    shipped operator; the oracle replays all of it in one recursive CTE."""
+    from jsonschema_spark.operators.curate import curate_corpus, domain_cap_sample
+    from jsonschema_spark.operators.textstats import bpe_token_count
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    capped = domain_cap_sample(d, "doc_id", "source", cap=30).drop("n_group")
+    curated = curate_corpus(
+        capped, "doc_id", "text",
+        min_words=10, max_words=100000, min_stopwords=1,
+        k=12, bands=6, shingle_n=3,
+    )
+    return (
+        curated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_token_count(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pipeline_end2end_sql() -> str:
+    from jsonschema_spark.operators.textstats import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    h = _h56("'domcap:' || doc_id::VARCHAR")
+    return f"""
+WITH RECURSIVE
+capr AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY {h}, doc_id) AS rn
+         FROM documents),
+capd AS (SELECT d.doc_id, d.source, d.text
+         FROM capr c JOIN documents d USING (doc_id) WHERE c.rn <= 30),
+wt AS ({_WEBTEXT_SQL}),
+kept AS (SELECT cd.doc_id, cd.source, cd.text FROM capd cd
+         JOIN wt ON cd.doc_id = wt.doc_id WHERE wt.keep = 1),
+kt AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+                           ELSE string_split_regex(trim(lower(text)), '\\s+')
+                      END AS toks FROM kept),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-2+1)])
+            ELSE []::VARCHAR[] END AS s FROM kt),
+sig AS (SELECT doc_id, {_SIG12} AS sig FROM sh WHERE len(s) > 0),
+bands AS (SELECT doc_id, b.j AS band,
+                 sig[2*b.j+1]::VARCHAR || '_' || sig[2*b.j+2]::VARCHAR AS band_key
+          FROM sig, (SELECT unnest(range(0, 6)) AS j) b),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(x, y) AS (SELECT x, y FROM edges
+                UNION SELECT x, x FROM edges
+                UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+comp AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY 1),
+final AS (SELECT k.* FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
+          WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id)
+SELECT source, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '{pat}')))::BIGINT AS n_bpe_tokens
+FROM final GROUP BY source ORDER BY source
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2538,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "containment_pairs": q_containment_pairs,
         "semantic_recall": q_semantic_recall,
+        "pipeline_end2end": q_pipeline_end2end,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -2934,6 +3006,7 @@ FROM documents WHERE text IS NOT NULL""",
         "lsh_recall": _lsh_recall_sql(),
         "containment_pairs": _containment_sql(),
         "semantic_recall": _semantic_recall_sql(),
+        "pipeline_end2end": _pipeline_end2end_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

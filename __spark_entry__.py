@@ -2367,6 +2367,29 @@ FROM final GROUP BY source ORDER BY source
 """
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams with occurrence + doc frequency —
+    stop-phrase mining for max_df / boilerplate cutoffs."""
+    from jsonschema_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), "doc_id", "text", n=2, k=20)
+
+
+def _top_ngrams_sql(n: int = 2, k: int = 20) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS g
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks)-{n}+2)) AS i) ix
+      WHERE len(toks) >= {n}),
+agg AS (SELECT g AS gram, count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM g GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, gram ASC) AS rnk
+      FROM agg)
+SELECT gram, n_occurrences, n_docs, rnk::BIGINT AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2610,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "semantic_recall": q_semantic_recall,
         "pipeline_end2end": q_pipeline_end2end,
+        "top_ngrams": q_top_ngrams,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -3007,6 +3031,7 @@ FROM documents WHERE text IS NOT NULL""",
         "containment_pairs": _containment_sql(),
         "semantic_recall": _semantic_recall_sql(),
         "pipeline_end2end": _pipeline_end2end_sql(),
+        "top_ngrams": _top_ngrams_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

@@ -668,3 +668,38 @@ def tfidf_top_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams with occurrence AND
+    document frequency — stop-phrase mining: the data-driven way to pick
+    the ``max_df`` / ``max_band_df`` hot-key cutoffs and boilerplate
+    candidates instead of guessing them.
+
+    Plan: window explode → ONE groupBy(gram) computing count(*) and
+    approx-free count(DISTINCT doc) via a (doc,gram) pre-aggregate →
+    global top-k (orderBy + limit over the already-aggregated gram table;
+    AQE pushes partial top-k map-side). Ties → lexicographic gram.
+
+    Output: (gram, n_occurrences, n_docs, rnk), rnk 1..k."""
+    from jsonschema_spark.operators.dedup import span_grams
+    from pyspark.sql.window import Window
+
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(span_grams(F.col(text_col), n)).alias("_g"),
+    )
+    per_doc = g.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_m"))
+    agg = per_doc.groupBy("_g").agg(
+        F.sum("_m").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("_g").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.col("_g").alias("gram"), "n_occurrences", "n_docs",
+                F.col("rnk").cast("long").alias("rnk"))
+    )

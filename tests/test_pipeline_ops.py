@@ -1131,3 +1131,19 @@ def test_containment_catches_embedding_jaccard_misses(spark):
     assert c == 1_000_000         # every shingle of doc 1 is inside doc 2
     assert j < 500_000            # Jaccard alone would have missed it
     assert not any(3 in p for p in out)
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from jsonschema_spark.operators.textstats import top_ngrams
+
+    rows = [
+        (1, "a b a b a b"),     # 'a b' x3, 'b a' x2 within doc
+        (2, "a b c d"),
+        (3, "z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["rnk"]: (r["gram"], r["n_occurrences"], r["n_docs"])
+           for r in top_ngrams(df, "doc_id", "text", n=2, k=3).collect()}
+    assert out[1] == ("a b", 4, 2)       # multiplicity + doc frequency
+    assert out[2] == ("b a", 2, 1)
+    assert out[3] == ("z z", 2, 1)       # count tie with 'b a' → lexicographic

@@ -2390,6 +2390,24 @@ SELECT gram, n_occurrences, n_docs, rnk::BIGINT AS rnk FROM r WHERE rnk <= {k}
 """
 
 
+def q_validate_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict counts at every (source, lang) grouping granularity in one
+    pass (cube + grouping id) — roll-up reporting the reference cannot
+    express (SURVEY 2.6)."""
+    from jsonschema_spark.operators.validate import verdict_counts_cube
+
+    return verdict_counts_cube(_docs(spark, sf_dir), DOCS_SCHEMA, ["source", "lang"])
+
+
+_VALIDATE_CUBE_SQL = f"""
+SELECT source, lang, grouping(source, lang)::BIGINT AS gid,
+       count(*) AS n_rows,
+       sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN {_DOCS_VALID_SQL} THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization over documents with planted
     DECOMPOSED text (every third doc gains ' cafe' + combining acute +
@@ -2634,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_recall": q_semantic_recall,
         "pipeline_end2end": q_pipeline_end2end,
         "top_ngrams": q_top_ngrams,
+        "validate_cube": q_validate_cube,
         "mixture_sample": q_mixture_sample,
         "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
@@ -3032,6 +3051,7 @@ FROM documents WHERE text IS NOT NULL""",
         "semantic_recall": _semantic_recall_sql(),
         "pipeline_end2end": _pipeline_end2end_sql(),
         "top_ngrams": _top_ngrams_sql(),
+        "validate_cube": _VALIDATE_CUBE_SQL,
         "mixture_sample": _mixture_sample_sql(),
         "boilerplate_strip": _BOILERPLATE_SQL,
         "domain_cap": _domain_cap_sql(15),

@@ -324,3 +324,34 @@ def verdict_counts(
     if by:
         return v.groupBy(*by).agg(*agg)
     return v.agg(*agg)
+
+
+def verdict_counts_cube(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    dims: Sequence[str],
+    doc_col: Optional[str] = None,
+) -> DataFrame:
+    """Pass/fail verdict counts at EVERY grouping granularity of ``dims``
+    in one pass — ``cube()``: per (dim1, dim2, …), per each dim alone,
+    and the grand total. ``gid`` is the grouping id (bitmask of rolled-up
+    dims, 0 = most detailed, 2^len(dims)−1 = grand total): it
+    disambiguates a rolled-up NULL from a NULL dim VALUE in the data —
+    required for an exact oracle, since DuckDB's CUBE emits both.
+
+    Scale shape: Spark expands the cube map-side (one row per input row
+    per grouping set, partially aggregated before the single exchange) —
+    2^d × the agg rows, not 2^d scans. The reference has no grouping
+    sets at all (SURVEY §2.6); this is the north_rule's per-partition
+    verdict aggregate generalized to roll-up reporting."""
+    v = validate(df, schema, doc_col=doc_col)
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(F.col("valid").cast("long")), F.lit(0)).alias("n_valid"),
+        F.coalesce(F.sum((~F.col("valid")).cast("long")), F.lit(0)).alias("n_invalid"),
+    ]
+    return (
+        v.cube(*dims)
+        .agg(F.grouping_id().cast("long").alias("gid"), *agg)
+        .select(*dims, "gid", "n_rows", "n_valid", "n_invalid")
+    )

@@ -316,3 +316,27 @@ def test_root_inapplicable_keywords_vacuous(spark):
     # but keywords that DO apply to objects still assert
     for sch in ({"const": 3}, {"enum": [1, 2]}, {"type": "string"}):
         assert validate(df, sch).first()["valid"] is False, sch
+
+
+def test_verdict_counts_cube_granularities(spark):
+    """cube() verdicts: the grand total (gid=3) equals the sum of the most
+    detailed level (gid=0); per-dim roll-ups carry the right gid bits; a
+    rolled-up NULL is distinguishable from a NULL data value by gid."""
+    from jsonschema_spark.operators.validate import verdict_counts_cube
+
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "a", None), (3, "b", "de"), (4, "b", "de")],
+        "doc_id long, source string, lang string",
+    )
+    schema = {"properties": {"lang": {"enum": ["en", "de"]}}, "required": ["lang"]}
+    rows = verdict_counts_cube(df, schema, ["source", "lang"]).collect()
+    by_gid: dict = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert sum(r["n_rows"] for r in by_gid[0]) == 4
+    total = by_gid[3][0]
+    assert (total["n_rows"], total["n_valid"], total["n_invalid"]) == (4, 3, 1)
+    # gid=0 contains the REAL (a, NULL) cell; gid=1 the lang roll-ups
+    assert any(r["source"] == "a" and r["lang"] is None and r["n_rows"] == 1
+               for r in by_gid[0])
+    assert any(r["source"] == "a" and r["n_rows"] == 2 for r in by_gid[1])

@@ -2569,6 +2569,69 @@ ORDER BY 1
 """.replace("{cos}", _COS_MICRO)
 
 
+# Deterministic rich-HTML wrapper for the html_extract query: doc text
+# embedded in realistic crawl chrome (head/script/style/comments/nav/
+# entities/block structure). The SAME pieces build the page in Spark and
+# in the oracle, so extraction parity is tested end-to-end. No single
+# quotes in any piece (SQL-literal safe).
+_HTML_P = (
+    '<!DOCTYPE html><html><head><title>Doc ',
+    '</title><script>if (a<b) { track("',
+    '"); }</script><style>.m { color: red; }</style></head><body>'
+    '<!-- crawl ',
+    ' --><nav>Home | Sitemap | R&amp;D</nav><div class="main"><h1>Doc ',
+    '</h1><p>',
+    '</p><ul><li>tag&nbsp;one</li><li>n&#39;est</li></ul></div>'
+    '<footer>(c) example.org</footer></body></html>',
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic HTML -> text extraction (the trafilatura/resiliparse step):
+    documents wrapped in deterministic crawl chrome (script/style/head/
+    comments/nav/entities), extracted by the pure-JVM regex chain
+    (operators/htmltext.py STEPS — shared verbatim with the oracle), then
+    chars/lines/portable-hash per doc. One codegen projection end-to-end:
+    zero Python, zero shuffles."""
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.htmltext import html_text_df
+
+    d = _docs(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    p = _HTML_P
+    html = F.encode(
+        F.concat(F.lit(p[0]), ids, F.lit(p[1]), ids, F.lit(p[2]), ids,
+                 F.lit(p[3]), ids, F.lit(p[4]), F.col("text"), F.lit(p[5])),
+        "UTF-8",
+    )
+    out = html_text_df(d.select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id", "n_chars", "n_lines",
+        hash56(F.col("text_extracted")).alias("text_h56"),
+    )
+
+
+def _html_extract_sql() -> str:
+    from jsonschema_spark.operators.htmltext import html_text_sql
+
+    p = _HTML_P
+    build = (
+        f"'{p[0]}' || i || '{p[1]}' || i || '{p[2]}' || i || "
+        f"'{p[3]}' || i || '{p[4]}' || text || '{p[5]}'"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {build} AS html
+           FROM (SELECT doc_id, doc_id::VARCHAR AS i, text FROM documents)),
+e AS (SELECT doc_id, {html_text_sql('html')} AS t FROM h)
+SELECT doc_id,
+       coalesce(length(t), 0)::BIGINT AS n_chars,
+       (CASE WHEN t IS NULL OR length(t) = 0 THEN 0
+             ELSE length(regexp_replace(t, '[^\\n]', '', 'g')) + 1
+        END)::BIGINT AS n_lines,
+       {_h56('t')} AS text_h56
+FROM e"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2658,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "semantic_dedup": q_semantic_dedup,
         "sessionize_events": q_sessionize_events,
+        "html_extract": q_html_extract,
     }
 
 
@@ -3057,4 +3121,5 @@ FROM documents WHERE text IS NOT NULL""",
         "domain_cap": _domain_cap_sql(15),
         "semantic_dedup": _semantic_dedup_sql(),
         "sessionize_events": _SESSIONIZE_SQL,
+        "html_extract": _html_extract_sql(),
     }

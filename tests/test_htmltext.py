@@ -1,0 +1,92 @@
+"""Generic HTML -> text extraction (operators/htmltext.py).
+
+Covers: semantics of each documented step on hand-written pages,
+cross-engine byte parity Spark == DuckDB over the gnarly-case corpus,
+null/binary handling, and the n_lines block-structure signal.
+"""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.htmltext import (
+    STEPS,
+    extract_text_html,
+    html_text_df,
+    html_text_sql,
+)
+
+CASES = [
+    # (html, expected extracted text)
+    (
+        '<!DOCTYPE html><html><head><title>T</title>'
+        "<script>var x=1; if (x<2) { x=3; }</script></head>"
+        '<body><!-- c --><nav>Home | About</nav><div class="main">'
+        "<p>Hello &amp;lt; world &quot;q&quot; &#39;a&#39;</p>"
+        "<ul><li>one</li><li>two&nbsp;&nbsp;three</li></ul></div>"
+        "<style>.a { color: red; }</style><footer>(c) 2026</footer>"
+        "</body></html>",
+        "Home | About\nHello &lt; world \"q\" 'a'\none\ntwo three\n(c) 2026",
+    ),
+    # multi-byte text + whitespace collapse across block tags
+    ("<p>café 中文 naïve</p>\n\n<div>  spaced   out </div>",
+     "café 中文 naïve\nspaced out"),
+    # script case-insensitivity, multiline script bodies, <BR> is a block
+    ('<script src="x.js"></script><SCRIPT>\nmultiline</script>text<BR>after',
+     "text\nafter"),
+    # inline tag stripped without newline; attribute with entities
+    ('<a href="https://x.com/a?b=1&amp;c=2">link text</a> trailing',
+     "link text trailing"),
+    ("", ""),
+    # entity decode is exactly one level (&amp;amp; -> &amp;)
+    ("<p>a &lt;tag&gt; literal &amp;amp; doubled</p>",
+     "a <tag> literal &amp; doubled"),
+    ("no tags at all", "no tags at all"),
+    ("<table><tr><td>c1</td><td>c2</td></tr></table>", "c1\nc2"),
+    # comment containing markup is dropped before tag handling
+    ("<!-- <script>evil()</script> -->safe", "safe"),
+    # head content (title) is metadata, not text
+    ("<head><title>Page Title</title><meta x=1></head><p>body</p>", "body"),
+]
+
+
+def test_steps_are_shared_contract():
+    # the oracle mirror is generated from the SAME step list
+    sql = html_text_sql("x")
+    n_re = sum(1 for k, _, _ in STEPS if k == "re")
+    n_lit = sum(1 for k, _, _ in STEPS if k == "lit")
+    assert sql.count("regexp_replace(") == n_re
+    assert sql.count("replace(") == n_re + n_lit  # regexp_replace contains it
+
+
+@pytest.mark.parametrize("html,expected", CASES)
+def test_duckdb_semantics(html, expected):
+    got = duckdb.sql(
+        "SELECT " + html_text_sql("?::VARCHAR"), params=[html]
+    ).fetchone()[0]
+    assert got == expected
+
+
+def test_spark_duckdb_byte_parity(spark):
+    rows = [(i, h) for i, (h, _) in enumerate(CASES)] + [(len(CASES), None)]
+    df = spark.createDataFrame(rows, "i int, h string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", extract_text_html(F.col("h"), binary=False).alias("t")
+        ).collect()
+    }
+    for i, (_, expected) in enumerate(CASES):
+        assert got[i] == expected, f"case {i}"
+    assert got[len(CASES)] is None  # null-in-null-out
+
+
+def test_binary_path_and_line_count(spark):
+    html = "<p>a</p><p>b 中</p><div></div>"
+    df = spark.createDataFrame([(1, html.encode()), (2, None)],
+                               "doc_id int, html binary")
+    out = {r["doc_id"]: r for r in html_text_df(df, "doc_id").collect()}
+    assert out[1]["text_extracted"] == "a\nb 中"
+    assert out[1]["n_chars"] == 5  # codepoints, not bytes
+    assert out[1]["n_lines"] == 2
+    assert out[2]["text_extracted"] is None
+    assert out[2]["n_chars"] == 0 and out[2]["n_lines"] == 0

@@ -134,3 +134,14 @@ def test_tfidf_no_cross_product(spark):
     # the one-row N aggregate joins via broadcast nested loop ON PURPOSE
     # (a single-row build side); the term join must be a hash join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_html_extract_pure_codegen_projection(spark):
+    from jsonschema_spark.operators.htmltext import html_text_df
+
+    pages = spark.createDataFrame(
+        [(1, b"<p>x</p>")], "doc_id long, html binary")
+    plan = _plan(html_text_df(pages), "simple")
+    # the whole regex chain runs inside the scan projection
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert "*(1)" in plan

@@ -2632,6 +2632,53 @@ SELECT doc_id,
 FROM e"""
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link graph + fixed-iteration integer PageRank (the crawl
+    centrality prior curation samplers weight by). Pages synthesized
+    deterministically: each doc links to 3 hash-derived hosts (one
+    uppercase HREF, one &amp;-escaped query) — link extraction, edge
+    building and 3 rank hops all exercised; all arithmetic int64 so the
+    unrolled DuckDB mirror matches bit-for-bit."""
+    from jsonschema_spark.operators.linkgraph import host_rank_df, link_edges_df
+
+    i = F.col("doc_id")
+    src = F.concat(F.lit("h"), (i % 50).cast("string"), F.lit(".example.org"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        ((i * 7 + 1) % 50).cast("string"),
+        F.lit('.example.org/a">x</a><A HREF="https://h'),
+        ((i * 13 + 2) % 50).cast("string"),
+        F.lit('.example.org/b?x=1&amp;y=2">y</A><a href="https://h'),
+        ((i * 29 + 3) % 50).cast("string"),
+        F.lit('.example.org/c">z</a></body></html>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        src.alias("src_host"), F.encode(html, "UTF-8").alias("html"))
+    return host_rank_df(link_edges_df(pages), n_iter=3).orderBy("host")
+
+
+def _host_rank_sql() -> str:
+    from jsonschema_spark.operators.linkgraph import (
+        HOST_RE, HREF_RE, host_rank_sql)
+
+    html = (
+        "'<html><body><a href=\"https://h' || ((doc_id*7+1)%50)::VARCHAR"
+        " || '.example.org/a\">x</a><A HREF=\"https://h' ||"
+        " ((doc_id*13+2)%50)::VARCHAR"
+        " || '.example.org/b?x=1&amp;y=2\">y</A><a href=\"https://h' ||"
+        " ((doc_id*29+3)%50)::VARCHAR || '.example.org/c\">z</a></body></html>'"
+    )
+    edges = f"""
+SELECT DISTINCT src_host, dst_host FROM (
+  SELECT src_host,
+         lower(regexp_extract(replace(u, '&amp;', '&'), '{HOST_RE}', 1)) AS dst_host
+  FROM (SELECT 'h' || (doc_id % 50)::VARCHAR || '.example.org' AS src_host,
+               unnest(regexp_extract_all({html}, '{HREF_RE}', 1)) AS u
+        FROM documents))
+WHERE dst_host <> '' AND dst_host <> src_host"""
+    return host_rank_sql(edges, n_iter=3) + " ORDER BY host"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2722,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "sessionize_events": q_sessionize_events,
         "html_extract": q_html_extract,
+        "host_rank": q_host_rank,
     }
 
 
@@ -3122,4 +3170,5 @@ FROM documents WHERE text IS NOT NULL""",
         "semantic_dedup": _semantic_dedup_sql(),
         "sessionize_events": _SESSIONIZE_SQL,
         "html_extract": _html_extract_sql(),
+        "host_rank": _host_rank_sql(),
     }

@@ -94,6 +94,12 @@ from jsonschema_spark.operators.urltools import (
     registered_domain,
     url_dedup_df,
 )
+from jsonschema_spark.operators.htmltext import extract_text_html, html_text_df
+from jsonschema_spark.operators.linkgraph import (
+    extract_links,
+    host_rank_df,
+    link_edges_df,
+)
 from jsonschema_spark.operators.lm import dsir_weight, ngram_lm_score
 from jsonschema_spark.operators.binpack import (
     binpack_decode,
@@ -173,6 +179,11 @@ __all__ = [
     "clean_text",
     "normalize_url",
     "normalize_urls_df",
+    "extract_text_html",
+    "html_text_df",
+    "extract_links",
+    "link_edges_df",
+    "host_rank_df",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

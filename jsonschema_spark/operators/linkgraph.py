@@ -1,0 +1,141 @@
+"""Link-graph extraction and iterative host rank over crawl pages.
+
+Curation pipelines weight documents by the link structure of the crawl
+(Common Crawl publishes host-level harmonic/PageRank centrality; quality
+samplers consume it as a prior). This module builds the host link graph
+from the ``html`` column and runs a fixed-iteration PageRank on it,
+Spark-first.
+
+Scale shape:
+- ``extract_links`` is ONE ``regexp_extract_all`` inside the scan
+  projection (JVM, zero Python);
+- the edge list is hosts×hosts — orders of magnitude smaller than the
+  corpus; ``link_edges_df`` pays one distinct-shuffle to build it;
+- each rank iteration is one join (edges ⋈ ranks on src) + one groupBy
+  (dst) — the groupBy's map-side partial sums defuse in-degree skew
+  (every crawl has a few hosts with millions of in-links); out-degree
+  skew on the join is AQE's skew-join case. At crawl scale, bucket the
+  edge table by src so the per-iteration join is co-located and only the
+  small rank table moves;
+- per-iteration ``localCheckpoint`` truncates lineage — the classic
+  iterative-algorithm discipline that keeps plan size O(1) in rounds.
+
+Cross-engine contract: ALL rank arithmetic is int64 — mass starts at
+1e6 ppm per host, each hop moves ``rank div outdeg`` along every edge
+and damps by ``(85 * in_mass) div 100 + 150000``. Integer division both
+sides means the DuckDB oracle (``host_rank_sql`` mirrors the same
+unrolled iterations) matches bit-for-bit at any iteration count; doubles
+would drift in the last ulp. Mass at hosts without out-links leaks
+(standard simplification; both engines leak identically). Overflow
+headroom: total mass ≤ 1e6 × hosts ≤ 1e15 at 10^9 hosts; 85× that is
+still two decades under int64.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# href extraction: absolute http(s) links in double-quoted href attributes.
+# Group 1 = the URL up to any #fragment (consumed outside the group —
+# fragments are client-side and never part of the fetched resource).
+# RE2∩Java-safe; shared verbatim with the oracle.
+HREF_RE = r'(?i)href="(https?://[^"#]+)[^"]*"'
+
+# host component of an absolute URL (mirrors urltools host parsing)
+HOST_RE = r"^[a-zA-Z][^:/?#]*://([^/?#:]+)"
+
+BASE_PPM = 150_000   # (1 - d) * 1e6
+DAMP_PCT = 85        # d * 100
+
+
+def extract_links(html_col: Column, *, binary: bool = True) -> Column:
+    """Array of absolute hrefs in an HTML column (entity-decoded ``&amp;``
+    only — the one entity legal inside a URL attribute). Pure JVM."""
+    s = F.decode(html_col, "UTF-8") if binary else html_col
+    links = F.regexp_extract_all(s, F.lit(HREF_RE), 1)
+    return F.transform(links, lambda u: F.replace(u, F.lit("&amp;"), F.lit("&")))
+
+
+def link_edges_df(
+    df: DataFrame,
+    src_host_col: str = "src_host",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+) -> DataFrame:
+    """Distinct (src_host, dst_host) edges, self-loops dropped.
+
+    One explode + one distinct shuffle; output is host-granular (tiny
+    relative to the page table)."""
+    dst = F.lower(F.regexp_extract(F.col("_link"), HOST_RE, 1))
+    return (
+        df.select(F.col(src_host_col).alias("src_host"),
+                  F.explode(extract_links(F.col(html_col), binary=binary)).alias("_link"))
+        .select("src_host", dst.alias("dst_host"))
+        .where((F.col("dst_host") != "") & (F.col("dst_host") != F.col("src_host")))
+        .distinct()
+    )
+
+
+def host_rank_df(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Fixed-iteration integer PageRank over (src_host, dst_host) edges.
+
+    Returns (host, rank_ppm) for every host on either edge side. See the
+    module docstring for the arithmetic contract and scale shape."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src_host").agg(F.count("*").alias("deg"))
+    # deg rides along each edge so iterations only ever join on ranks
+    ed = edges.join(outdeg, "src_host").localCheckpoint(eager=False)
+
+    ranks = nodes.select("host", F.lit(1_000_000).cast("long").alias("rank_ppm"))
+    for _ in range(n_iter):
+        inmass = (
+            ed.join(ranks, ed.src_host == ranks.host)
+            .select(F.col("dst_host").alias("host"),
+                    F.expr("rank_ppm div deg").alias("share"))
+            .groupBy("host")
+            .agg(F.sum("share").alias("m"))
+        )
+        ranks = (
+            nodes.join(inmass, "host", "left")
+            .select(
+                "host",
+                (F.lit(BASE_PPM)
+                 + F.expr(f"({DAMP_PCT} * coalesce(m, 0L)) div 100")
+                 ).cast("long").alias("rank_ppm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def host_rank_sql(edges_cte: str, n_iter: int = 3) -> str:
+    """DuckDB mirror: unrolled iterations of the SAME integer formula.
+
+    ``edges_cte`` must be a CTE body producing (src_host, dst_host)."""
+    parts = [
+        f"e AS ({edges_cte})",
+        "n AS (SELECT DISTINCT host FROM (SELECT src_host AS host FROM e "
+        "UNION ALL SELECT dst_host FROM e))",
+        "od AS (SELECT src_host, count(*)::BIGINT AS deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT host, 1000000::BIGINT AS r FROM n)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"m{t} AS (SELECT e.dst_host AS host, sum(r{t-1}.r // od.deg)::BIGINT AS m "
+            f"FROM e JOIN r{t-1} ON e.src_host = r{t-1}.host "
+            f"JOIN od ON e.src_host = od.src_host GROUP BY 1)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT n.host, "
+            f"({BASE_PPM} + ({DAMP_PCT} * coalesce(m{t}.m, 0)) // 100)::BIGINT AS r "
+            f"FROM n LEFT JOIN m{t} USING (host))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT host, r AS rank_ppm FROM r{n_iter}"
+    )

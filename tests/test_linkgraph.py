@@ -1,0 +1,63 @@
+"""Link-graph extraction + integer PageRank (operators/linkgraph.py).
+
+Hand-computed 3-node rank trace, href extraction semantics (case,
+entities, fragments), self-loop/malformed handling, and a DuckDB mirror
+parity check on the same tiny graph.
+"""
+import duckdb
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.linkgraph import (
+    extract_links,
+    host_rank_df,
+    host_rank_sql,
+    link_edges_df,
+)
+
+
+def test_extract_links_semantics(spark):
+    html = (
+        '<a href="https://a.com/x">1</a>'
+        '<A HREF="https://b.com/y?p=1&amp;q=2">2</A>'          # case + entity
+        '<a href="https://c.com/z#frag">3</a>'                  # stops at #
+        '<a href="/relative">4</a>'                             # not absolute
+        "<a href='https://d.com/s'>5</a>"                       # single-quoted: skipped
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    [links] = df.select(extract_links(F.col("h"), binary=False).alias("l")).collect()
+    assert links["l"] == [
+        "https://a.com/x", "https://b.com/y?p=1&q=2", "https://c.com/z",
+    ]
+
+
+def test_link_edges_drops_self_loops_and_dedups(spark):
+    html = ('<a href="https://me.com/1">s</a><a href="https://x.com/1">x</a>'
+            '<a href="https://X.com/2">x2</a>').encode()
+    df = spark.createDataFrame([("me.com", html)], "src_host string, html binary")
+    edges = {(r["src_host"], r["dst_host"]) for r in link_edges_df(df).collect()}
+    assert edges == {("me.com", "x.com")}  # self-loop gone, hosts lowercased+deduped
+
+
+def _tiny_edges(spark):
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src_host string, dst_host string")
+
+
+def test_host_rank_hand_computed(spark):
+    # r0 = 1e6 each. outdeg: a=2, b=1.
+    # iter1: inmass b=500000, c=500000 (from a), a=1000000 (from b)
+    #   r1: a = 150000 + 850000 = 1000000; b = c = 150000 + 425000 = 575000
+    # iter2: a's share 500000 -> b,c; b->a share 575000; c leaks (no outlinks)
+    #   r2: a = 150000 + (85*575000)//100 = 638750; b = c = 575000
+    got = {r["host"]: r["rank_ppm"] for r in host_rank_df(_tiny_edges(spark), n_iter=2).collect()}
+    assert got == {"a": 638750, "b": 575000, "c": 575000}
+
+
+def test_host_rank_matches_duckdb_mirror(spark):
+    spark_ranks = sorted(
+        (r["host"], r["rank_ppm"])
+        for r in host_rank_df(_tiny_edges(spark), n_iter=4).collect())
+    edges_cte = ("SELECT * FROM (VALUES ('a','b'), ('b','a'), ('a','c'))"
+                 " t(src_host, dst_host)")
+    duck = duckdb.sql(host_rank_sql(edges_cte, n_iter=4) + " ORDER BY host").fetchall()
+    assert spark_ranks == [(h, int(r)) for h, r in duck]

@@ -2679,6 +2679,39 @@ WHERE dst_host <> '' AND dst_host <> src_host"""
     return host_rank_sql(edges, n_iter=3) + " ORDER BY host"
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (WebDataset/Megatron export layout):
+    greedy order-preserving packing per source — shard boundary at every
+    1000 tokens of cumulative exclusive mass, docs never split. ONE
+    window per source (groups pack in parallel); cumsum-and-divide stays
+    int64 ``div`` so the oracle matches exactly. Output = the per-shard
+    manifest the export writer consumes."""
+    from jsonschema_spark.operators.curate import shard_stats
+    from jsonschema_spark.operators.dedup import tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.coalesce(F.size(tokens(F.col("text"))), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return shard_stats(d, "doc_id", "n_tokens", "source",
+                       target_tokens=1000).orderBy("shard")
+
+
+_EXPORT_SHARDS_SQL = f"""
+WITH t AS (SELECT doc_id, source,
+                  coalesce(len({_TOKS}), 0)::BIGINT AS n_tokens
+           FROM documents),
+a AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 1000 AS shard_idx
+      FROM t)
+SELECT source || '/' || shard_idx::VARCHAR AS shard,
+       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tok_sum,
+       min(doc_id) AS id_lo, max(doc_id) AS id_hi
+FROM a GROUP BY 1"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2770,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "html_extract": q_html_extract,
         "host_rank": q_host_rank,
+        "export_shards": q_export_shards,
     }
 
 
@@ -3171,4 +3205,5 @@ FROM documents WHERE text IS NOT NULL""",
         "sessionize_events": _SESSIONIZE_SQL,
         "html_extract": _html_extract_sql(),
         "host_rank": _host_rank_sql(),
+        "export_shards": _EXPORT_SHARDS_SQL,
     }

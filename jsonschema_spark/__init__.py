@@ -57,6 +57,8 @@ from jsonschema_spark.operators.curate import (
     leakage_safe_split,
     mixture_sample,
     mixture_weights,
+    shard_assign,
+    shard_stats,
 )
 from jsonschema_spark.operators.dedup import (
     cross_corpus_lsh_pairs,
@@ -184,6 +186,8 @@ __all__ = [
     "extract_links",
     "link_edges_df",
     "host_rank_df",
+    "shard_assign",
+    "shard_stats",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

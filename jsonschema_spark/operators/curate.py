@@ -346,3 +346,73 @@ def leakage_safe_split(
         bucket.cast("long").alias("bucket_ppm"),
         expr.alias("split"),
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    group_col: str = "source",
+    target_tokens: int = 100_000,
+) -> DataFrame:
+    """Token-budget shard packing for training-data export.
+
+    Training exports (WebDataset / Megatron-style) want shards of roughly
+    ``target_tokens`` tokens, docs never split, order deterministic.
+    Greedy order-preserving packing: within each group, docs sorted by id
+    are laid out contiguously and a shard boundary falls at every
+    ``target_tokens`` of cumulative EXCLUSIVE mass — a doc starts a new
+    shard when the tokens before it already fill the current one. Shards
+    overshoot by at most one doc (docs never split); a doc larger than
+    the target gets a shard to itself plus the spillover rule.
+
+    Output: input columns + ``shard`` ("<group>/<k>") + ``shard_idx``.
+
+    Scale shape: ONE window per group (PARTITION BY group ORDER BY id) —
+    groups pack in parallel across the cluster, and sort-by-id within a
+    group is the export order the writer needs anyway. Window frame is
+    the running sum (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING), identical
+    in Spark and DuckDB. A SINGLE giant group serializes into one task —
+    at that shape, split packing two-level: per-partition token totals
+    (tiny) prefix-summed once, then partition-local cumsums offset by the
+    prefix; same math, no global sort. The one-window form here is the
+    per-source layout real exports use.
+
+    Int contract: cumulative token counts and ``div`` stay int64 — exact
+    in both engines (doubles would drift at crawl-scale cumsums).
+    """
+    # SQL-expr form so the cumsum-and-divide stays in int64 `div`
+    # (Column has no integer-division operator; double division would
+    # round wrong above 2^53 cumulative tokens).
+    shard_idx = F.expr(
+        f"cast(coalesce(sum(cast(coalesce({token_col}, 0) as bigint)) over "
+        f"(partition by {group_col} order by {id_col} "
+        f"rows between unbounded preceding and 1 preceding), 0) "
+        f"div {int(target_tokens)} as bigint)"
+    )
+    return df.withColumn("shard_idx", shard_idx).withColumn(
+        "shard",
+        F.concat(F.col(group_col).cast("string"), F.lit("/"),
+                 F.col("shard_idx").cast("string")),
+    )
+
+
+def shard_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    group_col: str = "source",
+    target_tokens: int = 100_000,
+) -> DataFrame:
+    """Per-shard manifest: (shard, n_docs, tok_sum, id_lo, id_hi).
+
+    The export writer's unit of work — and the evidence the packing is
+    correct: every tok_sum is < target + max doc size, ids contiguous."""
+    a = shard_assign(df, id_col, token_col, group_col, target_tokens)
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    return a.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).alias("tok_sum"),
+        F.min(id_col).alias("id_lo"),
+        F.max(id_col).alias("id_hi"),
+    )

@@ -1147,3 +1147,33 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     assert out[1] == ("a b", 4, 2)       # multiplicity + doc frequency
     assert out[2] == ("b a", 2, 1)
     assert out[3] == ("z z", 2, 1)       # count tie with 'b a' → lexicographic
+
+
+def test_shard_assign_hand_computed(spark):
+    from jsonschema_spark.operators.curate import shard_assign, shard_stats
+
+    rows = [(1, "g", 600), (2, "g", 600), (3, "g", 600),
+            (4, "g", 1200), (5, "g", 100), (6, "h", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    a = {r["doc_id"]: (r["shard_idx"], r["shard"])
+         for r in shard_assign(df, target_tokens=1000).collect()}
+    # cumulative-exclusive: 0,600,1200,1800,3000 -> idx 0,0,1,1,3
+    assert a[1] == (0, "g/0") and a[2] == (0, "g/0")
+    assert a[3] == (1, "g/1") and a[4] == (1, "g/1")
+    assert a[5] == (3, "g/3")  # big doc 4 spilled past shard 2 (idx gap OK)
+    assert a[6] == (0, "h/0")  # groups pack independently
+    s = {r["shard"]: r for r in shard_stats(df, target_tokens=1000).collect()}
+    assert s["g/0"]["tok_sum"] == 1200 and s["g/0"]["n_docs"] == 2
+    assert s["g/1"]["tok_sum"] == 1800
+    assert (s["g/1"]["id_lo"], s["g/1"]["id_hi"]) == (3, 4)
+
+
+def test_shard_assign_null_tokens_and_determinism(spark):
+    from jsonschema_spark.operators.curate import shard_assign
+
+    df = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 999), (3, "g", 2)],
+        "doc_id long, source string, n_tokens long")
+    a = {r["doc_id"]: r["shard_idx"]
+         for r in shard_assign(df, target_tokens=1000).collect()}
+    assert a == {1: 0, 2: 0, 3: 0}  # null counts as 0; 0+999 < 1000 keeps doc 3

@@ -2712,6 +2712,62 @@ SELECT source || '/' || shard_idx::VARCHAR AS shard,
 FROM a GROUP BY 1"""
 
 
+_ANCHOR_WORDS = ("news", "shop", "login", "about", "contact", "blog",
+                 "docs", "api")
+
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text mining: what linking pages call each target host (the
+    classic web relevance signal). Pages carry a worded anchor, an
+    image-only link (dropped — no visible text) and an entity-laden
+    anchor; output = (dst_host, anchor, n) counts."""
+    from jsonschema_spark.operators.linkgraph import anchor_text_df
+
+    i = F.col("doc_id")
+    w = F.array(*[F.lit(x) for x in _ANCHOR_WORDS])
+    pick = lambda e: F.element_at(w, (e % 8 + 1).cast("int"))  # noqa: E731
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        ((i * 7 + 1) % 50).cast("string"),
+        F.lit('.example.org/a">'), pick(i), F.lit(" "), pick(i * 3 + 1),
+        F.lit('</a><a href="https://h'),
+        ((i * 13 + 2) % 50).cast("string"),
+        F.lit('.example.org/b"><img src="i.png"></a><a href="https://h'),
+        ((i * 29 + 3) % 50).cast("string"),
+        F.lit('.example.org/c">Read&nbsp;more &amp; info</a></body></html>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (i % 50).cast("string"),
+                 F.lit(".example.org")).alias("src_host"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return (
+        anchor_text_df(pages)
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("dst_host", "anchor")
+    )
+
+
+def _anchor_terms_sql() -> str:
+    from jsonschema_spark.operators.linkgraph import anchor_text_sql
+
+    wl = "[" + ", ".join(f"'{x}'" for x in _ANCHOR_WORDS) + "]"
+    html = (
+        "'<html><body><a href=\"https://h' || ((doc_id*7+1)%50)::VARCHAR ||"
+        f" '.example.org/a\">' || {wl}[(doc_id%8)::INT + 1] || ' ' ||"
+        f" {wl}[((doc_id*3+1)%8)::INT + 1] ||"
+        " '</a><a href=\"https://h' || ((doc_id*13+2)%50)::VARCHAR ||"
+        " '.example.org/b\"><img src=\"i.png\"></a><a href=\"https://h' ||"
+        " ((doc_id*29+3)%50)::VARCHAR ||"
+        " '.example.org/c\">Read&nbsp;more &amp; info</a></body></html>'"
+    )
+    pages = (f"SELECT 'h' || (doc_id % 50)::VARCHAR || '.example.org' AS src_host, "
+             f"{html} AS html FROM documents")
+    return (f"SELECT dst_host, anchor, count(*)::BIGINT AS n FROM "
+            f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2804,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "host_rank": q_host_rank,
         "export_shards": q_export_shards,
+        "anchor_terms": q_anchor_terms,
     }
 
 
@@ -3206,4 +3263,5 @@ FROM documents WHERE text IS NOT NULL""",
         "html_extract": _html_extract_sql(),
         "host_rank": _host_rank_sql(),
         "export_shards": _EXPORT_SHARDS_SQL,
+        "anchor_terms": _anchor_terms_sql(),
     }

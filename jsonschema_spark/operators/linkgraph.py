@@ -139,3 +139,62 @@ def host_rank_sql(edges_cte: str, n_iter: int = 3) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT host, r AS rank_ppm FROM r{n_iter}"
     )
+
+
+# a whole <a ...href="http...">…</a> element (group 0 used; inner parsing
+# happens per element). RE2∩Java-safe, shared with the oracle.
+ANCHOR_EL_RE = r'(?is)<a\s[^>]*href="https?://[^"]*"[^>]*>.*?</a>'
+# strip tags inside an element; collapse to the visible anchor text
+_TAGS_RE = r"(?s)<[^>]*>"
+_WS_RE = r"\s+"
+
+
+def anchor_text_df(
+    df: DataFrame,
+    src_host_col: str = "src_host",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+) -> DataFrame:
+    """(src_host, dst_host, anchor) per absolute link with visible text.
+
+    Anchor text is what the LINKING page says the target is — the classic
+    web relevance/quality signal (used by search engines and by corpus
+    quality priors alike). Extraction: whole <a> elements found by ONE
+    regexp_extract_all in the scan projection, then per-element href +
+    tag-stripped, entity-decoded, whitespace-collapsed inner text. Pure
+    JVM throughout (the per-element transforms run over a handful of
+    links per page); one explode, no shuffle. Links with empty visible
+    text (image links) are dropped.
+    """
+    s = F.decode(F.col(html_col), "UTF-8") if binary else F.col(html_col)
+    el = F.explode(F.regexp_extract_all(s, F.lit(ANCHOR_EL_RE), 0)).alias("_el")
+    url = F.replace(F.regexp_extract(F.col("_el"), HREF_RE, 1),
+                    F.lit("&amp;"), F.lit("&"))
+    anchor = F.regexp_replace(F.col("_el"), _TAGS_RE, " ")
+    for lit, rep in (("&nbsp;", " "), ("&amp;", "&")):
+        anchor = F.replace(anchor, F.lit(lit), F.lit(rep))
+    anchor = F.trim(F.regexp_replace(anchor, _WS_RE, " "))
+    dst = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    return (
+        df.select(F.col(src_host_col).alias("src_host"), el)
+        .select("src_host", dst.alias("dst_host"), anchor.alias("anchor"))
+        .where((F.col("dst_host") != "") & (F.col("anchor") != ""))
+    )
+
+
+def anchor_text_sql(pages_cte: str) -> str:
+    """DuckDB mirror of ``anchor_text_df`` over a (src_host, html VARCHAR)
+    CTE body — same regexes, same step order."""
+    return f"""
+SELECT src_host, dst_host, anchor FROM (
+  SELECT src_host,
+         lower(regexp_extract(replace(regexp_extract(el, '{HREF_RE}', 1),
+                                      '&amp;', '&'), '{HOST_RE}', 1)) AS dst_host,
+         trim(regexp_replace(replace(replace(
+              regexp_replace(el, '{_TAGS_RE}', ' ', 'g'),
+              '&nbsp;', ' '), '&amp;', '&'), '{_WS_RE}', ' ', 'g')) AS anchor
+  FROM (SELECT src_host,
+               unnest(regexp_extract_all(html, '{ANCHOR_EL_RE}', 0)) AS el
+        FROM ({pages_cte})))
+WHERE dst_host <> '' AND anchor <> ''"""

@@ -61,3 +61,32 @@ def test_host_rank_matches_duckdb_mirror(spark):
                  " t(src_host, dst_host)")
     duck = duckdb.sql(host_rank_sql(edges_cte, n_iter=4) + " ORDER BY host").fetchall()
     assert spark_ranks == [(h, int(r)) for h, r in duck]
+
+
+def test_anchor_text_semantics(spark):
+    from jsonschema_spark.operators.linkgraph import anchor_text_df
+
+    html = (
+        '<a href="https://a.com/x">Click <b>here</b> now</a>'     # nested tag
+        '<a href="https://b.com/y"><img src="i.png"></a>'          # image-only: dropped
+        '<a href="https://c.com/z">R&amp;D&nbsp;team</a>'          # entities
+        '<a href="/rel">relative dropped</a>'
+    ).encode()
+    df = spark.createDataFrame([("me.com", html)], "src_host string, html binary")
+    got = {(r["dst_host"], r["anchor"]) for r in anchor_text_df(df).collect()}
+    assert got == {("a.com", "Click here now"), ("c.com", "R&D team")}
+
+
+def test_anchor_text_duckdb_parity(spark):
+    import duckdb as _duck
+
+    from jsonschema_spark.operators.linkgraph import anchor_text_df, anchor_text_sql
+
+    html = ('<a href="https://a.com/1">one</a><A HREF="https://B.com/2">Two '
+            'words</A><a href="https://c.com/3#f">frag&amp;ment</a>')
+    df = spark.createDataFrame([("s.com", html)], "src_host string, html string")
+    spark_rows = sorted(
+        tuple(r) for r in anchor_text_df(df, binary=False).collect())
+    pages = f"SELECT 's.com' AS src_host, '{html.replace(chr(39), chr(39)*2)}' AS html"
+    duck = sorted(tuple(r) for r in _duck.sql(anchor_text_sql(pages)).fetchall())
+    assert spark_rows == duck and len(duck) == 3

@@ -2768,6 +2768,51 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+_BM25_TERMS = ["dup", "customer", "spark"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval (Okapi BM25, integer-exact variant): top-15 docs
+    for a three-term query mixing a rare term ('dup', df~25 at sf0.01)
+    with two common ones — the idf surrogate must dominate the ranking.
+    Corpus never shuffles; hits leave the scan pre-filtered."""
+    from jsonschema_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), "doc_id", "text", _BM25_TERMS, k=15)
+
+
+def _bm25_sql(k: int = 15, k1m: int = 1200, bm: int = 750) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    a = k1m + 1000
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS sumdl FROM t),
+hit AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS w FROM t),
+tf AS (SELECT doc_id, dl, w, count(*)::BIGINT AS tf FROM hit
+       WHERE w IN ({terms}) GROUP BY 1, 2, 3),
+dft AS (SELECT w, count(*)::BIGINT AS dfw FROM tf GROUP BY 1),
+sc AS (SELECT doc_id, tf,
+              floor(dl * 1000000
+                    / greatest(floor(sumdl / n)::BIGINT, 1))::BIGINT AS dlnorm,
+              floor(n * 1000000 / dfw)::BIGINT AS idf
+       FROM tf JOIN dft USING (w) CROSS JOIN st),
+sc2 AS (SELECT doc_id, tf,
+               (tf * 1000000000000
+                + {k1m} * ({(1000 - bm) * 1000000} + {bm} * dlnorm)) AS den,
+               idf
+        FROM sc),
+sc3 AS (SELECT doc_id, tf,
+               floor(tf * {a} * 1e15 / den)::BIGINT AS tfn, idf
+        FROM sc2),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_hit_terms,
+               sum(tf)::BIGINT AS n_hits,
+               sum(floor(tfn * idf::DOUBLE / 1000000)::BIGINT)::BIGINT AS score_ppm
+        FROM sc3 GROUP BY 1)
+SELECT doc_id, n_hit_terms, n_hits, score_ppm,
+       row_number() OVER (ORDER BY score_ppm DESC, doc_id)::BIGINT AS rnk
+FROM agg ORDER BY score_ppm DESC, doc_id LIMIT {k}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -2861,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "export_shards": q_export_shards,
         "anchor_terms": q_anchor_terms,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -3264,4 +3310,5 @@ FROM documents WHERE text IS NOT NULL""",
         "host_rank": _host_rank_sql(),
         "export_shards": _EXPORT_SHARDS_SQL,
         "anchor_terms": _anchor_terms_sql(),
+        "bm25_search": _bm25_sql(),
     }

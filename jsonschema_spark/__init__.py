@@ -83,6 +83,7 @@ from jsonschema_spark.operators.textstats import (
     tfidf_top_terms,
     winnow_fingerprints,
 )
+from jsonschema_spark.operators.search import bm25_topk, term_stats
 from jsonschema_spark.operators.similarity import (
     prototypicality,
     semantic_dedup,

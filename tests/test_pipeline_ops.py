@@ -1177,3 +1177,61 @@ def test_shard_assign_null_tokens_and_determinism(spark):
     a = {r["doc_id"]: r["shard_idx"]
          for r in shard_assign(df, target_tokens=1000).collect()}
     assert a == {1: 0, 2: 0, 3: 0}  # null counts as 0; 0+999 < 1000 keeps doc 3
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 integer variant on a 4-doc corpus: hand-check tf saturation,
+    length normalization, idf dominance and the id tie-break."""
+    from jsonschema_spark.operators.search import bm25_topk
+
+    docs = [
+        (1, "rare common common"),            # rare term, dl 3
+        (2, "common common common"),          # only common, dl 3
+        (3, "common " * 9 + "rare"),          # rare term, dl 10 (longer)
+        (4, "rare common common"),            # identical to doc 1 -> tie
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = bm25_topk(df, "doc_id", "text", ["rare", "common"], k=10)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # N=4, sumdl=19, avgdl=floor(19/4)=4
+    # idf: rare df=3 -> floor(4e6/3)=1333333; common df=4 -> 1e6
+    # doc1: dl=3, dlnorm=750000
+    #   rare tf=1: den=1e12+1200*(250e6+750*750000)=1.975e12
+    #     tfn=floor(2200*1e15/1.975e12)=1113924; s=floor(tfn*1333333/1e6)=1485231
+    #   common tf=2: den=2e12+0.975e12=2.975e12
+    #     tfn=floor(2*2200*1e15/2.975e12)=1478991; s=1478991
+    assert rows[1]["score_ppm"] == 1485231 + 1478991
+    assert rows[1]["n_hit_terms"] == 2 and rows[1]["n_hits"] == 3
+    # identical docs tie; tie-break ascending id
+    assert rows[4]["score_ppm"] == rows[1]["score_ppm"]
+    assert rows[1]["rnk"] + 1 == rows[4]["rnk"]
+    # rare-term docs outrank the common-only doc (idf dominance)
+    assert rows[2]["score_ppm"] < min(rows[1]["score_ppm"], rows[3]["score_ppm"])
+    # length normalization: doc3 has the same rare tf=1 but dl 10 vs 3 ->
+    # its rare-term contribution is strictly lower than doc1's
+    out2 = bm25_topk(df, "doc_id", "text", ["rare"], k=10)
+    r2 = {r["doc_id"]: r["score_ppm"] for r in out2.collect()}
+    assert r2[3] < r2[1]
+    # tf saturation: 9x the tf buys far less than 9x the score
+    r3 = {
+        r["doc_id"]: r["score_ppm"]
+        for r in bm25_topk(df, "doc_id", "text", ["common"], k=10).collect()
+    }
+    assert r3[3] < 9 * r3[2] / 3  # doc3 tf=9 vs doc2 tf=3 on same-ish dl
+
+
+def test_bm25_validation_and_term_stats(spark):
+    from jsonschema_spark.operators.search import bm25_topk, term_stats
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "b c")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", ["  ", ""])
+    with _pt.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", ["a"], b_milli=2000)
+    st = {r["term"]: (r["df"], r["cf"]) for r in term_stats(df, "doc_id", "text").collect()}
+    assert st == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}
+    # query terms are lowercased + deduplicated; docs without hits absent
+    out = bm25_topk(df, "doc_id", "text", ["C", "c "], k=5).collect()
+    assert [r["doc_id"] for r in out] == [2] and out[0]["n_hit_terms"] == 1

@@ -2768,6 +2768,28 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlapping stride (32-token
+    chunks every 24 tokens — the Megatron/GPT context-window prep step).
+    Pure per-row codegen: zero shuffles, zero Python."""
+    from jsonschema_spark.operators.curate import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), "doc_id", "text",
+                      chunk_tokens=32, stride=24)
+
+
+def _chunk_docs_sql(ct: int = 32, s: int = 24) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+              unnest(range(0, len(toks), {s}))::BIGINT AS st
+       FROM t WHERE len(toks) >= 1)
+SELECT doc_id, (st // {s})::BIGINT AS chunk_idx, st AS start_tok,
+       least({ct}, n - st)::BIGINT AS n_tok,
+       array_to_string(toks[st + 1 : least(st + {ct}, n)::INT], ' ') AS chunk_text
+FROM ex"""
+
+
 _BM25_TERMS = ["dup", "customer", "spark"]
 
 
@@ -2907,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "anchor_terms": q_anchor_terms,
         "bm25_search": q_bm25_search,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -3311,4 +3334,5 @@ FROM documents WHERE text IS NOT NULL""",
         "export_shards": _EXPORT_SHARDS_SQL,
         "anchor_terms": _anchor_terms_sql(),
         "bm25_search": _bm25_sql(),
+        "chunk_docs": _chunk_docs_sql(),
     }

@@ -50,6 +50,7 @@ from jsonschema_spark.plans.pyeval import validate_py
 from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
 from jsonschema_spark.operators.curate import (
     budget_sample,
+    chunk_docs,
     curate_corpus,
     curation_report,
     domain_cap_sample,

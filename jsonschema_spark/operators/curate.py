@@ -26,6 +26,7 @@ from jsonschema_spark.operators.dedup import (
     dedup_clusters,
     keep_canonical,
     minhash_lsh_pairs,
+    tokens as dedup_tokens,
 )
 from jsonschema_spark.operators.textstats import webtext_keep
 
@@ -415,4 +416,59 @@ def shard_stats(
         F.sum(toks).alias("tok_sum"),
         F.min(id_col).alias("id_lo"),
         F.max(id_col).alias("id_hi"),
+    )
+
+
+def chunk_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Fixed-token-window chunking with stride — the Megatron/GPT
+    preprocessing step between curation and shard packing: long documents
+    become training sequences of at most ``chunk_tokens`` whitespace
+    tokens, consecutive chunks ``stride`` tokens apart (default = no
+    overlap; stride < chunk_tokens gives the classic overlapping-context
+    windows).
+
+    Chunk rule: starts at 0, stride, 2·stride, … while start < n_tokens;
+    the final chunk may be shorter (training loaders pad or pack it —
+    see shard_assign). Empty/whitespace-only/null docs emit NO rows
+    (there is nothing to train on), documented asymmetry with
+    dup_span_remove's every-doc-survives contract.
+
+    Output: (id_col, chunk_idx, start_tok, n_tok, chunk_text).
+
+    Scale shape: pure per-row codegen — tokenize, F.sequence over starts,
+    ONE posexplode, F.slice + array_join; zero shuffles, zero Python. A
+    chunk never spans documents, so no cross-row state exists and the
+    operator composes with any upstream filter inside the same scan
+    stage. Output row count is Σ ceil(n_i/stride) — bounded by
+    (total tokens)/stride, the familiar token-budget arithmetic.
+    """
+    if chunk_tokens < 1 or (stride is not None and stride < 1):
+        raise ValueError("chunk_docs: chunk_tokens and stride must be >= 1")
+    s = stride if stride is not None else chunk_tokens
+    toks = dedup_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    starts = F.when(
+        F.col("_n") >= 1, F.sequence(F.lit(0), F.col("_n") - 1, F.lit(s))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select(
+        id_col, "_toks", "_n", F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_start").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+        .cast("long")
+        .alias("n_tok"),
+        F.array_join(
+            F.slice("_toks", F.col("_start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
     )

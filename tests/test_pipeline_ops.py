@@ -1235,3 +1235,52 @@ def test_bm25_validation_and_term_stats(spark):
     # query terms are lowercased + deduplicated; docs without hits absent
     out = bm25_topk(df, "doc_id", "text", ["C", "c "], k=5).collect()
     assert [r["doc_id"] for r in out] == [2] and out[0]["n_hit_terms"] == 1
+
+
+def test_chunk_docs_hand_computed(spark):
+    """Chunk boundaries, overlap, tail chunks, empty/null docs, validation."""
+    from jsonschema_spark.operators.curate import chunk_docs
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "   "), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = [
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+        for r in chunk_docs(df, chunk_tokens=3).orderBy("doc_id", "chunk_idx").collect()
+    ]
+    assert rows == [
+        (1, 0, 0, 3, "a b c"), (1, 1, 3, 3, "d e f"), (1, 2, 6, 1, "g"),
+        (2, 0, 0, 1, "x"),
+    ]  # empty/null docs emit no rows
+    ov = [
+        (r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+        for r in chunk_docs(df.where("doc_id = 1"), chunk_tokens=4, stride=2)
+        .orderBy("chunk_idx").collect()
+    ]
+    assert ov == [
+        (0, 0, 4, "a b c d"), (1, 2, 4, "c d e f"),
+        (2, 4, 3, "e f g"), (3, 6, 1, "g"),
+    ]
+    # stride > chunk_tokens: gaps between chunks are legal (sampling mode)
+    gap = [
+        (r["start_tok"], r["chunk_text"])
+        for r in chunk_docs(df.where("doc_id = 1"), chunk_tokens=2, stride=5)
+        .orderBy("chunk_idx").collect()
+    ]
+    assert gap == [(0, "a b"), (5, "f g")]
+    with _pt.raises(ValueError):
+        chunk_docs(df, chunk_tokens=0)
+    with _pt.raises(ValueError):
+        chunk_docs(df, chunk_tokens=3, stride=0)
+
+
+def test_chunk_docs_plan_is_pure_projection(spark):
+    """chunk_docs must stay a zero-shuffle, zero-Python codegen pipeline."""
+    from jsonschema_spark.operators.curate import chunk_docs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_docs(df, chunk_tokens=16, stride=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -2768,6 +2768,56 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over the embeddings
+    table (k=4, 3 rounds, exact integer arithmetic): the trained upgrade
+    of the IVF/SemDeDup coarse quantizer. Oracle unrolls the identical
+    rounds — hash init means, argmin assignment with (dist, ci)
+    tie-break, floor(sum/count) updates with empty-cell carry."""
+    from jsonschema_spark.operators.similarity import kmeans_fixed
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out, _ = kmeans_fixed(e, "vec_id", "embedding", k=4, iters=3)
+    return out
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, scale: int = 100) -> str:
+    sqd = "list_sum(list_transform(list_zip(p.q, c.cv), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+    def means(src: str) -> str:
+        return (
+            f"(SELECT ci, list(cvd ORDER BY pos) AS cv FROM (\n"
+            f"   SELECT a.ci, ix.pos, floor(sum(a.q[ix.pos]) / count(*))::BIGINT AS cvd\n"
+            f"   FROM {src} a, LATERAL (SELECT unnest(range(1, len(a.q)+1)) AS pos) ix\n"
+            f"   GROUP BY 1, 2) GROUP BY 1)"
+        )
+
+    def assign(cent: str) -> str:
+        return (
+            f"(SELECT vec_id, q, ci FROM (\n"
+            f"   SELECT p.vec_id, p.q, c.ci,\n"
+            f"          row_number() OVER (PARTITION BY p.vec_id\n"
+            f"                             ORDER BY {sqd}, c.ci) AS rn\n"
+            f"   FROM pts p CROSS JOIN {cent} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"pts AS (SELECT vec_id, [floor(x::DOUBLE*{scale})::BIGINT for x in embedding] AS q FROM embeddings)",
+        f"a0 AS (SELECT vec_id, q, (vec_id % {k})::INT AS ci FROM pts)",
+        f"c1 AS {means('a0')}",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"a{t} AS {assign(f'c{t}')}")
+        if t < iters:
+            ctes.append(f"c{t + 1}raw AS {means(f'a{t}')}")
+            ctes.append(
+                f"c{t + 1} AS (SELECT p.ci, coalesce(r.cv, p.cv) AS cv "
+                f"FROM c{t} p LEFT JOIN c{t + 1}raw r USING (ci))"
+            )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, ci::BIGINT AS cell FROM a{iters}")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window chunking with overlapping stride (32-token
     chunks every 24 tokens — the Megatron/GPT context-window prep step).
@@ -2930,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "bm25_search": q_bm25_search,
         "chunk_docs": q_chunk_docs,
+        "kmeans_cells": q_kmeans_cells,
     }
 
 
@@ -3335,4 +3386,5 @@ FROM documents WHERE text IS NOT NULL""",
         "anchor_terms": _anchor_terms_sql(),
         "bm25_search": _bm25_sql(),
         "chunk_docs": _chunk_docs_sql(),
+        "kmeans_cells": _kmeans_sql(),
     }

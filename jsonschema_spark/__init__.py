@@ -86,6 +86,7 @@ from jsonschema_spark.operators.textstats import (
 )
 from jsonschema_spark.operators.search import bm25_topk, term_stats
 from jsonschema_spark.operators.similarity import (
+    kmeans_fixed,
     prototypicality,
     semantic_dedup,
     semantic_dedup_pairs,
@@ -192,6 +193,10 @@ __all__ = [
     "anchor_text_df",
     "shard_assign",
     "shard_stats",
+    "chunk_docs",
+    "bm25_topk",
+    "term_stats",
+    "kmeans_fixed",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

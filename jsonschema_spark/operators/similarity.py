@@ -351,3 +351,98 @@ def prototypicality(
             / F.sqrt((dot_q(F.col("_q"), F.col("_q")) * dot_q(cv, cv)).cast("double"))
         ).cast("long").alias("cos_centroid_micro"),
     )
+
+
+# --- fixed-iteration distributed k-means (Lloyd) -------------------------------
+
+
+def _centroid_means(assigned: DataFrame) -> dict[int, list[int]]:
+    """Per-cell per-dim floor(exact-int sum / count) from an assignment
+    frame (_ci, _q) — ONE aggregation whose shuffle carries k·d rows
+    (map-side partials absorb the n·d explode), then a k-row collect."""
+    per_dim = (
+        assigned.select("_ci", F.posexplode("_q").alias("pos", "v"))
+        .groupBy("_ci", "pos")
+        .agg(F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).cast("long").alias("cv"))
+    )
+    rows = (
+        per_dim.groupBy("_ci")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cv")
+        )
+        .collect()
+    )
+    return {int(r["_ci"]): [int(v) for v in r["cv"]] for r in rows}
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 100,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Deterministic fixed-iteration Lloyd k-means over an embedding
+    column — the trained upgrade of the one-step coarse quantizer behind
+    IVF/SemDeDup, and the engine-portable counterpart of MLlib's KMeans
+    (whose random init / float sums no SQL oracle can replay).
+
+    All arithmetic is exact integer: vectors quantize to floor(x·scale)
+    int64, assignment is argmin of exact int squared distance (ties →
+    lowest cell id; np.argmin's first-min ≡ the oracle's ORDER BY
+    (dist, ci)), centroid update is per-dim floor(sum/count) in one
+    int64→double division. Init = floor-means under the hash partition
+    ``id % k`` (md5-hash56 for non-numeric ids — the ivf_centroids_df
+    rule), so any engine reproduces every round bit-for-bit.
+
+    Rounds: c₁ = init means; for t = 1..iters: aₜ = assign(cₜ), and for
+    t < iters, cₜ₊₁ = means(aₜ) with EMPTY CELLS CARRYING cₜ forward (a
+    cell no point chose keeps its centroid — the standard Lloyd rule;
+    an init cell with no points is dropped outright, so pick k ≤ n).
+    Returns (assignment df: input + ``cell``, centroids under which the
+    assignment was made, sorted by cell id).
+
+    Scale shape per round: one Arrow-batched numpy argmin pass over the
+    quantized vectors (k·d literal matrix broadcast inside the UDF — no
+    join), one (ci,pos) groupBy collecting k·d rows to the driver. The
+    quantized corpus is localCheckpoint'ed ONCE — every round rescans the
+    materialized int vectors, not the float parquet + interpreted
+    quantize transform. Driver state is k·d ints per round, never
+    corpus-bound.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("kmeans_fixed: k and iters must be >= 1")
+    id_t = df.schema[id_col].dataType.typeName()
+    if id_t in ("byte", "short", "integer", "long"):
+        init_cell = F.pmod(F.col(id_col), F.lit(k))
+    else:
+        init_cell = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10)
+            .cast("long"),
+            F.lit(k),
+        )
+    q = df.select(
+        F.col(id_col),
+        quantize_embedding(F.col(vec_col), scale).alias("_q"),
+        init_cell.cast("int").alias("_ci"),
+    ).localCheckpoint(eager=True)
+    cents = _centroid_means(q)
+    assigned = None
+    for t in range(iters):
+        cent_list = sorted(cents.items())
+        udf = _cell_assign_udf(cent_list)
+        # the UDF returns the POSITION in cent_list; map back to cell ids
+        # (identical unless an init cell was empty and dropped)
+        ids = F.array(*[F.lit(ci) for ci, _ in cent_list])
+        assigned = q.select(
+            id_col, "_q",
+            F.element_at(ids, udf(F.col("_q")) + 1).alias("_ci"),
+        )
+        if t < iters - 1:
+            new = _centroid_means(assigned)
+            cents = {ci: new.get(ci, cv) for ci, cv in cents.items()}
+    out = assigned.select(F.col(id_col), F.col("_ci").cast("long").alias("cell"))
+    return out, sorted(cents.items())

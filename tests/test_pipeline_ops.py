@@ -1284,3 +1284,84 @@ def test_chunk_docs_plan_is_pure_projection(spark):
     plan = chunk_docs(df, chunk_tokens=16, stride=8)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def _kmeans_py(vecs, k, iters, scale=100):
+    """Python mirror of kmeans_fixed's exact integer semantics."""
+    import math
+
+    import numpy as np
+
+    # the engine reads an array<float> column: quantization sees the
+    # float32-rounded value, widened to double
+    q = {
+        i: [math.floor(float(np.float32(x)) * scale) for x in v]
+        for i, v in vecs.items()
+    }
+    d = len(next(iter(q.values())))
+
+    def means(assign):
+        out = {}
+        for ci in set(assign.values()):
+            pts = [q[i] for i, c in assign.items() if c == ci]
+            out[ci] = [
+                math.floor(sum(p[j] for p in pts) / len(pts)) for j in range(d)
+            ]
+        return out
+
+    cents = means({i: i % k for i in q})
+    assign = None
+    for t in range(iters):
+        assign = {
+            i: min(
+                sorted(cents),
+                key=lambda ci: (sum((a - b) ** 2 for a, b in zip(q[i], cents[ci])), ci),
+            )
+            for i in q
+        }
+        if t < iters - 1:
+            new = means(assign)
+            cents = {ci: new.get(ci, cv) for ci, cv in cents.items()}
+    return assign, cents
+
+
+def test_kmeans_matches_python_mirror(spark):
+    """Engine k-means == the integer-semantics python mirror on a
+    deterministic corpus, across k and iteration counts."""
+    from jsonschema_spark.operators.similarity import kmeans_fixed
+
+    vecs = {
+        i: [((i * 7 + j * 13) % 29) / 10.0 - 1.4 for j in range(6)]
+        for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: long, embedding: array<float>",
+    )
+    for k, iters in [(2, 1), (3, 2), (4, 3)]:
+        out, cents = kmeans_fixed(df, "vec_id", "embedding", k=k, iters=iters)
+        got = {r["vec_id"]: r["cell"] for r in out.collect()}
+        want, want_c = _kmeans_py(
+            {i: [float(x) for x in v] for i, v in vecs.items()}, k, iters
+        )
+        assert got == want, (k, iters)
+        assert dict(cents) == want_c, (k, iters)
+
+
+def test_kmeans_tiebreak_and_empty_cell_carry(spark):
+    from jsonschema_spark.operators.similarity import kmeans_fixed
+    import pytest as _pt
+
+    # all points identical -> init centroids equal -> tie -> everyone
+    # assigns the LOWEST cell id; cell 1 loses all members and must CARRY
+    # its centroid forward unchanged
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)], "vec_id: long, embedding: array<float>"
+    )
+    out, cents = kmeans_fixed(df, "vec_id", "embedding", k=2, iters=3)
+    assert {r["cell"] for r in out.collect()} == {0}
+    assert dict(cents) == {0: [100, 200], 1: [100, 200]}
+    with _pt.raises(ValueError):
+        kmeans_fixed(df, "vec_id", "embedding", k=0)
+    with _pt.raises(ValueError):
+        kmeans_fixed(df, "vec_id", "embedding", k=2, iters=0)

@@ -2768,6 +2768,108 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+_ROBOTS_BASE = (
+    "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"
+    "Allow: /private/ok$\nDisallow: /t*p\nDisallow:\nCrawl-delay: 5\n"
+)
+_ROBOTS_EXTRA = "\nUser-agent: ccbot\nDisallow: /block\n"
+_ROBOTS_PATHS = ["/private/x", "/private/ok", "/public", "/t123p",
+                 "/block/z", "/private/ok?x=1"]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl compliance: RFC 9309 robots.txt parsing (group merging,
+    specific-agent precedence, * wildcards, $ anchors, empty-Disallow
+    drop) + longest-match/allow-wins URL filtering for agent 'ccbot'.
+    Hosts ≡ 0 (mod 7) carry a ccbot-specific group that overrides their
+    * group; the '?x=1' path defeats the $-anchored Allow."""
+    from jsonschema_spark.operators.robots import robots_filter, robots_rules_df
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 50).cast("string"), F.lit(".example.org"))
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host,
+                 F.element_at(paths, (i % 6 + 1).cast("int"))).alias("url"),
+    )
+    hosts = d.select((i % 50).alias("hid")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit(_ROBOTS_BASE),
+            F.when(F.col("hid") % 7 == 0, F.lit(_ROBOTS_EXTRA)).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return robots_filter(urls, robots_rules_df(robots, agent="ccbot"))
+
+
+def _robots_sql() -> str:
+    from jsonschema_spark.operators.urltools import _URL_RE
+
+    paths = "[" + ", ".join(f"'{p}'" for p in _ROBOTS_PATHS) + "]"
+    g = lambda n: f"regexp_extract(url, '{_URL_RE}', {n})"  # noqa: E731
+    return f"""
+WITH hosts AS (SELECT DISTINCT (doc_id % 50) AS hid FROM documents),
+rb AS (SELECT 'h' || hid::VARCHAR || '.example.org' AS host,
+              '{_ROBOTS_BASE}' ||
+              CASE WHEN hid % 7 = 0 THEN '{_ROBOTS_EXTRA}' ELSE '' END AS body
+       FROM hosts),
+ln AS (SELECT host, i AS li, trim(regexp_replace(lines[i], '#.*$', '')) AS line
+       FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS lines FROM rb),
+            LATERAL (SELECT unnest(range(1, len(lines)+1)) AS i) ix),
+d AS (SELECT host, li,
+             lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS dir,
+             regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(\\S*)', 1) AS val
+      FROM ln
+      WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+            IN ('user-agent', 'allow', 'disallow')),
+g0 AS (SELECT *, CASE WHEN dir = 'user-agent'
+                       AND coalesce(lag(dir) OVER (PARTITION BY host ORDER BY li), '')
+                           <> 'user-agent'
+                      THEN 1 ELSE 0 END AS st FROM d),
+gg AS (SELECT *, sum(st) OVER (PARTITION BY host ORDER BY li
+                               ROWS UNBOUNDED PRECEDING) AS gid FROM g0),
+ag AS (SELECT host, gid,
+              max(CASE WHEN lower(val) = 'ccbot' THEN 1 ELSE 0 END) AS named,
+              max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS star
+       FROM gg WHERE dir = 'user-agent' AND gid >= 1 GROUP BY 1, 2),
+hn AS (SELECT host, max(named) AS has_named FROM ag GROUP BY 1),
+app AS (SELECT ag.host, ag.gid FROM ag JOIN hn USING (host)
+        WHERE (has_named = 1 AND named = 1) OR (has_named = 0 AND star = 1)),
+rules AS (SELECT gg.host, (dir = 'allow') AS allow, val AS spec,
+                 length(val)::BIGINT AS spec_len,
+                 '^' || replace(replace(
+                     CASE WHEN val LIKE '%$' THEN substr(val, 1, length(val)-1)
+                          ELSE val END, '.', '\\.'), '*', '.*')
+                 || CASE WHEN val LIKE '%$' THEN '$' ELSE '' END AS spec_re
+          FROM gg JOIN app USING (host, gid)
+          WHERE dir IN ('allow', 'disallow') AND val <> '' AND gid >= 1),
+urls AS (SELECT doc_id,
+                'https://h' || (doc_id % 50)::VARCHAR || '.example.org'
+                || {paths}[(doc_id % 6)::INT + 1] AS url
+         FROM documents),
+u AS (SELECT doc_id, url, lower({g(2)}) AS host,
+             (CASE WHEN {g(4)} = '' THEN '/' ELSE {g(4)} END
+              || CASE WHEN {g(5)} <> '' THEN {g(5)} ELSE '' END) AS t
+      FROM urls),
+m AS (SELECT u.doc_id, r.allow, r.spec, r.spec_len
+      FROM u JOIN rules r ON u.host = r.host
+      WHERE CASE WHEN r.spec NOT LIKE '%*%' AND r.spec NOT LIKE '%$%'
+                 THEN starts_with(u.t, r.spec)
+                 ELSE regexp_matches(u.t, r.spec_re) END),
+win AS (SELECT doc_id,
+               max({{'l': spec_len, 'a': allow::INT, 's': spec}}) AS w
+        FROM m GROUP BY 1)
+SELECT u.doc_id, u.url,
+       coalesce(struct_extract(w, 'a') = 1, true) AS allowed,
+       struct_extract(w, 's') AS rule_spec,
+       struct_extract(w, 'l') AS rule_len
+FROM u LEFT JOIN win USING (doc_id)"""
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over the embeddings
     table (k=4, 3 rounds, exact integer arithmetic): the trained upgrade
@@ -2981,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "chunk_docs": q_chunk_docs,
         "kmeans_cells": q_kmeans_cells,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -3387,4 +3490,5 @@ FROM documents WHERE text IS NOT NULL""",
         "bm25_search": _bm25_sql(),
         "chunk_docs": _chunk_docs_sql(),
         "kmeans_cells": _kmeans_sql(),
+        "robots_filter": _robots_sql(),
     }

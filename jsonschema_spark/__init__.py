@@ -84,6 +84,10 @@ from jsonschema_spark.operators.textstats import (
     tfidf_top_terms,
     winnow_fingerprints,
 )
+from jsonschema_spark.operators.robots import (
+    robots_filter,
+    robots_rules_df,
+)
 from jsonschema_spark.operators.search import bm25_topk, term_stats
 from jsonschema_spark.operators.similarity import (
     kmeans_fixed,
@@ -197,6 +201,8 @@ __all__ = [
     "bm25_topk",
     "term_stats",
     "kmeans_fixed",
+    "robots_rules_df",
+    "robots_filter",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

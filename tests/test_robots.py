@@ -1,0 +1,114 @@
+"""robots.txt parsing + URL filtering (operators/robots.py, RFC 9309)."""
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.robots import (
+    robots_filter,
+    robots_rules_df,
+    spec_to_regex,
+)
+
+
+def _rules(spark, body, agent="*", host="a.org"):
+    df = spark.createDataFrame([(host, body)], ["host", "robots_txt"])
+    return {
+        (r["spec"], r["allow"]): r
+        for r in robots_rules_df(df, agent=agent).collect()
+    }
+
+
+def _verdicts(spark, body, urls, agent="*"):
+    robots = spark.createDataFrame([("a.org", body)], ["host", "robots_txt"])
+    u = spark.createDataFrame(list(enumerate(urls)), ["doc_id", "url"])
+    out = robots_filter(u, robots_rules_df(robots, agent=agent))
+    return {r["url"]: r["allowed"] for r in out.collect()}
+
+
+def test_group_merging_and_comments(spark):
+    """Consecutive UA lines share one group; comments and unknown
+    directives are ignored; CRLF accepted; directives case-insensitive."""
+    body = (
+        "# header comment\r\n"
+        "User-agent: alpha\r\n"
+        "USER-AGENT: beta  # stacked\r\n"
+        "DISALLOW: /x\r\n"
+        "Crawl-delay: 9\r\n"
+        "\r\n"
+        "User-agent: gamma\r\n"
+        "Disallow: /y\r\n"
+    )
+    assert set(_rules(spark, body, agent="beta")) == {("/x", False)}
+    assert set(_rules(spark, body, agent="alpha")) == {("/x", False)}
+    assert set(_rules(spark, body, agent="gamma")) == {("/y", False)}
+
+
+def test_specific_agent_beats_star_and_rules_before_ua_dropped(spark):
+    body = (
+        "Disallow: /orphan\n"  # before any UA group: invalid, dropped
+        "User-agent: *\nDisallow: /a\n"
+        "User-agent: mybot\nDisallow: /b\n"
+    )
+    assert set(_rules(spark, body, agent="mybot")) == {("/b", False)}
+    assert set(_rules(spark, body, agent="other")) == {("/a", False)}
+
+
+def test_longest_match_tie_and_anchors(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /dir\n"
+        "Allow: /dir/pub\n"
+        "Disallow: /a*z$\n"
+        "Allow: /same\nDisallow: /same\n"  # equal length -> Allow wins
+        "Disallow:\n"  # empty value: matches nothing
+    )
+    v = _verdicts(
+        spark, body,
+        [
+            "https://a.org/dir/secret",   # /dir (len 4) only -> deny
+            "https://a.org/dir/pub/f",    # /dir/pub (len 8) beats /dir -> allow
+            "https://a.org/aMIDz",        # wildcard + $ anchor -> deny
+            "https://a.org/aMIDz2",       # $ anchor fails -> allow
+            "https://a.org/same",         # tie -> allow
+            "https://a.org/other",        # no rule -> default allow
+            "https://a.org",              # empty path matches as '/'
+        ],
+    )
+    assert v == {
+        "https://a.org/dir/secret": False,
+        "https://a.org/dir/pub/f": True,
+        "https://a.org/aMIDz": False,
+        "https://a.org/aMIDz2": True,
+        "https://a.org/same": True,
+        "https://a.org/other": True,
+        "https://a.org": True,
+    }
+
+
+def test_query_string_in_match_target_and_unknown_host(spark):
+    body = "User-agent: *\nAllow: /p$\nDisallow: /p\n"
+    robots = spark.createDataFrame([("a.org", body)], ["host", "robots_txt"])
+    u = spark.createDataFrame(
+        [(1, "https://a.org/p"), (2, "https://a.org/p?x=1"),
+         (3, "https://nowhere.org/p")],
+        ["doc_id", "url"],
+    )
+    out = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_filter(u, robots_rules_df(robots)).collect()
+    }
+    # the $ anchor sees path+query: '?x=1' defeats the Allow
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_spec_to_regex_escapes_metachars(spark):
+    df = spark.createDataFrame(
+        [("/a.b(c)+?[x]|{2}\\d",), ("/w*e$",)], ["s"]
+    ).select(spec_to_regex(F.col("s")).alias("re"))
+    got = [r["re"] for r in df.collect()]
+    assert got[0] == r"^/a\.b\(c\)\+\?\[x\]\|\{2\}\\d"
+    assert got[1] == "^/w.*e$"
+    # the escaped pattern matches only the literal text
+    chk = spark.createDataFrame(
+        [("/a.b(c)+?[x]|{2}\\d", True), ("/aXb(c)+?[x]|{2}\\d", False)],
+        ["t", "want"],
+    ).select(F.regexp_like(F.col("t"), F.lit(got[0])).alias("m"), "want").collect()
+    assert all(r["m"] == r["want"] for r in chk)

@@ -2679,6 +2679,51 @@ WHERE dst_host <> '' AND dst_host <> src_host"""
     return host_rank_sql(edges, n_iter=3) + " ORDER BY host"
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities over the same synthesized
+    link graph as host_rank — the complementary centrality (link farms
+    are hubs with no authority). Normalize-by-max keeps every score in
+    ppm; the unrolled DuckDB mirror replays all 3 rounds."""
+    from jsonschema_spark.operators.linkgraph import host_hits_df, link_edges_df
+
+    i = F.col("doc_id")
+    src = F.concat(F.lit("h"), (i % 50).cast("string"), F.lit(".example.org"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        ((i * 7 + 1) % 50).cast("string"),
+        F.lit('.example.org/a">x</a><A HREF="https://h'),
+        ((i * 13 + 2) % 50).cast("string"),
+        F.lit('.example.org/b?x=1&amp;y=2">y</A><a href="https://h'),
+        ((i * 29 + 3) % 50).cast("string"),
+        F.lit('.example.org/c">z</a></body></html>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        src.alias("src_host"), F.encode(html, "UTF-8").alias("html"))
+    return host_hits_df(link_edges_df(pages), n_iter=3).orderBy("host")
+
+
+def _host_hits_sql() -> str:
+    from jsonschema_spark.operators.linkgraph import (
+        HOST_RE, HREF_RE, host_hits_sql)
+
+    html = (
+        "'<html><body><a href=\"https://h' || ((doc_id*7+1)%50)::VARCHAR"
+        " || '.example.org/a\">x</a><A HREF=\"https://h' ||"
+        " ((doc_id*13+2)%50)::VARCHAR"
+        " || '.example.org/b?x=1&amp;y=2\">y</A><a href=\"https://h' ||"
+        " ((doc_id*29+3)%50)::VARCHAR || '.example.org/c\">z</a></body></html>'"
+    )
+    edges = f"""
+SELECT DISTINCT src_host, dst_host FROM (
+  SELECT src_host,
+         lower(regexp_extract(replace(u, '&amp;', '&'), '{HOST_RE}', 1)) AS dst_host
+  FROM (SELECT 'h' || (doc_id % 50)::VARCHAR || '.example.org' AS src_host,
+               unnest(regexp_extract_all({html}, '{HREF_RE}', 1)) AS u
+        FROM documents))
+WHERE dst_host <> '' AND dst_host <> src_host"""
+    return host_hits_sql(edges, n_iter=3) + " ORDER BY host"
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing (WebDataset/Megatron export layout):
     greedy order-preserving packing per source — shard boundary at every
@@ -3078,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "html_extract": q_html_extract,
         "host_rank": q_host_rank,
+        "host_hits": q_host_hits,
         "export_shards": q_export_shards,
         "anchor_terms": q_anchor_terms,
         "bm25_search": q_bm25_search,
@@ -3485,6 +3531,7 @@ FROM documents WHERE text IS NOT NULL""",
         "sessionize_events": _SESSIONIZE_SQL,
         "html_extract": _html_extract_sql(),
         "host_rank": _host_rank_sql(),
+        "host_hits": _host_hits_sql(),
         "export_shards": _EXPORT_SHARDS_SQL,
         "anchor_terms": _anchor_terms_sql(),
         "bm25_search": _bm25_sql(),

@@ -107,6 +107,7 @@ from jsonschema_spark.operators.htmltext import extract_text_html, html_text_df
 from jsonschema_spark.operators.linkgraph import (
     anchor_text_df,
     extract_links,
+    host_hits_df,
     host_rank_df,
     link_edges_df,
 )
@@ -194,6 +195,7 @@ __all__ = [
     "extract_links",
     "link_edges_df",
     "host_rank_df",
+    "host_hits_df",
     "anchor_text_df",
     "shard_assign",
     "shard_stats",

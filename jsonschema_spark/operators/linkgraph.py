@@ -198,3 +198,114 @@ SELECT src_host, dst_host, anchor FROM (
                unnest(regexp_extract_all(html, '{ANCHOR_EL_RE}', 0)) AS el
         FROM ({pages_cte})))
 WHERE dst_host <> '' AND anchor <> ''"""
+
+
+def host_hits_df(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over (src_host, dst_host)
+    edges: hubs point at good authorities, authorities are pointed at by
+    good hubs — the complementary centrality to PageRank (a page hub
+    score is a *curation* signal: link farms are hubs with no authority).
+
+    Iteration (the classic order): authₜ = Σ_in hubₜ₋₁, then
+    hubₜ = Σ_out authₜ; each vector renormalizes to max = 1e6 ppm via
+    ``floor(s·1e6 / max)`` computed as ONE int64→double multiply + divide
+    + floor — bit-identical in Spark and DuckDB (pure-int64 would
+    overflow at 1e6·in-degree·1e6 for crawl-scale degrees; L2 norms need
+    sqrt, which no integer oracle can replay). Hosts with no in-links
+    get authority 0 after round 1 (and mirror-wise for hubs).
+
+    Returns (host, hub_ppm, auth_ppm) for every host on either side.
+
+    Scale shape: per round, one src-join + dst-groupBy and one dst-join +
+    src-groupBy (map-side partials defuse degree skew both directions),
+    plus one scalar max broadcast back as a literal row — no action, no
+    driver state. Edge table and per-round vectors localCheckpoint so
+    plan size stays O(1) in rounds (same discipline as host_rank_df).
+    Pass DISTINCT edges (link_edges_df emits them); multi-edges would
+    weight by multiplicity.
+    """
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ed = edges.localCheckpoint(eager=False)
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        mx = raw.agg(F.max("s").alias("mx"))
+        return (
+            nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "host",
+                F.coalesce(
+                    F.floor(F.col("s").cast("double") * F.lit(1_000_000) / F.col("mx")),
+                    F.lit(0),
+                ).cast("long").alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    hubs = nodes.select("host", F.lit(1_000_000).cast("long").alias("s"))
+    auth = None
+    for _ in range(n_iter):
+        araw = (
+            ed.join(hubs, ed.src_host == hubs.host)
+            .groupBy(ed.dst_host.alias("host"))
+            .agg(F.sum("s").alias("s"))
+        )
+        auth = _norm(araw)
+        hraw = (
+            ed.join(auth, ed.dst_host == auth.host)
+            .groupBy(ed.src_host.alias("host"))
+            .agg(F.sum("s").alias("s"))
+        )
+        hubs = _norm(hraw)
+    return (
+        nodes.join(hubs.withColumnRenamed("s", "hub_ppm"), "host")
+        .join(auth.withColumnRenamed("s", "auth_ppm"), "host")
+    )
+
+
+def host_hits_sql(edges_cte: str, n_iter: int = 3) -> str:
+    """DuckDB mirror of host_hits_df: unrolled iterations of the same
+    normalize-by-max integer/double formula. Every round CTE is
+    MATERIALIZED — each is referenced twice (join + max subquery), so
+    default CTE inlining re-expands the whole prior-round tree per
+    reference and planning goes exponential in rounds (measured: 2 rounds
+    1 s, 3 rounds 7 s, 4 rounds > 2 min on a 13-node graph)."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_cte})",
+        "n AS MATERIALIZED (SELECT DISTINCT host FROM "
+        "(SELECT src_host AS host FROM e UNION ALL SELECT dst_host FROM e))",
+        "h0 AS MATERIALIZED (SELECT host, 1000000::BIGINT AS s FROM n)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"ar{t} AS MATERIALIZED (SELECT e.dst_host AS host, "
+            f"sum(h{t-1}.s)::BIGINT AS s "
+            f"FROM e JOIN h{t-1} ON e.src_host = h{t-1}.host GROUP BY 1)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT n.host, "
+            f"coalesce(floor(ar{t}.s::DOUBLE * 1000000 "
+            f"/ (SELECT max(s) FROM ar{t}))::BIGINT, 0) AS s "
+            f"FROM n LEFT JOIN ar{t} USING (host))"
+        )
+        parts.append(
+            f"hr{t} AS MATERIALIZED (SELECT e.src_host AS host, "
+            f"sum(a{t}.s)::BIGINT AS s "
+            f"FROM e JOIN a{t} ON e.dst_host = a{t}.host GROUP BY 1)"
+        )
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT n.host, "
+            f"coalesce(floor(hr{t}.s::DOUBLE * 1000000 "
+            f"/ (SELECT max(s) FROM hr{t}))::BIGINT, 0) AS s "
+            f"FROM n LEFT JOIN hr{t} USING (host))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT n.host, h{n_iter}.s AS hub_ppm, a{n_iter}.s AS auth_ppm "
+        f"FROM n JOIN h{n_iter} USING (host) JOIN a{n_iter} USING (host)"
+    )

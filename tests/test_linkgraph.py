@@ -90,3 +90,53 @@ def test_anchor_text_duckdb_parity(spark):
     pages = f"SELECT 's.com' AS src_host, '{html.replace(chr(39), chr(39)*2)}' AS html"
     duck = sorted(tuple(r) for r in _duck.sql(anchor_text_sql(pages)).fetchall())
     assert spark_rows == duck and len(duck) == 3
+
+
+def test_hits_hand_computed_two_rounds(spark):
+    """Kleinberg HITS on a 4-node graph: a,d pure hubs, c pure authority,
+    b mixed — every value traced by hand through 2 normalize-by-max
+    rounds (ar1: b=2e6,c=3e6 -> a1: b=666666; hr1: a=d=1666666,b=1e6 ->
+    h1: b=600000; ar2: c=2.6e6 -> a2: b=769230; hr2: a=d=1769230 ->
+    h2: b=565217)."""
+    from jsonschema_spark.operators.linkgraph import host_hits_df
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b"), ("d", "c"), ("b", "c")],
+        ["src_host", "dst_host"],
+    )
+    got = {
+        r["host"]: (r["hub_ppm"], r["auth_ppm"])
+        for r in host_hits_df(edges, n_iter=2).collect()
+    }
+    assert got == {
+        "a": (1_000_000, 0),
+        "d": (1_000_000, 0),
+        "b": (565_217, 769_230),
+        "c": (0, 1_000_000),
+    }
+
+
+def test_hits_duckdb_parity_and_plan(spark):
+    """Spark HITS == the unrolled DuckDB mirror on a random-ish graph;
+    plan contains no cross join and no Python stages."""
+    import duckdb
+
+    from jsonschema_spark.operators.linkgraph import host_hits_df, host_hits_sql
+
+    pairs = sorted({(f"h{(i * 7) % 13}", f"h{(i * 11 + 3) % 13}") for i in range(40)})
+    pairs = [(s, d) for s, d in pairs if s != d]
+    edges = spark.createDataFrame(pairs, ["src_host", "dst_host"])
+    out = host_hits_df(edges, n_iter=4)
+    got = {r["host"]: (r["hub_ppm"], r["auth_ppm"]) for r in out.collect()}
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in pairs)
+    sql = host_hits_sql(
+        f"SELECT * FROM (VALUES {vals}) AS v(src_host, dst_host)", n_iter=4
+    )
+    want = {
+        h: (int(hub), int(auth))
+        for h, hub, auth in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -2813,6 +2813,84 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation (n_chars vs token count) — the
+    engine-portable variant of F.corr: six exact int64 sums in ONE
+    aggregation, the coefficient one shared-op-order double formula
+    (IEEE sqrt is correctly rounded everywhere)."""
+    from jsonschema_spark.operators.dedup import tokens
+    from jsonschema_spark.operators.stats import pairwise_corr
+
+    d = _docs(spark, sf_dir).select(
+        "n_chars", F.size(tokens(F.col("text"))).alias("n_toks"))
+    return pairwise_corr(d, "n_chars", "n_toks")
+
+
+_CORR_SQL = f"""
+WITH t AS (SELECT n_chars, len({_TOKS}) AS n_toks FROM documents),
+a AS (SELECT count(*)::BIGINT AS n,
+             coalesce(sum(n_chars), 0)::BIGINT AS sx,
+             coalesce(sum(n_toks), 0)::BIGINT AS sy,
+             coalesce(sum(n_chars * n_chars), 0)::BIGINT AS sxx,
+             coalesce(sum(n_toks * n_toks), 0)::BIGINT AS syy,
+             coalesce(sum(n_chars * n_toks), 0)::BIGINT AS sxy
+      FROM t WHERE n_chars IS NOT NULL AND n_toks IS NOT NULL)
+SELECT n, sx AS sum_x, sy AS sum_y,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN floor((n * sxy - sx * sy)::DOUBLE * 1000000.0
+                       / sqrt((n * sxx - sx * sx)::DOUBLE
+                              * (n * syy - sy * sy)))::BIGINT
+       END AS corr_ppm
+FROM a"""
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per doc (the language-ID prefilter):
+    docs augmented with hash-derived Cyrillic/CJK/Greek runs so every
+    class fires; one regexp_count per class in the scan projection,
+    dominant = greatest(struct(count, -priority, name))."""
+    from jsonschema_spark.operators.textstats import script_profile
+
+    i = F.col("doc_id")
+    t = F.concat(
+        F.col("text"), F.lit(" "),
+        F.repeat(F.lit("д"), (i % 4).cast("int")),
+        F.repeat(F.lit("汉"), (i % 3).cast("int")),
+        F.repeat(F.lit("α"), (i % 2).cast("int")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return script_profile(d, "doc_id", "text")
+
+
+def _script_profile_sql() -> str:
+    from jsonschema_spark.operators.textstats import SCRIPT_CLASSES
+
+    cnt = {
+        name: f"coalesce(len(regexp_extract_all(t, '{pat}')), 0)::BIGINT"
+        for name, pat in SCRIPT_CLASSES
+    }
+    cols = ",\n       ".join(f"{cnt[name]} AS {name}" for name, _ in SCRIPT_CLASSES)
+    structs = ", ".join(
+        f"{{'c': {name}, 'p': {-i}, 's': '{name}'}}"
+        for i, (name, _) in enumerate(SCRIPT_CLASSES)
+    )
+    names = ", ".join(name for name, _ in SCRIPT_CLASSES)
+    return f"""
+WITH d AS (SELECT doc_id,
+                  text || ' ' || repeat('д', (doc_id % 4)::INT)
+                       || repeat('汉', (doc_id % 3)::INT)
+                       || repeat('α', (doc_id % 2)::INT) AS t
+           FROM documents),
+c AS (SELECT doc_id, coalesce(length(t), 0)::BIGINT AS n_chars,
+       {cols}
+      FROM d),
+g AS (SELECT *, list_max([{structs}]) AS dom FROM c)
+SELECT doc_id, n_chars, {names},
+       CASE WHEN struct_extract(dom, 'c') > 0
+            THEN struct_extract(dom, 's') END AS dominant_script
+FROM g"""
+
+
 _ROBOTS_BASE = (
     "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"
     "Allow: /private/ok$\nDisallow: /t*p\nDisallow:\nCrawl-delay: 5\n"
@@ -3130,6 +3208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "kmeans_cells": q_kmeans_cells,
         "robots_filter": q_robots_filter,
+        "corr_profile": q_corr_profile,
+        "script_profile": q_script_profile,
     }
 
 
@@ -3538,4 +3618,6 @@ FROM documents WHERE text IS NOT NULL""",
         "chunk_docs": _chunk_docs_sql(),
         "kmeans_cells": _kmeans_sql(),
         "robots_filter": _robots_sql(),
+        "corr_profile": _CORR_SQL,
+        "script_profile": _script_profile_sql(),
     }

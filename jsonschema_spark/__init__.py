@@ -77,6 +77,7 @@ from jsonschema_spark.operators.dedup import (
 )
 from jsonschema_spark.operators.textstats import (
     boilerplate_strip,
+    script_profile,
     clean_text,
     compression_ratio,
     nfc_normalize,
@@ -95,7 +96,7 @@ from jsonschema_spark.operators.similarity import (
     semantic_dedup,
     semantic_dedup_pairs,
 )
-from jsonschema_spark.operators.stats import sessionize
+from jsonschema_spark.operators.stats import pairwise_corr, sessionize
 from jsonschema_spark.operators.urltools import (
     host_stats_df,
     normalize_url,
@@ -205,6 +206,8 @@ __all__ = [
     "kmeans_fixed",
     "robots_rules_df",
     "robots_filter",
+    "pairwise_corr",
+    "script_profile",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

@@ -211,3 +211,53 @@ def sessionize(
             *[F.col(c) for c in ("n_events",) + (("value_milli",) if value_col else ())],
         )
     )
+
+
+def pairwise_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Exact Pearson correlation between two integer columns — the
+    engine-portable variant of ``F.corr`` (whose streaming float update
+    is partial-aggregation-order dependent in the last ulp, so no SQL
+    oracle can replay it).
+
+    One aggregation computes the six exact int64 sums (n, Σx, Σy, Σx²,
+    Σy², Σxy); the coefficient is ONE shared-op-order formula —
+    ``floor((n·Σxy − Σx·Σy)::double · 1e6 / sqrt((n·Σx² − Σx²)::double ·
+    (n·Σy² − Σy²)))`` — bit-identical across engines (IEEE sqrt is
+    correctly rounded everywhere). NULL when either variance is zero or
+    no complete pairs exist. Rows with a NULL on either side are dropped
+    (pairwise-complete).
+
+    Int contract: inputs must be integers with n·max(x²) < 2⁶³ (ANSI
+    overflow throws, loudly, not silently) — winsorize or downscale
+    heavy-tailed columns first (quantiles/profile_long give the bounds).
+
+    Output: one row (n, sum_x, sum_y, corr_ppm).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    a = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("_x"), F.lit(0)).alias("sum_x"),
+        F.coalesce(F.sum("_y"), F.lit(0)).alias("sum_y"),
+        F.coalesce(F.sum(F.col("_x") * F.col("_x")), F.lit(0)).alias("_sxx"),
+        F.coalesce(F.sum(F.col("_y") * F.col("_y")), F.lit(0)).alias("_syy"),
+        F.coalesce(F.sum(F.col("_x") * F.col("_y")), F.lit(0)).alias("_sxy"),
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("sum_x") * F.col("sum_y")
+    va = F.col("n") * F.col("_sxx") - F.col("sum_x") * F.col("sum_x")
+    vb = F.col("n") * F.col("_syy") - F.col("sum_y") * F.col("sum_y")
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_x").cast("long").alias("sum_x"),
+        F.col("sum_y").cast("long").alias("sum_y"),
+        F.when(
+            (va > 0) & (vb > 0),
+            F.floor(
+                num.cast("double") * F.lit(1_000_000.0)
+                / F.sqrt(va.cast("double") * vb)
+            ),
+        ).cast("long").alias("corr_ppm"),
+    )

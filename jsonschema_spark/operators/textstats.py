@@ -703,3 +703,55 @@ def top_ngrams(
         .select(F.col("_g").alias("gram"), "n_occurrences", "n_docs",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# Unicode script classes as explicit codepoint ranges — the SAME pattern
+# text runs on Java regex and RE2 (both accept \x{hhhh} in classes), so
+# the oracle shares each class verbatim. Order = dominance tie-break
+# priority (earlier wins at equal counts).
+SCRIPT_CLASSES = (
+    ("latin", r"[A-Za-z]"),
+    ("digit", r"[0-9]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+    ("kana", r"[\x{3040}-\x{30FF}]"),
+)
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode-script composition — the language-ID
+    prefilter crawl pipelines run before any model-based classifier
+    (CJK/Cyrillic/Arabic text should never reach an English quality
+    gate, and mixed-script spam is its own signal).
+
+    One ``regexp_count`` per script class inside the scan projection —
+    zero Python, zero shuffles. ``dominant_script`` is the argmax with
+    ties broken by class-list order via one greatest(struct(count,
+    −position, name)) expression (NULL when no class matches at all).
+
+    Output: (id_col, n_chars, <one count per class>, dominant_script).
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0)).cast("long")
+        for name, pat in SCRIPT_CLASSES
+    }
+    dom = F.greatest(
+        *[
+            F.struct(
+                counts[name].alias("c"),
+                F.lit(-i).alias("p"),
+                F.lit(name).alias("s"),
+            )
+            for i, (name, _) in enumerate(SCRIPT_CLASSES)
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars"),
+        *[counts[name].alias(name) for name, _ in SCRIPT_CLASSES],
+        F.when(dom["c"] > 0, dom["s"]).alias("dominant_script"),
+    )

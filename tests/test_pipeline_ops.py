@@ -1365,3 +1365,48 @@ def test_kmeans_tiebreak_and_empty_cell_carry(spark):
         kmeans_fixed(df, "vec_id", "embedding", k=0)
     with _pt.raises(ValueError):
         kmeans_fixed(df, "vec_id", "embedding", k=2, iters=0)
+
+
+def test_pairwise_corr_hand_computed(spark):
+    """Exact-sums Pearson: numpy parity, perfect/anti correlation,
+    zero-variance NULL, pairwise-complete null handling."""
+    import numpy as np
+
+    from jsonschema_spark.operators.stats import pairwise_corr
+
+    xs = [1, 2, 3, 4, 7, 9]
+    ys = [2, 4, 6, 9, 12, 20]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    r = pairwise_corr(df, "x", "y").collect()[0]
+    want = int(np.floor(np.corrcoef(xs, ys)[0, 1] * 1e6))
+    assert abs(r["corr_ppm"] - want) <= 1  # numpy uses a different op order
+    assert (r["n"], r["sum_x"], r["sum_y"]) == (6, sum(xs), sum(ys))
+    perfect = spark.createDataFrame([(i, 3 * i + 7) for i in range(5)], ["x", "y"])
+    assert pairwise_corr(perfect, "x", "y").collect()[0]["corr_ppm"] == 1_000_000
+    anti = spark.createDataFrame([(i, -2 * i) for i in range(5)], ["x", "y"])
+    assert pairwise_corr(anti, "x", "y").collect()[0]["corr_ppm"] == -1_000_000
+    flat = spark.createDataFrame([(1, 5), (2, 5)], ["x", "y"])
+    assert pairwise_corr(flat, "x", "y").collect()[0]["corr_ppm"] is None
+    withnull = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 6), (3, 6)], "x: int, y: int"
+    )
+    assert pairwise_corr(withnull, "x", "y").collect()[0]["n"] == 2
+
+
+def test_script_profile_counts_and_dominance(spark):
+    from jsonschema_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello мир 汉字 123"), (2, "αβγ"), (3, "???"), (4, None),
+         (5, "чч aa"), (6, "한글 かな")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in script_profile(df, "doc_id", "text").collect()}
+    assert (rows[1]["latin"], rows[1]["digit"], rows[1]["cyrillic"], rows[1]["cjk"]) == (5, 3, 3, 2)
+    assert rows[1]["dominant_script"] == "latin"
+    assert rows[2]["dominant_script"] == "greek"
+    assert rows[3]["dominant_script"] is None          # no class matches
+    assert rows[4]["dominant_script"] is None and rows[4]["n_chars"] == 0
+    assert rows[5]["dominant_script"] == "latin"       # 2-2 tie -> list order
+    assert rows[6]["hangul"] == 2 and rows[6]["kana"] == 2
+    assert rows[6]["dominant_script"] == "hangul"      # tie -> earlier class

@@ -2813,6 +2813,56 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round-trip: documents serialized into concatenated
+    WARC/1.0 files (10 records each, CRLF framing, Content-Length), then
+    exploded back by the JVM record parser. The oracle computes the
+    GROUND TRUTH of what was serialized (RE2 has no lookahead so it
+    cannot replay the split) — parser output must equal it field-for-
+    field, payload compared by portable 56-bit hash."""
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.sources.warc import warc_records
+
+    i = F.col("doc_id")
+    body = F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h"),
+        (i % 50).cast("string"), F.lit(".example.org/p"), i.cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-0"), (i % 9 + 1).cast("string"),
+        F.lit("T00:00:00Z\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"), body, F.lit("\r\n\r\n"),
+    )
+    files = (
+        _docs(spark, sf_dir)
+        .select(F.expr("doc_id div 10").alias("file_id"),
+                F.struct(i.alias("i"), rec.alias("r")).alias("s"))
+        .groupBy("file_id")
+        .agg(F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list("s")),
+                            lambda s: s["r"])).alias("warc"))
+    )
+    out = warc_records(files, "file_id", "warc")
+    return out.select(
+        "file_id", "rec_idx", "warc_type", "target_uri", "warc_date",
+        "content_length", hash56(F.col("payload")).alias("payload_h"),
+    )
+
+
+_WARC_SQL = f"""
+WITH b AS (SELECT doc_id, '<html><body>' || text || '</body></html>' AS body
+           FROM documents)
+SELECT (doc_id // 10)::BIGINT AS file_id,
+       (doc_id % 10)::BIGINT AS rec_idx,
+       'response' AS warc_type,
+       'https://h' || (doc_id % 50)::VARCHAR || '.example.org/p'
+           || doc_id::VARCHAR AS target_uri,
+       '2024-01-0' || (doc_id % 9 + 1)::VARCHAR || 'T00:00:00Z' AS warc_date,
+       length(body)::BIGINT AS content_length,
+       {_h56('body')} AS payload_h
+FROM b"""
+
+
 def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Pearson correlation (n_chars vs token count) — the
     engine-portable variant of F.corr: six exact int64 sums in ONE
@@ -3208,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "kmeans_cells": q_kmeans_cells,
         "robots_filter": q_robots_filter,
+        "warc_records": q_warc_records,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
     }
@@ -3618,6 +3669,7 @@ FROM documents WHERE text IS NOT NULL""",
         "chunk_docs": _chunk_docs_sql(),
         "kmeans_cells": _kmeans_sql(),
         "robots_filter": _robots_sql(),
+        "warc_records": _WARC_SQL,
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
     }

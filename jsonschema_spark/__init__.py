@@ -48,6 +48,7 @@ from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.fmt import fmt_check, format_schema
 from jsonschema_spark.plans.pyeval import validate_py
 from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
+from jsonschema_spark.sources.warc import warc_records
 from jsonschema_spark.operators.curate import (
     budget_sample,
     chunk_docs,
@@ -208,6 +209,7 @@ __all__ = [
     "robots_filter",
     "pairwise_corr",
     "script_profile",
+    "warc_records",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

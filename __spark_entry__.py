@@ -2813,6 +2813,102 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-side composition: pages → link extraction → host
+    graph → 2-round integer PageRank prior → uncrawled-host frontier
+    (anti-join) → robots.txt compliance (parsed + longest-match) → top-100
+    fetch queue by (rank, url). Every stage is the shipped operator; the
+    oracle replays link extraction and the rank rounds and mirrors the
+    frontier/robots/priority logic."""
+    from jsonschema_spark.operators.linkgraph import (
+        HOST_RE, extract_links, host_rank_df, link_edges_df)
+    from jsonschema_spark.operators.robots import robots_filter, robots_rules_df
+
+    i = F.col("doc_id")
+    src = F.concat(F.lit("h"), (i % 50).cast("string"), F.lit(".example.org"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        ((i * 7 + 1) % 100).cast("string"),
+        F.lit('.example.org/a">x</a><a href="https://h'),
+        ((i * 13 + 2) % 100).cast("string"),
+        F.lit('.example.org/b?x=1&amp;y=2">y</a><a href="https://h'),
+        ((i * 29 + 3) % 100).cast("string"),
+        F.lit('.example.org/c">z</a></body></html>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        src.alias("src_host"), F.encode(html, "UTF-8").alias("html"))
+    ranks = host_rank_df(link_edges_df(pages), n_iter=2)
+    links = pages.select(F.explode(extract_links(F.col("html"))).alias("url")) \
+        .select("url", F.lower(F.regexp_extract("url", HOST_RE, 1)).alias("host")) \
+        .distinct()
+    crawled = pages.select(F.col("src_host").alias("host")).distinct()
+    frontier = links.join(crawled, "host", "left_anti")
+    hosts = frontier.select("host").distinct()
+    hnum = F.regexp_extract("host", r"h([0-9]+)", 1).cast("int")
+    robots = hosts.select(
+        "host",
+        F.when(hnum % 3 == 0,
+               F.lit("User-agent: *\nDisallow: /a\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n")).alias("robots_txt"),
+    )
+    allowed = robots_filter(
+        frontier.withColumn("fid", F.col("url")), robots_rules_df(robots),
+        url_col="url", id_col="fid",
+    ).where(F.col("allowed")).select(F.col("fid").alias("url"))
+    queue = (
+        allowed.select(
+            "url", F.lower(F.regexp_extract("url", HOST_RE, 1)).alias("host"))
+        .join(ranks, "host")
+        .orderBy(F.col("rank_ppm").desc(), F.col("url").asc())
+        .limit(100)
+    )
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.col("rank_ppm").desc(), F.col("url").asc())
+    return queue.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def _crawl_frontier_sql() -> str:
+    from jsonschema_spark.operators.linkgraph import (
+        HOST_RE, HREF_RE, host_rank_sql)
+    from jsonschema_spark.operators.urltools import _URL_RE as _URL_RE_SQL
+
+    html = (
+        "'<html><body><a href=\"https://h' || ((doc_id*7+1)%100)::VARCHAR"
+        " || '.example.org/a\">x</a><a href=\"https://h' ||"
+        " ((doc_id*13+2)%100)::VARCHAR"
+        " || '.example.org/b?x=1&amp;y=2\">y</a><a href=\"https://h' ||"
+        " ((doc_id*29+3)%100)::VARCHAR || '.example.org/c\">z</a></body></html>'"
+    )
+    edges = f"""
+SELECT DISTINCT src_host, dst_host FROM (
+  SELECT src_host,
+         lower(regexp_extract(replace(u, '&amp;', '&'), '{HOST_RE}', 1)) AS dst_host
+  FROM (SELECT 'h' || (doc_id % 50)::VARCHAR || '.example.org' AS src_host,
+               unnest(regexp_extract_all({html}, '{HREF_RE}', 1)) AS u
+        FROM documents))
+WHERE dst_host <> '' AND dst_host <> src_host"""
+    ranks = host_rank_sql(edges, n_iter=2)
+    return f"""
+WITH lk AS (SELECT DISTINCT replace(u, '&amp;', '&') AS url
+            FROM (SELECT unnest(regexp_extract_all({html}, '{HREF_RE}', 1)) AS u
+                  FROM documents)),
+l AS (SELECT url, lower(regexp_extract(url, '{HOST_RE}', 1)) AS host FROM lk),
+fr AS (SELECT url, host,
+              regexp_extract(host, 'h([0-9]+)', 1)::INT AS hn,
+              regexp_extract(url, '{_URL_RE_SQL}', 4) AS path
+       FROM l
+       WHERE NOT EXISTS (SELECT 1 FROM documents d
+                         WHERE 'h' || (d.doc_id % 50)::VARCHAR
+                               || '.example.org' = l.host)),
+al AS (SELECT url, host FROM fr
+       WHERE NOT (hn % 3 = 0 AND starts_with(path, '/a'))),
+rk AS ({ranks})
+SELECT al.url, al.host, rk.rank_ppm,
+       row_number() OVER (ORDER BY rk.rank_ppm DESC, al.url)::BIGINT AS rnk
+FROM al JOIN rk ON al.host = rk.host
+ORDER BY rk.rank_ppm DESC, al.url LIMIT 100"""
+
+
 def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion round-trip: documents serialized into concatenated
     WARC/1.0 files (10 records each, CRLF framing, Content-Length), then
@@ -3259,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans_cells,
         "robots_filter": q_robots_filter,
         "warc_records": q_warc_records,
+        "crawl_frontier": q_crawl_frontier,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
     }
@@ -3670,6 +3767,7 @@ FROM documents WHERE text IS NOT NULL""",
         "kmeans_cells": _kmeans_sql(),
         "robots_filter": _robots_sql(),
         "warc_records": _WARC_SQL,
+        "crawl_frontier": _crawl_frontier_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
     }

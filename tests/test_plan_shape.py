@@ -145,3 +145,49 @@ def test_html_extract_pure_codegen_projection(spark):
     # the whole regex chain runs inside the scan projection
     assert "Exchange" not in plan and "EvalPython" not in plan
     assert "*(1)" in plan
+
+
+def test_bm25_broadcast_only_filter_on_explode(spark):
+    """bm25: query-term filter fused with the explode (the corpus never
+    shuffles unfiltered), joins broadcast-only, zero Python."""
+    from jsonschema_spark.operators.search import bm25_topk
+
+    df = spark.read.parquet(DOCS)
+    plan = _plan(bm25_topk(df, "doc_id", "text", ["data", "spark", "row"], k=5),
+                 "simple")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # the tf table is checkpointed (one corpus explode feeds both the
+    # df-counts aggregate and the scoring join) — the filtered explode
+    # lives inside the RDD lineage, so the SQL plan scans ExistingRDD
+    assert "Scan ExistingRDD" in plan
+    # the only parquet scan left is the N/Σdl scalar agg, pruned to text
+    assert plan.count("FileScan parquet") == 1
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_script_profile_zero_exchange_projection(spark):
+    from jsonschema_spark.operators.textstats import script_profile
+
+    df = spark.read.parquet(DOCS)
+    plan = _plan(script_profile(df, "doc_id", "text"), "simple")
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_robots_filter_no_cross_product(spark):
+    from jsonschema_spark.operators.robots import robots_filter, robots_rules_df
+
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /x\n")], ["host", "robots_txt"])
+    urls = spark.createDataFrame([(1, "https://a.org/x")], ["doc_id", "url"])
+    plan = _plan(robots_filter(urls, robots_rules_df(robots)), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_warc_jvm_path_python_free(spark):
+    from jsonschema_spark.sources.warc import warc_records
+
+    df = spark.createDataFrame([(1, "WARC/1.0\r\n\r\nx\r\n\r\n")],
+                               ["file_id", "warc"])
+    assert "Python" not in _plan(warc_records(df), "simple")

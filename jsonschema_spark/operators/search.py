@@ -13,8 +13,9 @@ Engine-portable arithmetic (the repo-wide oracle discipline):
   ``tfn_ppm = floor(tf·(k1+1000) · 1e15 / DEN)`` with
   ``DEN = tf·1e12 + k1·((1000−b)·1e6 + b·dlnorm_ppm)`` exact int64
   (k1, b are MILLI-valued ints; ``dlnorm_ppm = floor(1e6·dl/avgdl)``,
-  ``avgdl = floor(Σdl/N)`` — one integer division, CLAUDE.md's
-  engine-exact mean) and the final ratio one int64→double multiply +
+  ``avgdl = floor(Σdl/N)`` — one division then floor, the engine-exact
+  mean: built-in avg() differs in the last ulp across engines) and the
+  final ratio one int64→double multiply +
   divide + floor, bit-identical in Spark and DuckDB;
 - idf uses the repo's ln-free integer surrogate ``idf_ppm =
   floor(1e6·N/df_t)`` (same family as textstats.tfidf_top_terms):

@@ -2813,6 +2813,58 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (the crawl-discovery side of robots compliance):
+    per-host XML synthesized with url entries (entity-escaped query,
+    lastmod, priority) plus a sitemapindex child every 5th host; whole
+    elements found by ONE regexp_extract_all, fields by anchored lazy
+    regexes — RE2∩Java-identical, mirrored verbatim in the oracle."""
+    from jsonschema_spark.operators.sitemap import sitemap_entries
+
+    i = F.col("doc_id")
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://h"), (i % 50).cast("string"),
+        F.lit(".example.org/p"), i.cast("string"),
+        F.lit("?a=1&amp;b=2 </loc><lastmod>2024-01-0"),
+        (i % 9 + 1).cast("string"),
+        F.lit("</lastmod><priority>0."), (i % 10).cast("string"),
+        F.lit("</priority></url><URL><LOC>https://h"),
+        (i % 50).cast("string"), F.lit(".example.org/q"), i.cast("string"),
+        F.lit("</LOC></URL>"),
+        F.when((i % 5) == 0, F.concat(
+            F.lit("<sitemap><loc>https://h"), (i % 50).cast("string"),
+            F.lit(".example.org/sm"), i.cast("string"),
+            F.lit(".xml</loc></sitemap>"))).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (i % 50).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_entries(d)
+
+
+def _sitemap_sql() -> str:
+    from jsonschema_spark.operators.sitemap import sitemap_entries_sql
+
+    xml = (
+        "'<urlset><url><loc> https://h' || (doc_id % 50)::VARCHAR ||"
+        " '.example.org/p' || doc_id::VARCHAR ||"
+        " '?a=1&amp;b=2 </loc><lastmod>2024-01-0' || (doc_id % 9 + 1)::VARCHAR ||"
+        " '</lastmod><priority>0.' || (doc_id % 10)::VARCHAR ||"
+        " '</priority></url><URL><LOC>https://h' || (doc_id % 50)::VARCHAR ||"
+        " '.example.org/q' || doc_id::VARCHAR || '</LOC></URL>' ||"
+        " CASE WHEN doc_id % 5 = 0 THEN"
+        " '<sitemap><loc>https://h' || (doc_id % 50)::VARCHAR ||"
+        " '.example.org/sm' || doc_id::VARCHAR || '.xml</loc></sitemap>'"
+        " ELSE '' END || '</urlset>'"
+    )
+    src = (f"SELECT 'h' || (doc_id % 50)::VARCHAR || '.example.org' AS host, "
+           f"{xml} AS sitemap_xml FROM documents")
+    return sitemap_entries_sql(src)
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-side composition: pages → link extraction → host
     graph → 2-round integer PageRank prior → uncrawled-host frontier
@@ -3356,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "warc_records": q_warc_records,
         "crawl_frontier": q_crawl_frontier,
+        "sitemap_entries": q_sitemap_entries,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
     }
@@ -3768,6 +3821,7 @@ FROM documents WHERE text IS NOT NULL""",
         "robots_filter": _robots_sql(),
         "warc_records": _WARC_SQL,
         "crawl_frontier": _crawl_frontier_sql(),
+        "sitemap_entries": _sitemap_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
     }

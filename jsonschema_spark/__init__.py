@@ -91,6 +91,7 @@ from jsonschema_spark.operators.robots import (
     robots_rules_df,
 )
 from jsonschema_spark.operators.search import bm25_topk, term_stats
+from jsonschema_spark.operators.sitemap import sitemap_entries
 from jsonschema_spark.operators.similarity import (
     kmeans_fixed,
     prototypicality,
@@ -210,6 +211,7 @@ __all__ = [
     "pairwise_corr",
     "script_profile",
     "warc_records",
+    "sitemap_entries",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

@@ -112,3 +112,47 @@ def test_spec_to_regex_escapes_metachars(spark):
         ["t", "want"],
     ).select(F.regexp_like(F.col("t"), F.lit(got[0])).alias("m"), "want").collect()
     assert all(r["m"] == r["want"] for r in chk)
+
+
+def test_sitemap_entries_fields_and_edge_cases(spark):
+    """Case-insensitive tags, entity decode, whitespace trim, bogus
+    priority -> NULL (not a task-killing ANSI error), loc-less entries
+    dropped, sitemapindex children tagged kind='sitemap', NULL xml
+    yields no rows."""
+    from jsonschema_spark.operators.sitemap import sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc> https://a.org/p?x=1&amp;y=2 </loc>"
+        "<lastmod>2024-01-05</lastmod><priority>0.8</priority></url>"
+        "<URL><LOC>https://a.org/q</LOC></URL>"
+        "<url><priority>bogus</priority><loc>https://a.org/r</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    idx = ("<sitemapindex><sitemap><loc>https://b.org/sm2.xml</loc>"
+           "<lastmod>2024-02-01</lastmod></sitemap></sitemapindex>")
+    df = spark.createDataFrame(
+        [("a.org", xml), ("b.org", idx), ("c.org", None)],
+        ["host", "sitemap_xml"],
+    )
+    rows = [
+        (r["host"], r["kind"], r["loc"], r["lastmod"], r["priority_milli"])
+        for r in sitemap_entries(df).orderBy("host", "loc").collect()
+    ]
+    assert rows == [
+        ("a.org", "url", "https://a.org/p?x=1&y=2", "2024-01-05", 800),
+        ("a.org", "url", "https://a.org/q", None, None),
+        ("a.org", "url", "https://a.org/r", None, None),
+        ("b.org", "sitemap", "https://b.org/sm2.xml", "2024-02-01", None),
+    ]
+
+
+def test_sitemap_plan_is_single_explode_no_python(spark):
+    from jsonschema_spark.operators.sitemap import sitemap_entries
+
+    df = spark.createDataFrame([("a.org", "<url><loc>u</loc></url>")],
+                               ["host", "sitemap_xml"])
+    plan = sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    assert plan.count("Generate") == 1

@@ -2813,6 +2813,34 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: in-engine bigram-LM fluency score →
+    per-language ntile(3) over (score DESC, id) — the keep-the-
+    perplexity-head recipe as one composition of shipped operators."""
+    from jsonschema_spark.operators.curate import quality_buckets
+    from jsonschema_spark.operators.lm import ngram_lm_score
+
+    d = _docs(spark, sf_dir)
+    ref = d.where(F.col("source").isin("src0", "src1", "src2"))
+    scored = ngram_lm_score(d, "doc_id", "text", ref_df=ref) \
+        .join(d.select("doc_id", "lang"), "doc_id")
+    return quality_buckets(scored, "doc_id", "lm_score_ppm", "lang") \
+        .select("doc_id", "lang", "lm_score_ppm", "bucket", "bucket_label")
+
+
+def _ccnet_buckets_sql() -> str:
+    return f"""
+WITH L AS ({_LM_SCORE_SQL}),
+b AS (SELECT d.doc_id, d.lang, L.lm_score_ppm,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY L.lm_score_ppm DESC, d.doc_id)::BIGINT
+                 AS bucket
+      FROM documents d JOIN L USING (doc_id))
+SELECT doc_id, lang, lm_score_ppm, bucket,
+       ['head', 'middle', 'tail'][bucket::INT] AS bucket_label
+FROM b"""
+
+
 def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parsing (the crawl-discovery side of robots compliance):
     per-host XML synthesized with url entries (entity-escaped query,
@@ -3409,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": q_warc_records,
         "crawl_frontier": q_crawl_frontier,
         "sitemap_entries": q_sitemap_entries,
+        "ccnet_buckets": q_ccnet_buckets,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
     }
@@ -3822,6 +3851,7 @@ FROM documents WHERE text IS NOT NULL""",
         "warc_records": _WARC_SQL,
         "crawl_frontier": _crawl_frontier_sql(),
         "sitemap_entries": _sitemap_sql(),
+        "ccnet_buckets": _ccnet_buckets_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
     }

@@ -59,6 +59,7 @@ from jsonschema_spark.operators.curate import (
     leakage_safe_split,
     mixture_sample,
     mixture_weights,
+    quality_buckets,
     shard_assign,
     shard_stats,
 )
@@ -212,6 +213,7 @@ __all__ = [
     "script_profile",
     "warc_records",
     "sitemap_entries",
+    "quality_buckets",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

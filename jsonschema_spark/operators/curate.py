@@ -472,3 +472,46 @@ def chunk_docs(
             F.slice("_toks", F.col("_start") + 1, F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank documents
+    by a quality score WITHIN each group (language, source) and cut into
+    ``n_buckets`` equal-count bands — bucket 1 = best. The classic use is
+    keeping the perplexity head per language; pair with
+    ``lm.ngram_lm_score`` (where HIGH score = fluent).
+
+    Deterministic and engine-portable: ``ntile`` over
+    (score DESC, id ASC) — both engines define ntile by row count with
+    larger buckets first, and the id tie-break pins every row. When
+    ``labels`` has ``n_buckets`` entries a ``bucket_label`` column is
+    added; pass ``labels=()`` to skip it.
+
+    Scale shape: ONE window per group — groups rank in parallel; within a
+    group this is the same sort the export would do anyway. (A single
+    giant group serializes into one task: at that shape pre-bucket by an
+    APPROXIMATE quantile of the score — percentile_approx — and ntile
+    within the small residual band instead.)
+
+    Output: input columns + ``bucket`` (1-based long) [+ bucket_label].
+    """
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError("quality_buckets: n_buckets must be >= 1")
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    out = df.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+    if labels and len(labels) == n_buckets:
+        arr = F.array(*[F.lit(x) for x in labels])
+        out = out.withColumn(
+            "bucket_label", F.element_at(arr, F.col("bucket").cast("int"))
+        )
+    return out

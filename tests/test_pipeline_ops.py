@@ -1410,3 +1410,28 @@ def test_script_profile_counts_and_dominance(spark):
     assert rows[5]["dominant_script"] == "latin"       # 2-2 tie -> list order
     assert rows[6]["hangul"] == 2 and rows[6]["kana"] == 2
     assert rows[6]["dominant_script"] == "hangul"      # tie -> earlier class
+
+
+def test_quality_buckets_ntile_semantics(spark):
+    """ntile row-count semantics (larger buckets first), per-group
+    independence, id tie-break, label mapping, validation."""
+    from jsonschema_spark.operators.curate import quality_buckets
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(i, "a", 100 - i) for i in range(7)]
+        + [(10 + i, "b", 5) for i in range(3)],  # all-tie group
+        ["doc_id", "lang", "s"],
+    )
+    rows = {r["doc_id"]: (r["bucket"], r["bucket_label"])
+            for r in quality_buckets(df, "doc_id", "s", "lang").collect()}
+    # 7 rows -> buckets of 3,2,2
+    assert [rows[i][0] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+    assert rows[0][1] == "head" and rows[6][1] == "tail"
+    # tied scores: id ascending fills buckets deterministically
+    assert [rows[10 + i][0] for i in range(3)] == [1, 2, 3]
+    with _pt.raises(ValueError):
+        quality_buckets(df, "doc_id", "s", n_buckets=0)
+    # labels skipped when arity mismatches
+    out = quality_buckets(df, "doc_id", "s", "lang", n_buckets=2, labels=())
+    assert "bucket_label" not in out.columns

@@ -2813,6 +2813,49 @@ def _anchor_terms_sql() -> str:
             f"({anchor_text_sql(pages)}) GROUP BY 1, 2")
 
 
+_MC_P = (
+    '<html><head><title>t</title></head><body>'
+    '<nav><a href="/">Home</a> | <a href="/about">About us</a> | '
+    '<a href="/contact">Contact page</a></nav><p>',
+    '</p><p>Short stub with <a href="/x">a link</a> here.</p>'
+    '<div>tiny</div><footer><a href="/p">Privacy</a> '
+    '<a href="/t">Terms of use</a> <a href="/i">Imprint</a></footer>'
+    '</body></html>',
+)
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (boilerpipe/jusText text-density
+    heuristic): link-dense nav/footer and sub-minimum blocks dropped,
+    prose kept — per-block link density computed on the SAME normalized
+    chain both engines share. Documents wrapped in deterministic
+    link-heavy chrome; the doc body is the only block that survives."""
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.htmltext import main_content_df
+
+    d = _docs(spark, sf_dir)
+    html = F.encode(
+        F.concat(F.lit(_MC_P[0]), F.col("text"), F.lit(_MC_P[1])), "UTF-8")
+    out = main_content_df(d.select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id", "n_blocks_total", "n_blocks_kept", "n_chars",
+        hash56(F.coalesce(F.col("main_text"), F.lit(""))).alias("main_h56"),
+    )
+
+
+def _main_content_sql() -> str:
+    from jsonschema_spark.operators.htmltext import main_content_sql
+
+    p0 = _MC_P[0].replace("'", "''")
+    p1 = _MC_P[1].replace("'", "''")
+    src = (f"SELECT doc_id, '{p0}' || text || '{p1}' AS html FROM documents")
+    return f"""
+WITH mc AS ({main_content_sql(src)})
+SELECT doc_id, n_blocks_total, n_blocks_kept, n_chars,
+       {_h56("coalesce(main_text, '')")} AS main_h56
+FROM mc"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split: in-engine bigram-LM fluency score →
     per-language ntile(3) over (score DESC, id) — the keep-the-
@@ -3438,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "sitemap_entries": q_sitemap_entries,
         "ccnet_buckets": q_ccnet_buckets,
+        "main_content": q_main_content,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
     }
@@ -3852,6 +3896,7 @@ FROM documents WHERE text IS NOT NULL""",
         "crawl_frontier": _crawl_frontier_sql(),
         "sitemap_entries": _sitemap_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
+        "main_content": _main_content_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
     }

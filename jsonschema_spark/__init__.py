@@ -107,7 +107,11 @@ from jsonschema_spark.operators.urltools import (
     registered_domain,
     url_dedup_df,
 )
-from jsonschema_spark.operators.htmltext import extract_text_html, html_text_df
+from jsonschema_spark.operators.htmltext import (
+    extract_text_html,
+    html_text_df,
+    main_content_df,
+)
 from jsonschema_spark.operators.linkgraph import (
     anchor_text_df,
     extract_links,
@@ -196,6 +200,7 @@ __all__ = [
     "normalize_urls_df",
     "extract_text_html",
     "html_text_df",
+    "main_content_df",
     "extract_links",
     "link_edges_df",
     "host_rank_df",

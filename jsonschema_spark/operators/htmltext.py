@@ -72,18 +72,23 @@ STEPS: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def extract_text_html(html_col: Column, *, binary: bool = True) -> Column:
-    """Extracted plain text from an HTML column, null-in-null-out.
-
-    ``binary=True`` (the table shape) UTF-8-decodes first. Pure JVM:
-    one codegen projection, applicable inside any scan."""
-    out = F.decode(html_col, "UTF-8") if binary else html_col
-    for kind, pat, rep in STEPS:
+def apply_steps(col: Column, steps=STEPS) -> Column:
+    """Apply a (kind, pattern, replacement) step chain to a Column."""
+    out = col
+    for kind, pat, rep in steps:
         if kind == "re":
             out = F.regexp_replace(out, pat, rep)
         else:
             out = F.replace(out, F.lit(pat), F.lit(rep))
     return out
+
+
+def extract_text_html(html_col: Column, *, binary: bool = True) -> Column:
+    """Extracted plain text from an HTML column, null-in-null-out.
+
+    ``binary=True`` (the table shape) UTF-8-decodes first. Pure JVM:
+    one codegen projection, applicable inside any scan."""
+    return apply_steps(F.decode(html_col, "UTF-8") if binary else html_col)
 
 
 def html_text_df(
@@ -121,10 +126,163 @@ def html_text_sql(expr: str) -> str:
 
     DuckDB regexp_replace needs the explicit 'g' option (Spark is global
     by default); patterns are passed verbatim."""
+    return steps_sql(expr, STEPS)
+
+
+def steps_sql(expr: str, steps) -> str:
+    """DuckDB expression applying a step chain to ``expr``."""
     out = expr
-    for kind, pat, rep in STEPS:
+    for kind, pat, rep in steps:
         if kind == "re":
             out = f"regexp_replace({out}, {_sql_quote(pat)}, {_sql_quote(rep)}, 'g')"
         else:
             out = f"replace({out}, {_sql_quote(pat)}, {_sql_quote(rep)})"
     return out
+
+
+# --- main-content extraction (text-density heuristic) --------------------------
+
+# the block boundary is STEPS[4]'s tag set; PRE drops invisible content,
+# POST turns one block fragment into normalized text
+PRE_STEPS = STEPS[:4]
+BLOCK_SPLIT_RE = STEPS[4][1]
+POST_STEPS = STEPS[5:]
+ANCHOR_INNER_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def main_content_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+    min_chars: int = 25,
+    max_link_density_ppm: int = 330_000,
+) -> DataFrame:
+    """Main-content extraction — the boilerpipe/jusText/trafilatura core
+    heuristic that generic tag stripping (html_text_df) deliberately is
+    not: navigation, footers and link farms are short and link-dense,
+    article prose is long and link-sparse. Blocks (split at the same
+    block-tag boundary the generic chain turns into newlines) are KEPT
+    when text length ≥ ``min_chars`` AND link density ≤
+    ``max_link_density_ppm``, where link density =
+    floor(1e6 · anchor-text chars / block chars) — anchor text measured
+    on the tag-stripped ``<a>`` inner content, both lengths after the
+    SAME normalization chain, so the ratio is engine-exact.
+
+    Every input doc survives (null html / zero kept blocks → NULL
+    main_text, counts 0 — the dup_span_remove contract).
+
+    Output: (id_col, main_text, n_blocks_total, n_blocks_kept, n_chars);
+    blocks rejoin in document order separated by newlines;
+    n_blocks_total counts non-empty blocks.
+
+    Scale shape: one pure-JVM projection (PRE chain + split) → ONE
+    posexplode → per-block codegen stats → ONE groupBy(id) whose
+    conditional collect_list reassembles kept blocks (text shuffles
+    once, inherent to reassembly) → left join back to the input ids.
+    Zero Python anywhere.
+    """
+    src = F.decode(F.col(html_col), "UTF-8") if binary else F.col(html_col)
+    pre = apply_steps(src, PRE_STEPS)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(pre, BLOCK_SPLIT_RE)).alias("_pos", "_b"),
+    )
+    block_text = apply_steps(F.col("_b"), POST_STEPS)
+    anchor_text = apply_steps(
+        F.array_join(
+            F.regexp_extract_all(F.col("_b"), F.lit(ANCHOR_INNER_RE), 1), " "
+        ),
+        POST_STEPS,
+    )
+    st = ex.select(
+        "_id", "_pos",
+        block_text.alias("_t"),
+        F.length(block_text).alias("_bl"),
+        F.length(anchor_text).alias("_al"),
+    ).withColumn(
+        "_ppm",
+        F.when(F.col("_bl") > 0,
+               F.floor(F.col("_al") * F.lit(1_000_000) / F.col("_bl")))
+        .cast("long"),
+    ).withColumn(
+        "_keep",
+        (F.col("_bl") >= min_chars)
+        & (F.col("_ppm") <= max_link_density_ppm),
+    )
+    agg = st.groupBy("_id").agg(
+        F.sum((F.col("_bl") > 0).cast("long")).alias("n_blocks_total"),
+        F.sum(F.col("_keep").cast("long")).alias("n_blocks_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"),
+                               F.struct(F.col("_pos"), F.col("_t")))
+                    )
+                ),
+                lambda s: s["_t"],
+            ),
+            "\n",
+        ).alias("_mt"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.when(F.col("n_blocks_kept") > 0, F.col("_mt")).alias("main_text"),
+            F.coalesce("n_blocks_total", F.lit(0)).cast("long")
+            .alias("n_blocks_total"),
+            F.coalesce("n_blocks_kept", F.lit(0)).cast("long")
+            .alias("n_blocks_kept"),
+            F.coalesce(
+                F.when(F.col("n_blocks_kept") > 0, F.length("_mt")), F.lit(0)
+            ).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def main_content_sql(src: str, min_chars: int = 25,
+                     max_link_density_ppm: int = 330_000) -> str:
+    """DuckDB mirror over a CTE body producing (doc_id, html TEXT)."""
+    pre = steps_sql("html", PRE_STEPS)
+    post_t = steps_sql("blk", POST_STEPS)
+    # DuckDB: regexp_extract_all + array_to_string yields NULL (not '')
+    # when nothing matches — Spark's array_join yields '' — so coalesce
+    # or every anchor-free block scores a NULL density and gets dropped
+    post_a = steps_sql(
+        "coalesce(array_to_string(regexp_extract_all(blk, "
+        f"{_sql_quote(ANCHOR_INNER_RE)}, 1), ' '), '')",
+        POST_STEPS,
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {pre} AS pre FROM ({src})),
+bl0 AS (SELECT doc_id,
+               string_split_regex(pre, {_sql_quote(BLOCK_SPLIT_RE)}) AS bls
+        FROM h),
+b AS (SELECT doc_id, i AS pos, bls[i] AS blk
+      FROM bl0, LATERAL (SELECT unnest(range(1, len(bls)+1)) AS i) ix),
+s AS (SELECT doc_id, pos, {post_t} AS t, {post_a} AS at FROM b),
+k AS (SELECT doc_id, pos, t, length(t) AS bl,
+             CASE WHEN length(t) > 0
+                  THEN floor(length(at) * 1000000 / length(t))::BIGINT
+             END AS ppm
+      FROM s),
+a AS (SELECT doc_id,
+             count(*) FILTER (WHERE bl > 0)::BIGINT AS n_blocks_total,
+             count(*) FILTER (WHERE bl >= {min_chars}
+                              AND ppm <= {max_link_density_ppm})::BIGINT
+                 AS n_blocks_kept,
+             string_agg(t, chr(10) ORDER BY pos)
+                 FILTER (WHERE bl >= {min_chars}
+                         AND ppm <= {max_link_density_ppm}) AS mt
+      FROM k GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN coalesce(a.n_blocks_kept, 0) > 0 THEN a.mt END AS main_text,
+       coalesce(a.n_blocks_total, 0)::BIGINT AS n_blocks_total,
+       coalesce(a.n_blocks_kept, 0)::BIGINT AS n_blocks_kept,
+       coalesce(CASE WHEN a.n_blocks_kept > 0 THEN length(a.mt) END, 0)::BIGINT
+           AS n_chars
+FROM (SELECT doc_id FROM ({src})) d LEFT JOIN a USING (doc_id)"""

@@ -90,3 +90,52 @@ def test_binary_path_and_line_count(spark):
     assert out[1]["n_lines"] == 2
     assert out[2]["text_extracted"] is None
     assert out[2]["n_chars"] == 0 and out[2]["n_lines"] == 0
+
+
+def test_main_content_density_heuristic(spark):
+    """Nav/footer (link-dense) and sub-minimum blocks dropped, prose
+    kept in document order; low-density inline link survives; every doc
+    survives (null html -> NULL text, zero counts)."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.htmltext import main_content_df
+
+    html = (
+        "<html><head><title>t</title></head><body>"
+        "<nav><a href='/'>Home</a> | <a href='/a'>About</a> | "
+        "<a href='/c'>Contact page</a></nav>"
+        "<p>First long main paragraph with plenty of prose text and no "
+        "links anywhere inside of it at all.</p>"
+        "<p>Second real paragraph, long enough and containing "
+        "<a href='x'>one tiny link</a> inside lots of surrounding prose "
+        "so the density stays well below the cutoff.</p>"
+        "<div>tiny</div>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a> "
+        "<a href='/i'>Imprint</a></footer></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], ["doc_id", "h"]) \
+        .select("doc_id", F.encode("h", "UTF-8").alias("html"))
+    rows = {r["doc_id"]: r.asDict()
+            for r in main_content_df(df).collect()}
+    r1 = rows[1]
+    assert r1["n_blocks_total"] == 5 and r1["n_blocks_kept"] == 2
+    lines = r1["main_text"].split("\n")
+    assert lines[0].startswith("First long main paragraph")
+    assert lines[1].startswith("Second real paragraph")
+    assert "Privacy" not in r1["main_text"] and "Home" not in r1["main_text"]
+    assert rows[2]["main_text"] is None and rows[2]["n_blocks_total"] == 0
+
+
+def test_main_content_thresholds_move_the_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.htmltext import main_content_df
+
+    html = "<p>0123456789012345</p><p><a href='x'>half link text</a> padded out to length</p>"
+    df = spark.createDataFrame([(1, html)], ["doc_id", "h"]) \
+        .select("doc_id", F.encode("h", "UTF-8").alias("html"))
+    # block 1 has 16 chars: kept at min_chars=10, dropped at 25
+    loose = main_content_df(df, min_chars=10, max_link_density_ppm=999_999)
+    assert loose.collect()[0]["n_blocks_kept"] == 2
+    strict = main_content_df(df, min_chars=10, max_link_density_ppm=100_000)
+    assert strict.collect()[0]["n_blocks_kept"] == 1  # linky block dropped

@@ -2856,6 +2856,47 @@ SELECT doc_id, n_blocks_total, n_blocks_kept, n_chars,
 FROM mc"""
 
 
+def q_charset_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection (the decode step before any text operator can
+    touch html): BOM / HTML5 meta charset / legacy http-equiv / XML
+    declaration / utf-8 default, with alias normalization. Fixture
+    cycles all five declaration shapes by doc_id; string path (the
+    byte/BOM path is pytest-pinned)."""
+    from jsonschema_spark.operators.htmltext import charset_guess
+
+    i = F.col("doc_id")
+    variants = F.array(
+        F.lit('<html><head><meta charset="Windows-1252"></head>'),
+        F.lit("<html><meta http-equiv='Content-Type' "
+              "content='text/html; charset=ISO8859-1'>"),
+        F.lit('<?xml version="1.0" encoding="UTF8"?><root>'),
+        F.lit("<html><body>nothing declared"),
+        F.concat(F.lit("﻿"), F.lit("<html>bom page")),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.element_at(variants, (i % 5 + 1).cast("int")),
+                 F.col("text")).alias("html"),
+    )
+    return charset_guess(d, binary=False)
+
+
+def _charset_sql() -> str:
+    from jsonschema_spark.operators.htmltext import charset_guess_sql
+
+    v = (
+        "['<html><head><meta charset=\"Windows-1252\"></head>', "
+        "'<html><meta http-equiv=''Content-Type'' "
+        "content=''text/html; charset=ISO8859-1''>', "
+        "'<?xml version=\"1.0\" encoding=\"UTF8\"?><root>', "
+        "'<html><body>nothing declared', "
+        "chr(65279) || '<html>bom page']"
+    )
+    src = (f"SELECT doc_id, {v}[(doc_id % 5)::INT + 1] || text AS html "
+           f"FROM documents")
+    return charset_guess_sql(src)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split: in-engine bigram-LM fluency score →
     per-language ntile(3) over (score DESC, id) — the keep-the-
@@ -3482,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "ccnet_buckets": q_ccnet_buckets,
         "main_content": q_main_content,
+        "charset_guess": q_charset_guess,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
     }
@@ -3897,6 +3939,7 @@ FROM documents WHERE text IS NOT NULL""",
         "sitemap_entries": _sitemap_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "main_content": _main_content_sql(),
+        "charset_guess": _charset_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
     }

@@ -108,6 +108,7 @@ from jsonschema_spark.operators.urltools import (
     url_dedup_df,
 )
 from jsonschema_spark.operators.htmltext import (
+    charset_guess,
     extract_text_html,
     html_text_df,
     main_content_df,
@@ -201,6 +202,7 @@ __all__ = [
     "extract_text_html",
     "html_text_df",
     "main_content_df",
+    "charset_guess",
     "extract_links",
     "link_edges_df",
     "host_rank_df",

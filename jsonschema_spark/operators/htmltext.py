@@ -286,3 +286,105 @@ SELECT d.doc_id,
        coalesce(CASE WHEN a.n_blocks_kept > 0 THEN length(a.mt) END, 0)::BIGINT
            AS n_chars
 FROM (SELECT doc_id FROM ({src})) d LEFT JOIN a USING (doc_id)"""
+
+
+# --- charset detection (the decode step for html:binary) -----------------------
+
+_META_CHARSET_RE = r'(?i)<meta\s+charset\s*=\s*["\x27]?([A-Za-z0-9_\-]+)'
+_META_HTTP_EQUIV_RE = r'(?i)content\s*=\s*["\x27][^"\x27]*charset=([A-Za-z0-9_\-]+)'
+_XML_DECL_RE = r'(?i)<\?xml[^>]*encoding\s*=\s*["\x27]([A-Za-z0-9_\-]+)'
+
+# minimal alias normalization, mirrored verbatim in the oracle CASE
+_CHARSET_ALIASES = (
+    ("utf8", "utf-8"),
+    ("latin-1", "iso-8859-1"),
+    ("latin1", "iso-8859-1"),
+    ("iso8859-1", "iso-8859-1"),
+    ("win-1252", "windows-1252"),
+    ("cp1252", "windows-1252"),
+)
+
+
+def charset_guess(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+    sniff_bytes: int = 4096,
+) -> DataFrame:
+    """Charset detection for crawled pages — the step BEFORE any decode
+    of an ``html:binary`` column (decoding with the wrong charset
+    corrupts every downstream text operator silently).
+
+    Detection order (WHATWG-encoding-flavored, documented subset):
+    1. byte-order mark (UTF-8 / UTF-16 LE/BE) — authoritative;
+    2. ``<meta charset=…>`` (HTML5), then the legacy http-equiv
+       ``content=…charset=…`` form, then an XML-declaration encoding,
+       all searched in the first ``sniff_bytes`` bytes decoded as
+       ISO-8859-1 (every byte maps to a char, so the sniff itself can
+       never throw);
+    3. default ``utf-8``.
+    Declared names are lowercased and alias-normalized (utf8 → utf-8,
+    latin1/iso8859-1 → iso-8859-1, cp1252 → windows-1252).
+
+    Output: (id_col, bom, charset_declared, charset). Pure codegen scan
+    projection — zero Python, zero shuffles.
+
+    ``binary=False`` accepts a string column (BOM = a leading U+FEFF) —
+    the oracle-replayable path; the byte path is pytest-pinned.
+    """
+    raw = F.col(html_col)
+    if binary:
+        head = F.hex(F.substring(raw, 1, 4))
+        bom = (
+            F.when(head.startswith("EFBBBF"), "utf-8")
+            .when(head.startswith("FFFE"), "utf-16le")
+            .when(head.startswith("FEFF"), "utf-16be")
+        )
+        sniff = F.decode(F.substring(raw, 1, sniff_bytes), "ISO-8859-1")
+    else:
+        bom = F.when(F.substring(raw, 1, 1) == "﻿", "utf-8")
+        sniff = F.substring(raw, 1, sniff_bytes)
+    declared = F.lower(
+        F.coalesce(
+            *[
+                F.when(F.regexp_extract(sniff, pat, 1) != "",
+                       F.regexp_extract(sniff, pat, 1))
+                for pat in (_META_CHARSET_RE, _META_HTTP_EQUIV_RE,
+                            _XML_DECL_RE)
+            ]
+        )
+    )
+    norm = declared
+    for alias, canon in _CHARSET_ALIASES:
+        norm = F.when(declared == alias, canon).otherwise(norm)
+    return df.select(
+        F.col(id_col),
+        bom.alias("bom"),
+        declared.alias("charset_declared"),
+        F.coalesce(bom, norm, F.lit("utf-8")).alias("charset"),
+    )
+
+
+def charset_guess_sql(src: str, sniff_bytes: int = 4096) -> str:
+    """DuckDB mirror over a CTE body producing (doc_id, html TEXT) —
+    the string path (binary=False)."""
+    aliases = " ".join(
+        f"WHEN '{a}' THEN '{c}'" for a, c in _CHARSET_ALIASES
+    )
+    pats = (_META_CHARSET_RE, _META_HTTP_EQUIV_RE, _XML_DECL_RE)
+    decl = "coalesce(" + ", ".join(
+        f"nullif(regexp_extract(sniff, {_sql_quote(p)}, 1), '')" for p in pats
+    ) + ")"
+    return f"""
+WITH s AS (SELECT doc_id,
+                  CASE WHEN substr(html, 1, 1) = chr(65279)
+                       THEN 'utf-8' END AS bom,
+                  substr(html, 1, {sniff_bytes}) AS sniff
+           FROM ({src})),
+d AS (SELECT doc_id, bom, lower({decl}) AS declared FROM s)
+SELECT doc_id, bom, declared AS charset_declared,
+       coalesce(bom, CASE declared {aliases} ELSE declared END,
+                'utf-8') AS charset
+FROM d"""

@@ -139,3 +139,39 @@ def test_main_content_thresholds_move_the_boundary(spark):
     assert loose.collect()[0]["n_blocks_kept"] == 2
     strict = main_content_df(df, min_chars=10, max_link_density_ppm=100_000)
     assert strict.collect()[0]["n_blocks_kept"] == 1  # linky block dropped
+
+
+def test_charset_guess_binary_and_string_paths(spark):
+    """BOM (utf-8/utf-16 LE/BE) beats declarations; HTML5 meta, legacy
+    http-equiv and XML-decl forms all detected; aliases normalized;
+    default utf-8; both paths agree on BOM-less ASCII."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.htmltext import charset_guess
+
+    rows = [
+        (1, "\xef\xbb\xbf<meta charset='latin1'>x".encode("latin-1")),
+        (2, b'<html><head><meta charset="Windows-1252"></head>x'),
+        (3, b"<meta http-equiv='C' content='text/html; charset=ISO8859-1'>"),
+        (4, b"<?xml version='1.0' encoding='UTF8'?><root/>"),
+        (5, b"<html>nothing declared</html>"),
+        (6, "\xff\xfeX\x00".encode("latin-1")),
+        (7, "\xfe\xff\x00X".encode("latin-1")),
+    ]
+    bdf = spark.createDataFrame(rows, "doc_id: long, html: binary")
+    got = {r["doc_id"]: (r["bom"], r["charset_declared"], r["charset"])
+           for r in charset_guess(bdf).collect()}
+    assert got[1] == ("utf-8", "latin1", "utf-8")   # BOM wins
+    assert got[2] == (None, "windows-1252", "windows-1252")
+    assert got[3] == (None, "iso8859-1", "iso-8859-1")
+    assert got[4] == (None, "utf8", "utf-8")
+    assert got[5] == (None, None, "utf-8")
+    assert got[6][0] == "utf-16le" and got[7][0] == "utf-16be"
+    # string path agrees on BOM-less ASCII inputs
+    sdf = spark.createDataFrame(
+        [(i, b.decode("latin-1")) for i, b in rows[1:5]],
+        "doc_id: long, html: string",
+    )
+    got_s = {r["doc_id"]: (r["bom"], r["charset_declared"], r["charset"])
+             for r in charset_guess(sdf, binary=False).collect()}
+    assert got_s == {k: got[k] for k in got_s}

@@ -2856,6 +2856,104 @@ SELECT doc_id, n_blocks_total, n_blocks_kept, n_chars,
 FROM mc"""
 
 
+def q_crawler_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection: URL-template signatures (digits→N, long
+    hex→H, query values→V) counted per host — calendar/session/faceted
+    spaces explode one signature into unbounded URLs. Fixture: every doc
+    adds a calendar-trap instance plus a one-off page; only the trap
+    signatures clear min_urls."""
+    from jsonschema_spark.operators.urltools import crawler_traps_df
+
+    i = F.col("doc_id")
+    trap = F.concat(
+        F.lit("https://h"), (i % 10).cast("string"),
+        F.lit(".example.org/cal/20"), (i % 24).cast("string"),
+        F.lit("/"), (i % 12).cast("string"),
+        F.lit("?page="), i.cast("string"))
+    oneoff = F.concat(
+        F.lit("https://h"), (i % 10).cast("string"),
+        F.lit(".example.org/article/slug"), i.cast("string"), F.lit("x"))
+    d = _docs(spark, sf_dir)
+    urls = d.select(trap.alias("url")).union(d.select(oneoff.alias("url")))
+    return crawler_traps_df(urls, min_urls=5)
+
+
+def _crawler_traps_sql(min_urls: int = 5) -> str:
+    from jsonschema_spark.operators.urltools import _URL_RE
+
+    g = lambda n: f"regexp_extract(url, '{_URL_RE}', {n})"  # noqa: E731
+    sig = (f"regexp_replace(regexp_replace({g(4)}, '[0-9a-fA-F]{{8,}}', 'H', 'g'),"
+           f" '[0-9]+', 'N', 'g')"
+           f" || regexp_replace({g(5)}, '=[^&#]*', '=V', 'g')")
+    return f"""
+WITH u AS (
+  SELECT 'https://h' || (doc_id % 10)::VARCHAR || '.example.org/cal/20'
+         || (doc_id % 24)::VARCHAR || '/' || (doc_id % 12)::VARCHAR
+         || '?page=' || doc_id::VARCHAR AS url FROM documents
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 10)::VARCHAR || '.example.org/article/slug'
+         || doc_id::VARCHAR || 'x' FROM documents),
+s AS (SELECT lower({g(2)}) AS host, {sig} AS sig, url FROM u),
+p AS (SELECT host, sig, url FROM s GROUP BY 1, 2, 3)
+SELECT host, sig, count(*)::BIGINT AS n_urls, min(url) AS sample_url
+FROM p GROUP BY 1, 2 HAVING count(*) >= {min_urls}"""
+
+
+def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink stats (the link-farm feature block): total /
+    internal / external links and distinct external hosts, computed by
+    higher-order aggregates over the extracted link array — no explode,
+    zero shuffles."""
+    from jsonschema_spark.operators.linkgraph import link_stats_df
+
+    i = F.col("doc_id")
+    src = F.concat(F.lit("h"), i.cast("string"), F.lit(".example.org"))
+    html = F.concat(
+        F.lit('<a href="https://h'), i.cast("string"),
+        F.lit('.example.org/self">i</a><a href="https://h'),
+        ((i * 7 + 1) % 50).cast("string"),
+        F.lit('.example.org/a">x</a><a href="https://h'),
+        ((i * 7 + 1) % 50).cast("string"),
+        F.lit('.example.org/b?x=1&amp;y=2">y</a><a href="https://h'),
+        ((i * 29 + 3) % 50).cast("string"),
+        F.lit('.example.org/c">z</a>'),
+    )
+    pages = _docs(spark, sf_dir).select(
+        src.alias("src_host"), F.encode(html, "UTF-8").alias("html"))
+    out = link_stats_df(pages)
+    return out.select(
+        "src_host", "n_links", "n_internal", "n_external", "n_ext_hosts")
+
+
+def _link_stats_sql() -> str:
+    from jsonschema_spark.operators.linkgraph import HOST_RE, HREF_RE
+
+    html = (
+        "'<a href=\"https://h' || doc_id::VARCHAR ||"
+        " '.example.org/self\">i</a><a href=\"https://h' ||"
+        " ((doc_id*7+1)%50)::VARCHAR ||"
+        " '.example.org/a\">x</a><a href=\"https://h' ||"
+        " ((doc_id*7+1)%50)::VARCHAR ||"
+        " '.example.org/b?x=1&amp;y=2\">y</a><a href=\"https://h' ||"
+        " ((doc_id*29+3)%50)::VARCHAR || '.example.org/c\">z</a>'"
+    )
+    hosts = (f"list_transform(regexp_extract_all({html}, '{HREF_RE}', 1), "
+             f"u -> lower(regexp_extract(replace(u, '&amp;', '&'), "
+             f"'{HOST_RE}', 1)))")
+    return f"""
+WITH p AS (SELECT 'h' || doc_id::VARCHAR || '.example.org' AS src_host,
+                  {hosts} AS hosts
+           FROM documents),
+e AS (SELECT src_host, hosts,
+             list_filter(hosts, h -> h <> lower(src_host) AND h <> '') AS ext
+      FROM p)
+SELECT src_host, len(hosts)::BIGINT AS n_links,
+       len(list_filter(hosts, h -> h = lower(src_host)))::BIGINT AS n_internal,
+       len(ext)::BIGINT AS n_external,
+       len(list_distinct(ext))::BIGINT AS n_ext_hosts
+FROM e"""
+
+
 def q_charset_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset detection (the decode step before any text operator can
     touch html): BOM / HTML5 meta charset / legacy http-equiv / XML
@@ -3524,6 +3622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "main_content": q_main_content,
         "charset_guess": q_charset_guess,
+        "crawler_traps": q_crawler_traps,
+        "link_stats": q_link_stats,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
     }
@@ -3940,6 +4040,8 @@ FROM documents WHERE text IS NOT NULL""",
         "ccnet_buckets": _ccnet_buckets_sql(),
         "main_content": _main_content_sql(),
         "charset_guess": _charset_sql(),
+        "crawler_traps": _crawler_traps_sql(),
+        "link_stats": _link_stats_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
     }

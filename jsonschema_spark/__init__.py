@@ -101,8 +101,10 @@ from jsonschema_spark.operators.similarity import (
 )
 from jsonschema_spark.operators.stats import pairwise_corr, sessionize
 from jsonschema_spark.operators.urltools import (
+    crawler_traps_df,
     host_stats_df,
     normalize_url,
+    url_signature,
     normalize_urls_df,
     registered_domain,
     url_dedup_df,
@@ -117,6 +119,7 @@ from jsonschema_spark.operators.linkgraph import (
     anchor_text_df,
     extract_links,
     host_hits_df,
+    link_stats_df,
     host_rank_df,
     link_edges_df,
 )
@@ -203,6 +206,9 @@ __all__ = [
     "html_text_df",
     "main_content_df",
     "charset_guess",
+    "crawler_traps_df",
+    "link_stats_df",
+    "url_signature",
     "extract_links",
     "link_edges_df",
     "host_rank_df",

@@ -309,3 +309,38 @@ def host_hits_sql(edges_cte: str, n_iter: int = 3) -> str:
         + f"\nSELECT n.host, h{n_iter}.s AS hub_ppm, a{n_iter}.s AS auth_ppm "
         f"FROM n JOIN h{n_iter} USING (host) JOIN a{n_iter} USING (host)"
     )
+
+
+def link_stats_df(
+    df: DataFrame,
+    src_host_col: str = "src_host",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+) -> DataFrame:
+    """Per-page outlink statistics — the SEO-spam / link-farm feature
+    block (a page with hundreds of external links to distinct hosts and
+    barely any text is an ad farm): total absolute links, internal vs
+    external (same lowercased host as the page), distinct external
+    hosts. One pure-JVM projection per page — the link array is exploded
+    NOWHERE; counts come from higher-order aggregates over the extracted
+    array (bounded by links-per-page, not corpus size), so the operator
+    composes inside any scan with zero shuffles.
+
+    Output: (src_host, n_links, n_internal, n_external, n_ext_hosts).
+    """
+    links = extract_links(F.col(html_col), binary=binary)
+    hosts = F.transform(
+        links, lambda u: F.lower(F.regexp_extract(u, HOST_RE, 1))
+    )
+    src = F.lower(F.col(src_host_col))
+    n_links = F.size(links).cast("long")
+    n_int = F.size(F.filter(hosts, lambda h: h == src)).cast("long")
+    ext = F.filter(hosts, lambda h: (h != src) & (h != ""))
+    return df.select(
+        F.col(src_host_col),
+        n_links.alias("n_links"),
+        n_int.alias("n_internal"),
+        F.size(ext).cast("long").alias("n_external"),
+        F.size(F.array_distinct(ext)).cast("long").alias("n_ext_hosts"),
+    )

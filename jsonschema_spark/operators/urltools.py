@@ -198,3 +198,52 @@ def url_dedup_df(
     kept = packed.groupBy("_uk").agg(F.max("_row").alias("_row"))
     return kept.select(F.col("_uk").alias("url_norm"),
                        *[F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def url_signature(url: Column) -> Column:
+    """Structural signature of a URL path+query: digit runs → ``N``,
+    long hex runs (ids/hashes, 8+) → ``H``, query VALUES → ``V`` (keys
+    kept — they carry the structure). Two URLs share a signature iff
+    they are the same *template* instantiated with different values —
+    calendar pages, session ids, faceted-search permutations. Pure JVM."""
+    path = F.regexp_extract(url, _URL_RE, 4)
+    query = F.regexp_extract(url, _URL_RE, 5)
+    sig = F.regexp_replace(path, r"[0-9a-fA-F]{8,}", "H")
+    sig = F.regexp_replace(sig, r"[0-9]+", "N")
+    q = F.regexp_replace(query, r"=[^&#]*", "=V")
+    return F.concat(sig, q)
+
+
+def crawler_traps_df(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 100,
+) -> DataFrame:
+    """Crawler-trap / infinite-space detection: per (host, url-template
+    signature), how many distinct URLs instantiate the template. A
+    calendar widget, session-id space or faceted search explodes one
+    signature into unbounded URLs — the classic crawl-frontier poison.
+    Flag signatures with ≥ ``min_urls`` distinct instances and cap or
+    skip them in the frontier.
+
+    Output: (host, sig, n_urls, sample_url) — ``sample_url`` = the
+    min() exemplar for triage.
+
+    Scale shape: ONE groupBy on (host, sig) with map-side partials —
+    the signature is in the key, so one pathological host cannot
+    hot-spot a partition; count DISTINCT urls is exact via a (host,
+    sig, url) pre-aggregate (the top_ngrams discipline)."""
+    u = df.select(
+        host_of(F.col(url_col)).alias("host"),
+        url_signature(F.col(url_col)).alias("sig"),
+        F.col(url_col).alias("_u"),
+    )
+    per_url = u.groupBy("host", "sig", "_u").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_url.groupBy("host", "sig")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("_u").alias("sample_url"),
+        )
+        .where(F.col("n_urls") >= min_urls)
+    )

@@ -117,3 +117,54 @@ def test_normalize_df_columns(spark):
     assert r["url_norm"] == "http://www.x.example.co.uk/a/b"
     assert r["host"] == "www.x.example.co.uk"
     assert r["reg_domain"] == "example.co.uk"
+
+
+def test_url_signature_and_crawler_traps(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.urltools import (
+        crawler_traps_df,
+        url_signature,
+    )
+
+    urls = [
+        ("https://a.org/cal/2024/1/5?sess=deadbeef1234&page=2",
+         "/cal/N/N/N?sess=V&page=V"),
+        ("https://a.org/item/00ff00ff00", "/item/H"),   # 8+ hex -> H
+        ("https://a.org/p42x/9", "/pNx/N"),
+        ("https://a.org/plain", "/plain"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], ["url"])
+    got = [r["sig"] for r in
+           df.select(url_signature(F.col("url")).alias("sig")).collect()]
+    assert got == [s for _, s in urls]
+    # trap: 12 instances of one template on one host; one-offs stay quiet;
+    # duplicate URLs count once (distinct instances, not fetches)
+    rows = [(f"https://t.org/d/{i}?p={i}",) for i in range(12)] * 2
+    rows += [("https://t.org/unique1",), ("https://t.org/unique2x",)]
+    traps = crawler_traps_df(spark.createDataFrame(rows, ["url"]),
+                             min_urls=10).collect()
+    assert len(traps) == 1
+    t = traps[0]
+    assert (t["host"], t["sig"], t["n_urls"]) == ("t.org", "/d/N?p=V", 12)
+    assert t["sample_url"] == "https://t.org/d/0?p=0"
+
+
+def test_link_stats_no_explode(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.linkgraph import link_stats_df
+
+    pages = spark.createDataFrame(
+        [("a.org",
+          '<a href="https://a.org/x">i</a><a href="https://b.org/y">e</a>'
+          '<a href="https://b.org/z">e2</a><a href="https://c.org/w">e3</a>'),
+         ("b.org", "no links here")],
+        ["src_host", "html"],
+    ).select("src_host", F.encode("html", "UTF-8").alias("html"))
+    got = {r["src_host"]: (r["n_links"], r["n_internal"], r["n_external"],
+                           r["n_ext_hosts"])
+           for r in link_stats_df(pages).collect()}
+    assert got == {"a.org": (4, 1, 3, 2), "b.org": (0, 0, 0, 0)}
+    plan = link_stats_df(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "Exchange" not in plan

@@ -2856,6 +2856,66 @@ SELECT doc_id, n_blocks_total, n_blocks_kept, n_chars,
 FROM mc"""
 
 
+_TPL = (
+    ('<html><head><title>x</title></head><body><div><p>',
+     '</p></div></body></html>'),
+    ('<html><body><table><tr><td>', '</td></tr></table></body></html>'),
+    ('<html><body><article><h1>t</h1><p>',
+     '</p><footer>f</footer></article></body></html>'),
+)
+_TAG_RE = r"(?i)</?([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-template clustering: SimHash over the TAG stream (layout,
+    not content) groups pages by template regardless of body text —
+    the structural near-dup signal behind template spam and scraped-site
+    detection. Three synthesized templates with per-doc content → exactly
+    three clusters; composition of extract-tags + the shipped simhash."""
+    from jsonschema_spark.operators.dedup import simhash_df
+
+    i = F.col("doc_id")
+    html = F.concat(F.lit(_TPL[0][0]), F.col("text"), F.lit(_TPL[0][1]))
+    for k, (pre, post) in list(enumerate(_TPL))[1:]:
+        html = F.when(i % 3 == k,
+                      F.concat(F.lit(pre), F.col("text"), F.lit(post))
+                      ).otherwise(html)
+    tags = F.array_join(
+        F.transform(
+            F.regexp_extract_all(html, F.lit(_TAG_RE), 1),
+            lambda t: F.lower(t),
+        ),
+        " ",
+    )
+    d = _docs(spark, sf_dir).select("doc_id", tags.alias("tags"))
+    sims = simhash_df(d, "doc_id", "tags")
+    return (
+        sims.groupBy(F.col("_sim").alias("template_sim"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+             F.min("_id").alias("sample_doc"))
+        .orderBy("template_sim")
+    )
+
+
+def _template_clusters_sql() -> str:
+    html = "CASE " + " ".join(
+        f"WHEN doc_id % 3 = {k} THEN '{pre}' || text || '{post}'"
+        for k, (pre, post) in enumerate(_TPL)
+    ) + " END"
+    return f"""
+WITH ph AS (SELECT doc_id, {html} AS html FROM documents),
+t AS (SELECT doc_id,
+             list_transform(regexp_extract_all(html, '{_TAG_RE}', 1),
+                            x -> lower(x)) AS toks
+      FROM ph),
+h AS (SELECT doc_id, list_transform(toks, x -> {_h56('x')}) AS hs FROM t),
+simt AS (SELECT doc_id, coalesce({_SIMHASH_EXPR}, 0) AS sim FROM h
+         WHERE len(hs) > 0)
+SELECT sim AS template_sim, count(*)::BIGINT AS n_pages,
+       min(doc_id) AS sample_doc
+FROM simt GROUP BY 1 ORDER BY 1"""
+
+
 def q_crawler_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection: URL-template signatures (digits→N, long
     hex→H, query values→V) counted per host — calendar/session/faceted
@@ -3623,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "charset_guess": q_charset_guess,
         "crawler_traps": q_crawler_traps,
+        "template_clusters": q_template_clusters,
         "link_stats": q_link_stats,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
@@ -4041,6 +4102,7 @@ FROM documents WHERE text IS NOT NULL""",
         "main_content": _main_content_sql(),
         "charset_guess": _charset_sql(),
         "crawler_traps": _crawler_traps_sql(),
+        "template_clusters": _template_clusters_sql(),
         "link_stats": _link_stats_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),

@@ -1435,3 +1435,20 @@ def test_quality_buckets_ntile_semantics(spark):
     # labels skipped when arity mismatches
     out = quality_buckets(df, "doc_id", "s", "lang", n_buckets=2, labels=())
     assert "bucket_label" not in out.columns
+
+
+def test_template_clusters_ignore_content(spark):
+    """SimHash over the TAG stream groups pages by layout regardless of
+    body text: two templates x different contents -> exactly 2 clusters."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["template_clusters"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert sum(r["n_pages"] for r in rows) == 500
+    # each template holds one third of the corpus (doc_id % 3)
+    assert sorted(r["n_pages"] for r in rows) == [166, 167, 167]

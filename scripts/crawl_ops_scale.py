@@ -24,6 +24,7 @@ SMALL_DOCS = int(os.environ.get("CRAWL_SCALE_DOCS", "1000000"))
 
 
 def main() -> int:
+    from jsonschema_spark.operators.htmltext import charset_guess, main_content_df
     from jsonschema_spark.operators.linkgraph import host_hits_df
     from jsonschema_spark.operators.sitemap import sitemap_entries
     from jsonschema_spark.sources.warc import warc_records
@@ -96,6 +97,32 @@ def main() -> int:
             tuple(sitemap_entries(h)
                   .agg(F.count("*"), F.sum("priority_milli"),
                        F.sum(F.length("loc"))).collect()[0])])
+
+    for mult in (1, 4):
+        n = SMALL_DOCS * mult
+        i = F.col("id")
+        body = F.concat_ws(" ", *[
+            F.concat(F.lit("w"), (F.abs(F.xxhash64(i, F.lit(k))) % 99)
+                     .cast("string")) for k in range(30)])
+        html = F.concat(
+            F.lit('<html><head><meta charset="utf8"><title>t</title></head>'
+                  '<body><nav><a href="/">Home</a> | <a href="/a">About'
+                  '</a></nav><p>'),
+            body,
+            F.lit('</p><div>tiny</div><footer><a href="/p">Privacy</a> '
+                  '<a href="/t">Terms</a></footer></body></html>'))
+        pages = spark.range(0, n, numPartitions=64).select(
+            i.alias("doc_id"), F.encode(html, "UTF-8").alias("html")
+        ).localCheckpoint(eager=True)
+        point("main_content", n, lambda p=pages: [
+            tuple(main_content_df(p)
+                  .agg(F.count("*"), F.sum("n_chars"),
+                       F.sum("n_blocks_kept")).collect()[0])])
+        point("charset_guess", n, lambda p=pages: [
+            tuple(charset_guess(p)
+                  .agg(F.count("*"),
+                       F.sum(F.length("charset"))).collect()[0])])
+        pages.unpersist()
 
     out = {"stage": "crawl_ops_scale", "cores": int(CORES), "ops": {}}
     ok = True

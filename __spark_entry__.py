@@ -2856,6 +2856,43 @@ SELECT doc_id, n_blocks_total, n_blocks_kept, n_chars,
 FROM mc"""
 
 
+def q_frontier_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness interleaving: round k serves every host's k-th-best URL
+    before any host's (k+1)-th — consecutive fetches hit different hosts;
+    deterministic within-round spread via the portable host hash."""
+    from jsonschema_spark.operators.urltools import frontier_interleave
+
+    i = F.col("doc_id")
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://h"), (i % 10).cast("string"),
+                 F.lit(".example.org/p"), i.cast("string")).alias("url"),
+        ((i * 7) % 100).alias("prio"),
+    )
+    return frontier_interleave(urls, priority_col="prio")
+
+
+def _frontier_sql() -> str:
+    from jsonschema_spark.operators.urltools import _URL_RE
+
+    return f"""
+WITH u AS (SELECT 'https://h' || (doc_id % 10)::VARCHAR || '.example.org/p'
+                  || doc_id::VARCHAR AS url,
+                  ((doc_id * 7) % 100)::BIGINT AS prio
+           FROM documents),
+r AS (SELECT url, prio,
+             lower(regexp_extract(url, '{_URL_RE}', 2)) AS host,
+             row_number() OVER (
+                 PARTITION BY lower(regexp_extract(url, '{_URL_RE}', 2))
+                 ORDER BY prio DESC, url)::BIGINT AS round
+      FROM u)
+SELECT url, prio, round,
+       row_number() OVER (
+           ORDER BY round,
+                    {_h56("lower(regexp_extract(url, '" + _URL_RE + "', 2))")},
+                    url)::BIGINT AS fetch_order
+FROM r"""
+
+
 _TPL = (
     ('<html><head><title>x</title></head><body><div><p>',
      '</p></div></body></html>'),
@@ -3684,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_guess": q_charset_guess,
         "crawler_traps": q_crawler_traps,
         "template_clusters": q_template_clusters,
+        "frontier_interleave": q_frontier_interleave,
         "link_stats": q_link_stats,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
@@ -4103,6 +4141,7 @@ FROM documents WHERE text IS NOT NULL""",
         "charset_guess": _charset_sql(),
         "crawler_traps": _crawler_traps_sql(),
         "template_clusters": _template_clusters_sql(),
+        "frontier_interleave": _frontier_sql(),
         "link_stats": _link_stats_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),

@@ -102,6 +102,7 @@ from jsonschema_spark.operators.similarity import (
 from jsonschema_spark.operators.stats import pairwise_corr, sessionize
 from jsonschema_spark.operators.urltools import (
     crawler_traps_df,
+    frontier_interleave,
     host_stats_df,
     normalize_url,
     url_signature,
@@ -209,6 +210,7 @@ __all__ = [
     "crawler_traps_df",
     "link_stats_df",
     "url_signature",
+    "frontier_interleave",
     "extract_links",
     "link_edges_df",
     "host_rank_df",

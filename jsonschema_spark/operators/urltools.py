@@ -247,3 +247,39 @@ def crawler_traps_df(
         )
         .where(F.col("n_urls") >= min_urls)
     )
+
+
+def frontier_interleave(
+    df: DataFrame,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    host_col: str | None = None,
+) -> DataFrame:
+    """Politeness interleaving for a fetch frontier: order URLs so
+    consecutive fetches hit DIFFERENT hosts — round k serves every
+    host's k-th-best URL before any host's (k+1)-th. A priority-sorted
+    frontier without this hammers one host with its whole budget (and a
+    per-host rate limiter then idles the fleet).
+
+    fetch_order = dense rank of (round, portable-host-hash, url) where
+    round = row_number within host by (priority DESC, url). The host
+    hash (md5-56) spreads hosts deterministically inside each round —
+    oracle-replayable, unlike a JVM hashCode.
+
+    Output: input columns + ``round`` + ``fetch_order`` (both 1-based).
+
+    Scale shape: ONE window per host (hosts rank in parallel) + one
+    global sort for the final sequence — the sort is the OUTPUT
+    contract (a fetch queue is consumed in order); writers that only
+    need per-round batches can groupBy ``round`` instead and skip it.
+    """
+    from pyspark.sql.window import Window
+
+    host = F.col(host_col) if host_col else host_of(F.col(url_col))
+    prio = (F.col(priority_col).desc()
+            if priority_col else F.col(url_col).asc())
+    w = Window.partitionBy(host).orderBy(prio, F.col(url_col).asc())
+    hh = F.conv(F.substring(F.md5(host), 1, 14), 16, 10).cast("long")
+    out = df.withColumn("round", F.row_number().over(w).cast("long"))
+    wg = Window.orderBy(F.col("round").asc(), hh.asc(), F.col(url_col).asc())
+    return out.withColumn("fetch_order", F.row_number().over(wg).cast("long"))

@@ -168,3 +168,25 @@ def test_link_stats_no_explode(spark):
     assert got == {"a.org": (4, 1, 3, 2), "b.org": (0, 0, 0, 0)}
     plan = link_stats_df(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "Exchange" not in plan
+
+
+def test_frontier_interleave_host_diversity(spark):
+    """Round k fully precedes round k+1; within a round every host
+    appears exactly once; higher priority goes first within a host."""
+    from jsonschema_spark.operators.urltools import frontier_interleave
+
+    rows = [(f"https://{h}.org/p{i}", 10 - i)
+            for h in ("a", "b", "c") for i in range(4)]
+    df = spark.createDataFrame(rows, ["url", "prio"])
+    out = frontier_interleave(df, priority_col="prio") \
+        .orderBy("fetch_order").collect()
+    assert [r["fetch_order"] for r in out] == list(range(1, 13))
+    # rounds are contiguous, 3 hosts per round, all distinct
+    for k in range(4):
+        chunk = out[3 * k:3 * k + 3]
+        assert all(r["round"] == k + 1 for r in chunk)
+        hosts = {r["url"].split("/")[2] for r in chunk}
+        assert len(hosts) == 3
+    # within one host, priority descends with round
+    a = [r for r in out if "a.org" in r["url"]]
+    assert [r["prio"] for r in a] == [10, 9, 8, 7]

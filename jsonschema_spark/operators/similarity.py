@@ -240,7 +240,8 @@ def topk_ivf(
 
 
 def semantic_cells(
-    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8, scale: int = 100
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8,
+    scale: int = 100, kmeans_iters: int = 0
 ) -> DataFrame:
     """Assign every row to its nearest coarse-quantizer cell → df columns
     plus ``_ci`` (int cell id) and ``_q`` (quantized vector).
@@ -249,14 +250,30 @@ def semantic_cells(
     (ivf_centroids_df) collected as n_centroids tiny rows; assignment is a
     pure Arrow-batched projection against those literals — ZERO shuffle of
     the corpus. Deterministic and oracle-replayable (same centroid
-    formula, first-min tie-break)."""
-    cents = sorted(
-        [(r["ci"], list(r["cv"])) for r in
-         ivf_centroids_df(df, id_col, vec_col, n_centroids, scale).collect()]
-    )
+    formula, first-min tie-break).
+
+    ``kmeans_iters > 0`` refines the hash-init centroids with that many
+    Lloyd rounds (kmeans_fixed) before the final assignment — tighter
+    cells mean fewer cross-cell misses for SemDeDup and better probe
+    locality for IVF, at one extra corpus aggregation per round. 0 keeps
+    the one-step quantizer the shipped oracle queries replay."""
+    if kmeans_iters > 0:
+        assigned, cent_list = kmeans_fixed(
+            df.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
+            k=n_centroids, iters=kmeans_iters, scale=scale,
+        )
+        cents = sorted((int(ci), list(cv)) for ci, cv in cent_list)
+    else:
+        cents = sorted(
+            [(r["ci"], list(r["cv"])) for r in
+             ivf_centroids_df(df, id_col, vec_col, n_centroids, scale).collect()]
+        )
     assign = _cell_assign_udf(cents)
+    ids = F.array(*[F.lit(ci) for ci, _ in cents])
     q = df.withColumn("_q", quantize_embedding(F.col(vec_col), scale))
-    return q.withColumn("_ci", assign(F.col("_q")))
+    return q.withColumn(
+        "_ci", F.element_at(ids, assign(F.col("_q")) + 1).cast("int")
+    )
 
 
 def semantic_dedup_pairs(
@@ -267,6 +284,7 @@ def semantic_dedup_pairs(
     n_centroids: int = 8,
     scale: int = 100,
     n_blocks: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup:
     data-efficient learning at web-scale through semantic deduplication"):
@@ -283,7 +301,8 @@ def semantic_dedup_pairs(
     per-task memory ≈ (cell/n_blocks)·d·8 bytes."""
     from jsonschema_spark.operators.dedup import blocked_cosine_pairs
 
-    cells = semantic_cells(df, id_col, vec_col, n_centroids, scale)
+    cells = semantic_cells(df, id_col, vec_col, n_centroids, scale,
+                           kmeans_iters=kmeans_iters)
     q = cells.select(F.col(id_col).alias("_id"), "_q", "_ci")
     return blocked_cosine_pairs(q, min_cos_micro, n_blocks, cell_col="_ci")
 
@@ -296,6 +315,7 @@ def semantic_dedup(
     n_centroids: int = 8,
     scale: int = 100,
     n_blocks: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup end-to-end: within-cluster cosine pairs → connected
     components → keep the min-id canonical row per duplicate group
@@ -305,7 +325,8 @@ def semantic_dedup(
     from jsonschema_spark.operators.dedup import dedup_clusters, keep_canonical
 
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, min_cos_micro, n_centroids, scale, n_blocks
+        df, id_col, vec_col, min_cos_micro, n_centroids, scale, n_blocks,
+        kmeans_iters=kmeans_iters,
     )
     return keep_canonical(df, dedup_clusters(pairs), id_col)
 

@@ -1452,3 +1452,29 @@ def test_template_clusters_ignore_content(spark):
     assert sum(r["n_pages"] for r in rows) == 500
     # each template holds one third of the corpus (doc_id % 3)
     assert sorted(r["n_pages"] for r in rows) == [166, 167, 167]
+
+
+def test_semantic_cells_kmeans_refinement(spark):
+    """kmeans_iters=k refines the quantizer: cell assignment equals
+    kmeans_fixed's, and semantic_dedup still returns a valid survivor
+    set (n_centroids=1 remains the exact all-pairs scorer)."""
+    from jsonschema_spark.operators.similarity import (
+        kmeans_fixed,
+        semantic_cells,
+        semantic_dedup,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = semantic_cells(e, "vec_id", "embedding", n_centroids=4,
+                           kmeans_iters=2)
+    got = {r["vec_id"]: r["_ci"] for r in cells.select("vec_id", "_ci").collect()}
+    want_df, _ = kmeans_fixed(e, "vec_id", "embedding", k=4, iters=2)
+    want = {r["vec_id"]: r["cell"] for r in want_df.collect()}
+    assert got == want
+    kept_plain = semantic_dedup(e, "vec_id", "embedding",
+                                min_cos_micro=450000, n_centroids=4).count()
+    kept_refined = semantic_dedup(e, "vec_id", "embedding",
+                                  min_cos_micro=450000, n_centroids=4,
+                                  kmeans_iters=2).count()
+    n = e.count()
+    assert 0 < kept_refined <= n and 0 < kept_plain <= n

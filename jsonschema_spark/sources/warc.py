@@ -120,19 +120,22 @@ def _warc_records_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import re
 
     hdr_re = re.compile(r"^([A-Za-z0-9-]+):[ \t]*(.*?)\r?$")
+    ver_re = re.compile(r"WARC/1\.[01]\r?\n")
+    blank_re = re.compile(r"\r?\n\r?\n")
+    sep_ver_re = re.compile(r"\r?\n\r?\nWARC/1\.[01]\r?\n")
 
     def parse_file(fid, text):
         pos, idx = 0, 0
         n = len(text)
         while pos < n:
-            m = re.compile(r"WARC/1\.[01]\r?\n").match(text, pos)
+            m = ver_re.match(text, pos)
             if not m:
-                nxt = re.compile(r"WARC/1\.[01]\r?\n").search(text, pos)
+                nxt = ver_re.search(text, pos)
                 if not nxt:
                     return
                 pos = nxt.start()
                 continue
-            hdr_end = re.compile(r"\r?\n\r?\n").search(text, m.end())
+            hdr_end = blank_re.search(text, m.end())
             if not hdr_end:
                 return
             fields = {}
@@ -147,9 +150,7 @@ def _warc_records_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 payload = text[body_start:body_start + cl_i]
                 pos = body_start + cl_i
             else:  # malformed: fall back to next version line
-                nxt = re.compile(r"\r?\n\r?\nWARC/1\.[01]\r?\n").search(
-                    text, body_start
-                )
+                nxt = sep_ver_re.search(text, body_start)
                 end = nxt.start() if nxt else n
                 # mirror the JVM path: no declared length -> payload ends
                 # at the separator, trailing newline runs stripped

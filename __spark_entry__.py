@@ -3469,9 +3469,14 @@ app AS (SELECT ag.host, ag.gid FROM ag JOIN hn USING (host)
         WHERE (has_named = 1 AND named = 1) OR (has_named = 0 AND star = 1)),
 rules AS (SELECT gg.host, (dir = 'allow') AS allow, val AS spec,
                  length(val)::BIGINT AS spec_len,
-                 '^' || replace(replace(
+                 -- same metachar set as robots.spec_to_regex (backslash,
+                 -- .[]{{}}()+?^$|), so the mirror cannot desync if a
+                 -- future fixture rule path gains a metachar
+                 '^' || replace(regexp_replace(
                      CASE WHEN val LIKE '%$' THEN substr(val, 1, length(val)-1)
-                          ELSE val END, '.', '\\.'), '*', '.*')
+                          ELSE val END,
+                     '([\\.\\[\\]\\{{\\}}\\(\\)\\+\\?\\^\\$\\|\\\\])',
+                     '\\\\\\1', 'g'), '*', '.*')
                  || CASE WHEN val LIKE '%$' THEN '$' ELSE '' END AS spec_re
           FROM gg JOIN app USING (host, gid)
           WHERE dir IN ('allow', 'disallow') AND val <> '' AND gid >= 1),

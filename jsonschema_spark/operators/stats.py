@@ -227,9 +227,13 @@ def pairwise_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     no complete pairs exist. Rows with a NULL on either side are dropped
     (pairwise-complete).
 
-    Int contract: inputs must be integers with n·max(x²) < 2⁶³ (ANSI
-    overflow throws, loudly, not silently) — winsorize or downscale
-    heavy-tailed columns first (quantiles/profile_long give the bounds).
+    Int contract: the formula computes n·Σx², n·Σy², n·Σxy, so the real
+    bound is n·Σx² ≈ n²·E[x²] < 2⁶³ (NOT just n·max(x²) — the products
+    scale with n², so at large n the aggregation ANSI-throws while each
+    input is still small). ANSI overflow throws loudly, not silently —
+    winsorize or downscale heavy-tailed columns first, and cap n·Σx²
+    (quantiles/profile_long give the bounds; e.g. |x|≤10³ holds to
+    n≈3·10⁶ rows, |x|≤10 to n≈3·10⁸).
 
     Output: one row (n, sum_x, sum_y, corr_ppm).
     """

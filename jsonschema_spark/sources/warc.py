@@ -17,9 +17,12 @@ turns a column of WARC-file text into one row per record, two ways:
   the WARC spec actually prescribes: walk the file slicing each payload
   by its declared byte length, so payload bytes are NEVER scanned for
   delimiters. One Arrow-batched ``mapInPandas`` pass; per-row work is a
-  linear scan of the file. This is the path for untrusted archives; the
-  unit suite proves both paths agree on well-formed files and that ONLY
-  the exact path survives a payload containing a WARC version line.
+  linear scan of the file. The walk operates on the UTF-8 BYTES of the
+  file (Content-Length is a byte count, not a character count), so
+  non-ASCII payloads frame correctly and never desync later records.
+  This is the path for untrusted archives; the unit suite proves both
+  paths agree on well-formed files and that ONLY the exact path
+  survives a payload containing a WARC version line.
 
 Both paths tolerate malformed records (missing headers → NULL fields,
 never a task-killing error — one bad record must not fail a 100 TB
@@ -79,9 +82,14 @@ def warc_records(
     Output: (file_id, rec_idx, warc_type, target_uri, warc_date,
     record_id, content_length, payload) — header fields NULL when
     absent; ``payload`` excludes the record-separator blank lines. The
-    JVM path trims the payload to ``content_length`` characters when the
-    header is present (ASCII payloads: chars == bytes; the exact path
-    slices real byte counts).
+    JVM path trims the payload to ``content_length`` CHARACTERS when the
+    header is present (an ASCII chars == bytes assumption — on
+    non-ASCII payloads its slice is approximate, which is acceptable
+    because its framing is the delimiter split, not the length). The
+    exact path slices real BYTE counts, as the spec prescribes. A
+    malformed Content-Length (non-numeric, overflowing) yields NULL
+    ``content_length`` and the delimiter-framed payload on both paths —
+    never a task-killing ANSI cast error.
     """
     if exact:
         return _warc_records_exact(df, id_col, text_col)
@@ -99,7 +107,11 @@ def warc_records(
     raw_payload = F.regexp_replace(
         F.coalesce(F.element_at(parts, 2), F.lit("")), r"(\r?\n)+$", ""
     )
-    cl = _hdr(hdrs, "Content-Length").cast("long")
+    # try_cast: 'Content-Length: abc' or a >int64 value must yield NULL,
+    # not an ANSI CAST_INVALID_INPUT that kills the whole 100 TB scan
+    cl = _hdr(hdrs, "Content-Length").try_cast("long")
+    # substr length is int-typed: clamp before the narrowing cast
+    cl_len = F.least(cl, F.lit(2147483647)).try_cast("int")
     return (
         recs.withColumn("rec_idx", F.row_number().over(w).cast("long") - 1)
         .select(
@@ -107,7 +119,7 @@ def warc_records(
             "rec_idx",
             *[_hdr(hdrs, h).alias(n) for n, h in _FIELDS],
             cl.alias("content_length"),
-            F.when(cl.isNotNull(), raw_payload.substr(F.lit(1), cl.cast("int")))
+            F.when(cl.isNotNull(), raw_payload.substr(F.lit(1), cl_len))
             .otherwise(raw_payload)
             .alias("payload"),
         )
@@ -116,50 +128,67 @@ def warc_records(
 
 def _warc_records_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content-Length-aware record walk (the spec's framing): payload
-    bytes are sliced by declared length, never scanned for delimiters."""
+    BYTES are sliced by declared length, never scanned for delimiters.
+
+    The walk runs over the file's UTF-8 bytes — WARC Content-Length is a
+    byte count, so a character-indexed slice would over-read any
+    non-ASCII payload and desync framing for every subsequent record.
+    Header names/values and payloads are decoded back to str
+    (errors='replace') for the string output schema; a well-formed
+    record's payload slice ends on a record boundary, so the decode is
+    lossless there.
+    """
     import re
 
-    hdr_re = re.compile(r"^([A-Za-z0-9-]+):[ \t]*(.*?)\r?$")
-    ver_re = re.compile(r"WARC/1\.[01]\r?\n")
-    blank_re = re.compile(r"\r?\n\r?\n")
-    sep_ver_re = re.compile(r"\r?\n\r?\nWARC/1\.[01]\r?\n")
+    hdr_re = re.compile(rb"^([A-Za-z0-9-]+):[ \t]*(.*?)\r?$")
+    ver_re = re.compile(rb"WARC/1\.[01]\r?\n")
+    blank_re = re.compile(rb"\r?\n\r?\n")
+    sep_ver_re = re.compile(rb"\r?\n\r?\nWARC/1\.[01]\r?\n")
+    tail_nl_re = re.compile(rb"(\r?\n)+$")
 
     def parse_file(fid, text):
+        data = text.encode("utf-8", "surrogatepass")
         pos, idx = 0, 0
-        n = len(text)
+        n = len(data)
         while pos < n:
-            m = ver_re.match(text, pos)
+            m = ver_re.match(data, pos)
             if not m:
-                nxt = ver_re.search(text, pos)
+                nxt = ver_re.search(data, pos)
                 if not nxt:
                     return
                 pos = nxt.start()
                 continue
-            hdr_end = blank_re.search(text, m.end())
+            hdr_end = blank_re.search(data, m.end())
             if not hdr_end:
                 return
             fields = {}
-            for line in text[m.end():hdr_end.start()].split("\n"):
+            for line in data[m.end():hdr_end.start()].split(b"\n"):
                 hm = hdr_re.match(line)
                 if hm:
-                    fields[hm.group(1).lower()] = hm.group(2).strip()
+                    fields[hm.group(1).decode("ascii", "replace").lower()] = (
+                        hm.group(2).strip().decode("utf-8", "replace")
+                    )
             cl = fields.get("content-length")
             cl_i = int(cl) if cl is not None and cl.isdigit() else None
+            if cl_i is not None and cl_i > 0x7FFFFFFFFFFFFFFF:
+                # mirror the JVM try_cast('long'): an out-of-long-range
+                # length is malformed, not a license to swallow the file
+                cl_i = None
             body_start = hdr_end.end()
             if cl_i is not None:
-                payload = text[body_start:body_start + cl_i]
+                payload = data[body_start:body_start + cl_i]
                 pos = body_start + cl_i
             else:  # malformed: fall back to next version line
-                nxt = sep_ver_re.search(text, body_start)
+                nxt = sep_ver_re.search(data, body_start)
                 end = nxt.start() if nxt else n
                 # mirror the JVM path: no declared length -> payload ends
                 # at the separator, trailing newline runs stripped
-                payload = re.sub(r"(\r?\n)+$", "", text[body_start:end])
+                payload = tail_nl_re.sub(b"", data[body_start:end])
                 pos = end
             yield (fid, idx,
                    fields.get("warc-type"), fields.get("warc-target-uri"),
                    fields.get("warc-date"), fields.get("warc-record-id"),
-                   cl_i, payload)
+                   cl_i, payload.decode("utf-8", "replace"))
             idx += 1
 
     def run(batches):

@@ -60,6 +60,51 @@ def test_delimiter_in_payload_needs_exact_path(spark):
     assert jvm[0]["payload"] == "contains"
 
 
+def test_malformed_content_length_never_kills_the_scan(spark):
+    """ANSI mode: a non-numeric or overflowing Content-Length must yield
+    NULL content_length + delimiter-framed payload, not a task-killing
+    CAST_INVALID_INPUT / overflow (ADVICE r3, warc.py JVM path)."""
+    bad_cl = ("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: https://m.org/a\r\nContent-Length: abc\r\n"
+              "\r\npayload-a\r\n\r\n")
+    huge_cl = ("WARC/1.0\r\nWARC-Type: response\r\n"
+               "WARC-Target-URI: https://m.org/b\r\n"
+               "Content-Length: 99999999999999999999\r\n"  # > int64
+               "\r\npayload-b\r\n\r\n")
+    big32 = ("WARC/1.0\r\nWARC-Type: response\r\n"
+             "WARC-Target-URI: https://m.org/c\r\nContent-Length: 4294967296\r\n"
+             "\r\npayload-c\r\n\r\n")  # > int32 but valid long
+    f = bad_cl + huge_cl + big32
+    for exact in (False, True):
+        rows = _collect(spark, [(1, f)], exact=exact)
+        assert len(rows) == 3, f"exact={exact}"
+        assert rows[0]["content_length"] is None
+        assert rows[0]["payload"] == "payload-a"
+        assert rows[1]["content_length"] is None or exact  # >int64: JVM NULL
+        assert rows[1]["payload"].startswith("payload-b")
+        assert rows[2]["content_length"] == 4294967296
+        # declared length exceeds the actual payload: slice = whole rest
+        assert rows[2]["payload"].startswith("payload-c")
+
+
+def test_exact_path_slices_bytes_not_chars(spark):
+    """Content-Length is a BYTE count: a non-ASCII payload must not
+    over-read and desync the following record (ADVICE r3, exact path)."""
+    body1 = "héllo wörld — ünïcode"  # 21 chars, more bytes
+    nbytes = len(body1.encode("utf-8"))
+    assert nbytes > len(body1)
+    f = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+         f"WARC-Target-URI: https://u.org/1\r\nContent-Length: {nbytes}\r\n"
+         f"\r\n{body1}\r\n\r\n"
+         + _rec("https://u.org/2", "plain second record"))
+    rows = _collect(spark, [(1, f)], exact=True)
+    assert len(rows) == 2
+    assert rows[0]["payload"] == body1
+    assert rows[0]["content_length"] == nbytes
+    assert rows[1]["target_uri"] == "https://u.org/2"
+    assert rows[1]["payload"] == "plain second record"
+
+
 def test_lf_only_framing_and_warc_11(spark):
     f = ("WARC/1.1\nWARC-Type: response\nWARC-Target-URI: u\n"
          "Content-Length: 4\n\nbody\n\n")

@@ -696,10 +696,16 @@ def top_ngrams(
         F.sum("_m").cast("long").alias("n_occurrences"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+    # orderBy+limit = TakeOrderedAndProject: each partition keeps its own
+    # top-k and only k rows per partition reach the driver-side merge —
+    # NEVER a row_number window over the full gram vocabulary, which at
+    # crawl scale funnels billions of distinct grams through ONE task
+    # (same plan bm25_topk uses, search.py). The window ranks only the k
+    # survivors.
+    top = agg.orderBy(F.col("n_occurrences").desc(), F.col("_g").asc()).limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("_g").asc())
     return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(F.col("_g").alias("gram"), "n_occurrences", "n_docs",
                 F.col("rnk").cast("long").alias("rnk"))
     )

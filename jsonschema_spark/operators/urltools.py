@@ -268,10 +268,17 @@ def frontier_interleave(
 
     Output: input columns + ``round`` + ``fetch_order`` (both 1-based).
 
-    Scale shape: ONE window per host (hosts rank in parallel) + one
-    global sort for the final sequence — the sort is the OUTPUT
-    contract (a fetch queue is consumed in order); writers that only
-    need per-round batches can groupBy ``round`` instead and skip it.
+    Scale shape: ONE window per host (hosts rank in parallel) + the
+    global sequence via the zipWithIndex-on-sorted pattern — NEVER a
+    single-partition row_number over the whole frontier (a crawl
+    frontier is corpus-sized). The frontier is range-partitioned on
+    (round, host-hash, url) so partitions hold contiguous key ranges,
+    each partition numbers its own rows locally (parallel per-partition
+    windows), and exact cumulative partition offsets (one tiny
+    n_partitions-row aggregate, broadcast back) lift local numbers to
+    the identical global sequence. The ranged intermediate is
+    localCheckpoint-ed so partition ids stay stable between the offset
+    count and the numbering pass.
     """
     from pyspark.sql.window import Window
 
@@ -280,6 +287,42 @@ def frontier_interleave(
             if priority_col else F.col(url_col).asc())
     w = Window.partitionBy(host).orderBy(prio, F.col(url_col).asc())
     hh = F.conv(F.substring(F.md5(host), 1, 14), 16, 10).cast("long")
-    out = df.withColumn("round", F.row_number().over(w).cast("long"))
-    wg = Window.orderBy(F.col("round").asc(), hh.asc(), F.col(url_col).asc())
-    return out.withColumn("fetch_order", F.row_number().over(wg).cast("long"))
+    out = (
+        df.withColumn("round", F.row_number().over(w).cast("long"))
+        .withColumn("_hh", hh)
+    )
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        out.repartitionByRange(
+            n_parts, F.col("round"), F.col("_hh"), F.col(url_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "_off")
+    )
+    wl = Window.partitionBy("_pid").orderBy(
+        F.col("round").asc(), F.col("_hh").asc(), F.col(url_col).asc()
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "fetch_order",
+            (F.row_number().over(wl).cast("long") + F.col("_off")),
+        )
+        .drop("_pid", "_off", "_hh")
+    )

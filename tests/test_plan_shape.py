@@ -185,6 +185,50 @@ def test_robots_filter_no_cross_product(spark):
     assert "Python" not in plan
 
 
+def test_top_ngrams_no_full_vocabulary_window(spark):
+    """top_ngrams must rank via TakeOrderedAndProject (parallel
+    per-partition top-k), NEVER a row_number window over the full
+    distinct-gram table — at crawl scale that funnels billions of rows
+    through one task (VERDICT r3 finding #1)."""
+    from jsonschema_spark.operators.textstats import top_ngrams
+
+    df = spark.read.parquet(DOCS)
+    plan = _plan(top_ngrams(df, "doc_id", "text", n=2, k=5), "simple")
+    assert "TakeOrderedAndProject" in plan
+    # the single-partition funnel is gone entirely: the only Window sits
+    # ABOVE the limit (ranks the k survivors), so no SinglePartition
+    # exchange exists anywhere in the plan
+    assert "Exchange SinglePartition" not in plan
+    lines = plan.splitlines()
+    w_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    t_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
+    assert len(w_idx) == 1 and len(t_idx) == 1
+    assert w_idx[0] < t_idx[0]  # tree prints root-first: window above limit
+
+
+def test_frontier_interleave_no_global_window(spark):
+    """frontier_interleave's fetch_order must come from range-partition +
+    per-partition row_number + broadcast offsets — the only
+    SinglePartition exchange allowed is the tiny (≤ shuffle partitions)
+    offsets cumsum on the broadcast side (VERDICT r3 finding #2)."""
+    from jsonschema_spark.operators.urltools import frontier_interleave
+
+    urls = spark.read.parquet(DOCS).select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 13).alias("prio"),
+    )
+    plan = _plan(frontier_interleave(urls, priority_col="prio"), "simple")
+    # the corpus-side window is partitioned by the range-partition id
+    assert "windowspecdefinition(_pid" in plan
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    be = [i for i, ln in enumerate(lines) if "BroadcastExchange" in ln]
+    assert len(sp) == 1 and len(be) == 1
+    assert sp[0] > be[0]  # the funnel lives INSIDE the broadcast subtree
+
+
 def test_warc_jvm_path_python_free(spark):
     from jsonschema_spark.sources.warc import warc_records
 

@@ -3628,57 +3628,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's correctness gate, which attests
+    # entries in dict order and may truncate by count/time budget.
+    # Rounds 1-3 attested the 50 queries now listed SECOND (two rounds of
+    # green driver rows each); the block listed FIRST is everything that
+    # had no driver row in CORRECTNESS_r03 (it stopped at entry #50) —
+    # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
-        "validate_docs_counts": q_validate_docs_counts,
-        "validate_docs_by_lang": q_validate_docs_by_lang,
-        "violations_docs": q_violations_docs,
-        "validate_events_payload": q_validate_events_payload,
-        "validate_nested_orders": q_validate_nested_orders,
-        "validate_pattern_props": q_validate_pattern_props,
-        "violations_events": q_violations_events,
-        "validate_combinators": q_validate_combinators,
-        "violations_combinators": q_violations_combinators,
-        "validate_multipleof": q_validate_multipleof,
-        "validate_uniq_prefix_ref": q_validate_uniq_prefix_ref,
-        "validate_recursive": q_validate_recursive,
-        "validate_dynamic_ref": q_validate_dynamic_ref,
-        "binpack_sizes": q_binpack_sizes,
-        "validate_entrypoint": q_validate_entrypoint,
-        "validate_unevaluated": q_validate_unevaluated,
-        "annotations_docs": q_annotations_docs,
-        "validate_formats": q_validate_formats,
-        "profile_docs": q_profile_docs,
-        "quantiles_n_chars": q_quantiles_n_chars,
-        "drift_lang": q_drift_lang,
-        "drift_n_chars": q_drift_n_chars,
-        "dedup_exact_counts": q_dedup_exact_counts,
-        "dedup_exact_keep_first": q_dedup_exact_keep_first,
-        "referential_lang": q_referential_lang,
-        "referential_orders_customer": q_referential_orders_customer,
-        "events_hourly": q_events_hourly,
-        "binary_sha256": q_binary_sha256,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_pairs": q_dedup_embedding_pairs,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "text_quality": q_text_quality,
-        "webtext_filters": q_webtext_filters,
-        "gopher_repetition": q_gopher_repetition,
-        "hash_split": q_hash_split,
-        "clean_text": q_clean_text,
-        "token_budget": q_token_budget,
-        "curate_docs": q_curate_docs,
-        "pii_scrub": q_pii_scrub,
-        "contamination": q_contamination,
-        "decontaminate_docs": q_decontaminate,
-        "line_dedup": q_line_dedup,
-        "langid": q_langid,
+        # --- round-4 front block: no driver attestation yet ---
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
         "lm_score": q_lm_score,
@@ -3730,6 +3687,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_stats": q_link_stats,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
+        # --- attested in CORRECTNESS_r02 + r03 (all green twice) ---
+        "validate_docs_counts": q_validate_docs_counts,
+        "validate_docs_by_lang": q_validate_docs_by_lang,
+        "violations_docs": q_violations_docs,
+        "validate_events_payload": q_validate_events_payload,
+        "validate_nested_orders": q_validate_nested_orders,
+        "validate_pattern_props": q_validate_pattern_props,
+        "violations_events": q_violations_events,
+        "validate_combinators": q_validate_combinators,
+        "violations_combinators": q_violations_combinators,
+        "validate_multipleof": q_validate_multipleof,
+        "validate_uniq_prefix_ref": q_validate_uniq_prefix_ref,
+        "validate_recursive": q_validate_recursive,
+        "validate_dynamic_ref": q_validate_dynamic_ref,
+        "binpack_sizes": q_binpack_sizes,
+        "validate_entrypoint": q_validate_entrypoint,
+        "validate_unevaluated": q_validate_unevaluated,
+        "annotations_docs": q_annotations_docs,
+        "validate_formats": q_validate_formats,
+        "profile_docs": q_profile_docs,
+        "quantiles_n_chars": q_quantiles_n_chars,
+        "drift_lang": q_drift_lang,
+        "drift_n_chars": q_drift_n_chars,
+        "dedup_exact_counts": q_dedup_exact_counts,
+        "dedup_exact_keep_first": q_dedup_exact_keep_first,
+        "referential_lang": q_referential_lang,
+        "referential_orders_customer": q_referential_orders_customer,
+        "events_hourly": q_events_hourly,
+        "binary_sha256": q_binary_sha256,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "text_quality": q_text_quality,
+        "webtext_filters": q_webtext_filters,
+        "gopher_repetition": q_gopher_repetition,
+        "hash_split": q_hash_split,
+        "clean_text": q_clean_text,
+        "token_budget": q_token_budget,
+        "curate_docs": q_curate_docs,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
+        "decontaminate_docs": q_decontaminate,
+        "line_dedup": q_line_dedup,
+        "langid": q_langid,
     }
 
 

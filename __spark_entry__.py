@@ -1866,6 +1866,8 @@ def _messy_url():
         F.when(c % 2 == 0, F.upper(src)).otherwise(src),
         F.when(c % 5 == 0, F.lit(".example.CO.UK"))
          .when(c % 5 == 1, F.lit(".Crawl-Site.ORG"))
+         .when(c % 5 == 2, F.lit(".example.COM.SG"))
+         .when(c % 5 == 3, F.lit(".city.KOBE.jp"))
          .otherwise(F.lit(".example.com")),
         F.when(c % 7 == 0, F.lit(":80")).when(c % 7 == 1, F.lit(":8080"))
          .when(c % 7 == 2, F.lit(":443")).otherwise(F.lit("")),
@@ -1881,6 +1883,7 @@ _MESSY_URL_SQL = """(
   || CASE WHEN doc_id%4=0 THEN 'WWW.' ELSE '' END
   || CASE WHEN doc_id%2=0 THEN upper(source) ELSE source END
   || CASE doc_id%5 WHEN 0 THEN '.example.CO.UK' WHEN 1 THEN '.Crawl-Site.ORG'
+          WHEN 2 THEN '.example.COM.SG' WHEN 3 THEN '.city.KOBE.jp'
           ELSE '.example.com' END
   || CASE doc_id%7 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' WHEN 2 THEN ':443' ELSE '' END
   || '/a//b/' || (doc_id%20)::VARCHAR
@@ -3814,15 +3817,62 @@ c AS (SELECT doc_id, lang, n_tokens,
 SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}"""
 
 
+def _psl_sql_ctes() -> str:
+    """CTEs loading the packaged Public Suffix List (ICANN section) into
+    kind-classified rule tables for the oracle mirror: pex exact rules,
+    pw wildcard parents, pe exception rules — each with its label count
+    ``k``. read_text replays the exact data file the Spark matcher
+    embeds, so both engines see identical rule sets."""
+    from jsonschema_spark.operators.urltools import PSL_ICANN_PATH
+
+    return f"""
+pslraw AS (SELECT trim(unnest(string_split(content, chr(10)))) AS rule
+           FROM read_text('{PSL_ICANN_PATH}')),
+psl AS (SELECT lower(rule) AS rule FROM pslraw
+        WHERE rule <> '' AND rule NOT LIKE '//%'),
+pex AS (SELECT rule, len(string_split(rule, '.')) AS k FROM psl
+        WHERE rule NOT LIKE '!%' AND rule NOT LIKE '*.%'
+          AND rule LIKE '%.%'),
+pw AS (SELECT substr(rule, 3) AS rule,
+              len(string_split(substr(rule, 3), '.')) AS k
+       FROM psl WHERE rule LIKE '*.%'),
+pe AS (SELECT substr(rule, 2) AS rule,
+              len(string_split(substr(rule, 2), '.')) AS k
+       FROM psl WHERE rule LIKE '!%')"""
+
+
+def _psl_reg_sql(host: str = "host", ls: str = "ls") -> str:
+    """Registered-domain CASE expression walking the SAME probe plan as
+    urltools._psl_column (exceptions first, then longest-match
+    descending): one guarded IN-probe per plan entry, byte-identical
+    output to the Spark InSet chain."""
+    from jsonschema_spark.operators.urltools import psl_match_plan
+
+    def lk(j: int) -> str:
+        return (f"(CASE WHEN len({ls}) >= {j} THEN "
+                f"array_to_string({ls}[len({ls})-{j}+1:], '.') "
+                f"ELSE {host} END)")
+
+    tbl = {0: "pe", 1: "pex", 2: "pw"}
+    branches = []
+    for k, kind in psl_match_plan(False):
+        probe_k = k - 1 if kind == 2 else k
+        cond = (f"len({ls}) >= {k} AND {lk(probe_k)} IN "
+                f"(SELECT rule FROM {tbl[kind]} WHERE k = {probe_k})")
+        val = lk(k) if kind == 0 else lk(k + 1)
+        branches.append(f"WHEN {cond} THEN {val}")
+    return "CASE " + " ".join(branches) + f" ELSE {lk(2)} END"
+
+
 def _url_norm_core_sql() -> str:
     """Shared CTE chain: messy url -> parsed parts -> normalized url +
     host + registered domain (mirror of operators/urltools.py steps 1-5,
-    same regex, same group numbers, same bytewise param sort)."""
-    from jsonschema_spark.operators.urltools import (
-        TRACKING_RE, TWO_LEVEL_SUFFIXES, _URL_RE)
+    same regex, same group numbers, same bytewise param sort, same
+    PSL probe plan for the registered domain)."""
+    from jsonschema_spark.operators.urltools import TRACKING_RE, _URL_RE
 
-    sufs = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
     return f"""
+{_psl_sql_ctes()},
 u AS (SELECT doc_id, source, n_chars, {_MESSY_URL_SQL} AS url FROM documents),
 p AS (SELECT doc_id, n_chars, url,
         lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
@@ -3834,6 +3884,7 @@ p AS (SELECT doc_id, n_chars, url,
           string_split(substr(regexp_extract(url, '{_URL_RE}', 5), 2), '&'),
           x -> NOT regexp_matches(x, '{TRACKING_RE}') AND x <> '')) AS kept
       FROM u),
+ph AS (SELECT *, string_split(host, '.') AS ls FROM p),
 n AS (SELECT doc_id, n_chars, url, host,
         scheme || '://' || host
         || CASE WHEN port='' OR (scheme='http' AND port=':80')
@@ -3841,13 +3892,8 @@ n AS (SELECT doc_id, n_chars, url, host,
         || CASE WHEN path='' THEN '/' ELSE path END
         || CASE WHEN len(kept)=0 THEN ''
                 ELSE '?' || array_to_string(kept, '&') END AS url_norm,
-        (SELECT CASE
-           WHEN len(ls) <= 1 THEN host
-           WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ({sufs})
-             THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
-           ELSE ls[-2] || '.' || ls[-1] END
-         FROM (SELECT string_split(host, '.') AS ls)) AS reg_domain
-      FROM p)"""
+        {_psl_reg_sql()} AS reg_domain
+      FROM ph)"""
 
 
 _SHINGLE3 = ("CASE WHEN len(toks) >= 3 "

@@ -107,6 +107,7 @@ from jsonschema_spark.operators.urltools import (
     normalize_url,
     url_signature,
     normalize_urls_df,
+    public_suffix,
     registered_domain,
     url_dedup_df,
 )
@@ -229,6 +230,7 @@ __all__ = [
     "warc_records",
     "sitemap_entries",
     "quality_buckets",
+    "public_suffix",
     "registered_domain",
     "host_stats_df",
     "url_dedup_df",

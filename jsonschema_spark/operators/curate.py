@@ -127,6 +127,8 @@ def budget_sample(
     budget_tokens: int,
     stratify_col: str | None = None,
     salt: str = "budget",
+    exact: bool = True,
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Deterministic token-budget sampling: within each stratum (e.g.
     language), order documents by a portable md5 hash of `salt:id` (an
@@ -136,15 +138,32 @@ def budget_sample(
     budget, and everything after it, is dropped. Output keeps the running
     total (`cum_tokens`) for auditability.
 
-    Scale shape: one window cumulative sum per stratum — a shuffle on the
-    stratum key plus a per-stratum sort of (hash, id, n_tokens) TRIPLES
-    (not documents: the projection drops `text` before the sort, so the
-    shuffle moves ~24 bytes/doc). Stratum count is small (languages), so
-    per-stratum skew is the scale risk: at crawl scale pre-aggregate the
-    token histogram per hash-prefix bucket to find the cutoff hash, then
-    broadcast the per-stratum cutoffs — the window form here IS that
-    computation when strata fit a task, and the oracle-exact semantics
-    are identical.
+    ``exact=True`` (small strata): one window cumulative sum per stratum —
+    a shuffle on the stratum key plus a per-stratum sort of (hash, id,
+    n_tokens) TRIPLES (not documents: the projection drops `text` before
+    the sort, so the shuffle moves ~24 bytes/doc). One stratum sorts in
+    one task — the scale risk at crawl corpus sizes.
+
+    ``exact=False`` (the crawl-scale path) returns the IDENTICAL rows
+    without ever sorting a stratum in one task, via hash-prefix bucketing:
+
+    1. bucket = the top ``log2(n_buckets)`` bits of the 56-bit hash —
+       monotone in the hash, so bucket order IS prefix order;
+    2. ONE groupBy (stratum, bucket) token histogram — strata×n_buckets
+       rows, map-side combined, broadcastable;
+    3. per-stratum cumulative bucket sums locate every bucket whose
+       PREFIX START is already past the budget — dropped wholesale by a
+       broadcast join (this is the win: ~budget/corpus of the data
+       survives to the next step);
+    4. the surviving buckets (usually one partial + the full ones) get
+       per-BUCKET windows ordered by (hash, id), offset by the broadcast
+       bucket prefix sums — parallel across n_buckets·strata partitions,
+       each sorting ~n/n_buckets rows.
+
+    Equivalence holds because hash ties can only land in the same bucket
+    and the within-bucket order (hash, id) extends the global order.
+    Pick ``n_buckets ≥ stratum_rows / 10^7`` so the largest per-bucket
+    sort fits a task; the histogram stays tiny up to 2^20 buckets.
     """
     from pyspark.sql.window import Window
 
@@ -157,15 +176,44 @@ def budget_sample(
         h.alias("_h"),
         F.size(tokens(F.col(text_col))).alias("n_tokens"),
     )
-    part = Window.partitionBy(stratify_col) if stratify_col else Window.partitionBy()
-    w = part.orderBy("_h", id_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = slim.select(
-        id_col,
-        *([stratify_col] if stratify_col else []),
-        "n_tokens",
-        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    out_cols = [id_col] + ([stratify_col] if stratify_col else []) \
+        + ["n_tokens"]
+    if exact:
+        part = (Window.partitionBy(stratify_col) if stratify_col
+                else Window.partitionBy())
+        w = part.orderBy("_h", id_col).rowsBetween(
+            Window.unboundedPreceding, 0)
+        cum = slim.select(
+            *out_cols, F.sum("n_tokens").over(w).alias("cum_tokens"))
+        return cum.where(F.col("cum_tokens") <= budget_tokens)
+
+    bits = (n_buckets - 1).bit_length()
+    if n_buckets != 1 << bits:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    strat = [stratify_col] if stratify_col else []
+    bucketed = slim.withColumn(
+        "_b", F.shiftrightunsigned(F.col("_h"), 56 - bits))
+    hist = bucketed.groupBy(*strat, "_b").agg(
+        F.sum("n_tokens").alias("_bt"))
+    # per-stratum prefix sum over buckets: strata × n_buckets rows — the
+    # only window over this tiny table, partitioned by stratum
+    wh = (Window.partitionBy(stratify_col) if stratify_col
+          else Window.partitionBy()).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        *strat, "_b",
+        F.coalesce(F.sum("_bt").over(wh), F.lit(0)).alias("_off"),
+    ).where(F.col("_off") <= budget_tokens)
+    wb = Window.partitionBy(*strat, "_b").orderBy("_h", F.col(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        bucketed.join(F.broadcast(offsets), [*strat, "_b"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("_off") + F.sum("n_tokens").over(wb)).cast("long"))
     )
-    return cum.where(F.col("cum_tokens") <= budget_tokens)
+    return cum.where(F.col("cum_tokens") <= budget_tokens).select(
+        *out_cols, "cum_tokens")
 
 
 def domain_cap_sample(

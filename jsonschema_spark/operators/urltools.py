@@ -26,13 +26,34 @@ Normalization steps (documented order, each mirrored in the oracle):
    survivors bytewise, re-join with "&"; empty query -> no "?";
 5. drop the fragment.
 
-``registered_domain`` uses a small embedded two-level public-suffix set
-(the full PSL is a data file, not an algorithm change — swap
-``TWO_LEVEL_SUFFIXES`` for the published list at deployment).
+``registered_domain`` matches the full Public Suffix List (ICANN section,
+7380 rules; PRIVATE section opt-in via ``include_private=True``) shipped as
+packaged data files under ``jsonschema_spark/data/`` (see PSL_LICENSE.md).
+The match is a PURE COLUMN EXPRESSION: the rule sets are split by label
+count into frozensets and probed via ``isin`` (Catalyst converts lists past
+``inSetConversionThreshold`` into InSet — a single JVM hash-set probe per
+candidate suffix, ~8 probes per row, zero shuffles, zero Python, no join).
+If the data files are absent (stripped deployment), the legacy 16-entry
+``TWO_LEVEL_SUFFIXES`` heuristic is the fallback.
+
+PSL semantics implemented (https://publicsuffix.org/list/ algorithm):
+exception rule (``!``) beats everything and makes the public suffix one
+label shorter than the rule; otherwise the LONGEST matching rule wins,
+where ``*.parent`` matches any single label under ``parent``; the default
+rule ``*`` makes every unknown TLD its own public suffix. Registered
+domain = public suffix + one label; a host that IS a public suffix (or
+shorter) returns itself — total function, never NULL, never an error.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+PSL_ICANN_PATH = os.path.join(_DATA_DIR, "public_suffix_icann.dat")
+PSL_PRIVATE_PATH = os.path.join(_DATA_DIR, "public_suffix_private.dat")
 
 # RE2∩Java-safe absolute-URL parse (crawl URLs are always absolute
 # http/https). Groups: 1 scheme, 2 host, 3 :port, 4 path, 5 ?query, 6 #frag.
@@ -41,13 +62,84 @@ _URL_RE = r"^([^:/?#]+)://([^/?#:]*)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
 # tracking params dropped by step 4 (shared with the oracle mirror)
 TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)="
 
-# second-level public suffixes where the registered domain is 3 labels
+# legacy second-level suffix subset — FALLBACK ONLY, used when the packaged
+# PSL data files are missing (see module docstring).
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "or.jp",
     "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
 )
+
+_psl_cache: dict[bool, dict | None] = {}
+
+
+def load_psl(include_private: bool = False) -> dict | None:
+    """Parse the packaged Public Suffix List into label-count-keyed rule
+    sets: ``{"exact": {k: frozenset}, "wild": {k: frozenset of parents},
+    "exc": {k: frozenset}, "max_len": int}`` where ``max_len`` is the
+    largest possible public-suffix length under these rules. 1-label exact
+    rules are dropped — the default rule ``*`` already yields the same
+    suffix length, so they change nothing. Returns None (→ legacy
+    fallback) when the ICANN data file is absent. Cached per flag."""
+    key = bool(include_private)
+    if key in _psl_cache:
+        return _psl_cache[key]
+    paths = [PSL_ICANN_PATH] + ([PSL_PRIVATE_PATH] if include_private else [])
+    if not os.path.exists(paths[0]):
+        _psl_cache[key] = None
+        return None
+    exact: dict[int, set] = {}
+    wild: dict[int, set] = {}
+    exc: dict[int, set] = {}
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        with open(p, encoding="utf-8") as fh:
+            for rule in fh:
+                rule = rule.strip().lower()
+                if not rule or rule.startswith("//"):
+                    continue
+                if rule.startswith("!"):
+                    r = rule[1:]
+                    exc.setdefault(r.count(".") + 1, set()).add(r)
+                elif rule.startswith("*."):
+                    r = rule[2:]
+                    wild.setdefault(r.count(".") + 1, set()).add(r)
+                else:
+                    k = rule.count(".") + 1
+                    if k >= 2:
+                        exact.setdefault(k, set()).add(rule)
+    max_len = max([1, *exact.keys(), *(k + 1 for k in wild.keys())])
+    psl = {
+        "exact": {k: frozenset(v) for k, v in exact.items()},
+        "wild": {k: frozenset(v) for k, v in wild.items()},
+        "exc": {k: frozenset(v) for k, v in exc.items()},
+        "max_len": max_len,
+    }
+    _psl_cache[key] = psl
+    return psl
+
+
+def psl_match_plan(include_private: bool = False) -> list[tuple[int, int]] | None:
+    """The ordered probe plan shared by the Spark expression and the
+    DuckDB oracle mirror: a list of (candidate_label_count, rule_kind)
+    pairs where rule_kind 0=exception, 1=exact, 2=wildcard-parent —
+    in match-precedence order (exceptions first, then longest-match
+    descending). Both engines walk this identical plan, so registered
+    domains agree byte-for-byte."""
+    psl = load_psl(include_private)
+    if psl is None:
+        return None
+    plan: list[tuple[int, int]] = []
+    for k in sorted(psl["exc"], reverse=True):
+        plan.append((k, 0))
+    for k in range(psl["max_len"], 1, -1):
+        if k in psl["exact"]:
+            plan.append((k, 1))
+        if (k - 1) in psl["wild"]:
+            plan.append((k, 2))
+    return plan
 
 
 def _grp(url: Column, i: int) -> Column:
@@ -115,24 +207,70 @@ def host_of(url: Column) -> Column:
     return F.lower(_grp(url, 2))
 
 
-def registered_domain(url: Column) -> Column:
-    """eTLD+1 under the embedded two-level suffix set: the unit of
-    per-site statistics, skew salting and sampling budgets. 'www.' and
-    other subdomain labels collapse into the registrable owner."""
+def _psl_column(host: Column, include_private: bool, want: str) -> Column:
+    """Shared PSL matcher over a host Column: ``want`` selects the output
+    — 'reg' (public suffix + 1 label) or 'ps' (the public suffix itself).
+    One when-chain in plan precedence order; each branch is a guarded
+    InSet probe over the last-k labels (substring_index — no array
+    materialization). Short-circuits at the first (highest-precedence)
+    match, ≤ ~8 probes/row over the ICANN list."""
+    psl = load_psl(include_private)
+    plan = psl_match_plan(include_private)
+    n = F.size(F.split(host, r"\."))
+
+    def lk(k: int) -> Column:
+        # last k labels; whole host when the host has fewer than k labels
+        return F.substring_index(host, ".", -k)
+
+    kind_sets = {0: psl["exc"], 1: psl["exact"], 2: psl["wild"]}
+    out = None
+    for k, kind in plan:
+        rules = kind_sets[kind].get(k if kind != 2 else k - 1)
+        cond = (n >= k) & lk(k if kind != 2 else k - 1).isin(*sorted(rules))
+        if kind == 0:        # exception: public suffix = rule minus 1 label
+            val = lk(k) if want == "reg" else lk(k - 1)
+        else:                # exact/wildcard match of length k
+            val = lk(k + 1) if want == "reg" else lk(k)
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    default = lk(2) if want == "reg" else lk(1)
+    return out.otherwise(default) if out is not None else default
+
+
+def registered_domain(url: Column, include_private: bool = False) -> Column:
+    """eTLD+1 under the full Public Suffix List (packaged ICANN section;
+    ``include_private=True`` adds the PRIVATE section — github.io,
+    blogspot.com, …): the unit of per-site statistics, skew salting and
+    sampling budgets. 'www.' and other subdomain labels collapse into the
+    registrable owner; ``org.uk`` / ``com.sg`` / ``*.ck``-style ccTLD
+    registrations group correctly. Pure codegen projection (InSet probes,
+    no join, no Python); falls back to the TWO_LEVEL_SUFFIXES heuristic
+    only if the data file is missing."""
     host = host_of(url)
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
-    return (
-        F.when(n <= 1, host)
-        .when((n >= 3) & two_level, last3)
-        .otherwise(last2)
-    )
+    if load_psl(include_private) is None:
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+        last2 = F.concat_ws(".", F.element_at(labels, -2),
+                            F.element_at(labels, -1))
+        last3 = F.concat_ws(".", F.element_at(labels, -3),
+                            F.element_at(labels, -2),
+                            F.element_at(labels, -1))
+        return (
+            F.when(n <= 1, host)
+            .when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+            .otherwise(last2)
+        )
+    return _psl_column(host, include_private, "reg")
+
+
+def public_suffix(url: Column, include_private: bool = False) -> Column:
+    """The public suffix (eTLD) of the url's host under the packaged PSL
+    — the part under which names are registrable ('co.uk' for
+    'a.b.co.uk'). Same pure-projection matcher as registered_domain."""
+    if load_psl(include_private) is None:
+        raise FileNotFoundError(
+            "public_suffix requires the packaged PSL data file "
+            f"({PSL_ICANN_PATH})")
+    return _psl_column(host_of(url), include_private, "ps")
 
 
 def normalize_urls_df(

@@ -739,6 +739,61 @@ def test_budget_sample_matches_python_mirror(spark):
     assert all(r["cum_tokens"] <= budget for r in out)
 
 
+def test_budget_sample_approx_equals_exact(spark):
+    """Hash-prefix histogram cutoff path (exact=False) returns the
+    IDENTICAL row set + cum_tokens as the single-window exact form —
+    stratified and not, across budgets that land mid-bucket and exactly
+    on bucket boundaries, at n_buckets small enough (8) that every
+    cutoff case (all-dropped buckets, partial bucket, full buckets)
+    occurs."""
+    from jsonschema_spark.operators.curate import budget_sample
+
+    rows = [(i, "tok " * (i % 11 + 1), ("en", "de", "fr")[i % 3])
+            for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def snap(out):
+        return sorted((r["doc_id"], r["cum_tokens"]) for r in out.collect())
+
+    for strat in (None, "lang"):
+        exact_budget_rows = {}
+        for budget in (0, 7, 64, 10**6):
+            ex = snap(budget_sample(df, "doc_id", "text", budget,
+                                    stratify_col=strat))
+            ap = snap(budget_sample(df, "doc_id", "text", budget,
+                                    stratify_col=strat, exact=False,
+                                    n_buckets=8))
+            assert ap == ex, (strat, budget)
+            exact_budget_rows[budget] = ex
+        # a budget exactly on a cumulative boundary: take a mid-stream
+        # cum_tokens value as the budget and re-run both paths
+        mid = exact_budget_rows[10**6][len(exact_budget_rows[10**6]) // 2][1]
+        assert snap(budget_sample(df, "doc_id", "text", mid,
+                                  stratify_col=strat, exact=False,
+                                  n_buckets=8)) == \
+            snap(budget_sample(df, "doc_id", "text", mid,
+                               stratify_col=strat))
+
+
+def test_budget_sample_approx_plan_no_global_window(spark):
+    """The approx path must never sort a whole stratum in one task: the
+    only windows in its plan are the tiny per-stratum histogram prefix
+    sum (strata × n_buckets rows) and per-(stratum, bucket) partitions.
+    With a stratify col there is NO unpartitioned window at all."""
+    from jsonschema_spark.operators.curate import budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "tok tok", "en") for i in range(1, 50)],
+        "doc_id long, text string, lang string")
+    plan = budget_sample(df, "doc_id", "text", 20, stratify_col="lang",
+                         exact=False, n_buckets=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "partitionBy" not in line or "lang" in line, line
+    assert "SinglePartition" not in plan
+
+
 def test_dsir_fast_path_same_semantics(spark):
     """portable=False (xxhash64 buckets) keeps the domain separation and
     determinism; only the bucket assignment differs from the md5 path."""

@@ -75,11 +75,88 @@ def test_parts_and_validity(spark):
     ("http://deep.sub.site.org/x", "site.org"),
     ("http://localhost/x", "localhost"),
     ("http://shop.com.au/x", "shop.com.au"),  # 2-label host on a 2-level suffix
+    # full-PSL cases beyond the legacy TWO_LEVEL_SUFFIXES subset
+    ("http://a.example.org.uk/x", "example.org.uk"),
+    ("http://x.example.com.sg/x", "example.com.sg"),
+    ("http://x.pvt.k12.ma.us/x", "x.pvt.k12.ma.us"),   # 4-label exact rule
+    ("http://foo.bar.ck/x", "foo.bar.ck"),             # wildcard *.ck
+    ("http://a.foo.bar.ck/x", "foo.bar.ck"),
+    ("http://www.ck/x", "www.ck"),                     # exception !www.ck
+    ("http://a.www.ck/x", "www.ck"),
+    ("http://a.city.kobe.jp/x", "city.kobe.jp"),       # exception beats *.kobe.jp
+    ("http://a.b.kobe.jp/x", "a.b.kobe.jp"),           # wildcard *.kobe.jp
+    ("http://a.b.unknowntld/x", "b.unknowntld"),       # default rule '*'
 ])
 def test_registered_domain(spark, url, dom):
     df = spark.createDataFrame([(url,)], ["url"])
     assert df.select(registered_domain(F.col("url")).alias("d")) \
              .collect()[0]["d"] == dom
+
+
+def test_registered_domain_private_section(spark):
+    from jsonschema_spark.operators.urltools import public_suffix
+
+    df = spark.createDataFrame(
+        [("http://user.github.io/x",), ("http://b.user.blogspot.com/x",)],
+        ["url"])
+    icann = [r["d"] for r in
+             df.select(registered_domain(F.col("url")).alias("d")).collect()]
+    priv = [r["d"] for r in
+            df.select(registered_domain(F.col("url"), include_private=True)
+                      .alias("d")).collect()]
+    assert icann == ["github.io", "blogspot.com"]
+    assert priv == ["user.github.io", "user.blogspot.com"]
+    ps = [r["p"] for r in
+          df.select(public_suffix(F.col("url"), include_private=True)
+                    .alias("p")).collect()]
+    assert ps == ["github.io", "blogspot.com"]
+
+
+def test_public_suffix(spark):
+    from jsonschema_spark.operators.urltools import public_suffix
+
+    cases = [
+        ("http://a.b.example.co.uk/x", "co.uk"),
+        ("http://www.example.com/x", "com"),
+        ("http://a.foo.bar.ck/x", "bar.ck"),      # wildcard
+        ("http://a.city.kobe.jp/x", "kobe.jp"),   # exception
+        ("http://a.b.unknowntld/x", "unknowntld"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["p"] for r in
+           df.select(public_suffix(F.col("url")).alias("p")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_host_stats_psl_grouping(spark):
+    """PSL suffixes group per-site stats correctly: subdomains of an
+    org.uk / com.sg registration collapse to one registered domain
+    instead of being mis-grouped under ('org.uk', 'com.sg')."""
+    df = spark.createDataFrame([
+        ("http://a.news.org.uk/1", 1), ("http://b.news.org.uk/2", 2),
+        ("http://shop.example.com.sg/1", 4), ("http://example.com.sg/2", 8),
+        ("http://other.org.uk/1", 16),
+    ], ["url", "sz"])
+    rows = {r["reg_domain"]: r for r in
+            host_stats_df(df, "url", size_col="sz").collect()}
+    assert set(rows) == {"news.org.uk", "example.com.sg", "other.org.uk"}
+    assert rows["news.org.uk"]["n_pages"] == 2
+    assert rows["example.com.sg"]["total_size"] == 12
+
+
+def test_domain_cap_psl_grouping(spark):
+    """domain_cap keyed on registered_domain: a PSL ccTLD site's
+    subdomains share ONE cap bucket."""
+    from jsonschema_spark.operators.curate import domain_cap_sample
+
+    rows = [(f"http://s{i % 4}.big.co.uk/{i}", i) for i in range(40)]
+    rows += [(f"http://small.com.sg/{i}", 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["url", "doc_id"]) \
+        .withColumn("grp", registered_domain(F.col("url")))
+    out = domain_cap_sample(df, id_col="doc_id", group_col="grp", cap=5)
+    per = {r["grp"]: r["cnt"] for r in
+           out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {"big.co.uk": 5, "small.com.sg": 3}
 
 
 def test_host_stats(spark):

@@ -1063,7 +1063,9 @@ def _root_passes(out: dict, changed: list) -> None:
 #             (runs before canonicalize for draft 0-7 input)
 #   repr    — a representation-level no-op here ({} ≡ true everywhere;
 #             spec defaults are read directly instead of materialized)
-#   skip    — deliberately not applied, reason given
+#   proven  — deliberately not applied: a per-rule test in
+#             tests/test_canonicalize_skips.py proves the rewrite is a
+#             pessimization or unsound for this typed-predicate IR
 # ---------------------------------------------------------------------------
 REFERENCE_RULES = {
     "additional_items_implicit": "direct",
@@ -1116,7 +1118,7 @@ REFERENCE_RULES = {
     "empty_object_as_true": "repr",           # compiler folds {} to constant pass
     "enum_drop_redundant_validation": "direct",  # member-filter variant
     "enum_filter_by_type": "direct",
-    "enum_split_by_type": "skip",  # blaze enum-dispatch IR; one isin beats N branches
+    "enum_split_by_type": "proven",  # enum_filter_by_type already yields the split's plan (test_canonicalize_skips.py)
     "enum_with_type": "direct",
     "equal_numeric_bounds_to_const": "direct",
     "equal_numeric_bounds_to_enum": "inverse",  # const is the canonical singleton
@@ -1164,7 +1166,7 @@ REFERENCE_RULES = {
     "optional_property_implicit": "upgrade",
     "orphan_definitions": "direct",
     "recursive_anchor_false_drop": "direct",
-    "required_properties_in_properties": "skip",  # blaze IR stub; no Catalyst win
+    "required_properties_in_properties": "proven",  # true-stub folds to the identical plan (test_canonicalize_skips.py)
     "required_property_implicit": "upgrade",  # draft-0/2 optional-flag lift
     "required_to_extends": "upgrade",
     "single_branch_allof": "direct",
@@ -1172,19 +1174,19 @@ REFERENCE_RULES = {
     "single_branch_oneof": "direct",
     "single_type_array": "direct",
     "then_without_if": "direct",
-    "type_array_to_any_of": "skip",   # one JVM typeof beats an anyOf fan-out
+    "type_array_to_any_of": "proven",   # one JVM typeof beats an anyOf fan-out (test_canonicalize_skips.py)
     "type_boolean_as_enum": "inverse",  # {true,false} enum → type boolean
-    "type_inherit_in_place": "skip",  # blaze IR hint; Catalyst prunes statically
+    "type_inherit_in_place": "proven",  # branch type re-checks the parent gate (test_canonicalize_skips.py)
     "type_null_as_enum": "inverse",   # enum [null] → const null (isNull plan)
-    "type_union_distribute_keywords": "skip",  # same family as type_array_to_any_of
+    "type_union_distribute_keywords": "proven",  # parent-conjunct form equivalent (test_canonicalize_skips.py)
     "type_union_implicit": "direct",
-    "type_union_to_schemas": "skip",
-    "type_with_applicator_to_allof": "skip",
-    "type_with_applicator_to_extends": "skip",
+    "type_union_to_schemas": "upgrade",  # dict-union → anyOf in plans/upgrade.py (test_canonicalize_skips.py)
+    "type_with_applicator_to_allof": "proven",  # keywords conjoin natively; allOf wrap adds scaffolding (test_canonicalize_skips.py)
+    "type_with_applicator_to_extends": "proven",  # extends≡allOf conjunction through upgrade (test_canonicalize_skips.py)
     "unevaluated_items_to_items": "direct",
     "unevaluated_properties_to_additional_properties": "direct",
-    "unknown_keywords_prefix": "skip",  # unknown keywords are annotation sources
-    "unknown_local_ref": "skip",  # dangling refs hard-error; silent erase masks bugs
+    "unknown_keywords_prefix": "proven",  # UNSOUND here: renames change annotation identity (test_canonicalize_skips.py)
+    "unknown_local_ref": "proven",  # UNSOUND here: dangling refs hard-error; silent erase masks bugs (test_canonicalize_skips.py)
     "unknown_type_names": "upgrade",
     "unnecessary_allof_ref_wrapper_draft": "direct",  # single-branch hoist
     "unnecessary_extends_ref_wrapper": "upgrade",

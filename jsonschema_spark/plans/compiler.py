@@ -624,6 +624,12 @@ def compile_node(
 def _k_type(val, ctx: Ctx, kwp: str, cfg: Config) -> Compiled:
     types = [val] if isinstance(val, str) else list(val)
     for t in types:
+        if not isinstance(t, str):
+            # drafts 0-3 allow schema entries in a `type` union — that
+            # shape must go through plans/upgrade.upgrade_schema first
+            raise SchemaError(
+                f"non-string type entry {t!r} at {kwp} — legacy "
+                "type-union-of-schemas requires upgrade_schema()")
         if t not in _TYPE_NAMES:
             raise SchemaError(f"unknown type {t!r} at {kwp}")
     cond = or_(*[ctx.is_type(t) for t in types])

@@ -152,6 +152,22 @@ def _upgrade_node(node) -> None:
     ):
         # a union admitting "any"/unknown admits everything in draft-3
         node.pop("type")
+    elif isinstance(t, list) and any(isinstance(x, dict) for x in t):
+        # drafts 0-3: type-union entries may be SCHEMAS — "the instance
+        # must match any of the types or schemas in the array". Modern
+        # `type` is strings-only, so the union becomes an anyOf conjoined
+        # with the remaining siblings (draft-3 siblings constrain the
+        # whole instance, so they stay on the parent; the reference's
+        # keyword DISTRIBUTION into branches —
+        # type_union_distribute_keywords.h — is an IR optimization over
+        # this same shape, not a semantic change; string entries embed as
+        # {"type": s} exactly as type_union_to_schemas.h does).
+        branches = [x if isinstance(x, dict) else {"type": x} for x in t]
+        node.pop("type")
+        if "anyOf" in node:
+            node.setdefault("allOf", []).append({"anyOf": branches})
+        else:
+            node["anyOf"] = branches
     # draft-3: extends → allOf, divisibleBy → multipleOf, disallow → not
     if "extends" in node:
         ext = node.pop("extends")
@@ -236,7 +252,9 @@ def needs_upgrade(schema: Union[dict, bool]) -> bool:
     def fn(node):
         if any(k in node for k in _LEGACY_MARKERS) or isinstance(node.get("items"), list) \
            or isinstance(node.get("required"), bool) \
-           or isinstance(node.get("exclusiveMinimum"), bool) or isinstance(node.get("exclusiveMaximum"), bool):
+           or isinstance(node.get("exclusiveMinimum"), bool) or isinstance(node.get("exclusiveMaximum"), bool) \
+           or (isinstance(node.get("type"), list)
+               and any(isinstance(x, dict) for x in node["type"])):
             hits.append(True)
 
     _walk_schema(schema, fn)

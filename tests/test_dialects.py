@@ -628,3 +628,39 @@ def test_unevaluated_through_dynamic_ref(spark):
     )
     got = {r["id"]: r["valid"] for r in validate(docs, schema, doc_col="doc").collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_draft3_type_union_of_schemas_upgrade(spark):
+    """drafts 0-3 allow SCHEMA entries in a `type` union
+    (type_union_to_schemas.h operates on this shape): upgrade converts
+    the union to anyOf branches conjoined with the remaining siblings,
+    and the compiled Spark plan validates it end-to-end."""
+    from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
+
+    legacy = {"$schema": "http://json-schema.org/draft-03/schema#",
+              "type": ["string", {"type": "integer", "minimum": 3}],
+              "minLength": 2}
+    assert needs_upgrade(legacy)
+    modern = upgrade_schema(legacy)
+    assert "type" not in modern and len(modern["anyOf"]) == 2
+    docs = spark.createDataFrame(
+        [(1, '"ab"'), (2, '"a"'), (3, '5'), (4, '2'), (5, 'null')],
+        "id long, doc string")
+    got = {r["id"]: r["valid"] for r in
+           validate(docs, modern, doc_col="doc").collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_type_union_of_schemas_without_upgrade_is_schema_error():
+    """Feeding the legacy dict-union shape straight to the compiler must
+    raise the documented SchemaError (pointing at upgrade_schema), never
+    a raw TypeError."""
+    import pytest
+
+    from jsonschema_spark.plans.compiler import SchemaError, compile_schema
+
+    cs = compile_schema({"type": ["string", {"minimum": 1}]})
+    # compile happens at plan-build time: use the flat path
+    import pyspark.sql.types as T
+    with pytest.raises(SchemaError, match="upgrade_schema"):
+        cs.compile_flat(T.StructType([T.StructField("a", T.LongType())]))

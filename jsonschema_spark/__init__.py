@@ -64,6 +64,7 @@ from jsonschema_spark.operators.curate import (
     shard_stats,
 )
 from jsonschema_spark.operators.dedup import (
+    auto_rows_per_band,
     cross_corpus_lsh_pairs,
     dedup_against_corpus,
     dedup_clusters,
@@ -140,6 +141,7 @@ from jsonschema_spark.plans.upgrade import needs_upgrade, upgrade_schema
 __version__ = "0.1.0"
 
 __all__ = [
+    "auto_rows_per_band",
     "annotate",
     "validate",
     "violations",

@@ -154,6 +154,28 @@ def minhash_signatures_df(
     return hashed.groupBy("_id").agg(*[F.min(f"mh{j}").alias(f"mh{j}") for j in range(k)])
 
 
+def auto_rows_per_band(n_docs: int) -> int:
+    """Percolation-law default for LSH band width (rows per band).
+
+    A band key is a conjunction of ``rows_per_band`` MinHash values, so a
+    background (non-duplicate) pair collides in one band with probability
+    ≈ J_bg^rows_per_band, and the EXPECTED candidate count carries an
+    intrinsic n²·bands·J_bg^rows_per_band term. Measured on this engine's
+    sf1 pipeline (BENCH_sf1.json round 3): rows_per_band=2 percolates —
+    candidate count goes super-linear — near 10^6 docs at modest
+    background Jaccard; 3 holds to ~10^7; 4 to ~10^9; crawl scale needs
+    5. Wider bands trade recall (per-band match probability J^rows) for
+    that quadratic suppression — callers pinning recall must pass
+    ``bands`` explicitly."""
+    if n_docs < 10**6:
+        return 2
+    if n_docs < 10**7:
+        return 3
+    if n_docs < 10**9:
+        return 4
+    return 5
+
+
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     """Array of (band_idx, band_key) structs; band_key = joined slice."""
     entries = []
@@ -204,13 +226,21 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     k: int = 12,
-    bands: int = 6,
+    bands: int | None = None,
     shingle_n: int = 3,
     max_band_df: int | None = None,
     portable: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band → (id_a, id_b,
     n_shared_bands). Null/shingle-less docs never produce candidates.
+
+    ``bands=None`` (default) derives the band count from the corpus size
+    via the percolation law (``auto_rows_per_band``): one ``count()``
+    action (metadata-only on parquet scans), then
+    ``bands = k // auto_rows_per_band(n)``. At n < 10^6 this is the
+    historical k=12/bands=6 configuration exactly; explicit ``bands``
+    stays byte-stable regardless of corpus size (the oracle queries pin
+    it).
 
     Plan: one scan → signature select → explode bands (k/bands values per
     band) → self-equi-join on (band, band_key) — a hash join on uniform
@@ -228,6 +258,8 @@ def minhash_lsh_pairs(
     over-cap bucket are near-identical boilerplate; exact dedup or a
     per-bucket canonical pick handles them separately. Default None keeps
     the exact LSH semantics (the oracle mirror)."""
+    if bands is None:
+        bands = max(1, k // auto_rows_per_band(df.count()))
     bandsdf = _banded_table(df, id_col, text_col, k, bands, shingle_n,
                             portable, max_band_df)
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
@@ -776,7 +808,7 @@ def cross_corpus_lsh_pairs(
     id_col: str,
     text_col: str,
     k: int = 12,
-    bands: int = 6,
+    bands: int | None = None,
     shingle_n: int = 3,
     max_band_df: int | None = None,
     portable: bool = True,
@@ -792,7 +824,13 @@ def cross_corpus_lsh_pairs(
     accumulated corpus). Its banded table is a pure function of the
     corpus — at 100 TB persist it once (bucketed by (band, band_key)) and
     reuse it across refreshes instead of recomputing signatures per run;
-    this function recomputes both sides for self-contained semantics."""
+    this function recomputes both sides for self-contained semantics.
+
+    ``bands=None`` sizes the band width by the percolation law against
+    the REF corpus count (the side whose scale drives candidate
+    percolation); both sides must band identically for keys to meet."""
+    if bands is None:
+        bands = max(1, k // auto_rows_per_band(ref_df.count()))
     nb = _banded_table(new_df, id_col, text_col, k, bands, shingle_n,
                        portable, max_band_df)
     rb = _banded_table(ref_df, id_col, text_col, k, bands, shingle_n,
@@ -813,7 +851,7 @@ def dedup_against_corpus(
     id_col: str,
     text_col: str,
     k: int = 12,
-    bands: int = 6,
+    bands: int | None = None,
     shingle_n: int = 3,
     max_band_df: int | None = None,
     portable: bool = True,

@@ -1533,3 +1533,33 @@ def test_semantic_cells_kmeans_refinement(spark):
                                   kmeans_iters=2).count()
     n = e.count()
     assert 0 < kept_refined <= n and 0 < kept_plain <= n
+
+
+def test_auto_rows_per_band_law_thresholds():
+    """Percolation-law defaults pinned: 2 below 10^6 docs, 3 to 10^7,
+    4 to 10^9, 5 at crawl scale (the measured BENCH_sf1 thresholds)."""
+    from jsonschema_spark.operators.dedup import auto_rows_per_band
+
+    assert auto_rows_per_band(0) == 2
+    assert auto_rows_per_band(10**6 - 1) == 2
+    assert auto_rows_per_band(10**6) == 3
+    assert auto_rows_per_band(10**7 - 1) == 3
+    assert auto_rows_per_band(10**7) == 4
+    assert auto_rows_per_band(10**9 - 1) == 4
+    assert auto_rows_per_band(10**9) == 5
+    assert auto_rows_per_band(10**12) == 5
+
+
+def test_minhash_lsh_pairs_auto_bands_matches_explicit_small(spark):
+    """bands=None at sub-million corpus size derives rows_per_band=2 →
+    bands=6 for k=12: byte-identical pairs to the historical explicit
+    configuration, so shipped-query hashes cannot move."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3} eta theta")
+         for i in range(12)], "doc_id long, text string")
+    auto = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", k=12).collect()}
+    expl = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", k=12,
+                                       bands=6).collect()}
+    assert auto == expl and auto

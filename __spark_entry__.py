@@ -1033,6 +1033,42 @@ def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "doc_id", "text", 2000, stratify_col="lang")
 
 
+def q_budget_sample_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-scale budget sampler (hash-prefix histogram cutoff,
+    exact=False): bucket = top bits of the portable hash, ONE tiny
+    (stratum, bucket) token histogram, broadcast bucket offsets, and
+    per-bucket windows — no stratum ever sorts in one task. Output is
+    row-identical to the exact window form (equivalence test-proven +
+    4M-row scale point in BENCH_sf1.json), so the SAME oracle SQL
+    attests it."""
+    from jsonschema_spark.operators.curate import budget_sample
+
+    return budget_sample(
+        _docs(spark, sf_dir), "doc_id", "text", 2000, stratify_col="lang",
+        exact=False, n_buckets=64)
+
+
+def q_public_suffix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-public-suffix crawl profile (urls + distinct registrable
+    domains) under the packaged Public Suffix List: the eTLD matcher is a
+    pure InSet probe chain (no join, no Python) and the oracle replays
+    the identical probe plan from the same packaged data file via
+    read_text CTEs — exercising exact rules (com.sg), exceptions
+    (city.kobe.jp) and the default rule in one query."""
+    from jsonschema_spark.operators.urltools import (
+        public_suffix, registered_domain)
+
+    df = _docs(spark, sf_dir).select("doc_id", "source") \
+        .withColumn("url", _messy_url())
+    return (
+        df.select(public_suffix(F.col("url")).alias("public_suffix"),
+                  registered_domain(F.col("url")).alias("reg_domain"))
+        .groupBy("public_suffix")
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.count_distinct(F.col("reg_domain")).alias("n_reg_domains"))
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real media-header decode through mapInPandas: payloads are genuine
     PNG/GIF/JPEG/WAV/MP4 container headers (synthesized deterministically
@@ -3690,6 +3726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_stats": q_link_stats,
         "corr_profile": q_corr_profile,
         "script_profile": q_script_profile,
+        # --- new in round 4 (no driver attestation yet) ---
+        "budget_sample_approx": q_budget_sample_approx,
+        "public_suffix_stats": q_public_suffix_stats,
         # --- attested in CORRECTNESS_r02 + r03 (all green twice) ---
         "validate_docs_counts": q_validate_docs_counts,
         "validate_docs_by_lang": q_validate_docs_by_lang,
@@ -3841,8 +3880,10 @@ pe AS (SELECT substr(rule, 2) AS rule,
        FROM psl WHERE rule LIKE '!%')"""
 
 
-def _psl_reg_sql(host: str = "host", ls: str = "ls") -> str:
-    """Registered-domain CASE expression walking the SAME probe plan as
+def _psl_reg_sql(host: str = "host", ls: str = "ls",
+                 want: str = "reg") -> str:
+    """Registered-domain (``want='reg'``) or public-suffix
+    (``want='ps'``) CASE expression walking the SAME probe plan as
     urltools._psl_column (exceptions first, then longest-match
     descending): one guarded IN-probe per plan entry, byte-identical
     output to the Spark InSet chain."""
@@ -3859,9 +3900,13 @@ def _psl_reg_sql(host: str = "host", ls: str = "ls") -> str:
         probe_k = k - 1 if kind == 2 else k
         cond = (f"len({ls}) >= {k} AND {lk(probe_k)} IN "
                 f"(SELECT rule FROM {tbl[kind]} WHERE k = {probe_k})")
-        val = lk(k) if kind == 0 else lk(k + 1)
+        if kind == 0:        # exception: public suffix = rule minus 1 label
+            val = lk(k) if want == "reg" else lk(k - 1)
+        else:
+            val = lk(k + 1) if want == "reg" else lk(k)
         branches.append(f"WHEN {cond} THEN {val}")
-    return "CASE " + " ".join(branches) + f" ELSE {lk(2)} END"
+    default = lk(2) if want == "reg" else lk(1)
+    return "CASE " + " ".join(branches) + f" ELSE {default} END"
 
 
 def _url_norm_core_sql() -> str:
@@ -3993,6 +4038,26 @@ FROM r JOIN c USING (source) WHERE rn <= {cap}"""
 def _url_normalize_sql() -> str:
     return (f"WITH {_url_norm_core_sql()} "
             "SELECT doc_id, url_norm, host, reg_domain FROM n")
+
+
+def _public_suffix_stats_sql() -> str:
+    """Per-public-suffix url/domain counts: same messy-url corpus, same
+    lowercased host extraction, and the SAME PSL probe plan replayed from
+    the packaged data file (want='ps' / want='reg' variants of the CASE
+    chain)."""
+    from jsonschema_spark.operators.urltools import _URL_RE
+
+    return f"""WITH {_psl_sql_ctes()},
+m AS (SELECT {_MESSY_URL_SQL} AS url FROM documents),
+hs AS (SELECT host, string_split(host, '.') AS ls
+       FROM (SELECT lower(regexp_extract(url, '{_URL_RE}', 2)) AS host
+             FROM m)),
+x AS (SELECT {_psl_reg_sql(want='ps')} AS public_suffix,
+             {_psl_reg_sql(want='reg')} AS reg_domain
+      FROM hs)
+SELECT public_suffix, count(*)::BIGINT AS n_urls,
+       count(DISTINCT reg_domain)::BIGINT AS n_reg_domains
+FROM x GROUP BY 1"""
 
 
 def _host_stats_sql() -> str:
@@ -4204,4 +4269,9 @@ FROM documents WHERE text IS NOT NULL""",
         "link_stats": _link_stats_sql(),
         "corr_profile": _CORR_SQL,
         "script_profile": _script_profile_sql(),
+        # row-identical to the exact window form by construction
+        # (tests/test_pipeline_ops.py equivalence + plan guard), so the
+        # same SQL attests the histogram-cutoff path
+        "budget_sample_approx": _budget_sample_sql(2000),
+        "public_suffix_stats": _public_suffix_stats_sql(),
     }

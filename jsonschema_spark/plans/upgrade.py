@@ -75,7 +75,7 @@ def _rewrite_refs(node, mapping: dict[str, str]):
     _walk_schema(node, fn)
 
 
-def _upgrade_node(node) -> None:
+def _upgrade_node(node, required_by_default: bool = False) -> None:
     if not isinstance(node, dict):
         return
     # draft-4 id → $id
@@ -92,13 +92,19 @@ def _upgrade_node(node) -> None:
             if isinstance(prop.get("required"), bool):
                 if prop.pop("required"):
                     newly_required.append(name)
-            # draft-0/1/2: `optional` flag (properties were required by
-            # default; we interpret only the explicit optional:false form
-            # as required — the default-required rule is too surprising to
-            # apply silently; documented approximation)
-            if isinstance(prop.get("optional"), bool):
-                if not prop.pop("optional"):
-                    newly_required.append(name)
+            # draft-0/1/2: `optional` flag — in those drafts properties
+            # are REQUIRED unless `optional: true` (draft-01/02:
+            # "optional … is false by default"). The full default-required
+            # rule applies only when the document DECLARES a draft-0/1/2
+            # dialect (required_by_default, set from the root `$schema`);
+            # without that declaration only the explicit optional:false
+            # form is honoured — silently requiring every property of an
+            # undeclared legacy snippet would be too surprising.
+            opt = prop.pop("optional") if isinstance(
+                prop.get("optional"), bool) else None
+            if (opt is False or (required_by_default and opt is not True)) \
+                    and name not in newly_required:
+                newly_required.append(name)
             # draft-0/1/2: `requires` → parent dependency
             req = prop.pop("requires", None)
             if isinstance(req, str):
@@ -228,7 +234,14 @@ def upgrade_schema(schema: Union[dict, bool]) -> Union[dict, bool]:
                                        "description")]:
                     node.pop(k)
         _walk_schema(out, strip_ref_siblings)
-    _walk_schema(out, _upgrade_node)
+    # drafts 0-2 declare properties required-by-default (optional:true
+    # opts out); the rule activates only on an explicit draft-0/1/2
+    # `$schema` declaration
+    import re as _re
+
+    req_default = bool(_re.search(r"draft-0[0-2][/#]", dialect))
+    _walk_schema(out, lambda n: _upgrade_node(
+        n, required_by_default=req_default))
     _rewrite_refs(out, {"#/definitions": "#/$defs"})
     out["$schema"] = DIALECT_2020
     return out

@@ -664,3 +664,34 @@ def test_type_union_of_schemas_without_upgrade_is_schema_error():
     import pyspark.sql.types as T
     with pytest.raises(SchemaError, match="upgrade_schema"):
         cs.compile_flat(T.StructType([T.StructField("a", T.LongType())]))
+
+
+def test_draft_0_2_properties_required_by_default():
+    """drafts 0-2: properties are REQUIRED unless `optional: true`
+    (draft-01/02 spec: "optional … is false by default"). The rule
+    activates only on a declared draft-0/1/2 $schema; draft-3+ and
+    undeclared documents keep the explicit-only behavior."""
+    from jsonschema_spark.plans.pyeval import validate_py
+    from jsonschema_spark.plans.upgrade import upgrade_schema
+
+    for n in ("00", "01", "02"):
+        legacy = {"$schema": f"http://json-schema.org/draft-{n}/schema#",
+                  "type": "object",
+                  "properties": {"a": {"type": "string"},
+                                 "b": {"type": "integer",
+                                       "optional": True}}}
+        m = upgrade_schema(legacy)
+        assert m["required"] == ["a"], (n, m)
+        assert "optional" not in m["properties"]["b"]
+        assert validate_py(m, {"a": "x"}) is True
+        assert validate_py(m, {"b": 1}) is False
+
+    # draft-3 declared: boolean `required` rules, optional absent ≠ required
+    d3 = upgrade_schema({"$schema": "http://json-schema.org/draft-03/schema#",
+                         "type": "object",
+                         "properties": {"a": {"type": "string"}}})
+    assert "required" not in d3
+    # undeclared dialect: only the explicit optional:false form requires
+    und = upgrade_schema({"properties": {"a": {"type": "string"},
+                                         "c": {"optional": False}}})
+    assert und.get("required") == ["c"]

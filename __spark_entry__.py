@@ -1004,6 +1004,52 @@ def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weight(d, "doc_id", "text", target_df=target, raw_df=d)
 
 
+# labeled fixture for the trainable quality classifier: deterministic,
+# ASCII-only (the Python training mirror's tokenizer contract), planted
+# prose-vs-spam vocabulary plus open-vocab filler so buckets aren't
+# degenerate. Embedded (not read from sf_dir) so oracle_sql() can train
+# the bit-identical Python mirror without engine or file access.
+_CLS_POS = ["research", "study", "history", "theory", "analysis",
+            "evidence", "century", "language"]
+_CLS_NEG = ["buy", "cheap", "click", "free", "winner", "casino", "pills",
+            "offer"]
+
+
+def _cls_fixture() -> list:
+    rows = []
+    for i in range(60):
+        y = i % 2
+        vocab = _CLS_POS if y else _CLS_NEG
+        words = [vocab[(i * 3 + j) % len(vocab)] for j in range(8)]
+        words.append(f"tok{i % 17}")
+        rows.append((" ".join(words), y))
+    return rows
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable hashed linear quality classifier (the CCNet/LLaMA
+    wiki-vs-crawl filter; Wenzek et al. 2020 §4.3): train IN SPARK on the
+    embedded labeled fixture (integer-exact logistic loop,
+    operators/classify.py:train_classifier), then score every document —
+    literal-weight-array scan projection + one groupBy(doc), zero joins
+    against model state. The oracle trains the pure-Python mirror on the
+    same fixture and replays scoring in SQL: a weight mismatch anywhere in
+    the TRAINING loop would flip the value hash, so this attests training
+    and scoring end-to-end."""
+    from jsonschema_spark.operators.classify import (
+        classifier_score,
+        train_classifier,
+    )
+
+    lab = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(_cls_fixture())],
+        "ex_id long, text string, label int",
+    )
+    w = train_classifier(lab, "ex_id", "text", "label", bits=6, iters=3)
+    d = _docs(spark, sf_dir)
+    return classifier_score(d, "doc_id", "text", w)
+
+
 def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl dedup discipline: one row per user_id, latest ts wins, ties
     toward the larger event_id — ONE groupBy taking max(struct(...)) with
@@ -3729,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (no driver attestation yet) ---
         "budget_sample_approx": q_budget_sample_approx,
         "public_suffix_stats": q_public_suffix_stats,
+        "quality_classifier": q_quality_classifier,
         # --- attested in CORRECTNESS_r02 + r03 (all green twice) ---
         "validate_docs_counts": q_validate_docs_counts,
         "validate_docs_by_lang": q_validate_docs_by_lang,
@@ -3832,6 +3879,29 @@ agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS s
 SELECT d.doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(agg.s, 0)::BIGINT AS dsir_weight_ppm
 FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+def _classifier_sql() -> str:
+    """Mirror of q_quality_classifier's SCORING pass: the weight vector is
+    trained by the pure-Python mirror (classify.train_classifier_local) on
+    the same embedded fixture — proven bit-identical to the Spark trainer
+    by tests/test_classify.py — and inlined as a 65-int list literal; the
+    hard sigmoid's Python-floor division replays as (z - pymod(z,4)) // 4
+    (remainder-free, so DuckDB truncation == floor)."""
+    from jsonschema_spark.operators.classify import train_classifier_local
+
+    w = train_classifier_local(_cls_fixture(), bits=6, iters=3)
+    wlit = "[" + ", ".join(str(x) for x in w) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, ({_h56('w')} % 64)::INT AS b, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+      UNION ALL SELECT doc_id, 64, 1::BIGINT FROM documents),
+m AS (SELECT doc_id, sum(c * ({wlit})[b + 1])::BIGINT AS z FROM f GROUP BY 1)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens, m.z AS score_ppm,
+       least(greatest(500000 + (m.z - ((m.z % 4 + 4) % 4)) // 4, 0),
+             1000000)::BIGINT AS p_ppm
+FROM t JOIN m USING (doc_id)"""
+
 
 _KEEP_LATEST_SQL = """
 WITH r AS (SELECT user_id, ts, event_id, event_type, value,
@@ -4223,6 +4293,7 @@ FROM documents WHERE text IS NOT NULL""",
             FROM documents""",
         "lm_score": _LM_SCORE_SQL,
         "dsir_weight": _DSIR_SQL,
+        "quality_classifier": _classifier_sql(),
         "dedup_keep_latest": _KEEP_LATEST_SQL,
         "budget_sample": _budget_sample_sql(2000),
         "url_normalize": _url_normalize_sql(),

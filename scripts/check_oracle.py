@@ -53,9 +53,11 @@ def main() -> int:
     spark = get_spark("oracle_check", cores=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    import time as _time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = list(sdf.columns)
@@ -65,7 +67,8 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only check, {len(s_rows)} rows (no oracle)")
+            print(f"ok   {name}: rows-only check, {len(s_rows)} rows (no oracle)"
+                  f" [{_time.monotonic() - _t0:.2f}s]")
             continue
         try:
             cur = con.execute(oracles[name])
@@ -88,7 +91,7 @@ def main() -> int:
             print(f"FAIL {name}: values differ; first diffs: {diff}")
             failures += 1
         else:
-            print(f"ok   {name}: {len(sr)} rows match")
+            print(f"ok   {name}: {len(sr)} rows match [{_time.monotonic() - _t0:.2f}s]")
     # smoke entry()
     if not only:
         n = entrymod.entry(spark).count()

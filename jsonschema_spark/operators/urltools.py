@@ -223,10 +223,18 @@ def _psl_column(host: Column, include_private: bool, want: str) -> Column:
         return F.substring_index(host, ".", -k)
 
     kind_sets = {0: psl["exc"], 1: psl["exact"], 2: psl["wild"]}
+
+    def inset(probe: Column, rules) -> Column:
+        # Column.isin(*values) makes one py4j round trip PER literal —
+        # ~5 s of driver time for the 7380-rule list. isInCollection
+        # ships the whole list in ONE call (py4j auto-converts it to a
+        # java.util.ArrayList) and plans the identical InSet probe.
+        return Column(probe._jc.isInCollection(sorted(rules)))
+
     out = None
     for k, kind in plan:
         rules = kind_sets[kind].get(k if kind != 2 else k - 1)
-        cond = (n >= k) & lk(k if kind != 2 else k - 1).isin(*sorted(rules))
+        cond = (n >= k) & inset(lk(k if kind != 2 else k - 1), rules)
         if kind == 0:        # exception: public suffix = rule minus 1 label
             val = lk(k) if want == "reg" else lk(k - 1)
         else:                # exact/wildcard match of length k

@@ -126,12 +126,16 @@ def numeric_drift(
     north-rule numeric drift check: max empirical-CDF gap over every
     distinct value, reported in integer ppm so the oracle hash-matches.
 
-    Scale shape: one groupBy on the value (uniform), one ordered window
-    over the DISTINCT values only (for a continuous double column pass
-    ``quantize`` — e.g. ``F.floor(F.col(c) * 100)`` — so the distinct
-    domain stays bounded), integer-division CDF arithmetic throughout
-    (`div`, not float /: cum*1e6 overflows the double mantissa at
-    corpus scale).
+    Scale shape: one groupBy on the value (uniform), then the global
+    cumulative CDF via the zipWithIndex-on-sorted pattern — the distinct
+    values are range-partitioned, each partition cumsums locally
+    (parallel windows) and exact per-partition prefix totals (one tiny
+    n_partitions-row aggregate, broadcast back) lift local sums to the
+    global CDF. NEVER a single-partition window: an unquantized long
+    column can have millions of distinct values (for a continuous double
+    column pass ``quantize`` — e.g. ``F.floor(F.col(c) * 100)``).
+    Integer-division CDF arithmetic throughout (`div`, not float /:
+    cum*1e6 overflows the double mantissa at corpus scale).
 
     Returns one row: (ks_ppm, n_base, n_cur).
     """
@@ -146,13 +150,37 @@ def numeric_drift(
             F.sum(F.when(split, 0).otherwise(1)).cast("long").alias("nc"),
         )
     )
-    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    full = Window.partitionBy()
-    d = g.select(
-        F.sum("nb").over(cum).alias("cb"),
-        F.sum("nc").over(cum).alias("cc"),
-        F.sum("nb").over(full).alias("tb"),
-        F.sum("nc").over(full).alias("tc"),
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        g.repartitionByRange(n_parts, F.col("v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pid stable between offsets + cumsum
+    )
+    prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("nb").alias("_sb"), F.sum("nc").alias("_sc"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_sb").over(prefix), F.lit(0)).cast("long").alias("_ob"),
+            F.coalesce(F.sum("_sc").over(prefix), F.lit(0)).cast("long").alias("_oc"),
+        )
+    )
+    totals = ranged.agg(
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("tb"),
+        F.coalesce(F.sum("nc"), F.lit(0)).cast("long").alias("tc"),
+    )
+    cum = Window.partitionBy("_pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    d = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(totals))
+        .select(
+            (F.sum("nb").over(cum) + F.col("_ob")).alias("cb"),
+            (F.sum("nc").over(cum) + F.col("_oc")).alias("cc"),
+            "tb",
+            "tc",
+        )
     ).select(
         F.abs(
             F.expr("(cb * 1000000) div greatest(tb, 1)")

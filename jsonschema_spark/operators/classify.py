@@ -189,15 +189,19 @@ def train_classifier(
     if n_train == 0:
         return [0] * (b_n + 1)
 
+    # per-doc label/error tables are n_train-sized: broadcast them while
+    # they fit an executor (typical labeled sets), shuffle-join past that
+    # — AQE still picks broadcast at runtime if the side turns out small
+    bcast = F.broadcast if n_train <= 10_000_000 else (lambda d: d)
     w = [0] * (b_n + 1)
     for _ in range(iters):
         p = (
             _margin(feats, id_col, w)
-            .join(F.broadcast(labels), id_col)
+            .join(bcast(labels), id_col)
             .select(F.col(id_col), (_hard_sigmoid_ppm(F.col("z_ppm")) - F.col("_y_ppm")).alias("_err"))
         )
         grads = (
-            feats.join(F.broadcast(p), id_col)
+            feats.join(bcast(p), id_col)
             .groupBy("b")
             .agg(F.sum(F.col("_err") * F.col("c")).alias("g"))
             .collect()

@@ -2010,6 +2010,107 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("url_norm", "fetch_ts", "doc_id")
 
 
+_HLL_P = 8  # m=256 buckets; 20k urls >> 2.5m=640 — raw-HLL regime
+
+
+def _hll_crawl_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 40×-docs crawl log (20k urls at sf0.01): every messy
+    url re-fetched under 40 distinct path variants — the url-uniqueness
+    sketch input. The DuckDB oracle rebuilds the identical strings."""
+    return (
+        _docs(spark, sf_dir).select("doc_id", "source")
+        .withColumn("url", _messy_url())
+        .select("url", F.explode(F.sequence(F.lit(1), F.lit(40))).alias("i"))
+        .select(
+            F.concat(F.col("url"), F.lit("/r/"), F.col("i").cast("string"))
+            .alias("u")
+        )
+    )
+
+
+def q_url_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog sketch state for url uniqueness (north_rule):
+    the ENTIRE mergeable per-partition sketch — (bucket, max leading-zero
+    rank) over the portable md5-56 hash — is the query output, so the
+    driver gate attests the sketch bit-for-bit against DuckDB, not just a
+    summary. One groupBy-max (map-side partials = the treeAggregate
+    analogue); ≤ 2^p rows ever leave the executors."""
+    from jsonschema_spark.operators.stats import hll_sketch
+
+    return hll_sketch(_hll_crawl_log(spark, sf_dir), "u", _HLL_P) \
+        .orderBy("bucket")
+
+
+def q_url_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass approximate distinct-url count from the portable HLL
+    sketch, next to the exact count and the realized error in ppm —
+    (m, v_empty, s_sum, est_milli, n_exact, err_ppm). est_milli is ONE
+    shared-op-order float formula (α_m·m²·2^R/S) over the exact-integer
+    harmonic denominator, bit-identical across engines."""
+    from jsonschema_spark.operators.stats import distinct_approx
+
+    log_df = _hll_crawl_log(spark, sf_dir)
+    est = distinct_approx(log_df, "u", _HLL_P)
+    exact = log_df.agg(F.count_distinct(F.col("u")).alias("n_exact"))
+    j = est.crossJoin(F.broadcast(exact))
+    err = F.floor(
+        F.abs(F.col("est_milli") - F.lit(1000) * F.col("n_exact")) * 1000
+        / F.col("n_exact")
+    ).cast("long")
+    return j.select("m", "v_empty", "s_sum", "est_milli", "n_exact",
+                    err.alias("err_ppm"))
+
+
+def _hll_sql_parts() -> tuple[str, str]:
+    """(log+sketch CTE prefix, constants) shared by the two HLL mirrors —
+    the SAME bucket/rank integer recipe the operator plans, over the same
+    rebuilt crawl-log strings."""
+    p = _HLL_P
+    w, m = 56 - p, 2 ** p
+    prefix = f"""
+u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+log AS (SELECT url || '/r/' || i::VARCHAR AS u
+        FROM u, LATERAL (SELECT unnest(range(1, 41)) AS i) ix),
+h AS (SELECT CAST(('0x' || substr(md5(u), 1, 14)) AS BIGINT) AS hv FROM log),
+b AS (SELECT CAST(hv % {m} AS INTEGER) AS bucket,
+             CAST(hv // {m} AS BIGINT) AS rem FROM h),
+sk AS (SELECT bucket,
+              MAX(CASE WHEN rem = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(rem)) + 1 END)::INTEGER AS max_rank
+       FROM b GROUP BY bucket)"""
+    return prefix, ""
+
+
+def _hll_sketch_sql() -> str:
+    prefix, _ = _hll_sql_parts()
+    return f"WITH {prefix} SELECT bucket, max_rank FROM sk ORDER BY bucket"
+
+
+def _hll_distinct_sql() -> str:
+    from jsonschema_spark.operators.stats import hll_alpha
+
+    p = _HLL_P
+    w, m = 56 - p, 2 ** p
+    big_r = w + 1
+    alpha = hll_alpha(p)
+    pow_lit = float(2 ** (2 * p + big_r))
+    prefix, _ = _hll_sql_parts()
+    return f"""WITH {prefix},
+agg AS (SELECT count(*) AS nb,
+               coalesce(sum((CAST(1 AS BIGINT) << ({big_r} - max_rank))), 0) AS s_used
+        FROM sk),
+est AS (SELECT CAST({m} AS BIGINT) AS m,
+               CAST({m} - nb AS BIGINT) AS v_empty,
+               CAST(s_used + ({m} - nb) * {2 ** big_r} AS BIGINT) AS s_sum
+        FROM agg),
+ex AS (SELECT count(DISTINCT u) AS n_exact FROM log)
+SELECT m, v_empty, s_sum,
+       CAST(FLOOR({alpha!r} * {pow_lit!r} / CAST(s_sum AS DOUBLE) * 1000.0) AS BIGINT) AS est_milli,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(FLOOR((abs(CAST(FLOOR({alpha!r} * {pow_lit!r} / CAST(s_sum AS DOUBLE) * 1000.0) AS BIGINT) - 1000 * n_exact) * 1000) / n_exact) AS BIGINT) AS err_ppm
+FROM est, ex"""
+
+
 def _incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic 'new crawl': exact recrawls (doc_id<50), near dups
     with the first token stripped (50-99), and genuinely novel pages
@@ -3721,6 +3822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "url_hll_sketch": q_url_hll_sketch,
+        "url_distinct_hll": q_url_distinct_hll,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
         "lm_score": q_lm_score,
@@ -4152,6 +4255,8 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_hll_sketch": _hll_sketch_sql(),
+        "url_distinct_hll": _hll_distinct_sql(),
         "validate_docs_counts": f"""
             SELECT count(*) AS n_rows,
                    sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,

@@ -293,3 +293,125 @@ def pairwise_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ),
         ).cast("long").alias("corr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — the one-pass mergeable distinct sketch, oracle-exact
+# ---------------------------------------------------------------------------
+#
+# ``approx_count_distinct`` (Spark's HLL++) is the built-in scale path used
+# by profile_long(exact=False), but its sketch is engine-private: no SQL
+# oracle can replay it and no artifact can prove its per-partition merge is
+# what ran. This block implements the classic HyperLogLog (Flajolet et al.
+# 2007) from scratch on the portable md5-56 hash so BOTH the sketch state
+# and the estimate are bit-identical in Spark and DuckDB:
+#
+#   bucket   = h mod 2^p                    (low p hash bits)
+#   rank     = leading-zeros of the remaining w = 56-p bits, + 1
+#            = w - length(bin(h div 2^p)) + 1   (pure integer/string ops —
+#              no float log2, whose last-ulp rounding differs per engine)
+#   sketch   = groupBy(bucket).max(rank)    (THE mergeable partial: Spark
+#              runs it map-side per partition then merges — the
+#              treeAggregate analogue built into whole-stage agg; a saved
+#              sketch unions with any other by the same groupBy-max)
+#   S        = Σ_buckets 2^(R - rank_j) with R = w+1 and empty buckets at
+#              rank 0 — the harmonic-mean denominator as an EXACT int64
+#              (max m·2^R = 2^(p+w+1) = 2^57 at p=8 — ANSI-safe)
+#   estimate = α_m · m² · 2^R / S, one float op-order shared with the SQL
+#              mirror (pow(2,k) is exact in doubles; α_m literal identical).
+#
+# No low-range (linear-counting) correction in the portable estimate: it
+# needs ln(), which differs in the last ulp across engines (CLAUDE.md).
+# Use p small enough that n > 2.5·2^p — the raw-HLL regime — or read
+# v_empty from the output and apply the correction downstream.
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Portable HLL partial for one column → (bucket:int, max_rank:int),
+    non-empty buckets only (≤ 2^p rows). NULLs are excluded (matching
+    count_distinct). Mergeable: union any number of sketches and re-run
+    ``hll_merge`` — sketch(A ∪ B) ≡ merge(sketch(A), sketch(B))."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    w = 56 - p
+    h = hash56(F.col(col).cast("string"))
+    bucket = (h % F.lit(2 ** p)).cast("int").alias("bucket")
+    rem = F.floor(h / F.lit(2 ** p)).cast("long")
+    rank = (
+        F.when(rem == 0, F.lit(w + 1))
+        .otherwise(F.lit(w) - F.length(F.bin(rem)) + 1)
+        .cast("int")
+        .alias("rank")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(bucket, rank)
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of any number of hll_sketch outputs (same p) — one groupBy-max.
+    This is how per-partition / per-snapshot sketch state (e.g. the
+    checkpoint manifest's uniqueness lineage) rolls up without rescanning."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_alpha(p: int) -> float:
+    """The standard HLL bias constant α_m (Flajolet et al. 2007)."""
+    m = 2 ** p
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(sketch: DataFrame, p: int) -> DataFrame:
+    """Cardinality estimate from a portable sketch → ONE row
+    (m, v_empty, s_sum, est_milli).
+
+    s_sum is the exact-integer harmonic denominator (empty buckets count
+    2^R); est_milli = floor(α_m · m² · 2^R / s_sum · 1000) with a single
+    shared op order so DuckDB reproduces it bit-for-bit. v_empty > 0 with
+    a small estimate means the linear-counting regime — widen the corpus
+    or apply m·ln(m/v_empty) downstream (engine-local, not oracle-stable).
+    """
+    w = 56 - p
+    big_r = w + 1
+    m = 2 ** p
+    alpha = hll_alpha(p)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {big_r} - max_rank)")),
+            F.lit(0),
+        ).alias("_s_used"),
+    )
+    s_sum = (F.col("_s_used") + (F.lit(m) - F.col("_nb")) * F.lit(2 ** big_r)).alias("s_sum")
+    out = agg.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("_nb")).cast("long").alias("v_empty"),
+        s_sum,
+    )
+    est = F.floor(
+        F.lit(alpha) * F.lit(float(2 ** (2 * p + big_r))) / F.col("s_sum").cast("double")
+        * F.lit(1000.0)
+    ).cast("long")
+    return out.withColumn("est_milli", est)
+
+
+def distinct_approx(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One-pass portable distinct-count sketch + estimate for a column:
+    the oracle-attestable analogue of ``approx_count_distinct`` (url
+    uniqueness at crawl scale — north_rule). One aggregation over the
+    table (map-side partials), one 2^p-row reduce."""
+    return hll_estimate(hll_sketch(df, col, p), p)

@@ -1563,3 +1563,49 @@ def test_minhash_lsh_pairs_auto_bands_matches_explicit_small(spark):
             for r in minhash_lsh_pairs(docs, "doc_id", "text", k=12,
                                        bands=6).collect()}
     assert auto == expl and auto
+
+
+def test_hll_sketch_merge_and_accuracy(spark):
+    """Portable HLL: merge(sketch(A), sketch(B)) ≡ sketch(A∪B); the
+    estimate lands within 3σ (σ = 1.04/√m) of the exact count on a
+    100k-value set; repartitioning never changes the sketch."""
+    from jsonschema_spark.operators.stats import (
+        distinct_approx, hll_estimate, hll_merge, hll_sketch)
+
+    n, p = 100_000, 10
+    df = spark.range(0, n).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"))
+    sk = hll_sketch(df, "s", p)
+    full = sorted((r["bucket"], r["max_rank"]) for r in sk.collect())
+    # partition invariance: groupBy-max is order-free
+    sk2 = hll_sketch(df.repartition(13), "s", p)
+    assert sorted((r["bucket"], r["max_rank"]) for r in sk2.collect()) == full
+    # merge property over an arbitrary split
+    a = hll_sketch(df.where(F.col("s").substr(-1, 1).isin("0", "1", "2")), "s", p)
+    b = hll_sketch(df.where(~F.col("s").substr(-1, 1).isin("0", "1", "2")), "s", p)
+    merged = hll_merge(a, b)
+    assert sorted((r["bucket"], r["max_rank"]) for r in merged.collect()) == full
+    # accuracy: raw regime (n >> 2.5m), 3σ bound
+    est = hll_estimate(sk, p).first()
+    assert est["v_empty"] == 0
+    rel_err = abs(est["est_milli"] / 1000.0 - n) / n
+    assert rel_err < 3 * 1.04 / (2 ** p) ** 0.5, rel_err
+    # one-call wrapper agrees with the two-step form
+    assert distinct_approx(df, "s", p).first()["est_milli"] == est["est_milli"]
+
+
+def test_hll_nulls_and_bounds(spark):
+    """NULLs are excluded (count_distinct semantics); p outside [4,16]
+    rejects; duplicated values do not move the sketch."""
+    import pytest
+
+    from jsonschema_spark.operators.stats import hll_sketch
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], "s string")
+    sk = {(r["bucket"], r["max_rank"]) for r in hll_sketch(df, "s", 4).collect()}
+    dedup = spark.createDataFrame([("a",), ("b",)], "s string")
+    sk2 = {(r["bucket"], r["max_rank"]) for r in hll_sketch(dedup, "s", 4).collect()}
+    assert sk == sk2 and len(sk) <= 2
+    with pytest.raises(ValueError):
+        hll_sketch(df, "s", 3)

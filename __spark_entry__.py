@@ -1026,6 +1026,74 @@ def _cls_fixture() -> list:
     return rows
 
 
+# BPE training fixture: morphology-rich ASCII prose with shared stems and
+# open-vocab filler, so early merges are linguistically meaningful
+# (suffix families) and pair counts have no artificial ties. Embedded so
+# oracle_sql() can train the bit-identical pure-Python mirror
+# (operators/bpe.py:bpe_train_local) without engine or file access.
+_BPE_FIXTURE = [
+    "the lowest lower low slowest slower slow walker walked walking walks",
+    "running runner runs run newest newer new tested testing tester tests",
+    "the widest wider wide rider riding rides reading reader reads read",
+    "builder building builds build strongest stronger strong longest longer",
+    "teacher teaching teaches taught thinker thinking thinks think",
+    "the crawling crawler crawls crawl indexing indexer indexes index",
+    "token tokens tokenizer tokenized subword subwords merging merges",
+    "fastest faster fast deepest deeper deep greatest greater great",
+]
+_BPE_N_MERGES = 20
+
+
+def _bpe_fixture_word_counts() -> list:
+    """(word, count) over the fixture via the same [a-z]+ contract the
+    Spark side plans — pure Python, for the oracle's training mirror."""
+    import re as _re
+
+    counts: dict[str, int] = {}
+    for t in _BPE_FIXTURE:
+        for w in _re.findall("[a-z]+", t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    return sorted(counts.items())
+
+
+def _bpe_local_merges() -> list:
+    from jsonschema_spark.operators.bpe import bpe_train_local
+
+    return bpe_train_local(_bpe_fixture_word_counts(), _BPE_N_MERGES)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable BPE subword vocabulary (Sennrich et al. 2016), learned
+    IN SPARK: each round is pure JVM (adjacent-pair explode over the
+    vocab-sized word table → integer-sum groupBy → total-order top-1 →
+    one codegen replace()), so the learned (rank, left, right,
+    pair_count) table is partition-invariant and bit-identical to the
+    pure-Python mirror the oracle inlines — a deviation anywhere in the
+    distributed training loop flips the value hash."""
+    from jsonschema_spark.operators.bpe import bpe_train, merges_df
+
+    fx = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_FIXTURE)], "ex_id long, text string"
+    )
+    return merges_df(spark, bpe_train(fx, "text", _BPE_N_MERGES))
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting under the learned BPE table —
+    (doc_id, n_words, n_tokens, fertility_ppm): the whole document
+    encodes as ONE chained-replace JVM column over the boundary-safe
+    delimited-symbol form (every merge = one left-to-right replace pass —
+    see operators/bpe.py), token count = count of '|'; zero Python, zero
+    shuffle. The DuckDB mirror replays the identical replace chain, so
+    encoding is hash-attested over the real corpus (training is attested
+    by bpe_merges; merge-table equality Spark≡Python is test-pinned)."""
+    from jsonschema_spark.operators.bpe import bpe_token_counts_df
+
+    return bpe_token_counts_df(
+        _docs(spark, sf_dir), "doc_id", "text", _bpe_local_merges()
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable hashed linear quality classifier (the CCNet/LLaMA
     wiki-vs-crawl filter; Wenzek et al. 2020 §4.3): train IN SPARK on the
@@ -3824,6 +3892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 front block: no driver attestation yet ---
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
         "lm_score": q_lm_score,
@@ -4004,6 +4074,45 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens, m.z AS score_ppm,
        least(greatest(500000 + (m.z - ((m.z % 4 + 4) % 4)) // 4, 0),
              1000000)::BIGINT AS p_ppm
 FROM t JOIN m USING (doc_id)"""
+
+
+def _bpe_merges_sql() -> str:
+    """Ground truth for the DISTRIBUTED training loop: the pure-Python
+    mirror (bpe.bpe_train_local — proven bit-identical to bpe_train by
+    tests/test_bpe.py) trains on the same embedded fixture and the result
+    inlines as VALUES; any deviation in the Spark loop flips the hash."""
+    rows = ",\n       ".join(
+        f"({rk}, '{l}', '{r}', {n})" for rk, l, r, n in _bpe_local_merges()
+    )
+    return f"""
+SELECT * FROM (VALUES
+       {rows}) AS t(rank, "left", "right", pair_count)"""
+
+
+def _bpe_token_counts_sql() -> str:
+    """Replays the identical chained-replace encode: per char ' c|', word
+    terminator ' </w>|', then one replace() per merge in rank order —
+    the same left-to-right non-overlapping pass semantics (standard
+    replace resumes AFTER the emitted replacement in both engines)."""
+    enc = "enc0"
+    for _, l, r, _ in _bpe_local_merges():
+        enc = f"replace({enc}, ' {l}| {r}|', ' {l}{r}|')"
+    return f"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+e AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+             array_to_string(list_transform(ws,
+                 x -> regexp_replace(x, '(.)', ' \\1|', 'g') || ' </w>|'),
+                 '') AS enc0
+      FROM w),
+n AS (SELECT doc_id, n_words,
+             (length({enc}) - length(replace({enc}, '|', '')))::BIGINT AS n_tokens
+      FROM e)
+SELECT doc_id, n_words, n_tokens,
+       CASE WHEN n_words > 0
+            THEN floor(n_tokens * 1000000 / n_words)::BIGINT END AS fertility_ppm
+FROM n"""
 
 
 _KEEP_LATEST_SQL = """
@@ -4257,6 +4366,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "validate_docs_counts": f"""
             SELECT count(*) AS n_rows,
                    sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,

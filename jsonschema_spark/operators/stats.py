@@ -326,11 +326,10 @@ def pairwise_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 # v_empty from the output and apply the correction downstream.
 
 
-def hll_sketch(df: DataFrame, col: str, p: int = 12) -> DataFrame:
-    """Portable HLL partial for one column → (bucket:int, max_rank:int),
-    non-empty buckets only (≤ 2^p rows). NULLs are excluded (matching
-    count_distinct). Mergeable: union any number of sketches and re-run
-    ``hll_merge`` — sketch(A ∪ B) ≡ merge(sketch(A), sketch(B))."""
+def hll_cols(col: str, p: int) -> tuple[Column, Column]:
+    """The stateless (bucket, rank) projection behind the sketch — shared
+    by the batch operator and the streaming aggregation
+    (``streaming.validate.stream_hll_sketch``)."""
     from jsonschema_spark.operators.dedup import hash56
 
     if not 4 <= p <= 16:
@@ -345,6 +344,15 @@ def hll_sketch(df: DataFrame, col: str, p: int = 12) -> DataFrame:
         .cast("int")
         .alias("rank")
     )
+    return bucket, rank
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Portable HLL partial for one column → (bucket:int, max_rank:int),
+    non-empty buckets only (≤ 2^p rows). NULLs are excluded (matching
+    count_distinct). Mergeable: union any number of sketches and re-run
+    ``hll_merge`` — sketch(A ∪ B) ≡ merge(sketch(A), sketch(B))."""
+    bucket, rank = hll_cols(col, p)
     return (
         df.where(F.col(col).isNotNull())
         .select(bucket, rank)

@@ -198,3 +198,26 @@ def stream_sessionize(
             *[F.col(c) for c in ("n_events",) + (("value_milli",) if value_col else ())],
         )
     )
+
+
+def stream_hll_sketch(sdf: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Streaming url-uniqueness sketch (north_rule: one-pass per-partition
+    sketches, merged): the SAME stateless (bucket, rank) projection as the
+    batch ``stats.hll_sketch``, then a streaming ``groupBy(bucket)
+    max(rank)`` — Spark's aggregation state IS the portable HLL, bounded
+    at 2^p rows FOREVER regardless of stream length (no watermark needed:
+    the state cannot grow). In complete output mode every trigger emits
+    the sketch of everything seen so far; ``stats.hll_estimate`` applies
+    to the emitted table unchanged, and the result is bit-identical to
+    running the batch operator over the drained stream (test-proven) —
+    max() is associative/commutative, so micro-batch arrival order can
+    never change the sketch."""
+    from jsonschema_spark.operators.stats import hll_cols
+
+    bucket, rank = hll_cols(col, p)
+    return (
+        sdf.where(F.col(col).isNotNull())
+        .select(bucket, rank)
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )

@@ -78,3 +78,44 @@ def test_warc_pipeline_stream_equals_batch(spark, tmp_path):
         for r in collected
     }
     assert got == want
+
+
+def test_stream_hll_sketch_equals_batch(spark, tmp_path):
+    """The streaming distinct-url sketch drained over MULTIPLE micro-
+    batches (maxFilesPerTrigger=1 forces cross-batch state merging) is
+    bit-identical to the batch sketch over the union — and the estimate
+    applied to the streamed state matches too. State = 2^p rows, bounded
+    forever."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.stats import hll_estimate, hll_sketch
+    from jsonschema_spark.streaming.validate import stream_hll_sketch
+
+    src = str(tmp_path / "urls")
+    parts = []
+    for f in range(3):
+        part = spark.range(f * 4000, (f + 1) * 4000 + 500).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 97).cast("string"),
+                     F.lit(".org/p"), F.col("id").cast("string")).alias("url"))
+        part.write.mode("append").parquet(src)
+        parts.append(part)
+    batch = spark.read.parquet(src)
+
+    p = 8
+    want = sorted(
+        (r["bucket"], r["max_rank"]) for r in hll_sketch(batch, "url", p).collect()
+    )
+
+    sdf = (spark.readStream.schema(batch.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_hll_sketch(sdf, "url", p)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("hll_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = spark.table("hll_stream")
+    got = sorted((r["bucket"], r["max_rank"]) for r in streamed.collect())
+    assert got == want
+    est_b = hll_estimate(hll_sketch(batch, "url", p), p).first()
+    est_s = hll_estimate(streamed, p).first()
+    assert tuple(est_s) == tuple(est_b)

@@ -1094,6 +1094,64 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D, _CMS_W = 4, 512
+
+
+def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch (Cormode-Muthukrishnan) — the mergeable
+    heavy-hitter frequency sketch next to HLL's distinct sketch: d=4
+    row-salted md5-56 hash rows x w=512 integer counters built in one
+    explode + groupBy over the token stream, then point estimates for the
+    exact top-15 tokens via a broadcast lookup (min over the d probed
+    counters). Output (token, n_exact, n_est, overcount) — integer
+    end-to-end, so sketch state, estimates and the >= 0 overcount
+    guarantee are all hash-attested against the identical DuckDB replay."""
+    from jsonschema_spark.operators.dedup import tokens
+    from jsonschema_spark.operators.stats import cms_lookup, cms_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    truth = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(15)
+    )
+    sk = cms_sketch(toks, "token", _CMS_D, _CMS_W)
+    est = cms_lookup(sk, truth.select("token"), "token", _CMS_D, _CMS_W)
+    return (
+        truth.join(est, "token")
+        .select(
+            "token", "n_exact", "n_est",
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )
+
+
+def _token_cms_sql() -> str:
+    d, w = _CMS_D, _CMS_W
+    return f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM t),
+truth AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY 1
+          ORDER BY n_exact DESC, token LIMIT 15),
+probes AS (SELECT token, ix.i AS row,
+                  CAST(CAST(('0x' || substr(md5(ix.i::VARCHAR || ':' || token), 1, 14)) AS BIGINT)
+                       % {w} AS INTEGER) AS bucket
+           FROM tok, LATERAL (SELECT unnest(range(0, {d})) AS i) ix),
+sk AS (SELECT row, bucket, count(*)::BIGINT AS cnt FROM probes GROUP BY 1, 2),
+lkp AS (SELECT tr.token, ix.i AS row,
+               CAST(CAST(('0x' || substr(md5(ix.i::VARCHAR || ':' || tr.token), 1, 14)) AS BIGINT)
+                    % {w} AS INTEGER) AS bucket
+        FROM truth tr, LATERAL (SELECT unnest(range(0, {d})) AS i) ix),
+est AS (SELECT l.token, min(coalesce(sk.cnt, 0))::BIGINT AS n_est
+        FROM lkp l LEFT JOIN sk ON sk.row = l.row AND sk.bucket = l.bucket
+        GROUP BY 1)
+SELECT truth.token, n_exact, n_est, (n_est - n_exact)::BIGINT AS overcount
+FROM truth JOIN est USING (token)"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable hashed linear quality classifier (the CCNet/LLaMA
     wiki-vs-crawl filter; Wenzek et al. 2020 §4.3): train IN SPARK on the
@@ -3894,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_distinct_hll": q_url_distinct_hll,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "token_cms": q_token_cms,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
         "lm_score": q_lm_score,
@@ -4368,6 +4427,7 @@ def oracle_sql() -> dict[str, str]:
         "url_distinct_hll": _hll_distinct_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
+        "token_cms": _token_cms_sql().format(toks=_TOKS),
         "validate_docs_counts": f"""
             SELECT count(*) AS n_rows,
                    sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,

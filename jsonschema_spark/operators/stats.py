@@ -423,3 +423,84 @@ def distinct_approx(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     uniqueness at crawl scale — north_rule). One aggregation over the
     table (map-side partials), one 2^p-row reduce."""
     return hll_estimate(hll_sketch(df, col, p), p)
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch — mergeable heavy-hitter counts, oracle-exact
+# ---------------------------------------------------------------------------
+#
+# The frequency companion to the HLL block above (Cormode & Muthukrishnan
+# 2005): d independent hash rows × w integer counters. Everything is
+# integer sums over portable md5-56 buckets, so the sketch state, its
+# merges and every point estimate are bit-identical across Spark, DuckDB
+# and Python — unlike Misra-Gries/SpaceSaving, whose state depends on
+# arrival order and can never be replayed by a SQL oracle. Guarantees:
+# est ≥ true always (counters only over-count), and
+# est ≤ true + εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+# Use: hot-url / hot-host / hot-token detection at crawl scale where the
+# exact top-k (textstats.top_ngrams, search.bm25) would first need a
+# corpus-wide distinct aggregation; the sketch is d·w rows of state,
+# mergeable across partitions/snapshots by plain addition.
+
+
+def _cms_probes(col: str, d: int, w: int) -> Column:
+    """The d (row, bucket) probes for one value — row-salted portable
+    hashes, shared by sketch build and lookup (and mirrored in SQL)."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    hash56(F.concat(F.lit(f"{i}:"), F.col(col).cast("string")))
+                    % F.lit(w)
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch of a column → (row:int, bucket:int, cnt:long),
+    non-empty counters only (≤ d·w rows). Each input row contributes 1
+    (pre-aggregate with a weight column upstream if needed — counters
+    add). One explode of d tiny structs + one groupBy with map-side
+    partials; NULLs excluded."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 hash rows and w >= 2 buckets")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(_cms_probes(col, d, w)).alias("rb"))
+        .groupBy(
+            F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of count-min sketches (same d, w): counters ADD — the
+    per-partition / per-snapshot rollup, like hll_merge but with sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame, items: DataFrame, col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-estimate counts for a set of candidate values →
+    (<col>, n_est). est = min over the d probed counters (0 when a
+    counter is empty). The sketch is ≤ d·w rows — broadcast, so lookup
+    is one explode + broadcast-join + groupBy-min over the candidates."""
+    probed = items.select(
+        F.col(col), F.explode(_cms_probes(col, d, w)).alias("rb")
+    ).select(col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    j = probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        j.groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
+    )

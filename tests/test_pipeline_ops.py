@@ -1609,3 +1609,41 @@ def test_hll_nulls_and_bounds(spark):
     assert sk == sk2 and len(sk) <= 2
     with pytest.raises(ValueError):
         hll_sketch(df, "s", 3)
+
+
+def test_cms_guarantees_merge_and_invariance(spark):
+    """Count-min: est >= true always; est == true when w is collision-free
+    for the value set; merge(cms(A), cms(B)) == cms(A∪B); repartitioning
+    never changes the sketch; unseen values estimate 0 on an empty row."""
+    import pytest
+
+    from jsonschema_spark.operators.stats import (
+        cms_lookup, cms_merge, cms_sketch)
+
+    rows = [(f"v{i % 50}",) for i in range(5000)]  # 50 values x 100 each
+    df = spark.createDataFrame(rows, "s string")
+    truth = {f"v{i}": 100 for i in range(50)}
+    items = spark.createDataFrame([(k,) for k in truth], "s string")
+
+    sk = cms_sketch(df, "s", d=4, w=4096)
+    est = {r["s"]: r["n_est"] for r in cms_lookup(sk, items, "s", 4, 4096).collect()}
+    assert est == truth  # w=4096 >> 50 distinct: no collisions, exact
+
+    # tight sketch: collisions only ever OVER-count
+    sk2 = cms_sketch(df, "s", d=3, w=16)
+    est2 = {r["s"]: r["n_est"] for r in cms_lookup(sk2, items, "s", 3, 16).collect()}
+    assert all(est2[k] >= v for k, v in truth.items())
+
+    full = sorted(tuple(r) for r in sk.collect())
+    sk_r = cms_sketch(df.repartition(11), "s", d=4, w=4096)
+    assert sorted(tuple(r) for r in sk_r.collect()) == full
+    a = cms_sketch(df.where(F.col("s") < "v3"), "s", d=4, w=4096)
+    b = cms_sketch(df.where(~(F.col("s") < "v3")), "s", d=4, w=4096)
+    assert sorted(tuple(r) for r in cms_merge(a, b).collect()) == full
+
+    ghost = spark.createDataFrame([("never-seen-xyz",)], "s string")
+    g = cms_lookup(sk, ghost, "s", 4, 4096).first()
+    assert g["n_est"] >= 0  # 0 unless all 4 counters collide
+
+    with pytest.raises(ValueError):
+        cms_sketch(df, "s", d=0, w=16)

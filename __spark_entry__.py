@@ -1094,6 +1094,82 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_LO, _HIST_HI, _HIST_NB = 0, 4096, 256
+
+
+def q_hist_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width histogram sketch over n_chars → rank-select
+    quantiles (25/50/75/95): the one-pass bounded-state quantile monitor
+    (percentile_approx's oracle-attestable sibling) — groupBy(bin) with
+    map-side partials, ONE tiny reduce, pure-integer rank select, so the
+    DuckDB mirror replays bin, edges, rank and total bit-for-bit."""
+    from jsonschema_spark.operators.stats import hist_quantiles, hist_sketch
+
+    sk = hist_sketch(_docs(spark, sf_dir), "n_chars",
+                     _HIST_LO, _HIST_HI, _HIST_NB)
+    return hist_quantiles(sk, _HIST_LO, _HIST_HI, _HIST_NB,
+                          (250_000, 500_000, 750_000, 950_000)) \
+        .orderBy("p_ppm")
+
+
+def q_drift_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state KS drift over the shared histogram bins — the
+    streaming-maintainable sibling of the exact drift_n_chars (same
+    output row, same per-side integer-div CDF formula; resolution = one
+    bin width, state = n_bins counters instead of a corpus-wide distinct
+    aggregation)."""
+    from jsonschema_spark.operators.stats import hist_drift
+
+    return hist_drift(_docs(spark, sf_dir), "n_chars",
+                      F.col("doc_id") % 2 == 0,
+                      _HIST_LO, _HIST_HI, _HIST_NB)
+
+
+def _hist_bin_sql(v: str) -> str:
+    lo, hi, nb = _HIST_LO, _HIST_HI, _HIST_NB
+    c = f"least(greatest(cast({v} as bigint), {lo}), {hi})"
+    return f"cast(least((({c} - {lo}) * {nb}) // {hi - lo}, {nb - 1}) as int)"
+
+
+def _hist_quantiles_sql() -> str:
+    lo, hi, nb = _HIST_LO, _HIST_HI, _HIST_NB
+    return f"""
+WITH b AS (SELECT {_hist_bin_sql('n_chars')} AS bin FROM documents
+           WHERE n_chars IS NOT NULL),
+sk AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS total FROM sk),
+p AS (SELECT unnest([250000, 500000, 750000, 950000]) AS p_ppm),
+t AS (SELECT max(total)::BIGINT AS total FROM c),
+r AS (SELECT p.p_ppm, (t.total - 1) * p.p_ppm // 1000000 + 1 AS rank,
+             t.total FROM p, t),
+pick AS (SELECT r.p_ppm,
+                (SELECT min(bin) FROM c WHERE cum >= r.rank) AS bin,
+                r.rank, r.total
+         FROM r)
+SELECT p_ppm, bin,
+       ({lo} * 1000 + bin::BIGINT * {hi - lo} * 1000 // {nb})::BIGINT AS edge_lo_milli,
+       ({lo} * 1000 + (bin::BIGINT + 1) * {hi - lo} * 1000 // {nb})::BIGINT AS edge_hi_milli,
+       rank::BIGINT AS rank, total
+FROM pick ORDER BY p_ppm"""
+
+
+def _drift_hist_sql() -> str:
+    return f"""
+WITH b AS (SELECT {_hist_bin_sql('n_chars')} AS bin,
+                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS s
+           FROM documents WHERE n_chars IS NOT NULL),
+g AS (SELECT bin, sum(s)::BIGINT AS nb, sum(1 - s)::BIGINT AS nc
+      FROM b GROUP BY 1),
+c AS (SELECT sum(nb) OVER (ORDER BY bin) AS cb,
+             sum(nc) OVER (ORDER BY bin) AS cc,
+             sum(nb) OVER () AS tb, sum(nc) OVER () AS tc FROM g)
+SELECT max(abs((cb * 1000000) // greatest(tb, 1)
+             - (cc * 1000000) // greatest(tc, 1)))::BIGINT AS ks_ppm,
+       max(tb)::BIGINT AS n_base, max(tc)::BIGINT AS n_cur
+FROM c"""
+
+
 _CMS_D, _CMS_W = 4, 512
 
 
@@ -3953,6 +4029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "token_cms": q_token_cms,
+        "hist_quantiles_chars": q_hist_quantiles_chars,
+        "drift_hist": q_drift_hist,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
         "lm_score": q_lm_score,
@@ -4428,6 +4506,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "token_cms": _token_cms_sql().format(toks=_TOKS),
+        "hist_quantiles_chars": _hist_quantiles_sql(),
+        "drift_hist": _drift_hist_sql(),
         "validate_docs_counts": f"""
             SELECT count(*) AS n_rows,
                    sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,

@@ -504,3 +504,169 @@ def cms_lookup(
         j.groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable histogram sketch — mergeable quantiles + bounded-state KS drift
+# ---------------------------------------------------------------------------
+#
+# The distribution companion to the HLL (distinct) and count-min
+# (frequency) sketches above: a fixed-width n_bins integer histogram —
+# the one-pass mergeable summary behind t-digest-style quantile/drift
+# monitoring, in a form every engine replays bit-exactly (pure integer
+# binning and rank-select; `percentile_approx` stays the engine-private
+# alternative). State is n_bins rows FOREVER; counters add under union,
+# so per-partition / per-snapshot sketches roll up by plain sum — and the
+# same bins power a bounded-state KS drift check whose resolution is the
+# bin width (`numeric_drift` above is the exact-KS path when per-value
+# resolution is worth a corpus-wide distinct aggregation).
+#
+# Plan shape: groupBy(bin) runs with map-side partials; the reduction to
+# ONE row collects the ≤ n_bins (bin, cnt) structs through the allowed
+# global-agg-of-partials exchange, and quantile/KS extraction is a
+# single projection over that tiny sorted array (higher-order aggregate —
+# interpreted per element, n_bins elements, once). Nothing corpus-sized
+# ever funnels into one task.
+#
+# Integer contracts (ANSI-safe): values clamp to [lo, hi] BEFORE the
+# bin multiply, so (v-lo)·n_bins ≤ span·n_bins < 2^63 needs only
+# span·n_bins in range; rank = (N−1)·p_ppm needs N < 2^63/10^6 ≈ 9·10^12
+# rows; the KS gap uses the same per-side `div` formula as numeric_drift
+# (cum·10^6 < 2^63 at the same bound).
+
+
+def _hist_bin(colname: str, lo: int, hi: int, n_bins: int) -> Column:
+    """bin = div((clamp(v) − lo)·n_bins, span), capped at n_bins−1 —
+    exact integer `div` (operands are clamped non-negative)."""
+    v = f"least(greatest(cast({colname} as bigint), {lo}), {hi})"
+    return F.expr(
+        f"cast(least((({v} - {lo}) * {n_bins}) div {hi - lo}, "
+        f"{n_bins - 1}) as int)"
+    )
+
+
+def hist_sketch(
+    df: DataFrame, col: str, lo: int, hi: int, n_bins: int = 256
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column → (bin:int, cnt:long),
+    non-empty bins only. Values clamp into the end bins (pick lo/hi from
+    ``profile_long`` min/max); NULLs excluded. One groupBy with map-side
+    partials — the sketch build costs the scan."""
+    if hi <= lo or n_bins < 2:
+        raise ValueError("need hi > lo and n_bins >= 2")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(_hist_bin(col, lo, hi, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of histogram sketches (same lo/hi/n_bins): counters add."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    ps_ppm: Sequence[int] = (250_000, 500_000, 750_000),
+) -> DataFrame:
+    """Rank-select quantiles from a histogram sketch → one row per
+    requested quantile: (p_ppm, bin, edge_lo_milli, edge_hi_milli, rank,
+    total). rank = (total−1)·p_ppm div 10^6 + 1 (1-based); the answer bin
+    is the first whose cumulative count reaches the rank; the bin edges
+    bracket the true quantile to one bin width. Pure integer — the SQL
+    oracle replays every value."""
+    one = sketch.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), F.col("cnt")))
+        ).alias("h"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total"),
+    )
+    rows = one.select(
+        F.explode(F.array(*[F.lit(int(p)) for p in ps_ppm])).alias("p_ppm"),
+        "h",
+        "total",
+    ).withColumn("rank", F.expr("(total - 1) * p_ppm div 1000000 + 1"))
+    pick = F.expr(
+        "aggregate(h, named_struct('cum', cast(0 as bigint), 'bin', -1), "
+        "(acc, x) -> IF(acc.bin >= 0, acc, "
+        "  named_struct('cum', acc.cum + x.cnt, "
+        "               'bin', IF(acc.cum + x.cnt >= rank, x.bin, -1))), "
+        "acc -> acc.bin)"
+    )
+    span = hi - lo
+    return rows.select(
+        "p_ppm",
+        pick.alias("bin"),
+        (F.lit(lo * 1000) + F.expr(f"bin * {span} * 1000 div {n_bins}")).alias("_tmp_lo"),
+        "rank",
+        "total",
+    ).select(
+        "p_ppm",
+        "bin",
+        (F.lit(lo * 1000) + F.expr(f"cast(bin as bigint) * {span} * 1000 div {n_bins}"))
+        .cast("long").alias("edge_lo_milli"),
+        (F.lit(lo * 1000) + F.expr(f"(cast(bin as bigint) + 1) * {span} * 1000 div {n_bins}"))
+        .cast("long").alias("edge_hi_milli"),
+        "rank",
+        "total",
+    )
+
+
+def hist_drift(
+    df: DataFrame,
+    col: str,
+    split: Column,
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Bounded-state KS drift between two row populations of the same
+    table over the shared histogram bins — same output row and same
+    per-side integer-`div` CDF formula as the exact ``numeric_drift``
+    ((ks_ppm, n_base, n_cur)), but state is n_bins counters instead of a
+    corpus-wide distinct aggregation: KS resolution trades down to one
+    bin width, cost trades down to one scan + one tiny reduce. This is
+    the drift check a STREAMING monitor can maintain (counters add)."""
+    g = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            _hist_bin(col, lo, hi, n_bins).alias("bin"),
+            F.when(split, 1).otherwise(0).alias("_b"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("_b").cast("long").alias("nb"),
+            F.sum(F.lit(1) - F.col("_b")).cast("long").alias("nc"),
+        )
+    )
+    one = g.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), F.col("nb"), F.col("nc")))
+        ).alias("h"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("tb"),
+        F.coalesce(F.sum("nc"), F.lit(0)).cast("long").alias("tc"),
+    )
+    ks = F.expr(
+        "aggregate(h, named_struct('cb', cast(0 as bigint), "
+        "                          'cc', cast(0 as bigint), "
+        "                          'ks', cast(0 as bigint)), "
+        "(acc, x) -> named_struct("
+        "  'cb', acc.cb + x.nb, 'cc', acc.cc + x.nc, "
+        "  'ks', greatest(acc.ks, abs("
+        "     (acc.cb + x.nb) * 1000000 div greatest(tb, 1) "
+        "   - (acc.cc + x.nc) * 1000000 div greatest(tc, 1)))), "
+        "acc -> acc.ks)"
+    )
+    return one.select(
+        ks.cast("long").alias("ks_ppm"),
+        F.col("tb").alias("n_base"),
+        F.col("tc").alias("n_cur"),
+    )

@@ -1647,3 +1647,50 @@ def test_cms_guarantees_merge_and_invariance(spark):
 
     with pytest.raises(ValueError):
         cms_sketch(df, "s", d=0, w=16)
+
+
+def test_hist_sketch_quantiles_merge_drift(spark):
+    """Histogram sketch: rank-select quantile brackets the exact quantile
+    to one bin width; merge(hist(A), hist(B)) == hist(A∪B); values
+    outside [lo, hi] clamp into the end bins; identical populations give
+    ks 0, disjoint ones 1e6."""
+    import pytest
+
+    from jsonschema_spark.operators.stats import (
+        hist_drift, hist_merge, hist_quantiles, hist_sketch)
+
+    lo, hi, nb = 0, 1000, 50  # bin width 20
+    df = spark.createDataFrame([(i % 997,) for i in range(20000)], "v long")
+    sk = hist_sketch(df, "v", lo, hi, nb)
+    full = sorted(tuple(r) for r in sk.collect())
+    assert sum(c for _, c in full) == 20000
+
+    qs = {r["p_ppm"]: r for r in
+          hist_quantiles(sk, lo, hi, nb, (250_000, 500_000, 750_000)).collect()}
+    import statistics
+    vals = sorted(i % 997 for i in range(20000))
+    for p, r in qs.items():
+        exact = vals[(len(vals) - 1) * p // 1_000_000]
+        assert r["edge_lo_milli"] <= exact * 1000 <= r["edge_hi_milli"], (p, r, exact)
+
+    a = hist_sketch(df.where(F.col("v") < 300), "v", lo, hi, nb)
+    b = hist_sketch(df.where(~(F.col("v") < 300)), "v", lo, hi, nb)
+    assert sorted(tuple(r) for r in hist_merge(a, b).collect()) == full
+    sk_r = hist_sketch(df.repartition(9), "v", lo, hi, nb)
+    assert sorted(tuple(r) for r in sk_r.collect()) == full
+
+    # clamp: everything lands in bins 0 / nb-1
+    wild = spark.createDataFrame([(-(10 ** 17),), (10 ** 17,)], "v long")
+    bins = {r["bin"] for r in hist_sketch(wild, "v", lo, hi, nb).collect()}
+    assert bins == {0, nb - 1}
+
+    ident = spark.createDataFrame(
+        [(i, (i // 2) % 100) for i in range(2000)], "id long, v long")
+    r = hist_drift(ident, "v", F.col("id") % 2 == 0, lo, hi, nb).first()
+    assert r["ks_ppm"] == 0 and r["n_base"] == 1000
+    disj = spark.createDataFrame(
+        [(i, 5 if i < 500 else 900) for i in range(1000)], "id long, v long")
+    assert hist_drift(disj, "v", F.col("id") < 500, lo, hi, nb).first()["ks_ppm"] == 1_000_000
+
+    with pytest.raises(ValueError):
+        hist_sketch(df, "v", 10, 10, nb)

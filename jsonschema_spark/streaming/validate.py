@@ -212,12 +212,34 @@ def stream_hll_sketch(sdf: DataFrame, col: str, p: int = 12) -> DataFrame:
     running the batch operator over the drained stream (test-proven) —
     max() is associative/commutative, so micro-batch arrival order can
     never change the sketch."""
-    from jsonschema_spark.operators.stats import hll_cols
+    from jsonschema_spark.operators.stats import hll_sketch
 
-    bucket, rank = hll_cols(col, p)
-    return (
-        sdf.where(F.col(col).isNotNull())
-        .select(bucket, rank)
-        .groupBy("bucket")
-        .agg(F.max("rank").alias("max_rank"))
-    )
+    return hll_sketch(sdf, col, p)
+
+
+def stream_cms_sketch(
+    sdf: DataFrame, col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Streaming count-min sketch: the batch operator's stateless
+    (row, bucket) probes, then a streaming sum — aggregation state ≤ d·w
+    counters forever (counters only ADD; no watermark needed). Complete-
+    mode output is the sketch of everything seen; ``stats.cms_lookup``
+    applies to the emitted table unchanged and, because integer sums are
+    associative/commutative, the drained-stream sketch is bit-identical
+    to the batch one (test-proven with hll's harness)."""
+    from jsonschema_spark.operators.stats import cms_sketch
+
+    return cms_sketch(sdf, col, d, w)
+
+
+def stream_hist_sketch(
+    sdf: DataFrame, col: str, lo: int, hi: int, n_bins: int = 256
+) -> DataFrame:
+    """Streaming histogram sketch: stateless clamp+bin projection, then a
+    streaming count per bin — state ≤ n_bins rows forever. The emitted
+    complete-mode table feeds ``stats.hist_quantiles`` / the hist_drift
+    CDF math unchanged: live quantile and drift monitoring with bounded
+    state, per the north_rule's snapshot-drift scoring."""
+    from jsonschema_spark.operators.stats import hist_sketch
+
+    return hist_sketch(sdf, col, lo, hi, n_bins)

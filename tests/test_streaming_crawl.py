@@ -119,3 +119,51 @@ def test_stream_hll_sketch_equals_batch(spark, tmp_path):
     est_b = hll_estimate(hll_sketch(batch, "url", p), p).first()
     est_s = hll_estimate(streamed, p).first()
     assert tuple(est_s) == tuple(est_b)
+
+
+def test_stream_cms_and_hist_equal_batch(spark, tmp_path):
+    """Streaming count-min and histogram sketches drained over multiple
+    micro-batches equal the batch sketches bit-for-bit (integer sums are
+    order-free), and the batch lookup/quantile extractors apply to the
+    streamed state unchanged."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.stats import (
+        cms_lookup, cms_sketch, hist_quantiles, hist_sketch)
+    from jsonschema_spark.streaming.validate import (
+        stream_cms_sketch, stream_hist_sketch)
+
+    src = str(tmp_path / "vals")
+    for f in range(3):
+        spark.range(f * 3000, (f + 1) * 3000).select(
+            F.concat(F.lit("t"), (F.col("id") % 77).cast("string")).alias("s"),
+            (F.col("id") % 991).alias("v"),
+        ).write.mode("append").parquet(src)
+    batch = spark.read.parquet(src)
+
+    sdf = (spark.readStream.schema(batch.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    qc = (stream_cms_sketch(sdf, "s", 3, 64)
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("cms_stream").trigger(availableNow=True).start())
+    qc.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("cms_stream").collect())
+    want = sorted(tuple(r) for r in cms_sketch(batch, "s", 3, 64).collect())
+    assert got == want
+    items = batch.select("s").distinct()
+    est_s = sorted(tuple(r) for r in
+                   cms_lookup(spark.table("cms_stream"), items, "s", 3, 64).collect())
+    est_b = sorted(tuple(r) for r in
+                   cms_lookup(cms_sketch(batch, "s", 3, 64), items, "s", 3, 64).collect())
+    assert est_s == est_b
+
+    qh = (stream_hist_sketch(sdf, "v", 0, 1000, 40)
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("hist_stream").trigger(availableNow=True).start())
+    qh.awaitTermination(120)
+    goth = sorted(tuple(r) for r in spark.table("hist_stream").collect())
+    wanth = sorted(tuple(r) for r in hist_sketch(batch, "v", 0, 1000, 40).collect())
+    assert goth == wanth
+    qs = hist_quantiles(spark.table("hist_stream"), 0, 1000, 40, (500_000,)).first()
+    qb = hist_quantiles(hist_sketch(batch, "v", 0, 1000, 40), 0, 1000, 40, (500_000,)).first()
+    assert tuple(qs) == tuple(qb)

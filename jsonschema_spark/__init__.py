@@ -100,7 +100,26 @@ from jsonschema_spark.operators.similarity import (
     semantic_dedup,
     semantic_dedup_pairs,
 )
-from jsonschema_spark.operators.stats import pairwise_corr, sessionize
+from jsonschema_spark.operators.stats import (
+    cms_lookup,
+    cms_merge,
+    cms_sketch,
+    distinct_approx,
+    hist_drift,
+    hist_merge,
+    hist_quantiles,
+    hist_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+    pairwise_corr,
+    sessionize,
+)
+from jsonschema_spark.operators.bpe import (
+    bpe_encode_pandas,
+    bpe_token_counts_df,
+    bpe_train,
+)
 from jsonschema_spark.operators.urltools import (
     crawler_traps_df,
     frontier_interleave,

@@ -1094,6 +1094,45 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DIM = 64
+
+
+def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine text embeddings via the hashing trick (signed hashed
+    bag-of-words, Weinberger et al. 2009) — the array<float> producer
+    that feeds the ANN/SemDeDup suite without a model service. The
+    attestation rows (nnz, norm_sq, position-sensitive checksum) are
+    computed from the SAME integer (bucket, signed-count) pairs the
+    vector assembles from, so a component error anywhere flips the
+    hash; tokenless docs pin the all-zero vector."""
+    from jsonschema_spark.operators.embed import embedding_stats_df
+
+    return embedding_stats_df(
+        _docs(spark, sf_dir), "doc_id", "text", _EMB_DIM
+    )
+
+
+def _hashed_embedding_sql() -> str:
+    d = _EMB_DIM
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tk), 1, 14)) AS BIGINT) AS hv FROM tok),
+g AS (SELECT doc_id, CAST(hv % {d} AS INTEGER) AS b,
+             sum(1 - 2 * ((hv // {d}) % 2))::BIGINT AS v
+      FROM h GROUP BY 1, 2),
+a AS (SELECT doc_id,
+             sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END)::BIGINT AS nnz,
+             sum(v * v)::BIGINT AS norm_sq,
+             sum(v * (b + 1))::BIGINT AS checksum
+      FROM g GROUP BY 1)
+SELECT d.doc_id, coalesce(a.nnz, 0)::BIGINT AS nnz,
+       coalesce(a.norm_sq, 0)::BIGINT AS norm_sq,
+       coalesce(a.checksum, 0)::BIGINT AS checksum
+FROM documents d LEFT JOIN a USING (doc_id)"""
+
+
 _HIST_LO, _HIST_HI, _HIST_NB = 0, 4096, 256
 
 
@@ -4031,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms": q_token_cms,
         "hist_quantiles_chars": q_hist_quantiles_chars,
         "drift_hist": q_drift_hist,
+        "hashed_embedding": q_hashed_embedding,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
         "lm_score": q_lm_score,
@@ -4508,6 +4548,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cms": _token_cms_sql().format(toks=_TOKS),
         "hist_quantiles_chars": _hist_quantiles_sql(),
         "drift_hist": _drift_hist_sql(),
+        "hashed_embedding": _hashed_embedding_sql(),
         "validate_docs_counts": f"""
             SELECT count(*) AS n_rows,
                    sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,

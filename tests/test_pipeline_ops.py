@@ -1694,3 +1694,54 @@ def test_hist_sketch_quantiles_merge_drift(spark):
 
     with pytest.raises(ValueError):
         hist_sketch(df, "v", 10, 10, nb)
+
+
+def test_hashed_embedding_ann_pipeline(spark):
+    """Text → hashed embedding → ANN: near-identical docs rank as each
+    other's top neighbor while unrelated docs score lower; the
+    attestation rows agree with the assembled vectors; tokenless docs
+    keep the all-zero vector; partitioning never changes a vector."""
+    import pytest
+
+    from jsonschema_spark.operators.embed import (
+        embedding_stats_df, hashed_embedding_df)
+    from jsonschema_spark.operators.similarity import topk_bruteforce
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " extra"),          # near-dup of 0
+            (2, "completely different tokens about spark shuffles and "
+                "catalyst optimizer plans joining parquet partitions"),
+            (3, ""),                        # tokenless
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_embedding_df(docs, "doc_id", "text", dim=32)
+    vecs = {r["doc_id"]: r["emb"] for r in emb.collect()}
+    assert len(vecs) == 4 and all(len(v) == 32 for v in vecs.values())
+    assert vecs[3] == [0.0] * 32
+
+    # stats rows == values derived from the assembled vectors
+    stats = {r["doc_id"]: (r["nnz"], r["norm_sq"], r["checksum"])
+             for r in embedding_stats_df(docs, "doc_id", "text", 32).collect()}
+    for i, v in vecs.items():
+        want = (sum(1 for x in v if x != 0),
+                int(sum(x * x for x in v)),
+                int(sum(x * (b + 1) for b, x in enumerate(v))))
+        assert stats[i] == want, i
+
+    nonzero = emb.where(F.col("doc_id") != 3)
+    top = {r["q_id"]: r["neighbor_id"] for r in
+           topk_bruteforce(nonzero, nonzero, "doc_id", "emb", k=1).collect()}
+    assert top[0] == 1 and top[1] == 0  # the planted near-dup pair finds itself
+
+    # partition invariance (integer counting end-to-end)
+    vecs2 = {r["doc_id"]: r["emb"] for r in
+             hashed_embedding_df(docs.repartition(5), "doc_id", "text", 32).collect()}
+    assert vecs2 == vecs
+
+    with pytest.raises(ValueError):
+        hashed_embedding_df(docs, "doc_id", "text", dim=1)

@@ -1151,6 +1151,27 @@ def q_hist_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_ppm")
 
 
+_TS_NB = 288  # 5-minute bins over the day
+
+
+def q_hist_quantiles_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star 'quantiles for warc_ts' analogue: the SAME
+    mergeable histogram sketch over the fetch timestamp's time-of-day
+    (seconds since midnight, 5-minute bins) — the fetch-schedule monitor
+    a crawl runs per snapshot. Wall-time field extraction (hour/min/sec)
+    is the tz-proof portable integer for naive parquet timestamps: both
+    engines read the stored wall clock, no epoch/session-tz coupling."""
+    from jsonschema_spark.operators.stats import hist_quantiles, hist_sketch
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        (F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts"))
+        .cast("long").alias("sec_day"))
+    sk = hist_sketch(ev, "sec_day", 0, 86400, _TS_NB)
+    return hist_quantiles(sk, 0, 86400, _TS_NB,
+                          (250_000, 500_000, 750_000, 950_000)) \
+        .orderBy("p_ppm")
+
+
 def q_drift_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state KS drift over the shared histogram bins — the
     streaming-maintainable sibling of the exact drift_n_chars (same
@@ -1175,6 +1196,31 @@ def _hist_quantiles_sql() -> str:
     return f"""
 WITH b AS (SELECT {_hist_bin_sql('n_chars')} AS bin FROM documents
            WHERE n_chars IS NOT NULL),
+sk AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS total FROM sk),
+p AS (SELECT unnest([250000, 500000, 750000, 950000]) AS p_ppm),
+t AS (SELECT max(total)::BIGINT AS total FROM c),
+r AS (SELECT p.p_ppm, (t.total - 1) * p.p_ppm // 1000000 + 1 AS rank,
+             t.total FROM p, t),
+pick AS (SELECT r.p_ppm,
+                (SELECT min(bin) FROM c WHERE cum >= r.rank) AS bin,
+                r.rank, r.total
+         FROM r)
+SELECT p_ppm, bin,
+       ({lo} * 1000 + bin::BIGINT * {hi - lo} * 1000 // {nb})::BIGINT AS edge_lo_milli,
+       ({lo} * 1000 + (bin::BIGINT + 1) * {hi - lo} * 1000 // {nb})::BIGINT AS edge_hi_milli,
+       rank::BIGINT AS rank, total
+FROM pick ORDER BY p_ppm"""
+
+
+def _hist_quantiles_ts_sql() -> str:
+    lo, hi, nb = 0, 86400, _TS_NB
+    v = "(hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+    c = f"least(greatest(cast({v} as bigint), {lo}), {hi})"
+    b = f"cast(least((({c} - {lo}) * {nb}) // {hi - lo}, {nb - 1}) as int)"
+    return f"""
+WITH b AS (SELECT {b} AS bin FROM events WHERE ts IS NOT NULL),
 sk AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
 c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
              sum(cnt) OVER () AS total FROM sk),
@@ -2352,6 +2398,113 @@ SELECT m, v_empty, s_sum,
 FROM est, ex"""
 
 
+_KMV_K = 256  # union sketch σ ≈ 1/√(k-2) ≈ 6.3% — snapshot-algebra regime
+
+
+def _kmv_snapshot(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> DataFrame:
+    """Deterministic crawl snapshot: every messy url under path variants
+    lo..hi. Two snapshots with overlapping variant ranges share exactly
+    (overlap × n_urls) distinct urls — the KMV overlap ground truth."""
+    return (
+        _docs(spark, sf_dir).select("doc_id", "source")
+        .withColumn("url", _messy_url())
+        .select("url",
+                F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias("i"))
+        .select(
+            F.concat(F.col("url"), F.lit("/r/"), F.col("i").cast("string"))
+            .alias("u")
+        )
+    )
+
+
+def q_url_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable KMV sketch state for url-set algebra: the k smallest
+    distinct md5-56 hashes of a crawl snapshot — the ENTIRE mergeable
+    sketch is the query output, attested bit-for-bit against DuckDB's
+    DISTINCT → ORDER BY → LIMIT k replay. Map-side duplicate collapse +
+    TakeOrderedAndProject; ≤ k rows ever reach the driver."""
+    from jsonschema_spark.operators.stats import kmv_sketch
+
+    return kmv_sketch(
+        _kmv_snapshot(spark, sf_dir, 1, 30), "u", _KMV_K).orderBy("hv")
+
+
+def q_url_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style snapshot algebra two HLLs cannot do: union AND
+    intersection estimates for two crawl snapshots with a planted
+    overlap (variants 1-30 vs 21-50 → 1/5 of the union shared), next to
+    the exact counts — (k, n_union_kept, theta, n_match, jaccard_ppm,
+    est_union_milli, est_inter_milli, n_union_exact, n_inter_exact).
+    Every estimate is one shared-op-order float formula over the
+    deterministic sketch, so the driver gate attests the whole algebra."""
+    from jsonschema_spark.operators.stats import kmv_overlap, kmv_sketch
+
+    snap_a = _kmv_snapshot(spark, sf_dir, 1, 30)
+    snap_b = _kmv_snapshot(spark, sf_dir, 21, 50)
+    est = kmv_overlap(kmv_sketch(snap_a, "u", _KMV_K),
+                      kmv_sketch(snap_b, "u", _KMV_K), _KMV_K)
+    exact = (
+        snap_a.select("u").unionByName(snap_b.select("u"))
+        .agg(F.count_distinct("u").alias("n_union_exact"))
+        .crossJoin(
+            snap_a.join(snap_b, "u").agg(
+                F.count_distinct("u").alias("n_inter_exact"))
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def _kmv_sql_parts() -> str:
+    """Shared CTE prefix for the two KMV mirrors: both snapshots and both
+    sketches, the SAME distinct-hash/order/limit recipe the operator
+    plans, over the same rebuilt crawl-snapshot strings."""
+    k = _KMV_K
+    return f"""
+u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+snap_a AS (SELECT url || '/r/' || i::VARCHAR AS u
+           FROM u, LATERAL (SELECT unnest(range(1, 31)) AS i) ix),
+snap_b AS (SELECT url || '/r/' || i::VARCHAR AS u
+           FROM u, LATERAL (SELECT unnest(range(21, 51)) AS i) ix),
+sk_a AS (SELECT DISTINCT CAST(('0x' || substr(md5(u), 1, 14)) AS BIGINT) AS hv
+         FROM snap_a ORDER BY hv LIMIT {k}),
+sk_b AS (SELECT DISTINCT CAST(('0x' || substr(md5(u), 1, 14)) AS BIGINT) AS hv
+         FROM snap_b ORDER BY hv LIMIT {k})"""
+
+
+def _kmv_sketch_sql() -> str:
+    return f"WITH {_kmv_sql_parts()} SELECT hv FROM sk_a ORDER BY hv"
+
+
+def _kmv_overlap_sql() -> str:
+    k = _KMV_K
+    two56 = 2 ** 56
+    return f"""WITH {_kmv_sql_parts()},
+un AS (SELECT DISTINCT hv FROM (SELECT hv FROM sk_a UNION ALL SELECT hv FROM sk_b)
+       ORDER BY hv LIMIT {k}),
+th AS (SELECT CAST(count(*) AS BIGINT) AS n_union_kept,
+              CAST(CASE WHEN count(*) < {k} THEN {two56}
+                   ELSE max(hv) END AS BIGINT) AS theta
+       FROM un),
+mt AS (SELECT CAST(coalesce(sum(CASE WHEN i.hv < th.theta THEN 1 END), 0) AS BIGINT)
+              AS n_match
+       FROM (SELECT sk_a.hv FROM sk_a JOIN sk_b USING (hv)) i, th),
+ex AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_union_exact
+       FROM (SELECT u FROM snap_a UNION ALL SELECT u FROM snap_b)),
+ei AS (SELECT CAST(count(DISTINCT snap_a.u) AS BIGINT) AS n_inter_exact
+       FROM snap_a JOIN snap_b USING (u))
+SELECT CAST({k} AS BIGINT) AS k, n_union_kept, theta, n_match,
+       CAST(CASE WHEN n_union_kept = 0 THEN 0
+            ELSE n_match * 1000000 // n_union_kept END AS BIGINT) AS jaccard_ppm,
+       CAST(CASE WHEN n_union_kept < {k} THEN n_union_kept * 1000
+            ELSE CAST(FLOOR({float(k - 1)!r} * {float(two56)!r}
+                 / CAST(theta AS DOUBLE) * 1000.0) AS BIGINT)
+            END AS BIGINT) AS est_union_milli,
+       CAST(FLOOR(CAST(n_match AS DOUBLE) * {float(two56)!r}
+            / CAST(theta AS DOUBLE) * 1000.0) AS BIGINT) AS est_inter_milli,
+       n_union_exact, n_inter_exact
+FROM th, mt, ex, ei"""
+
+
 def _incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic 'new crawl': exact recrawls (doc_id<50), near dups
     with the first token stripped (50-99), and genuinely novel pages
@@ -2424,6 +2577,100 @@ SELECT d.doc_id, d.lang FROM documents d JOIN w ON d.lang = w.grp
 WHERE {h} % 1000000 < w.wppm
 ORDER BY 1
 """
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=1/2 temperature mixing with targets DERIVED from corpus counts
+    (multilingual-training standard: share ∝ √n_g — no external target
+    dict): per-lang weights floor(1e6·s_g·n_b/(n_g·s_b)) with
+    s = floor(sqrt(n)) — bit-stable because IEEE sqrt is correctly
+    rounded in every engine — plus the realized kept counts from the
+    id-stable hash sampler, so the gate attests derivation AND
+    application. (lang, n_docs, s, weight_ppm, n_kept)."""
+    from jsonschema_spark.operators.curate import (
+        temperature_sample, temperature_weights)
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = temperature_weights(d, "lang")
+    kept = temperature_sample(d, "doc_id", "lang") \
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        w.join(kept, "lang", "left")
+        .select("lang", "n_docs", "s", "weight_ppm",
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+                .alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    h = _h56("'temp:' || doc_id::VARCHAR")
+    return f"""
+WITH c AS (SELECT lang AS grp, count(*)::BIGINT AS n_docs
+           FROM documents GROUP BY 1),
+s AS (SELECT grp, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s
+      FROM c),
+b AS (SELECT s AS sb, n_docs AS nb FROM s
+      ORDER BY CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE) DESC, grp ASC
+      LIMIT 1),
+w AS (SELECT grp, n_docs, s.s,
+             least(1000000,
+                   CAST(floor(1000000.0 * CAST(s.s * b.nb AS DOUBLE)
+                        / CAST(s.n_docs * b.sb AS DOUBLE)) AS BIGINT))
+             AS weight_ppm
+      FROM s, b),
+k AS (SELECT d.lang AS grp, count(*)::BIGINT AS n_kept
+      FROM documents d JOIN w ON d.lang = w.grp
+      WHERE {h} % 1000000 < w.weight_ppm GROUP BY 1)
+SELECT w.grp AS lang, n_docs, s, weight_ppm,
+       coalesce(n_kept, 0)::BIGINT AS n_kept
+FROM w LEFT JOIN k USING (grp) ORDER BY lang"""
+
+
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-url crawl-snapshot ledger (the recrawl scheduler's
+    input): full-outer join on canonical key classifying every url as
+    new / gone / changed / unchanged between two snapshots — planted
+    deltas: every 11th url vanishes, every 5th changes content, 50
+    novel urls appear. The sketch-sized sibling is url_kmv_overlap."""
+    from jsonschema_spark.operators.urltools import snapshot_delta_df
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    key = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    old = d.select(key.alias("url"),
+                   F.substring(F.md5("text"), 1, 14).alias("h"))
+    new_base = d.where(F.col("doc_id") % 11 != 0).select(
+        key.alias("url"),
+        F.substring(
+            F.md5(F.when(F.col("doc_id") % 5 == 0,
+                         F.concat(F.col("text"), F.lit(" v2")))
+                  .otherwise(F.col("text"))), 1, 14).alias("h"))
+    added = spark.range(1, 51).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("url"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 14).alias("h"))
+    return snapshot_delta_df(
+        old, new_base.unionByName(added), "url", "h").orderBy("url")
+
+
+_SNAPSHOT_DELTA_SQL = """
+WITH old AS (SELECT 'u' || doc_id::VARCHAR AS url,
+                    substr(md5(text), 1, 14) AS h FROM documents),
+nb AS (SELECT 'u' || doc_id::VARCHAR AS url,
+              substr(md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                              ELSE text END), 1, 14) AS h
+       FROM documents WHERE doc_id % 11 <> 0),
+ad AS (SELECT 'n' || i::VARCHAR AS url, substr(md5(i::VARCHAR), 1, 14) AS h
+       FROM (SELECT unnest(range(1, 51)) AS i)),
+new AS (SELECT * FROM nb UNION ALL SELECT * FROM ad),
+j AS (SELECT coalesce(o.url, n.url) AS url, o.h AS h_old, n.h AS h_new
+      FROM old o FULL OUTER JOIN new n ON o.url = n.url)
+SELECT url, h_old, h_new,
+       CASE WHEN h_old IS NULL THEN 'new'
+            WHEN h_new IS NULL THEN 'gone'
+            WHEN h_old <> h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j ORDER BY url"""
 
 
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4065,10 +4312,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 front block: no driver attestation yet ---
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
+        "url_kmv_sketch": q_url_kmv_sketch,
+        "url_kmv_overlap": q_url_kmv_overlap,
+        "temperature_mixture": q_temperature_mixture,
+        "snapshot_delta": q_snapshot_delta,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "token_cms": q_token_cms,
         "hist_quantiles_chars": q_hist_quantiles_chars,
+        "hist_quantiles_ts": q_hist_quantiles_ts,
         "drift_hist": q_drift_hist,
         "hashed_embedding": q_hashed_embedding,
         "fingerprint": q_fingerprint,
@@ -4543,10 +4795,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),
+        "url_kmv_sketch": _kmv_sketch_sql(),
+        "url_kmv_overlap": _kmv_overlap_sql(),
+        "temperature_mixture": _temperature_mixture_sql(),
+        "snapshot_delta": _SNAPSHOT_DELTA_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "token_cms": _token_cms_sql().format(toks=_TOKS),
         "hist_quantiles_chars": _hist_quantiles_sql(),
+        "hist_quantiles_ts": _hist_quantiles_ts_sql(),
         "drift_hist": _drift_hist_sql(),
         "hashed_embedding": _hashed_embedding_sql(),
         "validate_docs_counts": f"""

@@ -59,6 +59,8 @@ from jsonschema_spark.operators.curate import (
     leakage_safe_split,
     mixture_sample,
     mixture_weights,
+    temperature_sample,
+    temperature_weights,
     quality_buckets,
     shard_assign,
     shard_stats,
@@ -112,6 +114,10 @@ from jsonschema_spark.operators.stats import (
     hll_estimate,
     hll_merge,
     hll_sketch,
+    kmv_estimate,
+    kmv_merge,
+    kmv_overlap,
+    kmv_sketch,
     pairwise_corr,
     sessionize,
 )
@@ -129,6 +135,7 @@ from jsonschema_spark.operators.urltools import (
     normalize_urls_df,
     public_suffix,
     registered_domain,
+    snapshot_delta_df,
     url_dedup_df,
 )
 from jsonschema_spark.operators.htmltext import (

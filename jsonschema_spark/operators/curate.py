@@ -354,6 +354,77 @@ def mixture_sample(
     )
 
 
+def temperature_weights(df: DataFrame, group_col: str) -> DataFrame:
+    """Temperature-based mixing weights DERIVED from corpus counts —
+    the multilingual-training standard (α = 1/2 sampling temperature:
+    target share ∝ n_g^0.5, the mBERT/XLM-R exponent) instead of
+    ``mixture_weights``' externally-given targets. Down-sampling only,
+    so the group with the highest (target/actual) ratio binds: under
+    α = 1/2 that ratio is ∝ 1/√n_g, hence the SMALLEST group keeps
+    everything and every larger group keeps
+    weight_g = √(n_b/n_g) as floor(1e6·s_g·n_b / (n_g·s_b)) ppm with
+    s = floor(sqrt(n)).
+
+    α is fixed at 1/2 on purpose: IEEE-754 sqrt is CORRECTLY ROUNDED in
+    every engine, so floor(sqrt(n)) over exact int64 counts is
+    bit-identical across Spark, DuckDB and numpy — while a general n^α
+    needs pow/exp/ln, whose last-ulp rounding differs per engine
+    (CLAUDE.md). floor(sqrt) == isqrt for n < 2^52 (the double gap at
+    √n stays below the distance to the next integer). Everything
+    downstream of the one count aggregate operates on the tiny per-group
+    table; no collect, no driver-side dict. Returns
+    (group, n_docs, s, weight_ppm)."""
+    counts = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("s", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"))
+    )
+    binding = (
+        counts.orderBy(
+            (F.col("s").cast("double") / F.col("n_docs").cast("double")).desc(),
+            F.col("grp").asc(),
+        )
+        .limit(1)
+        .select(F.col("s").alias("_sb"), F.col("n_docs").alias("_nb"))
+    )
+    return counts.crossJoin(F.broadcast(binding)).select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "s",
+        F.least(
+            F.lit(1000000),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("s") * F.col("_nb")).cast("double")
+                / (F.col("n_docs") * F.col("_sb")).cast("double")
+            ),
+        )
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame, id_col: str, group_col: str, salt: str = "temp"
+) -> DataFrame:
+    """Apply ``temperature_weights`` as deterministic id-stable sampling
+    (keep iff hash56(salt:id) % 1e6 < weight_ppm(group)) — one count
+    aggregate, a broadcast of the per-group weight table, then a pure
+    scan predicate: the per-row decision cannot hot-spot at crawl scale
+    and the kept set is a pure function of (ids, group sizes)."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    w = temperature_weights(df, group_col).select(
+        F.col(group_col).alias("_grp"), "weight_ppm"
+    )
+    h = hash56(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(w), df[group_col] == F.col("_grp"))
+        .where(F.pmod(h, F.lit(1_000_000)) < F.col("weight_ppm"))
+        .drop("_grp", "weight_ppm")
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -670,3 +670,151 @@ def hist_drift(
         F.col("tb").alias("n_base"),
         F.col("tc").alias("n_cur"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV / theta sketch — distinct counts AND set-operation estimates
+# ---------------------------------------------------------------------------
+#
+# The set-operation companion to the HLL block above (Bar-Yossef et al.
+# 2002 k-minimum-values; Dasgupta et al. 2016 theta-sketch framework).
+# HLL merges under UNION only; crawl curation constantly asks the
+# intersection question — "how many urls do two snapshots share", "what
+# fraction of corpus B is already in corpus A" — which HLL cannot answer
+# without inclusion-exclusion error blowup. KMV keeps the k smallest
+# DISTINCT portable md5-56 hash values; because "k smallest distinct
+# hashes" is a pure function of the value SET, the sketch state is
+# bit-identical across Spark, DuckDB and any partitioning, and a DuckDB
+# oracle replays it verbatim (DISTINCT → ORDER BY → LIMIT k).
+#
+#   state    = k smallest distinct hv (≤ k rows of one BIGINT)
+#   estimate = (k-1) · 2^56 / θ with θ = the k-th smallest (exact count
+#              when the sketch holds the whole set: n_kept < k)
+#   union    = merge sketches, re-truncate to k (associative, idempotent)
+#   A ∩ B    = |{hv in BOTH sketches, hv < θ_union}| · 2^56 / θ_union —
+#              the theta trick: below θ_union both sketches are complete
+#              samples of the same fixed hash prefix, so matches form an
+#              unbiased intersection sample. Jaccard = n_match / k.
+#
+# Plan shape at crawl scale: the distinct is a groupBy, so Spark collapses
+# duplicates map-side (partial HashAggregate) and the exchange moves only
+# per-partition-DISTINCT hashes — the exact-distinct lower bound — then
+# orderBy(hv).limit(k) plans TakeOrderedAndProject (parallel per-partition
+# top-k, never a single-partition sort). Post-sketch ops touch ≤ k rows.
+# No streaming form: a KMV heap is arrival-order-bounded state that
+# flatMapGroupsWithState could hold, but the result would not be a plain
+# replayable aggregation like the HLL/CMS/histogram monitors — use those
+# for streams, KMV for batch snapshot algebra.
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """Portable KMV sketch of a column → (hv:long), the k smallest
+    distinct md5-56 hash values (≤ k rows). NULLs excluded (matching
+    count_distinct). Deterministic: a pure function of the value set."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    if not 16 <= k <= 65536:
+        raise ValueError("k must be in [16, 65536]")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(hash56(F.col(col).cast("string")).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
+    """Union of any number of kmv_sketch outputs (same k) — union,
+    distinct, re-truncate. merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B),
+    so per-partition / per-snapshot sketch state rolls up losslessly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Cardinality estimate from a KMV sketch → ONE row
+    (k, n_kept, theta, est_milli). Exact (n_kept·1000) while the sketch
+    holds the whole set; otherwise floor((k-1)·2^56/θ·1000) with one
+    float op order shared with the SQL mirror (2^56 and k-1 are exact
+    doubles; n_kept ≤ 2^16 keeps every product exact)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.max("hv"), F.lit(0)).alias("_mx"),
+    )
+    est = (
+        F.when(F.col("_n") < k, F.col("_n").cast("long") * 1000)
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * F.lit(float(2 ** 56))
+                / F.col("_mx").cast("double") * F.lit(1000.0)
+            ).cast("long")
+        )
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("_n").cast("long").alias("n_kept"),
+        F.col("_mx").cast("long").alias("theta"),
+        est.alias("est_milli"),
+    )
+
+
+def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Theta-style set-operation estimates from two KMV sketches → ONE row
+    (k, n_union_kept, theta, n_match, jaccard_ppm, est_union_milli,
+    est_inter_milli).
+
+    θ is the union sketch's k-th smallest hash (2^56 when the union is
+    complete, i.e. n_union_kept < k — then every estimate is exact).
+    n_match counts hashes present in BOTH input sketches below θ; the
+    intersection estimate is n_match·2^56/θ and Jaccard is the integer
+    ppm n_match/n_union_kept. Every join/aggregate here touches ≤ k rows
+    per side — the corpus was only scanned by kmv_sketch."""
+    u = kmv_merge(sketch_a, sketch_b, k=k)
+    th = u.agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.coalesce(F.max("hv"), F.lit(0)).alias("_mx"),
+    ).select(
+        F.col("n_union_kept").cast("long").alias("n_union_kept"),
+        F.when(F.col("n_union_kept") < k, F.lit(2 ** 56))
+        .otherwise(F.col("_mx")).cast("long").alias("theta"),
+    )
+    inter = sketch_a.join(sketch_b, "hv").select("hv")
+    cnt = (
+        inter.crossJoin(F.broadcast(th.select("theta")))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("hv") < F.col("theta"), 1)), F.lit(0)
+            ).cast("long").alias("n_match")
+        )
+    )
+    one = th.crossJoin(F.broadcast(cnt))
+    est_union = (
+        F.when(F.col("n_union_kept") < k,
+               F.col("n_union_kept") * 1000)
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * F.lit(float(2 ** 56))
+                / F.col("theta").cast("double") * F.lit(1000.0)
+            ).cast("long")
+        )
+    )
+    est_inter = F.floor(
+        F.col("n_match").cast("double") * F.lit(float(2 ** 56))
+        / F.col("theta").cast("double") * F.lit(1000.0)
+    ).cast("long")
+    jac = (
+        F.when(F.col("n_union_kept") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("n_match * 1000000 div n_union_kept").cast("long")
+        )
+    )
+    return one.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_union_kept", "theta", "n_match",
+        jac.alias("jaccard_ppm"),
+        est_union.alias("est_union_milli"),
+        est_inter.alias("est_inter_milli"),
+    )

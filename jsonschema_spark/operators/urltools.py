@@ -472,3 +472,36 @@ def frontier_interleave(
         )
         .drop("_pid", "_off", "_hh")
     )
+
+
+def snapshot_delta_df(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    hash_col: str,
+) -> DataFrame:
+    """Crawl-snapshot delta — the recrawl-scheduling primitive: per key
+    (canonical url), classify what happened between two snapshots as
+    ``new`` (only in the new snapshot), ``gone`` (only in the old),
+    ``changed`` (both, different content hash) or ``unchanged``.
+
+    Inputs must be key-unique (run ``url_dedup_df`` first — documented
+    contract, not checked: a duplicate key would fan out the full-outer
+    join). One shuffle-on-key full-outer join, AQE-skew-safe; combined
+    with ``stats.kmv_sketch`` snapshot algebra this gives both the exact
+    per-url ledger (this) and the sketch-sized overlap estimate (that)
+    at either end of the cost spectrum.
+
+    Output: (key_col, h_old, h_new, status)."""
+    o = old.select(F.col(key_col).alias("_k"), F.col(hash_col).alias("h_old"))
+    n = new.select(F.col(key_col).alias("_k"), F.col(hash_col).alias("h_new"))
+    j = o.join(n, "_k", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("new"))
+        .when(F.col("h_new").isNull(), F.lit("gone"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("_k").alias(key_col), "h_old", "h_new", status.alias("status")
+    )

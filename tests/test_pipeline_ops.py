@@ -1745,3 +1745,130 @@ def test_hashed_embedding_ann_pipeline(spark):
 
     with pytest.raises(ValueError):
         hashed_embedding_df(docs, "doc_id", "text", dim=1)
+
+
+def test_kmv_sketch_merge_exact_and_accuracy(spark):
+    """Portable KMV: merge(sketch(A), sketch(B)) ≡ sketch(A∪B); below-k
+    regime is EXACT; full regime lands within 3σ (σ ≈ 1/√(k-2)) of the
+    true count; repartitioning and duplication never move the sketch."""
+    from jsonschema_spark.operators.stats import (
+        kmv_estimate, kmv_merge, kmv_sketch)
+
+    n, k = 50_000, 256
+    df = spark.range(0, n).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"))
+    sk = kmv_sketch(df, "s", k)
+    state = [r["hv"] for r in sk.orderBy("hv").collect()]
+    assert len(state) == k and state == sorted(state)
+    # partition invariance + duplicate invariance
+    dup = df.unionByName(df.limit(1000)).repartition(13)
+    state2 = [r["hv"] for r in kmv_sketch(dup, "s", k).orderBy("hv").collect()]
+    assert state2 == state
+    # merge property over an arbitrary split
+    a = kmv_sketch(df.where(F.col("s").substr(-1, 1).isin("0", "1", "2")), "s", k)
+    b = kmv_sketch(df.where(~F.col("s").substr(-1, 1).isin("0", "1", "2")), "s", k)
+    merged = [r["hv"] for r in kmv_merge(a, b, k=k).orderBy("hv").collect()]
+    assert merged == state
+    # accuracy in the full regime
+    est = kmv_estimate(sk, k).first()
+    assert est["n_kept"] == k and est["theta"] == state[-1]
+    rel_err = abs(est["est_milli"] / 1000.0 - n) / n
+    assert rel_err < 3 / (k - 2) ** 0.5, rel_err
+    # exact regime: fewer distinct values than k
+    small = spark.range(0, 100).select(F.col("id").cast("string").alias("s"))
+    e2 = kmv_estimate(kmv_sketch(small, "s", k), k).first()
+    assert e2["n_kept"] == 100 and e2["est_milli"] == 100_000
+
+
+def test_kmv_overlap_exact_and_sampled(spark):
+    """kmv_overlap: exact regime reports exact union/intersection/Jaccard;
+    full regime estimates land within 3σ; NULLs excluded; k bounds
+    enforced; disjoint sets give zero intersection."""
+    import pytest
+
+    from jsonschema_spark.operators.stats import kmv_overlap, kmv_sketch
+
+    k = 256
+    # exact regime: |A|=60, |B|=50, |A∩B|=30 (ids 30..59 shared)
+    a_small = spark.range(0, 60).select(F.col("id").cast("string").alias("s"))
+    b_small = spark.range(30, 80).select(F.col("id").cast("string").alias("s"))
+    r = kmv_overlap(kmv_sketch(a_small, "s", k),
+                    kmv_sketch(b_small, "s", k), k).first()
+    assert r["n_union_kept"] == 80 and r["theta"] == 2 ** 56
+    assert r["n_match"] == 30
+    assert r["est_union_milli"] == 80_000
+    assert r["est_inter_milli"] == 30_000
+    assert r["jaccard_ppm"] == 30 * 1000000 // 80
+    # sampled regime: |A|=|B|=30k, overlap 10k (20k..30k shared)
+    a = spark.range(0, 30_000).select(F.col("id").cast("string").alias("s"))
+    b = spark.range(20_000, 50_000).select(F.col("id").cast("string").alias("s"))
+    r2 = kmv_overlap(kmv_sketch(a, "s", k), kmv_sketch(b, "s", k), k).first()
+    assert r2["n_union_kept"] == k and r2["theta"] < 2 ** 56
+    sigma = 1 / (k - 2) ** 0.5
+    assert abs(r2["est_union_milli"] / 1000.0 - 50_000) / 50_000 < 3 * sigma
+    # intersection adds binomial sampling noise on top of θ noise — 4σ
+    assert abs(r2["est_inter_milli"] / 1000.0 - 10_000) / 10_000 < 4 * sigma + 0.15
+    # disjoint full-regime sets
+    c = spark.range(100_000, 130_000).select(F.col("id").cast("string").alias("s"))
+    r3 = kmv_overlap(kmv_sketch(a, "s", k), kmv_sketch(c, "s", k), k).first()
+    assert r3["n_match"] == 0 and r3["est_inter_milli"] == 0
+    # NULL exclusion + bounds
+    withnull = spark.createDataFrame([("x",), (None,), ("x",)], "s string")
+    from jsonschema_spark.operators.stats import kmv_estimate
+    e = kmv_estimate(kmv_sketch(withnull, "s", 16), 16).first()
+    assert e["n_kept"] == 1 and e["est_milli"] == 1000
+    with pytest.raises(ValueError):
+        kmv_sketch(withnull, "s", 15)
+
+
+def test_temperature_weights_and_sample(spark):
+    """α=1/2 temperature mixing: weights match the integer mirror
+    floor(1e6·⌊√n_g⌋·n_b/(n_g·⌊√n_b⌋)); the smallest group binds and
+    keeps everything; the sampler is id-stable and partition-invariant;
+    floor(sqrt(double)) == isqrt on awkward near-square counts."""
+    import math
+
+    from jsonschema_spark.operators.curate import (
+        temperature_sample, temperature_weights)
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 996 else "tiny"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    w = {r["grp"]: (r["n_docs"], r["s"], r["weight_ppm"])
+         for r in temperature_weights(df, "grp").collect()}
+    sizes = {"big": 900, "mid": 96, "tiny": 4}
+    s = {g: math.isqrt(n) for g, n in sizes.items()}
+    nb, sb = sizes["tiny"], s["tiny"]
+    for g, n in sizes.items():
+        exp = min(1000000, math.floor(1000000.0 * float(s[g] * nb) / float(n * sb)))
+        assert w[g] == (n, s[g], exp), (g, w[g], exp)
+    assert w["tiny"][2] == 1000000
+    # sampler: deterministic, respects weights, partition-invariant
+    kept = sorted(r["doc_id"] for r in
+                  temperature_sample(df, "doc_id", "grp").collect())
+    kept2 = sorted(r["doc_id"] for r in
+                   temperature_sample(df.repartition(7), "doc_id", "grp").collect())
+    assert kept == kept2 and 0 < len(kept) < 1000
+    n_tiny = sum(1 for i in kept if i >= 996)
+    assert n_tiny == 4  # binding group keeps everything
+    # floor(sqrt) == isqrt across awkward values (k²-1, k², k²+1)
+    vals = [(k * k + d,) for k in (3, 10, 1000, 44721) for d in (-1, 0, 1)]
+    probe = spark.createDataFrame(vals, "n long").select(
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double"))).cast("long").alias("fs"))
+    for r in probe.collect():
+        assert r["fs"] == math.isqrt(r["n"]), (r["n"], r["fs"])
+
+
+def test_snapshot_delta(spark):
+    """snapshot_delta_df classifies new/gone/changed/unchanged across
+    two key-unique snapshots; output is key-complete (union of keys)."""
+    from jsonschema_spark.operators.urltools import snapshot_delta_df
+
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, h string")
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", "hX"), ("d", "h4")], "url string, h string")
+    out = {r["url"]: r["status"]
+           for r in snapshot_delta_df(old, new, "url", "h").collect()}
+    assert out == {"a": "unchanged", "b": "changed", "c": "gone", "d": "new"}

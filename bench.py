@@ -129,11 +129,13 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             sc = json.load(f)
+        # prefer the most recent confirmation section when present
+        latest = sc.get("round4_confirmation", sc)
         out["scaling"] = {
             "pair": f"local[{sc['n_cores']}] -> local[{sc['n4_cores']}]",
-            "efficiency": sc["scaling_efficiency"],
-            "protocol": sc.get("protocol"),
-            "docs_per_sec_n4": sc.get("docs_per_sec_n4"),
+            "efficiency": latest["scaling_efficiency"],
+            "protocol": latest.get("protocol"),
+            "docs_per_sec_n4": latest.get("docs_per_sec_n4"),
         }
     # full per-query detail goes to BENCH_local.json; the stdout line must
     # stay under ~2 KB or the driver's tail capture truncates it mid-line

@@ -33,6 +33,7 @@ def main() -> int:
         hist_sketch,
         hll_estimate,
         hll_sketch,
+        kmv_sketch,
     )
 
     spark = get_spark("sketch_scale", cores=CORES)
@@ -75,6 +76,14 @@ def main() -> int:
             tuple(hist_sketch(d, "v", 0, 100000, 256)
                   .agg(F.count("*"), F.sum("cnt"),
                        F.max("cnt")).collect()[0])])
+        # KMV: unlike the three bounded-partial sketches, the distinct
+        # collapse shuffles per-partition-DISTINCT hashes (here: all n —
+        # the exact-distinct lower bound, the honest worst case), then
+        # TakeOrderedAndProject truncates to k. Checksum = full k-state.
+        point("kmv_sketch_k4096", n, lambda d=docs: [
+            tuple(kmv_sketch(d, "url", 4096)
+                  .agg(F.count("*"), F.sum("hv"),
+                       F.max("hv")).collect()[0])])
         docs.unpersist()
 
     out = {"stage": "sketch_scale", "cores": int(CORES), "ops": {}}

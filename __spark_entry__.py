@@ -2673,6 +2673,113 @@ SELECT url, h_old, h_new,
 FROM j ORDER BY url"""
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary-growth diagnostics (Heaps/Zipf lens):
+    tokens, types, hapax share and type-token ratio in integer ppm —
+    one explode + two map-side-partial groupBys, join from doc counts
+    so tokenless groups keep zeros."""
+    from jsonschema_spark.operators.textstats import vocab_stats
+
+    # the synthetic corpus has a CLOSED 32-word vocabulary (hapax ≡ 0 —
+    # the round-3 trap); mix in open-vocabulary tokens: one unique token
+    # per doc (true hapax mass) and one lang-shared token on even ids
+    # (a repeated type), so every output column carries signal
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.concat(
+            F.col("text"), F.lit(" uq"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit(" shared"), F.col("lang")))
+            .otherwise(F.lit(""))).alias("text"))
+    return vocab_stats(d, "text", "lang").orderBy("lang")
+
+
+_VOCAB_STATS_SQL = f"""
+WITH aug AS (SELECT lang,
+                    text || ' uq' || doc_id::VARCHAR ||
+                    CASE WHEN doc_id % 2 = 0 THEN ' shared' || lang
+                         ELSE '' END AS text
+             FROM documents),
+t AS (SELECT lang, {_TOKS} AS toks FROM aug),
+tok AS (SELECT lang, unnest(toks) AS tk FROM t),
+tc AS (SELECT lang, tk, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+g AS (SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+      FROM tc GROUP BY 1),
+d AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+SELECT d.lang, n_docs,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(n_types, 0)::BIGINT AS n_types,
+       coalesce(hapax, 0)::BIGINT AS hapax,
+       CASE WHEN coalesce(n_types, 0) > 0
+            THEN hapax * 1000000 // n_types ELSE 0 END::BIGINT AS hapax_ppm,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN n_types * 1000000 // n_tokens ELSE 0 END::BIGINT AS ttr_ppm
+FROM d LEFT JOIN g USING (lang) ORDER BY lang"""
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level novelty of a new crawl vs the corpus, measured by
+    KMV set algebra over word 3-gram shingles (not urls): overlap/Jaccard
+    between the corpus shingle set and the incremental crawl's
+    (_incremental_new_docs: 1/3 recrawls, 1/3 near-dups, 1/3 novel) —
+    the sketch-sized answer to 'how much of this snapshot is new text'.
+    Pure composition of shipped operators: word_shingles → explode →
+    kmv_sketch → kmv_overlap."""
+    from jsonschema_spark.operators.dedup import word_shingles
+    from jsonschema_spark.operators.stats import kmv_overlap, kmv_sketch
+
+    def sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+
+    corpus = sh(_docs(spark, sf_dir))
+    new = sh(_incremental_new_docs(spark, sf_dir))
+    return kmv_overlap(kmv_sketch(corpus, "sh", _KMV_K),
+                       kmv_sketch(new, "sh", _KMV_K), _KMV_K)
+
+
+def _shingle_novelty_sql() -> str:
+    k = _KMV_K
+    two56 = 2 ** 56
+    novel = " || ' ' || ".join(
+        f"('nv{s}' || doc_id::VARCHAR)" for s in "abcde")
+    return f"""
+WITH newdocs AS (
+  SELECT doc_id + 200000 AS doc_id,
+         CASE WHEN doc_id < 50 THEN text
+              WHEN doc_id < 100 THEN regexp_replace(text, '^\\S+\\s*', '')
+              ELSE {novel} END AS text
+  FROM documents WHERE doc_id < 150),
+ct AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+csh AS (SELECT doc_id, {_SHINGLE3} AS s FROM ct),
+nt AS (SELECT doc_id, {_TOKS} AS toks FROM newdocs),
+nsh AS (SELECT doc_id, {_SHINGLE3} AS s FROM nt),
+sk_a AS (SELECT DISTINCT {_h56('sh')} AS hv
+         FROM (SELECT unnest(s) AS sh FROM csh) ORDER BY hv LIMIT {k}),
+sk_b AS (SELECT DISTINCT {_h56('sh')} AS hv
+         FROM (SELECT unnest(s) AS sh FROM nsh) ORDER BY hv LIMIT {k}),
+un AS (SELECT DISTINCT hv FROM (SELECT hv FROM sk_a UNION ALL SELECT hv FROM sk_b)
+       ORDER BY hv LIMIT {k}),
+th AS (SELECT CAST(count(*) AS BIGINT) AS n_union_kept,
+              CAST(CASE WHEN count(*) < {k} THEN {two56}
+                   ELSE max(hv) END AS BIGINT) AS theta
+       FROM un),
+mt AS (SELECT CAST(coalesce(sum(CASE WHEN i.hv < th.theta THEN 1 END), 0) AS BIGINT)
+              AS n_match
+       FROM (SELECT sk_a.hv FROM sk_a JOIN sk_b USING (hv)) i, th)
+SELECT CAST({k} AS BIGINT) AS k, n_union_kept, theta, n_match,
+       CAST(CASE WHEN n_union_kept = 0 THEN 0
+            ELSE n_match * 1000000 // n_union_kept END AS BIGINT) AS jaccard_ppm,
+       CAST(CASE WHEN n_union_kept < {k} THEN n_union_kept * 1000
+            ELSE CAST(FLOOR({float(k - 1)!r} * {float(two56)!r}
+                 / CAST(theta AS DOUBLE) * 1000.0) AS BIGINT)
+            END AS BIGINT) AS est_union_milli,
+       CAST(FLOOR(CAST(n_match AS DOUBLE) * {float(two56)!r}
+            / CAST(theta AS DOUBLE) * 1000.0) AS BIGINT) AS est_inter_milli
+FROM th, mt"""
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (repetitive spam compresses
     far below natural text). NON-SQL-expressible (no DEFLATE in DuckDB):
@@ -4316,6 +4423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_kmv_overlap": q_url_kmv_overlap,
         "temperature_mixture": q_temperature_mixture,
         "snapshot_delta": q_snapshot_delta,
+        "vocab_stats": q_vocab_stats,
+        "shingle_novelty": q_shingle_novelty,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "token_cms": q_token_cms,
@@ -4799,6 +4908,8 @@ def oracle_sql() -> dict[str, str]:
         "url_kmv_overlap": _kmv_overlap_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
         "snapshot_delta": _SNAPSHOT_DELTA_SQL,
+        "vocab_stats": _VOCAB_STATS_SQL,
+        "shingle_novelty": _shingle_novelty_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "token_cms": _token_cms_sql().format(toks=_TOKS),

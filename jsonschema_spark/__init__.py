@@ -82,6 +82,7 @@ from jsonschema_spark.operators.dedup import (
 )
 from jsonschema_spark.operators.textstats import (
     boilerplate_strip,
+    vocab_stats,
     script_profile,
     clean_text,
     compression_ratio,

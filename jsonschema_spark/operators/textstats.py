@@ -761,3 +761,50 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[counts[name].alias(name) for name, _ in SCRIPT_CLASSES],
         F.when(dom["c"] > 0, dom["s"]).alias("dominant_script"),
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group vocabulary-growth diagnostics — the corpus-quality lens
+    Heaps'/Zipf's laws look through: token count, type (distinct-token)
+    count, hapax legomena share and type-token ratio per group (language,
+    source, quality bucket). A healthy natural-language slice shows high
+    hapax share and a TTR falling with corpus size; templated/spam slices
+    collapse both.
+
+    Plan: ONE token explode → groupBy(group, token) with map-side
+    partials [shuffle 1, the per-group vocabulary] → groupBy(group) over
+    vocabulary-sized rows [shuffle 2, group-count-sized] → left join from
+    the per-group doc counts so tokenless groups keep zeros. Integer ppm
+    everywhere (no floats to drift cross-engine).
+
+    Output: (group_col, n_docs, n_tokens, n_types, hapax,
+    hapax_ppm, ttr_ppm)."""
+    t = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    tc = t.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("c"))
+    g = tc.groupBy("_g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("hapax"),
+    )
+    d = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    out = d.join(g, "_g", "left").select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0)).alias("n_types"),
+        F.coalesce(F.col("hapax"), F.lit(0)).alias("hapax"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("n_types") > 0,
+               F.expr("hapax * 1000000 div n_types"))
+        .otherwise(F.lit(0)).cast("long").alias("hapax_ppm"),
+        F.when(F.col("n_tokens") > 0,
+               F.expr("n_types * 1000000 div n_tokens"))
+        .otherwise(F.lit(0)).cast("long").alias("ttr_ppm"),
+    )

@@ -1872,3 +1872,26 @@ def test_snapshot_delta(spark):
     out = {r["url"]: r["status"]
            for r in snapshot_delta_df(old, new, "url", "h").collect()}
     assert out == {"a": "unchanged", "b": "changed", "c": "gone", "d": "new"}
+
+
+def test_vocab_stats(spark):
+    """vocab_stats: exact types/tokens/hapax per group, integer ppm,
+    tokenless group keeps zeros, duplicate-only vocab has no hapax."""
+    from jsonschema_spark.operators.textstats import vocab_stats
+
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("a", "y z"), ("b", "w w"), ("c", ""), ("c", None)],
+        "grp string, text string")
+    out = {r["grp"]: r.asDict() for r in vocab_stats(df, "text", "grp").collect()}
+    # a: tokens x,x,y,y,z → 5 tokens, 3 types, 1 hapax (z)
+    assert out["a"]["n_tokens"] == 5 and out["a"]["n_types"] == 3
+    assert out["a"]["hapax"] == 1
+    assert out["a"]["hapax_ppm"] == 1000000 // 3
+    assert out["a"]["ttr_ppm"] == 3 * 1000000 // 5
+    # b: w w → 2 tokens, 1 type, 0 hapax
+    assert out["b"]["n_tokens"] == 2 and out["b"]["n_types"] == 1
+    assert out["b"]["hapax"] == 0 and out["b"]["hapax_ppm"] == 0
+    # c: empty/null texts → zeros, no division error
+    assert out["c"] == {"grp": "c", "n_docs": 2, "n_tokens": 0,
+                        "n_types": 0, "hapax": 0,
+                        "hapax_ppm": 0, "ttr_ppm": 0}

@@ -2505,6 +2505,75 @@ SELECT CAST({k} AS BIGINT) AS k, n_union_kept, theta, n_match,
 FROM th, mt, ex, ei"""
 
 
+_BLOOM_M, _BLOOM_K = 8192, 3
+
+
+def q_url_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter state for the url set — the ENTIRE set-bit
+    ledger (k salted md5-56 positions mod m per url, distinct), attested
+    bit-for-bit against DuckDB's replay. This is the oracle-checkable
+    sibling of referential.py's engine-private Spark BloomFilter: the
+    bounded-state membership side of the sketch family (north_rule's
+    broadcast bloom referential checks)."""
+    from jsonschema_spark.operators.stats import bloom_sketch
+
+    urls = _docs(spark, sf_dir).select("doc_id", "source") \
+        .withColumn("u", _messy_url())
+    return bloom_sketch(urls, "u", _BLOOM_M, _BLOOM_K).orderBy("bit")
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination prefilter with BOUNDED state: build the
+    Bloom over the benchmark's content signatures (docs 0-49), probe
+    every corpus signature — members can never be missed (no false
+    negatives), non-members pass at the sized-for FP rate; verdicts are
+    deterministic so the gate attests build AND probe. The full-key
+    broadcast join (dedup.contamination) is the exact sibling; this is
+    the shape that still works when the benchmark key set outgrows a
+    broadcast."""
+    from jsonschema_spark.operators.stats import bloom_probe, bloom_sketch
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), F.md5("text").alias("sig"))
+    bench = d.where(F.col("doc_id") < 50)
+    sk = bloom_sketch(bench, "sig", _BLOOM_M, _BLOOM_K)
+    return bloom_probe(sk, d, "sig", _BLOOM_M, _BLOOM_K).orderBy("sig")
+
+
+def _bloom_bits_cte(values_cte: str, col: str) -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    h = _h56(f"'b' || j || ':' || {col}")
+    return f"""
+pb AS (SELECT {h} % {m} AS bit
+       FROM {values_cte}, (SELECT unnest(range(0, {k})) AS j) jx),
+bits AS (SELECT DISTINCT bit FROM pb WHERE bit IS NOT NULL)"""
+
+
+def _bloom_bits_sql() -> str:
+    return f"""
+WITH u AS (SELECT {_MESSY_URL_SQL} AS u FROM documents),
+{_bloom_bits_cte('u', 'u')}
+SELECT bit FROM bits ORDER BY bit"""
+
+
+def _bloom_decontaminate_sql() -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    h = _h56("'b' || j || ':' || sig")
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS sig FROM documents),
+bench AS (SELECT sig FROM d WHERE doc_id < 50),
+{_bloom_bits_cte('bench', 'sig')},
+probes AS (SELECT DISTINCT sig FROM d WHERE sig IS NOT NULL),
+pr AS (SELECT sig, {h} % {m} AS bit
+       FROM probes, (SELECT unnest(range(0, {k})) AS j) jx),
+hits AS (SELECT pr.sig,
+                sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                AS n_hit
+         FROM pr LEFT JOIN bits b ON pr.bit = b.bit GROUP BY 1)
+SELECT sig, n_hit, n_hit = {k} AS maybe_member
+FROM hits ORDER BY sig"""
+
+
 def _incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic 'new crawl': exact recrawls (doc_id<50), near dups
     with the first token stripped (50-99), and genuinely novel pages
@@ -4425,6 +4494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         "vocab_stats": q_vocab_stats,
         "shingle_novelty": q_shingle_novelty,
+        "url_bloom_bits": q_url_bloom_bits,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "token_cms": q_token_cms,
@@ -4910,6 +4981,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_delta": _SNAPSHOT_DELTA_SQL,
         "vocab_stats": _VOCAB_STATS_SQL,
         "shingle_novelty": _shingle_novelty_sql(),
+        "url_bloom_bits": _bloom_bits_sql(),
+        "bloom_decontaminate": _bloom_decontaminate_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "token_cms": _token_cms_sql().format(toks=_TOKS),

@@ -104,6 +104,9 @@ from jsonschema_spark.operators.similarity import (
     semantic_dedup_pairs,
 )
 from jsonschema_spark.operators.stats import (
+    bloom_merge,
+    bloom_probe,
+    bloom_sketch,
     cms_lookup,
     cms_merge,
     cms_sketch,

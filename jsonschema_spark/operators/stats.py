@@ -818,3 +818,87 @@ def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
         est_union.alias("est_union_milli"),
         est_inter.alias("est_inter_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter — bounded-state membership, oracle-exact
+# ---------------------------------------------------------------------------
+#
+# The membership companion completing the portable-sketch family (HLL =
+# cardinality, CMS = frequency, histogram = distribution, KMV = set
+# algebra, Bloom = membership). Spark's own BloomFilter (referential.py's
+# scale path) is engine-private state no SQL oracle can replay; this one
+# is k_h salted portable md5-56 hashes mod m bits, so the ENTIRE bit set,
+# its merges (union = bitwise OR = distinct union of set-bit indices) and
+# every probe verdict are bit-identical across Spark, DuckDB and Python.
+# Guarantees: NO false negatives ever; false-positive rate ≈
+# (1 - e^(-k_h·n/m))^k_h — size m for the corpus, the state stays ≤ m
+# rows no matter how many values stream in (the streaming monitor form is
+# a plain groupBy aggregation, streaming/validate.stream_bloom_sketch).
+# Use: crawl-scale referential / decontamination prefilter where shipping
+# the full key set (broadcast join) no longer fits but m bits do.
+
+
+def bloom_cols(col: str, m_bits: int, k_hashes: int) -> Column:
+    """The stateless per-value projection: array of k_h salted bit
+    positions — shared by the batch builder and the streaming monitor."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    if not 64 <= m_bits <= 1 << 30:
+        raise ValueError("m_bits must be in [64, 2^30]")
+    if not 1 <= k_hashes <= 16:
+        raise ValueError("k_hashes must be in [1, 16]")
+    return F.array(*[
+        (hash56(F.concat(F.lit(f"b{j}:"), F.col(col).cast("string")))
+         % F.lit(m_bits)).cast("long")
+        for j in range(k_hashes)
+    ])
+
+
+def bloom_sketch(df: DataFrame, col: str, m_bits: int = 65536,
+                 k_hashes: int = 3) -> DataFrame:
+    """Portable Bloom state for one column → (bit:long), the distinct set
+    bit positions (≤ m_bits rows, ≤ k_h·n before dedup). NULLs excluded.
+    One explode + one distinct whose map-side partial is bounded at
+    m_bits rows per task — the shuffle never exceeds partitions·m."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(bloom_cols(col, m_bits, k_hashes)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of any number of bloom_sketch outputs (same m, k) — bitwise
+    OR as a distinct union. merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_probe(sketch: DataFrame, probes: DataFrame, col: str,
+                m_bits: int = 65536, k_hashes: int = 3) -> DataFrame:
+    """Membership verdict per probe row → (col, n_hit, maybe_member).
+    maybe_member = all k_h bit positions set (no false negatives; false
+    positives at the sized-for rate). Plan: explode probe bits →
+    broadcast-able join against the ≤ m-row bit set → groupBy(probe)
+    counting hits — the probe side never sorts, the sketch side is
+    bounded state."""
+    p = (
+        probes.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("_v"),
+                F.explode(bloom_cols(col, m_bits, k_hashes)).alias("bit"))
+    )
+    hits = (
+        p.join(F.broadcast(sketch.select(F.col("bit").alias("_sb"))),
+               p["bit"] == F.col("_sb"), "left")
+        .groupBy("_v")
+        .agg(F.sum(F.when(F.col("_sb").isNotNull(), 1).otherwise(0))
+             .cast("long").alias("n_hit"))
+    )
+    return hits.select(
+        F.col("_v").alias(col),
+        "n_hit",
+        (F.col("n_hit") == k_hashes).alias("maybe_member"),
+    )

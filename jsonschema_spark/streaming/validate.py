@@ -243,3 +243,26 @@ def stream_hist_sketch(
     from jsonschema_spark.operators.stats import hist_sketch
 
     return hist_sketch(sdf, col, lo, hi, n_bins)
+
+
+def stream_bloom_sketch(
+    sdf: DataFrame, col: str, m_bits: int = 65536, k_hashes: int = 3
+) -> DataFrame:
+    """Streaming Bloom membership state: the SAME stateless k-salted
+    bit-position projection as batch ``stats.bloom_sketch``, then a
+    streaming ``groupBy(bit)`` count — state ≤ m_bits rows FOREVER (the
+    bit domain is finite; no watermark needed). The batch form is a
+    distinct(); streaming groupBy-count emits the same bit set plus a
+    hit count per bit (harmless extra column — ``stats.bloom_probe``
+    joins on ``bit`` only), and because set-union is associative/
+    commutative the drained-stream bit set is identical to the batch
+    sketch (test-proven). Live use: maintain the seen-url / benchmark-
+    contamination filter as the crawl streams in."""
+    from jsonschema_spark.operators.stats import bloom_cols
+
+    return (
+        sdf.where(F.col(col).isNotNull())
+        .select(F.explode(bloom_cols(col, m_bits, k_hashes)).alias("bit"))
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1895,3 +1895,48 @@ def test_vocab_stats(spark):
     assert out["c"] == {"grp": "c", "n_docs": 2, "n_tokens": 0,
                         "n_types": 0, "hapax": 0,
                         "hapax_ppm": 0, "ttr_ppm": 0}
+
+
+def test_bloom_sketch_probe_merge(spark):
+    """Portable Bloom: NO false negatives ever; sized-m false-positive
+    rate stays near theory; merge(sketch(A), sketch(B)) ≡ sketch(A∪B);
+    repartitioning never changes the bit set; NULLs excluded; bounds."""
+    import pytest
+
+    from jsonschema_spark.operators.stats import (
+        bloom_merge, bloom_probe, bloom_sketch)
+
+    m, kh = 8192, 3
+    members = spark.range(0, 500).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("v"))
+    sk = bloom_sketch(members, "v", m, kh)
+    bits = sorted(r["bit"] for r in sk.collect())
+    assert bits == sorted(set(bits)) and len(bits) <= 3 * 500
+    # partition invariance
+    bits2 = sorted(r["bit"] for r in bloom_sketch(
+        members.repartition(11), "v", m, kh).collect())
+    assert bits2 == bits
+    # no false negatives: every member probes as maybe_member
+    pm = bloom_probe(sk, members, "v", m, kh)
+    assert pm.where(~F.col("maybe_member")).count() == 0
+    assert pm.where(F.col("n_hit") != kh).count() == 0
+    # false positives bounded: 2000 absent values, expect ≈ (1-e^-knm)^k
+    absent = spark.range(0, 2000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("v"))
+    fp = bloom_probe(sk, absent, "v", m, kh) \
+        .where(F.col("maybe_member")).count()
+    import math
+    rate = (1 - math.exp(-kh * 500 / m)) ** kh
+    assert fp <= max(20, 4 * rate * 2000), (fp, rate)
+    # merge == whole
+    a = bloom_sketch(members.where(F.col("v").substr(-1, 1).isin("0", "1")), "v", m, kh)
+    b = bloom_sketch(members.where(~F.col("v").substr(-1, 1).isin("0", "1")), "v", m, kh)
+    merged = sorted(r["bit"] for r in bloom_merge(a, b).collect())
+    assert merged == bits
+    # NULL exclusion + bounds
+    withnull = spark.createDataFrame([("q",), (None,)], "v string")
+    assert bloom_sketch(withnull, "v", 64, 1).count() == 1
+    with pytest.raises(ValueError):
+        bloom_sketch(withnull, "v", 63, 1)
+    with pytest.raises(ValueError):
+        bloom_sketch(withnull, "v", 64, 0)

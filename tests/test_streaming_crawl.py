@@ -167,3 +167,38 @@ def test_stream_cms_and_hist_equal_batch(spark, tmp_path):
     qs = hist_quantiles(spark.table("hist_stream"), 0, 1000, 40, (500_000,)).first()
     qb = hist_quantiles(hist_sketch(batch, "v", 0, 1000, 40), 0, 1000, 40, (500_000,)).first()
     assert tuple(qs) == tuple(qb)
+
+
+def test_stream_bloom_equals_batch(spark, tmp_path):
+    """Streaming Bloom membership state drained over multiple micro-
+    batches yields the SAME bit set as the batch sketch (set union is
+    order-free; state ≤ m_bits forever), and batch bloom_probe applies
+    to the streamed state unchanged: no false negatives on streamed-in
+    members."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.stats import bloom_probe, bloom_sketch
+    from jsonschema_spark.streaming.validate import stream_bloom_sketch
+
+    src = str(tmp_path / "burls")
+    for f in range(3):
+        spark.range(f * 300, (f + 1) * 300).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url")
+        ).write.mode("append").parquet(src)
+    batch = spark.read.parquet(src)
+
+    m, kh = 4096, 3
+    want = sorted(r["bit"] for r in bloom_sketch(batch, "url", m, kh).collect())
+
+    sdf = (spark.readStream.schema(batch.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_bloom_sketch(sdf, "url", m, kh)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("bloom_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = spark.table("bloom_stream")
+    assert sorted(r["bit"] for r in streamed.collect()) == want
+    assert streamed.agg(F.sum("n")).first()[0] == 900 * kh
+    pm = bloom_probe(streamed, batch, "url", m, kh)
+    assert pm.where(~F.col("maybe_member")).count() == 0

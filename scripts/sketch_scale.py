@@ -25,10 +25,13 @@ from jsonschema_spark.session import get_spark  # noqa: E402
 
 CORES = os.environ.get("SPARK_GRAFT_CPUS", "16")
 ROWS = int(os.environ.get("SKETCH_SCALE_ROWS", "4000000"))
+# comma-list to re-measure a subset without duplicating the whole family
+ONLY = set(filter(None, os.environ.get("SKETCH_SCALE_OPS", "").split(",")))
 
 
 def main() -> int:
     from jsonschema_spark.operators.stats import (
+        bloom_sketch,
         cms_sketch,
         hist_sketch,
         hll_estimate,
@@ -40,6 +43,8 @@ def main() -> int:
     results = {}
 
     def point(op, n, fn):
+        if ONLY and op not in ONLY:
+            return
         t0 = time.perf_counter()
         out = fn()
         wall = round(time.perf_counter() - t0, 2)
@@ -84,6 +89,12 @@ def main() -> int:
             tuple(kmv_sketch(d, "url", 4096)
                   .agg(F.count("*"), F.sum("hv"),
                        F.max("hv")).collect()[0])])
+        # Bloom: explode(k)+distinct — map-side partial bounded at m rows
+        # per task; checksum = full set-bit ledger (count/sum/max)
+        point("bloom_sketch_m1m_k3", n, lambda d=docs: [
+            tuple(bloom_sketch(d, "url", 1 << 20, 3)
+                  .agg(F.count("*"), F.sum("bit"),
+                       F.max("bit")).collect()[0])])
         docs.unpersist()
 
     out = {"stage": "sketch_scale", "cores": int(CORES), "ops": {}}

@@ -4302,8 +4302,9 @@ d AS (SELECT host, li,
              lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS dir,
              regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(\\S*)', 1) AS val
       FROM ln
-      WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
-            IN ('user-agent', 'allow', 'disallow')),
+      -- every directive line survives to boundary detection (a non-UA
+      -- directive such as Crawl-delay ends a user-agent cluster)
+      WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) <> ''),
 g0 AS (SELECT *, CASE WHEN dir = 'user-agent'
                        AND coalesce(lag(dir) OVER (PARTITION BY host ORDER BY li), '')
                            <> 'user-agent'
@@ -4351,6 +4352,93 @@ SELECT u.doc_id, u.url,
        struct_extract(w, 's') AS rule_spec,
        struct_extract(w, 'l') AS rule_len
 FROM u LEFT JOIN win USING (doc_id)"""
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delay-aware politeness schedule: per-host Crawl-delay parsed from
+    robots.txt under the SAME group-selection semantics as robots_filter
+    (hosts ≡ 0 (mod 7) have a ccbot group WITHOUT a Crawl-delay, so the
+    * group's 5 s does NOT apply to ccbot there → the 1 s default), then
+    per-host fetch sequencing × delay = the earliest permitted fetch
+    offset per url. The window partitions by host — per-host frontier
+    slices, never a global sort."""
+    from jsonschema_spark.operators.robots import (
+        frontier_schedule, robots_crawl_delay)
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 50).cast("string"),
+                    F.lit(".example.org"))
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    urls = d.select(
+        F.concat(F.lit("https://"), host,
+                 F.element_at(paths, (i % 6 + 1).cast("int"))).alias("url")
+    ).distinct()  # a frontier is a url SET (dup urls would also tie the
+    # per-host row_number non-deterministically)
+    hosts = d.select((i % 50).alias("hid")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit(_ROBOTS_BASE),
+            F.when(F.col("hid") % 7 == 0, F.lit(_ROBOTS_EXTRA))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    delays = robots_crawl_delay(robots, agent="ccbot")
+    return frontier_schedule(urls, delays).orderBy("url")
+
+
+def _crawl_schedule_sql() -> str:
+    paths = "[" + ", ".join(f"'{p}'" for p in _ROBOTS_PATHS) + "]"
+    return f"""
+WITH hosts AS (SELECT DISTINCT (doc_id % 50) AS hid FROM documents),
+rb AS (SELECT 'h' || hid::VARCHAR || '.example.org' AS host,
+              '{_ROBOTS_BASE}' ||
+              CASE WHEN hid % 7 = 0 THEN '{_ROBOTS_EXTRA}' ELSE '' END AS body
+       FROM hosts),
+ln AS (SELECT host, i AS li, trim(regexp_replace(lines[i], '#.*$', '')) AS line
+       FROM (SELECT host, string_split_regex(body, '\\r?\\n') AS lines FROM rb),
+            LATERAL (SELECT unnest(range(1, len(lines)+1)) AS i) ix),
+d AS (SELECT host, li,
+             lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS dir,
+             regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(\\S*)', 1) AS val
+      FROM ln
+      WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) <> ''),
+g0 AS (SELECT *, CASE WHEN dir = 'user-agent'
+                       AND coalesce(lag(dir) OVER (PARTITION BY host ORDER BY li), '')
+                           <> 'user-agent'
+                      THEN 1 ELSE 0 END AS st FROM d),
+gg AS (SELECT *, sum(st) OVER (PARTITION BY host ORDER BY li
+                               ROWS UNBOUNDED PRECEDING) AS gid FROM g0),
+ag AS (SELECT host, gid,
+              max(CASE WHEN lower(val) = 'ccbot' THEN 1 ELSE 0 END) AS named,
+              max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS star
+       FROM gg WHERE dir = 'user-agent' AND gid >= 1 GROUP BY 1, 2),
+hn AS (SELECT host, max(named) AS has_named FROM ag GROUP BY 1),
+app AS (SELECT ag.host, ag.gid FROM ag JOIN hn USING (host)
+        WHERE (has_named = 1 AND named = 1) OR (has_named = 0 AND star = 1)),
+dl AS (SELECT gg.host,
+              max(CAST(floor(try_cast(val AS DOUBLE) * 1000) AS BIGINT))
+              AS crawl_delay_ms
+       FROM gg JOIN app USING (host, gid)
+       WHERE dir = 'crawl-delay' AND val <> ''
+         AND floor(try_cast(val AS DOUBLE) * 1000) >= 0
+       GROUP BY 1),
+urls AS (SELECT DISTINCT
+                'https://h' || (doc_id % 50)::VARCHAR || '.example.org'
+                || {paths}[(doc_id % 6)::INT + 1] AS url,
+                'h' || (doc_id % 50)::VARCHAR || '.example.org' AS host
+         FROM documents),
+sq AS (SELECT url, host,
+              row_number() OVER (PARTITION BY host ORDER BY url)
+              AS seq_in_host
+       FROM urls)
+SELECT sq.url, sq.host, sq.seq_in_host::BIGINT AS seq_in_host,
+       coalesce(dl.crawl_delay_ms, 1000)::BIGINT AS delay_ms,
+       ((sq.seq_in_host - 1) * coalesce(dl.crawl_delay_ms, 1000))::BIGINT
+       AS not_before_ms
+FROM sq LEFT JOIN dl USING (host) ORDER BY url"""
 
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4496,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "url_bloom_bits": q_url_bloom_bits,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "crawl_schedule": q_crawl_schedule,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "token_cms": q_token_cms,
@@ -4983,6 +5072,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_novelty": _shingle_novelty_sql(),
         "url_bloom_bits": _bloom_bits_sql(),
         "bloom_decontaminate": _bloom_decontaminate_sql(),
+        "crawl_schedule": _crawl_schedule_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "token_cms": _token_cms_sql().format(toks=_TOKS),

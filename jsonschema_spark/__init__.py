@@ -92,6 +92,8 @@ from jsonschema_spark.operators.textstats import (
     winnow_fingerprints,
 )
 from jsonschema_spark.operators.robots import (
+    frontier_schedule,
+    robots_crawl_delay,
     robots_filter,
     robots_rules_df,
 )

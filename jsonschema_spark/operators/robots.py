@@ -82,7 +82,11 @@ def robots_rules_df(
         "host", "li",
         F.lower(F.regexp_extract("_line", _DIRECTIVE_RE, 1)).alias("dir"),
         F.regexp_extract("_line", _VALUE_RE, 1).alias("val"),
-    ).where(F.col("dir").isin("user-agent", "allow", "disallow"))
+    ).where(F.col("dir") != "")
+    # keep EVERY directive line through boundary detection: any non-UA
+    # directive (Crawl-delay, Sitemap, …) ends a user-agent cluster per
+    # RFC 9309 §2.1 — filtering to ua/allow/disallow first would merge
+    # two clusters separated only by such a line
     w = Window.partitionBy("host").orderBy("li")
     grouped = d.withColumn(
         "_start",
@@ -183,4 +187,109 @@ def robots_filter(
             "rule_spec",
             "rule_len",
         )
+    )
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host Crawl-delay (de-facto directive, group-scoped like
+    Allow/Disallow) for ``agent`` → (host, crawl_delay_ms).
+
+    Group selection matches ``robots_rules_df`` exactly: an
+    agent-specific group silences the ``*`` group for that host — so a
+    named group WITHOUT a Crawl-delay line means NO delay for that agent
+    even when the ``*`` group has one (the host is absent from the
+    output; callers supply their own default). Seconds parse through
+    try_cast(double) — malformed values are dropped, never a task-kill —
+    and floor(s·1000) gives integer milliseconds; multiple applicable
+    lines take the max (the conservative crawler reading).
+
+    One posexplode per body + two window passes over directive lines —
+    robots tables are host-sized, never corpus-sized."""
+    a = agent.strip().lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("li", "_raw"),
+    ).select(
+        "host", "li",
+        F.trim(F.regexp_replace("_raw", r"#.*$", "")).alias("_line"),
+    )
+    d = lines.select(
+        "host", "li",
+        F.lower(F.regexp_extract("_line", _DIRECTIVE_RE, 1)).alias("dir"),
+        F.regexp_extract("_line", _VALUE_RE, 1).alias("val"),
+    ).where(F.col("dir") != "")
+    # boundary detection must see EVERY directive line: any non-UA
+    # directive ends a user-agent cluster (filtering to ua+crawl-delay
+    # first would merge clusters separated only by Allow/Disallow lines)
+    w = Window.partitionBy("host").orderBy("li")
+    grouped = d.withColumn(
+        "_start",
+        (
+            (F.col("dir") == "user-agent")
+            & (F.coalesce(F.lag("dir").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn(
+        "gid",
+        F.sum("_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).where(F.col("gid") >= 1)
+    agents = grouped.where(F.col("dir") == "user-agent").groupBy("host", "gid").agg(
+        F.max(F.when(F.lower("val") == a, 1).otherwise(0)).alias("_named"),
+        F.max(F.when(F.col("val") == "*", 1).otherwise(0)).alias("_star"),
+    )
+    host_named = agents.groupBy("host").agg(F.max("_named").alias("_has_named"))
+    applicable = (
+        agents.join(host_named, "host")
+        .where(
+            ((F.col("_has_named") == 1) & (F.col("_named") == 1))
+            | ((F.col("_has_named") == 0) & (F.col("_star") == 1))
+        )
+        .select("host", "gid")
+    )
+    return (
+        grouped.where((F.col("dir") == "crawl-delay") & (F.col("val") != ""))
+        .join(applicable, ["host", "gid"])
+        .select(
+            "host",
+            F.floor(F.col("val").try_cast("double") * 1000)
+            .cast("long").alias("_ms"),
+        )
+        .where(F.col("_ms").isNotNull() & (F.col("_ms") >= 0))
+        .groupBy("host")
+        .agg(F.max("_ms").alias("crawl_delay_ms"))
+    )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Delay-aware politeness schedule: per-host fetch sequence × the
+    host's Crawl-delay → the earliest permitted fetch offset for every
+    url. (url, host, seq_in_host, delay_ms, not_before_ms) with
+    not_before_ms = (seq_in_host − 1) · delay_ms.
+
+    The window partitions BY HOST — per-host frontier slices, never a
+    global sort (hosts are the natural parallelism unit of a polite
+    crawler; pair with ``frontier_interleave`` when a single totally-
+    ordered fetch sequence is required). Deterministic: within a host,
+    urls fetch in lexicographic order."""
+    parts = url_parts(F.col(url_col))
+    u = urls.select(F.col(url_col), F.lower(parts["host"]).alias("host"))
+    seq = F.row_number().over(
+        Window.partitionBy("host").orderBy(url_col))
+    j = u.join(F.broadcast(delays), "host", "left").select(
+        url_col, "host", seq.alias("seq_in_host"),
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
+        .cast("long").alias("delay_ms"),
+    )
+    return j.withColumn(
+        "not_before_ms",
+        ((F.col("seq_in_host") - 1) * F.col("delay_ms")).cast("long"),
     )

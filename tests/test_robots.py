@@ -156,3 +156,57 @@ def test_sitemap_plan_is_single_explode_no_python(spark):
     plan = sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
     assert plan.count("Generate") == 1
+
+
+def test_crawl_delay_groups_and_schedule(spark):
+    """robots_crawl_delay: group-scoped like Allow/Disallow (named group
+    without a delay silences the * group's delay); malformed values
+    dropped; fractional seconds floor to ms; a non-UA directive ENDS a
+    user-agent cluster (RFC 9309 §2.1 — regression for the cluster-merge
+    bug); frontier_schedule spaces fetches per host by the delay."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.robots import (
+        frontier_schedule, robots_crawl_delay, robots_rules_df)
+
+    bodies = [
+        # h1: * delay 5; named 'bot' group WITHOUT delay
+        ("h1", "User-agent: *\nDisallow: /a\nCrawl-delay: 5\n"
+               "User-agent: bot\nDisallow: /b\n"),
+        # h2: only * group, fractional delay
+        ("h2", "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n"),
+        # h3: malformed delay
+        ("h3", "User-agent: *\nCrawl-delay: soon\n"),
+        # h4: crawl-delay SEPARATES two ua clusters: 'a' gets the delay,
+        # 'b' is a fresh cluster with only the Disallow
+        ("h4", "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /x\n"),
+    ]
+    robots = spark.createDataFrame(bodies, "host string, robots_txt string")
+    star = {r["host"]: r["crawl_delay_ms"]
+            for r in robots_crawl_delay(robots, agent="*").collect()}
+    assert star == {"h1": 5000, "h2": 1500}
+    bot = {r["host"]: r["crawl_delay_ms"]
+           for r in robots_crawl_delay(robots, agent="bot").collect()}
+    assert "h1" not in bot  # named group has no delay → no inherited 5s
+    a = {r["host"]: r["crawl_delay_ms"]
+         for r in robots_crawl_delay(robots, agent="a").collect()}
+    assert a.get("h4") == 2000
+    b = {r["host"]: r["crawl_delay_ms"]
+         for r in robots_crawl_delay(robots, agent="b").collect()}
+    assert "h4" not in b
+    # cluster separation also holds for rules: 'a' has NO rules on h4
+    ra = robots_rules_df(robots, agent="a").where(F.col("host") == "h4")
+    assert ra.count() == 0
+    rb = robots_rules_df(robots, agent="b").where(F.col("host") == "h4")
+    assert [r["spec"] for r in rb.collect()] == ["/x"]
+    # schedule: per-host sequence × delay
+    urls = spark.createDataFrame(
+        [("https://h1/p1",), ("https://h1/p2",), ("https://h1/p3",),
+         ("https://h9/q",)], "url string")
+    delays = robots_crawl_delay(robots, agent="*")
+    sched = {r["url"]: (r["seq_in_host"], r["delay_ms"], r["not_before_ms"])
+             for r in frontier_schedule(urls, delays).collect()}
+    assert sched["https://h1/p1"] == (1, 5000, 0)
+    assert sched["https://h1/p2"] == (2, 5000, 5000)
+    assert sched["https://h1/p3"] == (3, 5000, 10000)
+    assert sched["https://h9/q"] == (1, 1000, 0)  # default

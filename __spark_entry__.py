@@ -4249,8 +4249,10 @@ FROM g"""
 _ROBOTS_BASE = (
     "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"
     "Allow: /private/ok$\nDisallow: /t*p\nDisallow:\nCrawl-delay: 5\n"
+    "Sitemap: /sitemap.xml\n"
 )
-_ROBOTS_EXTRA = "\nUser-agent: ccbot\nDisallow: /block\n"
+_ROBOTS_EXTRA = ("\nUser-agent: ccbot\nDisallow: /block\n"
+                 "Sitemap: /sitemap-cc.xml\n")
 _ROBOTS_PATHS = ["/private/x", "/private/ok", "/public", "/t123p",
                  "/block/z", "/private/ok?x=1"]
 
@@ -4441,6 +4443,45 @@ SELECT sq.url, sq.host, sq.seq_in_host::BIGINT AS seq_in_host,
 FROM sq LEFT JOIN dl USING (host) ORDER BY url"""
 
 
+def q_robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (host-wide 'other record', no
+    group scoping): every host advertises /sitemap.xml; ccbot hosts add
+    /sitemap-cc.xml — the fetch list sitemap_entries starts from."""
+    from jsonschema_spark.operators.robots import robots_sitemaps
+
+    d = _docs(spark, sf_dir)
+    hosts = d.select((F.col("doc_id") % 50).alias("hid")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit(_ROBOTS_BASE),
+            F.when(F.col("hid") % 7 == 0, F.lit(_ROBOTS_EXTRA))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return robots_sitemaps(robots).orderBy("host", "sitemap_url")
+
+
+def _robots_sitemaps_sql() -> str:
+    return f"""
+WITH hosts AS (SELECT DISTINCT (doc_id % 50) AS hid FROM documents),
+rb AS (SELECT 'h' || hid::VARCHAR || '.example.org' AS host,
+              '{_ROBOTS_BASE}' ||
+              CASE WHEN hid % 7 = 0 THEN '{_ROBOTS_EXTRA}' ELSE '' END AS body
+       FROM hosts),
+ln AS (SELECT host, trim(regexp_replace(l, '#.*$', '')) AS line
+       FROM (SELECT host, unnest(string_split_regex(body, '\\r?\\n')) AS l
+             FROM rb)),
+sm AS (SELECT host,
+              trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(.*)$', 1))
+              AS sitemap_url
+       FROM ln
+       WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) = 'sitemap')
+SELECT DISTINCT host, sitemap_url FROM sm
+WHERE sitemap_url <> '' ORDER BY host, sitemap_url"""
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over the embeddings
     table (k=4, 3 rounds, exact integer arithmetic): the trained upgrade
@@ -4585,6 +4626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_bloom_bits": q_url_bloom_bits,
         "bloom_decontaminate": q_bloom_decontaminate,
         "crawl_schedule": q_crawl_schedule,
+        "robots_sitemap_urls": q_robots_sitemap_urls,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "token_cms": q_token_cms,
@@ -5073,6 +5115,7 @@ def oracle_sql() -> dict[str, str]:
         "url_bloom_bits": _bloom_bits_sql(),
         "bloom_decontaminate": _bloom_decontaminate_sql(),
         "crawl_schedule": _crawl_schedule_sql(),
+        "robots_sitemap_urls": _robots_sitemaps_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "token_cms": _token_cms_sql().format(toks=_TOKS),

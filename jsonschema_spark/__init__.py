@@ -94,6 +94,7 @@ from jsonschema_spark.operators.textstats import (
 from jsonschema_spark.operators.robots import (
     frontier_schedule,
     robots_crawl_delay,
+    robots_sitemaps,
     robots_filter,
     robots_rules_df,
 )

@@ -293,3 +293,36 @@ def frontier_schedule(
         "not_before_ms",
         ((F.col("seq_in_host") - 1) * F.col("delay_ms")).cast("long"),
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap discovery from robots.txt → (host, sitemap_url), distinct.
+
+    Sitemap is HOST-WIDE, not group-scoped (RFC 9309 treats it as an
+    'other record'; sitemaps.org defines it) — so no group machinery:
+    one posexplode + a case-insensitive directive match, keeping the
+    value verbatim (absolute URL per the spec; relative values are kept
+    as-is for the caller to resolve). Feeds ``sitemap.sitemap_entries``
+    with the fetch list a compliant crawler starts from."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), r"\r?\n")).alias("_raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("_raw", r"#.*$", "")).alias("_line"),
+    )
+    return (
+        lines.where(
+            F.lower(F.regexp_extract("_line", _DIRECTIVE_RE, 1)) == "sitemap")
+        .select(
+            "host",
+            F.trim(F.regexp_extract("_line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+            .alias("sitemap_url"),
+        )
+        .where(F.col("sitemap_url") != "")
+        .distinct()
+    )

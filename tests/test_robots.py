@@ -210,3 +210,18 @@ def test_crawl_delay_groups_and_schedule(spark):
     assert sched["https://h1/p2"] == (2, 5000, 5000)
     assert sched["https://h1/p3"] == (3, 5000, 10000)
     assert sched["https://h9/q"] == (1, 1000, 0)  # default
+
+
+def test_robots_sitemaps(spark):
+    """Sitemap is host-wide (outside any group, case-insensitive,
+    full-line value), deduplicated; hosts without one are absent."""
+    from jsonschema_spark.operators.robots import robots_sitemaps
+
+    robots = spark.createDataFrame([
+        ("h1", "Sitemap: https://h1/sm.xml\nUser-agent: *\nDisallow: /a\n"
+               "sitemap: https://h1/sm2.xml\nSitemap: https://h1/sm.xml\n"),
+        ("h2", "User-agent: *\nDisallow: /\n"),
+    ], "host string, robots_txt string")
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in robots_sitemaps(robots).collect())
+    assert got == [("h1", "https://h1/sm.xml"), ("h1", "https://h1/sm2.xml")]

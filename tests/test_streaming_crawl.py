@@ -202,3 +202,51 @@ def test_stream_bloom_equals_batch(spark, tmp_path):
     assert streamed.agg(F.sum("n")).first()[0] == 900 * kh
     pm = bloom_probe(streamed, batch, "url", m, kh)
     assert pm.where(~F.col("maybe_member")).count() == 0
+
+
+def test_stream_sketch_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resumability on the STREAMING side: a sketch monitor
+    stopped and restarted against the same checkpointLocation resumes —
+    the file-source log skips already-processed files (run 2 reads ONLY
+    the new rows) while the aggregation state carries forward, so the
+    final complete-mode sketch equals the batch sketch over everything
+    ever streamed."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.stats import hll_sketch
+    from jsonschema_spark.streaming.validate import stream_hll_sketch
+
+    src = str(tmp_path / "rurls")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(lo, hi):
+        spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url")
+        ).write.mode("append").parquet(src)
+
+    p = 8
+    write(0, 2000)
+    schema = spark.read.parquet(src).schema
+
+    def run(name):
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = (stream_hll_sketch(sdf, "url", p)
+             .writeStream.outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    q1 = run("hll_resume_1")
+    n1 = sum(pr["numInputRows"] for pr in q1.recentProgress)
+    write(2000, 5000)
+    q2 = run("hll_resume_2")
+    n2 = sum(pr["numInputRows"] for pr in q2.recentProgress)
+    # run 2 read ONLY the new file's rows — the checkpoint log resumed
+    assert n1 == 2000 and n2 == 3000, (n1, n2)
+    got = sorted((r["bucket"], r["max_rank"])
+                 for r in spark.table("hll_resume_2").collect())
+    want = sorted((r["bucket"], r["max_rank"]) for r in
+                  hll_sketch(spark.read.parquet(src), "url", p).collect())
+    assert got == want

@@ -4599,6 +4599,178 @@ SELECT doc_id, n_hit_terms, n_hits, score_ppm,
 FROM agg ORDER BY score_ppm DESC, doc_id LIMIT {k}"""
 
 
+def _page_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page fixture for the page-metadata suite: html built
+    purely from doc_id/lang/source (varying attribute ORDER, QUOTE style
+    and presence; entity + newline in title; robots directives incl.
+    'none'; canonical in absolute/root-relative/protocol-relative forms
+    with an uppercase host and a tracking param to exercise resolution +
+    normalization). Returns (doc_id, url, html:string)."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(i % 50), F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/page/"), s(i),
+                   F.lit("?x="), s(i % 7))
+    lang_attr = F.when(
+        i % 3 == 0,
+        F.concat(F.lit(' lang="'), F.upper(F.col("lang")), F.lit('"')),
+    ).otherwise(F.lit(""))
+    title = F.when(
+        i % 5 != 4,
+        F.concat(F.lit("<title> Doc &amp; "), s(i), F.lit("\n of "),
+                 F.col("source"), F.lit(" </title>")),
+    ).otherwise(F.lit(""))
+    desc = (
+        F.when(i % 7 == 6, F.lit(""))
+        .when(i % 2 == 0,
+              F.concat(F.lit('<meta name="description" content="desc '),
+                       s(i), F.lit(' &quot;q&quot;">')))
+        .otherwise(F.concat(F.lit("<META content='desc "), s(i),
+                            F.lit(" &quot;q&quot;' name='description'>")))
+    )
+    robots = (
+        F.when(i % 9 == 1, F.lit('<meta name="robots" content="NOINDEX, follow">'))
+        .when(i % 9 == 4, F.lit("<meta content='nofollow' name='robots'>"))
+        .when(i % 9 == 7, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    cpath = F.concat(F.lit("/canon/"), s(i % 40))
+    canon = (
+        F.when(i % 6 == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://H'),
+                        s(i % 50), F.lit(".EXample.org"), cpath,
+                        F.lit('?utm_campaign=z&a=1">')))
+        .when(i % 6 == 2,
+              F.concat(F.lit("<link href='"), cpath,
+                       F.lit("' rel='canonical'>")))
+        .when(i % 6 == 4,
+              F.concat(F.lit('<link rel="canonical" href="//h'), s(i % 50),
+                       F.lit(".example.org"), cpath, F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html"), lang_attr, F.lit("><head>"), title,
+                    desc, robots, canon,
+                    F.lit("</head><body>b</body></html>"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), html.alias("html"))
+
+
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page metadata extraction (title / meta description / html lang /
+    robots-meta directives / rel=canonical): the indexing-consent and
+    corpus-card step between fetch and text extraction. Pure codegen scan
+    projection — zero Python, zero shuffles (operators/htmltext.py
+    pattern constants shared verbatim with the oracle)."""
+    from jsonschema_spark.operators.htmltext import html_meta_df
+
+    return html_meta_df(_page_meta_pages(spark, sf_dir), binary=False)
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL duplicate clustering: resolve each page's
+    rel=canonical (absolute / protocol-relative / root-relative;
+    path-relative falls back to the page URL), normalize, ONE groupBy per
+    target keeping the smallest (id, url) representative — the crawl
+    dedup step BEFORE content hashing. No joins, no windows."""
+    from jsonschema_spark.operators.htmltext import canonical_dedup_df
+
+    return canonical_dedup_df(_page_meta_pages(spark, sf_dir),
+                              binary=False)
+
+
+_PAGE_META_HTML_SQL = """
+SELECT doc_id,
+       'https://h' || (doc_id % 50)::VARCHAR || '.example.org/page/'
+         || doc_id::VARCHAR || '?x=' || (doc_id % 7)::VARCHAR AS url,
+       '<html'
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' lang="' || upper(lang) || '"' ELSE '' END
+       || '><head>'
+       || CASE WHEN doc_id % 5 <> 4
+               THEN '<title> Doc &amp; ' || doc_id::VARCHAR || chr(10)
+                    || ' of ' || source || ' </title>' ELSE '' END
+       || CASE WHEN doc_id % 7 = 6 THEN ''
+               WHEN doc_id % 2 = 0
+               THEN '<meta name="description" content="desc '
+                    || doc_id::VARCHAR || ' &quot;q&quot;">'
+               ELSE '<META content=''desc ' || doc_id::VARCHAR
+                    || ' &quot;q&quot;'' name=''description''>' END
+       || CASE WHEN doc_id % 9 = 1
+               THEN '<meta name="robots" content="NOINDEX, follow">'
+               WHEN doc_id % 9 = 4
+               THEN '<meta content=''nofollow'' name=''robots''>'
+               WHEN doc_id % 9 = 7
+               THEN '<meta name="robots" content="none">' ELSE '' END
+       || CASE WHEN doc_id % 6 = 0
+               THEN '<link rel="canonical" href="https://H'
+                    || (doc_id % 50)::VARCHAR || '.EXample.org/canon/'
+                    || (doc_id % 40)::VARCHAR || '?utm_campaign=z&a=1">'
+               WHEN doc_id % 6 = 2
+               THEN '<link href=''/canon/' || (doc_id % 40)::VARCHAR
+                    || ''' rel=''canonical''>'
+               WHEN doc_id % 6 = 4
+               THEN '<link rel="canonical" href="//h'
+                    || (doc_id % 50)::VARCHAR || '.example.org/canon/'
+                    || (doc_id % 40)::VARCHAR || '">' ELSE '' END
+       || '</head><body>b</body></html>' AS html
+FROM documents"""
+
+
+def _page_meta_sql() -> str:
+    from jsonschema_spark.operators.htmltext import html_meta_sql
+
+    return html_meta_sql(_PAGE_META_HTML_SQL)
+
+
+def _canonical_dedup_sql() -> str:
+    """Mirror of canonical_dedup_df: same extraction patterns
+    (html_meta_sql), same href-resolution CASE order, same normalization
+    chain (_URL_RE groups, tracking filter, bytewise param sort), same
+    min(struct) representative."""
+    from jsonschema_spark.operators.htmltext import html_meta_sql
+    from jsonschema_spark.operators.urltools import TRACKING_RE, _URL_RE
+
+    g = lambda src, n: f"regexp_extract({src}, '{_URL_RE}', {n})"  # noqa: E731
+    return f"""
+WITH pages AS ({_PAGE_META_HTML_SQL}),
+meta AS (SELECT m.doc_id, p.url, m.canonical_href
+         FROM ({html_meta_sql('SELECT doc_id, html FROM pages')}) m
+         JOIN pages p USING (doc_id)),
+res AS (SELECT doc_id, url,
+          CASE WHEN canonical_href IS NULL THEN url
+               WHEN regexp_matches(canonical_href,
+                                   '^[A-Za-z][A-Za-z0-9+.-]*://')
+               THEN canonical_href
+               WHEN canonical_href LIKE '//%'
+               THEN lower({g('url', 1)}) || ':' || canonical_href
+               WHEN canonical_href LIKE '/%'
+               THEN lower({g('url', 1)}) || '://' || lower({g('url', 2)})
+                    || canonical_href
+               ELSE url END AS t
+        FROM meta),
+p AS (SELECT doc_id, url,
+        lower({g('t', 1)}) AS scheme,
+        lower({g('t', 2)}) AS host,
+        {g('t', 3)} AS port,
+        regexp_replace({g('t', 4)}, '/{{2,}}', '/', 'g') AS path,
+        list_sort(list_filter(
+          string_split(substr({g('t', 5)}, 2), '&'),
+          x -> NOT regexp_matches(x, '{TRACKING_RE}') AND x <> '')) AS kept
+      FROM res),
+n AS (SELECT doc_id, url,
+        scheme || '://' || host
+        || CASE WHEN port='' OR (scheme='http' AND port=':80')
+                  OR (scheme='https' AND port=':443') THEN '' ELSE port END
+        || CASE WHEN path='' THEN '/' ELSE path END
+        || CASE WHEN len(kept)=0 THEN ''
+                ELSE '?' || array_to_string(kept, '&') END AS canon_url
+      FROM p)
+SELECT canon_url, count(*)::BIGINT AS n_pages,
+       struct_extract(min({{'i': doc_id, 'u': url}}), 'i') AS keep_id,
+       struct_extract(min({{'i': doc_id, 'u': url}}), 'u') AS keep_url
+FROM n GROUP BY 1"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -4615,6 +4787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "page_meta": q_page_meta,
+        "canonical_dedup": q_canonical_dedup,
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
         "url_kmv_sketch": q_url_kmv_sketch,
@@ -5104,6 +5278,8 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "page_meta": _page_meta_sql(),
+        "canonical_dedup": _canonical_dedup_sql(),
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),
         "url_kmv_sketch": _kmv_sketch_sql(),

@@ -388,3 +388,196 @@ SELECT doc_id, bom, declared AS charset_declared,
        coalesce(bom, CASE declared {aliases} ELSE declared END,
                 'utf-8') AS charset
 FROM d"""
+
+
+# --- page metadata: title / meta description / html lang / robots meta /
+# --- rel=canonical ------------------------------------------------------
+#
+# The crawl-curation steps between fetch and text extraction: page-level
+# indexing consent (<meta name="robots">), duplicate-cluster hints
+# (<link rel="canonical">), and the title/description/lang fields every
+# corpus card reports. Reference analogue: none (the reference validates
+# documents, it does not crawl) — this is §2.10 webtext-pipeline surface.
+#
+# Same cross-engine contract as STEPS: every pattern below is RE2∩Java
+# safe (inline (?is), non-greedy .*?, no lookaround/backrefs) and is
+# shared VERBATIM with the DuckDB oracle via html_meta_sql(). Attribute
+# order and quote style both vary in the wild, so each attribute field is
+# a coalesce over (name-first, content-first) pattern variants; a miss is
+# NULL (nullif(.,'')), never an error.
+
+TITLE_RE = r"(?is)<title\b[^>]*>(.*?)</title"
+HTML_LANG_RE = r"(?is)<html\b[^>]*?\blang\s*=\s*[\"']?([A-Za-z][A-Za-z0-9-]*)"
+CANONICAL_RES = (
+    r"(?is)<link\b[^>]*\brel\s*=\s*[\"']canonical[\"'][^>]*"
+    r"\bhref\s*=\s*[\"']([^\"'>]+)",
+    r"(?is)<link\b[^>]*\bhref\s*=\s*[\"']([^\"'>]+)[\"'][^>]*"
+    r"\brel\s*=\s*[\"']canonical",
+)
+_META_NAME_FIRST = (
+    r"(?is)<meta\b[^>]*\bname\s*=\s*[\"']{name}[\"'][^>]*"
+    r"\bcontent\s*=\s*[\"']([^\"'>]*)"
+)
+_META_CONTENT_FIRST = (
+    r"(?is)<meta\b[^>]*\bcontent\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
+    r"\bname\s*=\s*[\"']{name}[\"']"
+)
+# robots-meta directives are comma-separated tokens; 'none' == noindex +
+# nofollow (Google/Bing documented semantics).
+ROBOTS_NOINDEX_RE = r"(^|[ ,;])(noindex|none)([ ,;]|$)"
+ROBOTS_NOFOLLOW_RE = r"(^|[ ,;])(nofollow|none)([ ,;]|$)"
+
+# Entity decode + title-style whitespace fold (newlines INCLUDED -> one
+# space) — the entity block of STEPS plus a flat \s+ fold.
+META_TEXT_STEPS: tuple[tuple[str, str, str], ...] = STEPS[6:13] + (
+    ("re", r"\s+", " "),
+    ("re", r"^\s+|\s+$", ""),
+)
+
+
+def meta_content_res(name: str) -> tuple[str, str]:
+    """(name-first, content-first) extraction patterns for a meta tag."""
+    return (_META_NAME_FIRST.format(name=name),
+            _META_CONTENT_FIRST.format(name=name))
+
+
+def _first_extract(col: Column, pats) -> Column:
+    """First non-empty group-1 match across patterns; NULL if none."""
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(col, p, 1), F.lit("")) for p in pats],
+        F.lit(None).cast("string"),
+    )
+
+
+def html_meta_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-page metadata: (id, title, meta_description, html_lang,
+    robots_meta, noindex, nofollow, canonical_href).
+
+    Pure codegen scan projection — zero Python, zero shuffles; streams at
+    parquet-scan speed on any cluster size. title/meta_description are
+    entity-decoded and whitespace-folded (META_TEXT_STEPS); html_lang and
+    robots_meta are lowercased; noindex/nofollow implement the
+    comma-token directive semantics incl. ``none``; canonical_href is the
+    RAW attribute value (resolve with :func:`resolve_href`).
+    """
+    h = F.decode(F.col(html_col), "UTF-8") if binary else F.col(html_col)
+    robots = F.lower(_first_extract(h, meta_content_res("robots")))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        apply_steps(_first_extract(h, (TITLE_RE,)),
+                    META_TEXT_STEPS).alias("title"),
+        apply_steps(_first_extract(h, meta_content_res("description")),
+                    META_TEXT_STEPS).alias("meta_description"),
+        F.lower(_first_extract(h, (HTML_LANG_RE,))).alias("html_lang"),
+        robots.alias("robots_meta"),
+        F.coalesce(robots.rlike(ROBOTS_NOINDEX_RE),
+                   F.lit(False)).alias("noindex"),
+        F.coalesce(robots.rlike(ROBOTS_NOFOLLOW_RE),
+                   F.lit(False)).alias("nofollow"),
+        _first_extract(h, CANONICAL_RES).alias("canonical_href"),
+    )
+
+
+def resolve_href(href: Column, base_url: Column) -> Column:
+    """Resolve an extracted href against the page URL — absolute,
+    protocol-relative (``//host/…``) and root-relative (``/path``) forms;
+    path-relative forms (rare for rel=canonical) resolve to NULL so the
+    caller's coalesce falls back to the page URL itself. Pure codegen.
+    """
+    from .urltools import url_parts
+
+    parts = url_parts(base_url)
+    is_abs = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(is_abs, href)
+        .when(href.startswith("//"),
+              F.concat(F.lower(parts["scheme"]), F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(F.lower(parts["scheme"]), F.lit("://"),
+                       F.lower(parts["host"]), href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def canonical_dedup_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+) -> DataFrame:
+    """Canonical-URL duplicate clustering: every page maps to its
+    normalized rel=canonical target (falling back to its own normalized
+    URL when the tag is absent or path-relative), then ONE groupBy per
+    target keeps the smallest (id, url) representative and counts the
+    cluster — the crawl-dedup step that collapses print/mobile/tracking
+    variants BEFORE any content hashing.
+
+    Output: (canon_url, n_pages, keep_id, keep_url). Scale shape: scan
+    projection + one map-side-partial groupBy on the canonical target —
+    no joins, no windows; skewed mega-clusters aggregate, never explode.
+    """
+    meta = html_meta_df(
+        df, id_col, html_col, binary=binary, keep_cols=(url_col,))
+    from .urltools import normalize_url
+
+    target = normalize_url(
+        F.coalesce(
+            resolve_href(F.col("canonical_href"), F.col(url_col)),
+            F.col(url_col),
+        )
+    )
+    return (
+        meta.select(
+            target.alias("canon_url"),
+            F.struct(F.col(id_col).alias("i"),
+                     F.col(url_col).alias("u")).alias("rep"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("rep").alias("rep"),
+        )
+        .select(
+            "canon_url", "n_pages",
+            F.col("rep.i").alias("keep_id"),
+            F.col("rep.u").alias("keep_url"),
+        )
+    )
+
+
+def html_meta_sql(src: str) -> str:
+    """DuckDB mirror of html_meta_df over a CTE body producing
+    (doc_id, html TEXT) — same pattern constants, same coalesce order,
+    same entity/whitespace steps (META_TEXT_STEPS via steps_sql)."""
+    def first(pats):
+        return "coalesce(" + ", ".join(
+            f"nullif(regexp_extract(html, {_sql_quote(p)}, 1), '')"
+            for p in pats) + ")"
+
+    title = steps_sql(first((TITLE_RE,)), META_TEXT_STEPS)
+    desc = steps_sql(first(meta_content_res("description")),
+                     META_TEXT_STEPS)
+    robots = f"lower({first(meta_content_res('robots'))})"
+    return f"""
+SELECT doc_id,
+       {title} AS title,
+       {desc} AS meta_description,
+       lower({first((HTML_LANG_RE,))}) AS html_lang,
+       {robots} AS robots_meta,
+       coalesce(regexp_matches({robots},
+                {_sql_quote(ROBOTS_NOINDEX_RE)}), false) AS noindex,
+       coalesce(regexp_matches({robots},
+                {_sql_quote(ROBOTS_NOFOLLOW_RE)}), false) AS nofollow,
+       {first(CANONICAL_RES)} AS canonical_href
+FROM ({src})"""

@@ -175,3 +175,120 @@ def test_charset_guess_binary_and_string_paths(spark):
     got_s = {r["doc_id"]: (r["bom"], r["charset_declared"], r["charset"])
              for r in charset_guess(sdf, binary=False).collect()}
     assert got_s == {k: got[k] for k in got_s}
+
+
+# --- page metadata (html_meta_df / resolve_href / canonical_dedup_df) ----
+
+META_CASES = [
+    # attribute order + quote-style variants, entity/newline title fold
+    (0, '<html lang="EN-us"><head><title> A &amp;\n B </title>'
+        '<meta name="description" content="d0"><link rel="canonical" '
+        'href="https://EX.org/p/0?utm_source=x&b=1"></head><body>x</body>',
+     'https://ex.org/a0',
+     ("A & B", "d0", "en-us", None, False, False,
+      "https://EX.org/p/0?utm_source=x&b=1")),
+    (1, "<html LANG='fr'><head><META content='d1' name='description'>"
+        "<meta name='robots' content='NOINDEX, follow'>"
+        "<link href='/p/0' rel='canonical'></head>",
+     'https://EX.org:443/a1',
+     (None, "d1", "fr", "noindex, follow", True, False, "/p/0")),
+    # 'none' implies noindex AND nofollow
+    (2, '<html><head><meta name="robots" content="none"></head>',
+     'https://ex.org/a2',
+     (None, None, None, "none", True, True, None)),
+    # unquoted lang attr, protocol-relative canonical
+    (3, '<html lang=de><head><title>T3</title>'
+        '<link rel="canonical" href="//ex.org/p/0"></head>',
+     'http://ex.org/a3',
+     ("T3", None, "de", None, False, False, "//ex.org/p/0")),
+    # path-relative canonical extracted raw; resolution falls back
+    (4, '<html><head><link rel="canonical" href="rel/path"></head>',
+     'https://ex.org/a4',
+     (None, None, None, None, False, False, "rel/path")),
+    # 'nofollow' alone does not set noindex; noindex as substring of a
+    # longer token does NOT match (token semantics)
+    (5, "<html><head><meta name='robots' content='nofollow,noindexish'>"
+        "</head>", 'https://ex.org/a5',
+     (None, None, None, "nofollow,noindexish", False, True, None)),
+]
+
+
+@pytest.fixture(scope="module")
+def meta_pages(spark):
+    rows = [(i, h, u) for i, h, u, _ in META_CASES]
+    return spark.createDataFrame(rows, "doc_id long, html string, url string")
+
+
+def test_html_meta_fields(meta_pages):
+    from jsonschema_spark.operators.htmltext import html_meta_df
+
+    got = {r["doc_id"]: r for r in
+           html_meta_df(meta_pages, binary=False).collect()}
+    for i, _, _, exp in META_CASES:
+        r = got[i]
+        assert (r["title"], r["meta_description"], r["html_lang"],
+                r["robots_meta"], r["noindex"], r["nofollow"],
+                r["canonical_href"]) == exp, f"doc {i}"
+
+
+def test_html_meta_sql_parity(meta_pages):
+    """DuckDB mirror byte-parity over the variant corpus."""
+    from jsonschema_spark.operators.htmltext import html_meta_df, html_meta_sql
+
+    sp = [tuple(r) for r in
+          html_meta_df(meta_pages, binary=False).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, html TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, h) for i, h, _, _ in META_CASES])
+    dk = con.sql(html_meta_sql("SELECT doc_id, html FROM t")
+                 + " ORDER BY doc_id").fetchall()
+    assert sp == [tuple(r) for r in dk]
+
+
+def test_html_meta_binary_and_null(spark):
+    from jsonschema_spark.operators.htmltext import html_meta_df
+
+    df = spark.createDataFrame(
+        [(0, "<html><head><title>Bé</title></head>".encode()),
+         (1, None)],
+        "doc_id long, html binary")
+    rows = {r["doc_id"]: r for r in html_meta_df(df).collect()}
+    assert rows[0]["title"] == "Bé"
+    assert rows[1]["title"] is None and rows[1]["noindex"] is False
+
+
+def test_resolve_href_forms(spark):
+    from jsonschema_spark.operators.htmltext import resolve_href
+
+    df = spark.createDataFrame(
+        [("https://Host.Org/base/x?q=1",)], "url string")
+    out = df.select(
+        *[resolve_href(F.lit(h), F.col("url")).alias(f"c{k}")
+          for k, h in enumerate(
+              ["https://other.org/abs", "//cdn.org/p", "/root/p",
+               "rel/p", None])]).first()
+    assert out["c0"] == "https://other.org/abs"
+    assert out["c1"] == "https://cdn.org/p"
+    assert out["c2"] == "https://host.org/root/p"
+    assert out["c3"] is None and out["c4"] is None
+
+
+def test_canonical_dedup_clusters(meta_pages):
+    """Docs 0/1/3 all canonicalize to .../p/0 variants; doc 0's tracking
+    param is stripped but ?b=1 survives (distinct target), docs 1 and 3
+    share https://ex.org/p/0 after default-port strip + protocol-relative
+    resolution ... doc 3 is http (scheme preserved). Fallback docs (2, 4,
+    5) are their own singletons."""
+    from jsonschema_spark.operators.htmltext import canonical_dedup_df
+
+    out = {r["canon_url"]: r for r in
+           canonical_dedup_df(meta_pages, binary=False).collect()}
+    assert out["https://ex.org/p/0?b=1"]["keep_id"] == 0
+    assert out["https://ex.org/p/0"]["n_pages"] == 1  # doc 1 (443 stripped)
+    assert out["https://ex.org/p/0"]["keep_id"] == 1
+    assert out["http://ex.org/p/0"]["keep_id"] == 3  # protocol-relative
+    # fallbacks normalize their own url
+    assert out["https://ex.org/a2"]["n_pages"] == 1
+    assert out["https://ex.org/a4"]["keep_id"] == 4
+    assert len(out) == 6

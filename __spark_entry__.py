@@ -4771,6 +4771,63 @@ SELECT canon_url, count(*)::BIGINT AS n_pages,
 FROM n GROUP BY 1"""
 
 
+def _moji(ch: str) -> str:
+    return ch.encode("utf-8").decode("cp1252")
+
+
+# deterministic encoding-damage snippets, generated from the SAME
+# byte-model the repair table is generated from (so the fixture cannot
+# drift from the operator): appended to every doc_id % 4 == 0 / == 2 row.
+_MOJI_SNIP_A = (" caf" + _moji("é") + " it" + _moji("’") + "s "
+                + _moji("–") + " ok")
+_MOJI_SNIP_B = (" " + _moji("“") + "q" + _moji("…") + " " + _moji("°")
+                + "C " + _moji("ß"))
+
+
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage (mojibake) detection + repair — the ftfy step:
+    UTF-8-misdecoded-as-cp1252 sequences repaired by a fixed
+    generated-from-the-byte-model replace chain (58 literal codegen
+    replaces, zero Python, zero shuffle; operators/textstats.py
+    MOJIBAKE_TABLE shared verbatim with the oracle). Fixture plants
+    snippets on doc_id%4∈{0,2}; odd rows must read changed=false."""
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.textstats import mojibake_stats_df
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 4 == 0, F.concat(F.col("text"), F.lit(_MOJI_SNIP_A)))
+         .when(i % 4 == 2, F.concat(F.col("text"), F.lit(_MOJI_SNIP_B)))
+         .otherwise(F.col("text")).alias("text"),
+    )
+    out = mojibake_stats_df(d)
+    return out.select(
+        "doc_id", "changed", "n_chars_fixed",
+        hash56(F.col("text_fixed")).alias("fixed_h56"),
+    )
+
+
+def _mojibake_repair_sql() -> str:
+    from jsonschema_spark.operators.textstats import fix_mojibake_sql
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    fixed = fix_mojibake_sql("text2")
+    return f"""
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0 THEN text || {q(_MOJI_SNIP_A)}
+                       WHEN doc_id % 4 = 2 THEN text || {q(_MOJI_SNIP_B)}
+                       ELSE text END AS text2
+           FROM documents),
+f AS (SELECT doc_id, text2, {fixed} AS tf FROM d)
+SELECT doc_id, text2 <> tf AS changed,
+       (length(text2) - length(tf))::BIGINT AS n_chars_fixed,
+       {_h56('tf')} AS fixed_h56
+FROM f"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -4788,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front block: no driver attestation yet ---
         "page_meta": q_page_meta,
+        "mojibake_repair": q_mojibake_repair,
         "canonical_dedup": q_canonical_dedup,
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
@@ -5279,6 +5337,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 def oracle_sql() -> dict[str, str]:
     return {
         "page_meta": _page_meta_sql(),
+        "mojibake_repair": _mojibake_repair_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),

@@ -808,3 +808,104 @@ def vocab_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
                F.expr("n_types * 1000000 div n_tokens"))
         .otherwise(F.lit(0)).cast("long").alias("ttr_ppm"),
     )
+
+
+# --- mojibake (encoding-damage) detection + repair -----------------------
+#
+# The ftfy step of a webtext pipeline, re-expressed as a FIXED repair
+# table: the UTF-8 byte sequence of each target character, misdecoded as
+# Windows-1252 (the single dominant crawl encoding error: a UTF-8 page
+# served/decoded as cp1252 turns every é into 'Ã©', every ’ into 'â€™').
+# The table is GENERATED from the target characters at import time —
+# moji = ch.encode('utf-8').decode('cp1252') — so it cannot drift from
+# the encodings it models; characters whose UTF-8 bytes hit the five
+# cp1252-unmapped bytes (0x81 8D 8F 90 9D — e.g. '”') are skipped.
+#
+# Repair is a chain of LITERAL replace() calls in a deterministic order
+# (3-byte forms first, then bytewise-ascending) — replace() scans
+# left-to-right and resumes after each emitted replacement identically in
+# Spark, DuckDB and Python, so the repaired text is bit-identical across
+# engines. ONE pass repairs single mojibake; doubly-encoded text needs
+# passes=2 (documented, not iterated-to-fixpoint — a fixed chain keeps
+# the whole repair inside codegen). False-positive contract: text that
+# legitimately contains a moji sequence (e.g. an article ABOUT mojibake)
+# is "repaired" — the fixed-table tradeoff every scan-speed variant of
+# ftfy makes.
+
+_MOJIBAKE_CHARS = (
+    "éèêëàáâãäåæçîïíìñóòôõöøœúùûüýÿß"
+    "ÉÈÀÂÃÄÅÇÖÜ"  # Ã and Å make passes=2 close the double-encoded C3/C5
+                  # families: pass 1 leaves 'Ãƒ©'-style residue whose 'Ãƒ'
+                  # must itself be a table row
+    "‘’“–—…•"
+    " °€£©®«»·¿¡½"
+)
+
+
+def _moji_table() -> tuple:
+    out = []
+    for ch in _MOJIBAKE_CHARS:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:  # hits a cp1252-unmapped byte
+            continue
+        out.append((moji, ch))
+    # longer sequences first, then bytewise order: the C2-family pass
+    # runs before the C3-family pass that could emit its prefix char,
+    # making the single-pass result order-deterministic.
+    out.sort(key=lambda t: (-len(t[0]), t[0]))
+    return tuple(out)
+
+
+MOJIBAKE_TABLE: tuple = _moji_table()
+
+
+def fix_mojibake(text: Column, passes: int = 1) -> Column:
+    """cp1252-mojibake-repaired text: one chained-literal-replace pass
+    per ``passes`` (len(MOJIBAKE_TABLE) × passes codegen replace calls,
+    zero Python, zero shuffle — scan-speed on any cluster size)."""
+    out = text
+    for _ in range(passes):
+        for moji, ch in MOJIBAKE_TABLE:
+            out = F.replace(out, F.lit(moji), F.lit(ch))
+    return out
+
+
+def fix_mojibake_py(s: str, passes: int = 1) -> str:
+    """Pure-Python mirror (tests / driver-side strings)."""
+    for _ in range(passes):
+        for moji, ch in MOJIBAKE_TABLE:
+            s = s.replace(moji, ch)
+    return s
+
+
+def fix_mojibake_sql(expr: str, passes: int = 1) -> str:
+    """DuckDB mirror: the identical replace chain, nested inside-out."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    out = expr
+    for _ in range(passes):
+        for moji, ch in MOJIBAKE_TABLE:
+            out = f"replace({out}, {q(moji)}, {q(ch)})"
+    return out
+
+
+def mojibake_stats_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passes: int = 1,
+) -> DataFrame:
+    """Per-doc encoding-damage ledger: (id, text_fixed, changed,
+    n_chars_fixed). ``n_chars_fixed`` = length shrink (every repair
+    collapses a 2-3 char moji sequence to 1 char), the corpus-level
+    mojibake-rate numerator. Pure scan projection."""
+    t = F.col(text_col)
+    fixed = fix_mojibake(t, passes)
+    return df.select(
+        F.col(id_col),
+        fixed.alias("text_fixed"),
+        (t != fixed).alias("changed"),
+        (F.length(t) - F.length(fixed)).cast("long").alias("n_chars_fixed"),
+    )

@@ -1940,3 +1940,81 @@ def test_bloom_sketch_probe_merge(spark):
         bloom_sketch(withnull, "v", 63, 1)
     with pytest.raises(ValueError):
         bloom_sketch(withnull, "v", 64, 0)
+
+
+# --- mojibake repair ------------------------------------------------------
+
+
+def test_mojibake_table_is_byte_model_generated():
+    """Every table row is exactly encode-utf8/decode-cp1252 of its target,
+    3-byte forms sort first, and no pattern is a substring of a later
+    pattern's output context (all outputs are single non-ASCII chars that
+    start no pattern)."""
+    from jsonschema_spark.operators.textstats import MOJIBAKE_TABLE
+
+    assert len(MOJIBAKE_TABLE) >= 40
+    lens = [len(m) for m, _ in MOJIBAKE_TABLE]
+    assert lens == sorted(lens, reverse=True)
+    firsts = {m[0] for m, _ in MOJIBAKE_TABLE}
+    for moji, ch in MOJIBAKE_TABLE:
+        assert ch.encode("utf-8").decode("cp1252") == moji
+        assert len(ch) == 1
+    # C2-family ('Â…') patterns run before the C3 pattern that emits 'Â'
+    order = [m for m, _ in MOJIBAKE_TABLE]
+    c2 = [i for i, m in enumerate(order) if m.startswith("Â")]
+    emits_a2 = [i for i, (m, ch) in enumerate(MOJIBAKE_TABLE)
+                if ch == "Â"]
+    assert not emits_a2 or max(c2) < min(emits_a2)
+    assert firsts <= {"Ã", "Â", "Å", "â"}
+
+
+def test_mojibake_spark_duckdb_python_parity(spark):
+    import duckdb
+
+    from jsonschema_spark.operators.textstats import (
+        MOJIBAKE_TABLE, fix_mojibake, fix_mojibake_py, fix_mojibake_sql)
+
+    cases = [
+        "cafÃ© â€“ itâ€™s Â°C â€œquotedâ€¦ naÃ¯ve StraÃŸe",
+        "clean ascii text",
+        "already fixed: café – it’s °C",
+        "all patterns: " + " ".join(m for m, _ in MOJIBAKE_TABLE),
+        "adjacent runs: Ã©Ã©Ã© â€™â€™ Â°Â°",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               "i long, s string")
+    sp = [r["f"] for r in df.select(
+        fix_mojibake(F.col("s")).alias("f")).orderBy("i").collect()]
+    py = [fix_mojibake_py(s) for s in cases]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    dk = [r[0] for r in con.sql(
+        f"SELECT {fix_mojibake_sql('s')} FROM t ORDER BY i").fetchall()]
+    assert sp == py == dk
+    assert py[0] == "café – it’s °C “quoted… naïve Straße"
+    assert py[1] == cases[1] and py[2] == cases[2] and py[5] == ""
+
+
+def test_mojibake_double_encoding_two_passes():
+    from jsonschema_spark.operators.textstats import fix_mojibake_py
+
+    dbl = "é".encode("utf-8").decode("cp1252").encode("utf-8") \
+        .decode("cp1252")
+    assert fix_mojibake_py(dbl, passes=1) != "é"
+    assert fix_mojibake_py(dbl, passes=2) == "é"
+
+
+def test_mojibake_stats_df(spark):
+    from jsonschema_spark.operators.textstats import mojibake_stats_df
+
+    df = spark.createDataFrame(
+        [(0, "ok text"), (1, "cafÃ©"), (2, "aâ€™b Â°"), (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in mojibake_stats_df(df).collect()}
+    assert rows[0]["changed"] is False and rows[0]["n_chars_fixed"] == 0
+    assert rows[1]["text_fixed"] == "café" and rows[1]["n_chars_fixed"] == 1
+    assert rows[2]["text_fixed"] == "a’b °"
+    assert rows[2]["n_chars_fixed"] == 3  # 3-byte ’ shrinks 2, Â° shrinks 1
+    assert rows[3]["changed"] is None

@@ -4828,6 +4828,107 @@ SELECT doc_id, text2 <> tf AS changed,
 FROM f"""
 
 
+_PACK_LEN = 64
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document pretraining sequence packing (GPT concat-and-split):
+    all docs in id order become one virtual token stream split at fixed
+    64-token boundaries — per-sequence ledger of tokens/docs/boundary
+    crossings. Global token offsets via the zipWithIndex-on-sorted
+    recipe (range partition + parallel per-partition cumsums + broadcast
+    n_partitions-row offsets), ONE bounded explode, ONE map-side-partial
+    groupBy — no corpus-sized single-partition window anywhere."""
+    from jsonschema_spark.operators.curate import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=_PACK_LEN)
+
+
+def _pack_sequences_sql() -> str:
+    L = _PACK_LEN
+    return f"""
+{_DOC_TOKS},
+c AS (SELECT doc_id, len(toks)::BIGINT AS cnt FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, cnt,
+             sum(cnt) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+      FROM c),
+sp AS (SELECT doc_id, (e - cnt) AS st, e FROM s),
+x AS (SELECT doc_id, st, e, q.seq_id
+      FROM sp, LATERAL (SELECT unnest(range(st // {L}, (e-1) // {L} + 1))
+                        AS seq_id) q),
+g AS (SELECT seq_id,
+             sum(least(e, (seq_id+1)*{L}) - greatest(st, seq_id*{L}))::BIGINT
+               AS n_tokens,
+             count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN st >= seq_id*{L} THEN 1 ELSE 0 END)::BIGINT
+               AS n_docs_started,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM x GROUP BY 1)
+SELECT seq_id, n_tokens, n_docs, n_docs_started, first_doc, last_doc,
+       (n_tokens = {L}) AS is_full,
+       (n_tokens * 1000000 // {L})::BIGINT AS fill_ppm
+FROM g"""
+
+
+_TD_PS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def q_tdigest_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles for text length (the north-star names the
+    sketch): distributed build (mapInPandas partition partials ≤δ
+    centroids each → ONE allowed global-agg-of-partials → numpy merge),
+    estimates checked against the corpus IN SPARK — realized rank of
+    each estimate must sit within 40000 ppm of its target (theory at
+    δ=100 is ~5000 ppm + ≤12000 ppm from duplicate-value steps).
+    exact_milli rides along as the hash-attested exact quantile (same
+    percentile interpolation both engines); the oracle attests the BOUND
+    (literal true) since the adaptive sketch is engine-private by design
+    — hist_sketch is the bit-stable oracle-replayable sibling."""
+    from jsonschema_spark.operators.stats import (
+        tdigest_quantiles, tdigest_sketch)
+
+    docs = _docs(spark, sf_dir)
+    sk = tdigest_sketch(docs, "n_chars", compression=100)
+    est = tdigest_quantiles(sk, _TD_PS)
+    p_arr = F.array(*[F.lit(int(p * 1_000_000)) for p in _TD_PS])
+    exact = (
+        docs.agg(F.percentile(F.col("n_chars").cast("double"),
+                              F.lit(list(_TD_PS))).alias("qs"))
+        .select(F.posexplode("qs").alias("i", "v"))
+        .select(
+            F.element_at(p_arr, F.col("i").cast("int") + 1).cast("long")
+            .alias("p_ppm"),
+            F.floor(F.col("v") * 1000).cast("long").alias("exact_milli"),
+        )
+    )
+    ranks = (
+        docs.crossJoin(F.broadcast(est))
+        .groupBy("p_ppm")
+        .agg(
+            F.sum(F.when(F.col("n_chars") <= F.col("q_est"), 1)
+                  .otherwise(0)).alias("n_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "p_ppm",
+            (F.abs(F.col("n_le") * 1_000_000 / F.col("n") - F.col("p_ppm"))
+             <= 40_000).alias("rank_ok"),
+        )
+    )
+    return exact.join(ranks, "p_ppm").select("p_ppm", "exact_milli",
+                                             "rank_ok")
+
+
+def _tdigest_chars_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {int(p * 1_000_000)}::BIGINT AS p_ppm, "
+        f"floor(quantile_cont(n_chars::DOUBLE, {p}) * 1000)::BIGINT "
+        f"AS exact_milli, true AS rank_ok FROM documents"
+        for p in _TD_PS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -4846,6 +4947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 front block: no driver attestation yet ---
         "page_meta": q_page_meta,
         "mojibake_repair": q_mojibake_repair,
+        "pack_sequences": q_pack_sequences,
+        "tdigest_chars": q_tdigest_chars,
         "canonical_dedup": q_canonical_dedup,
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
@@ -5338,6 +5441,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "page_meta": _page_meta_sql(),
         "mojibake_repair": _mojibake_repair_sql(),
+        "pack_sequences": _pack_sequences_sql(),
+        "tdigest_chars": _tdigest_chars_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),

@@ -52,6 +52,7 @@ from jsonschema_spark.sources.warc import warc_records
 from jsonschema_spark.operators.curate import (
     budget_sample,
     chunk_docs,
+    pack_sequences,
     curate_corpus,
     curation_report,
     domain_cap_sample,
@@ -82,6 +83,8 @@ from jsonschema_spark.operators.dedup import (
 )
 from jsonschema_spark.operators.textstats import (
     boilerplate_strip,
+    fix_mojibake,
+    mojibake_stats_df,
     vocab_stats,
     script_profile,
     clean_text,
@@ -127,6 +130,9 @@ from jsonschema_spark.operators.stats import (
     kmv_sketch,
     pairwise_corr,
     sessionize,
+    tdigest_merge,
+    tdigest_quantiles,
+    tdigest_sketch,
 )
 from jsonschema_spark.operators.bpe import (
     bpe_encode_pandas,
@@ -146,10 +152,13 @@ from jsonschema_spark.operators.urltools import (
     url_dedup_df,
 )
 from jsonschema_spark.operators.htmltext import (
+    canonical_dedup_df,
     charset_guess,
     extract_text_html,
+    html_meta_df,
     html_text_df,
     main_content_df,
+    resolve_href,
 )
 from jsonschema_spark.operators.linkgraph import (
     anchor_text_df,
@@ -240,8 +249,17 @@ __all__ = [
     "normalize_url",
     "normalize_urls_df",
     "extract_text_html",
+    "html_meta_df",
+    "canonical_dedup_df",
+    "resolve_href",
     "html_text_df",
     "main_content_df",
+    "fix_mojibake",
+    "mojibake_stats_df",
+    "pack_sequences",
+    "tdigest_sketch",
+    "tdigest_merge",
+    "tdigest_quantiles",
     "charset_guess",
     "crawler_traps_df",
     "link_stats_df",

@@ -634,3 +634,117 @@ def quality_buckets(
             "bucket_label", F.element_at(arr, F.col("bucket").cast("int"))
         )
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    tokens_count_col: str | None = None,
+) -> DataFrame:
+    """GPT-style pretraining sequence packing: concatenate every document
+    (in ``id_col`` order) into ONE virtual token stream and split it at
+    fixed ``seq_len`` boundaries — the cross-document packing step after
+    curation that turns a corpus into equal-length training sequences
+    with zero padding waste (only the final sequence can be short).
+    ``chunk_docs`` is the within-doc sibling (a chunk never crosses
+    docs); this is the cross-doc form every large pretraining run uses.
+
+    Token counts default to whitespace tokens (``tokens()``); pass
+    ``tokens_count_col`` to pack by an upstream tokenizer's counts (e.g.
+    bpe_token_counts_df). Empty/null docs carry zero tokens and are
+    excluded (nothing to pack — documented).
+
+    Output, one row per training sequence: (seq_id 0-based, n_tokens,
+    n_docs, n_docs_started, first_doc, last_doc, is_full, fill_ppm).
+    n_docs counts every doc contributing ≥1 token to the sequence;
+    n_docs_started counts docs whose FIRST token lands in it — the
+    boundary-crossing ledger (n_docs − n_docs_started docs carried in
+    from the previous sequence).
+
+    Scale shape: the only global state is the running token offset,
+    computed with the zipWithIndex-on-sorted recipe (range-partition by
+    id → localCheckpoint for pid stability → parallel per-partition
+    cumulative sums → ONE n_partitions-row offset aggregate broadcast
+    back) — NEVER a single-partition window over the corpus. Each doc
+    then explodes to its ⌈span/seq_len⌉ covered sequences (output is
+    bounded by total_tokens/seq_len + n_docs rows) and ONE
+    map-side-partial groupBy(seq_id) builds the ledger.
+    """
+    from pyspark.sql.window import Window
+
+    if seq_len < 1:
+        raise ValueError("pack_sequences: seq_len must be >= 1")
+    cnt = (F.col(tokens_count_col) if tokens_count_col
+           else F.size(dedup_tokens(F.col(text_col)))).cast("long")
+    base = (
+        df.select(F.col(id_col), cnt.alias("_cnt"))
+        .where(F.col("_cnt") > 0)
+    )
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        base.repartitionByRange(n_parts, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("_cnt").alias("_tot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "_off")
+    )
+    wl = Window.partitionBy("_pid").orderBy(F.col(id_col).asc())
+    spans = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_end",
+            (F.sum("_cnt").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0))
+             + F.col("_off")).cast("long"),
+        )
+        .withColumn("_start", F.col("_end") - F.col("_cnt"))
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    seq = F.explode(
+        F.sequence(
+            (F.col("_start") / L).cast("long"),
+            ((F.col("_end") - 1) / L).cast("long"),
+        )
+    ).alias("seq_id")
+    contrib = spans.select(
+        F.col(id_col), "_start", "_end", seq
+    ).select(
+        id_col,
+        "seq_id",
+        (F.least(F.col("_end"), (F.col("seq_id") + 1) * L)
+         - F.greatest(F.col("_start"), F.col("seq_id") * L)).alias("_tok"),
+        (F.col("_start") >= F.col("seq_id") * L).alias("_started"),
+    )
+    return (
+        contrib.groupBy("seq_id")
+        .agg(
+            F.sum("_tok").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("_started").cast("long")).cast("long")
+            .alias("n_docs_started"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .select(
+            "seq_id", "n_tokens", "n_docs", "n_docs_started",
+            "first_doc", "last_doc",
+            (F.col("n_tokens") == seq_len).alias("is_full"),
+            ((F.col("n_tokens") * F.lit(1_000_000)) / F.lit(int(seq_len)))
+            .cast("long").alias("fill_ppm"),
+        )
+    )

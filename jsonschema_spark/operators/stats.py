@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd  # module top: pandas_udf string type hints resolve here
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -901,4 +903,203 @@ def bloom_probe(sketch: DataFrame, probes: DataFrame, col: str,
         F.col("_v").alias(col),
         "n_hit",
         (F.col("n_hit") == k_hashes).alias("maybe_member"),
+    )
+
+
+# --- t-digest: adaptive-accuracy mergeable quantile sketch ----------------
+#
+# The north-star names "t-digest quantiles for warc_ts and text length"
+# explicitly. hist_sketch above is the fixed-bin, bit-stable,
+# oracle-replayable sibling; THIS is the classic adaptive sketch (Dunning
+# & Ertl, "Computing extremely accurate quantiles using t-digests"):
+# centroid weights bounded by the k1 scale function, so accuracy is
+# ~q(1-q)·4/δ — tails far sharper than any fixed binning, no lo/hi
+# choice needed, state bounded at ≤δ centroids regardless of input size.
+#
+# Build is the ONE-SHOT k-binning construction: sort, take midpoint ranks
+# q_i = (cum_i − w_i/2)/N, bin by floor(k1(q_i)) with
+# k1(q) = (δ/2π)·asin(2q−1), emit one weighted-mean centroid per bin —
+# fully numpy-vectorized (no per-value Python loop), deterministic given
+# the input multiset of (value[, weight]) pairs. Merging re-runs the same
+# binning over the union of centroid lists, so partition partials merge
+# exactly like snapshot rollups (associativity within the documented
+# accuracy envelope — the t-digest, unlike the sketches above, is NOT a
+# pure set function: centroid placement depends on partition boundaries.
+# Quantile ESTIMATES carry the accuracy bound regardless; anything
+# needing bit-stable state uses hist_sketch/kmv_sketch instead).
+#
+# Scale shape: mapInPandas partition partials (≤δ centroid rows per
+# partition, Arrow-batched) → ONE global agg of partials
+# (collect_list into a single bounded array — the allowed exchange) →
+# final merge + quantile extraction as scalar numpy over ≤n_parts·δ
+# centroids. The corpus is touched once, nothing corpus-sized ever
+# funnels to one task.
+
+TDIGEST_SCHEMA = "mean double, weight long"
+
+
+def _tdigest_compress(means, weights, compression: int):
+    """One-shot k1-binning compression of (means, weights) -> centroid
+    arrays; numpy-vectorized, deterministic for a given input ORDER of
+    equal means (inputs are sorted by (mean, weight) first)."""
+    import numpy as np
+
+    order = np.lexsort((weights, means))
+    m = np.asarray(means, dtype=np.float64)[order]
+    w = np.asarray(weights, dtype=np.int64)[order]
+    n = w.sum()
+    if len(m) <= 1 or n == 0:
+        return m, w
+    cum = np.cumsum(w)
+    q_mid = (cum - w / 2.0) / n
+    k = np.floor(
+        (compression / (2.0 * np.pi))
+        * np.arcsin(np.clip(2.0 * q_mid - 1.0, -1.0, 1.0))
+        + compression / 4.0
+    )
+    # group consecutive equal-k runs
+    new_grp = np.concatenate(([True], k[1:] != k[:-1]))
+    gid = np.cumsum(new_grp) - 1
+    n_g = gid[-1] + 1
+    gw = np.zeros(n_g, dtype=np.int64)
+    np.add.at(gw, gid, w)
+    gm = np.zeros(n_g, dtype=np.float64)
+    np.add.at(gm, gid, m * w)
+    gm = gm / gw
+    return gm, gw
+
+
+def tdigest_sketch(
+    df: DataFrame,
+    col: str,
+    compression: int = 100,
+) -> DataFrame:
+    """Build a t-digest over a numeric column. Returns ONE row:
+    (centroids array<struct<mean double, weight long>>, n_rows long).
+    NULLs are excluded (SQL aggregate semantics)."""
+    if not (10 <= compression <= 10_000):
+        raise ValueError("tdigest_sketch: compression must be in [10, 1e4]")
+
+    def partial(it):
+        import numpy as np
+        import pandas as pd
+
+        vals = []
+        for pdf in it:
+            v = pd.to_numeric(pdf[col], errors="coerce").dropna()
+            if len(v):
+                vals.append(v.to_numpy(dtype=np.float64))
+        if not vals:
+            return
+        v = np.concatenate(vals)
+        gm, gw = _tdigest_compress(v, np.ones(len(v), dtype=np.int64),
+                                   compression)
+        yield pd.DataFrame({"mean": gm, "weight": gw})
+
+    partials = df.select(F.col(col).cast("double").alias(col)) \
+        .where(F.col(col).isNotNull()) \
+        .mapInPandas(partial, schema=TDIGEST_SCHEMA)
+    one = partials.groupBy().agg(
+        F.collect_list(F.struct("mean", "weight")).alias("_parts"),
+        F.sum("weight").cast("long").alias("n_rows"),
+    )
+
+    @F.pandas_udf("array<struct<mean:double,weight:bigint>>")
+    def merge_udf(parts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for arr in parts:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            means = np.array([c["mean"] for c in arr])
+            ws = np.array([c["weight"] for c in arr])
+            gm, gw = _tdigest_compress(means, ws, compression)
+            out.append([{"mean": float(a), "weight": int(b)}
+                        for a, b in zip(gm, gw)])
+        return pd.Series(out)
+
+    return one.select(
+        merge_udf(F.col("_parts")).alias("centroids"),
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+    )
+
+
+def tdigest_merge(*sketches: DataFrame, compression: int = 100) -> DataFrame:
+    """Union t-digests (snapshot rollup): re-bin the concatenated
+    centroid lists — same accuracy envelope as building over the union."""
+    from functools import reduce
+
+    allp = reduce(lambda a, b: a.unionByName(b), sketches) \
+        .select(F.explode("centroids").alias("c"), "n_rows")
+    one = allp.groupBy().agg(
+        F.collect_list("c").alias("_parts"),
+        F.sum(F.col("c.weight")).cast("long").alias("n_rows"),
+    )
+
+    @F.pandas_udf("array<struct<mean:double,weight:bigint>>")
+    def merge_udf(parts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for arr in parts:
+            means = np.array([c["mean"] for c in arr])
+            ws = np.array([c["weight"] for c in arr])
+            gm, gw = _tdigest_compress(means, ws, compression)
+            out.append([{"mean": float(a), "weight": int(b)}
+                        for a, b in zip(gm, gw)])
+        return pd.Series(out)
+
+    return one.select(merge_udf(F.col("_parts")).alias("centroids"),
+                      "n_rows")
+
+
+def tdigest_quantile_py(centroids, n: int, q: float) -> float:
+    """Quantile estimate from a centroid list (standard midpoint
+    interpolation). Pure Python/numpy — centroids are sketch-sized."""
+    import numpy as np
+
+    if centroids is None or len(centroids) == 0 or n == 0:
+        return float("nan")
+    m = np.array([c["mean"] for c in centroids])
+    w = np.array([c["weight"] for c in centroids], dtype=np.float64)
+    if len(m) == 1:
+        return float(m[0])
+    cum = np.cumsum(w) - w / 2.0  # centroid midpoint ranks
+    target = q * n
+    if target <= cum[0]:
+        return float(m[0])
+    if target >= cum[-1]:
+        return float(m[-1])
+    i = int(np.searchsorted(cum, target) )
+    lo, hi = cum[i - 1], cum[i]
+    f = (target - lo) / (hi - lo)
+    return float(m[i - 1] + f * (m[i] - m[i - 1]))
+
+
+def tdigest_quantiles(
+    sketch: DataFrame,
+    ps: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    compression: int = 100,
+) -> DataFrame:
+    """Quantile estimates from a t-digest sketch row: one output row per
+    p — (p_ppm, q_est double). Post-sketch work touches ≤δ centroids."""
+    ps = list(ps)
+
+    @F.pandas_udf("array<double>")
+    def q_udf(cent: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series([
+            [tdigest_quantile_py(c, int(nn), p) for p in ps]
+            for c, nn in zip(cent, n)
+        ])
+
+    arr = sketch.select(
+        q_udf(F.col("centroids"), F.col("n_rows")).alias("qs"))
+    pairs = arr.select(F.posexplode("qs").alias("i", "q_est"))
+    p_arr = F.array(*[F.lit(int(p * 1_000_000)) for p in ps])
+    return pairs.select(
+        F.element_at(p_arr, F.col("i").cast("int") + 1).cast("long")
+        .alias("p_ppm"),
+        F.col("q_est"),
     )

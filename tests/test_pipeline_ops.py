@@ -2018,3 +2018,72 @@ def test_mojibake_stats_df(spark):
     assert rows[2]["text_fixed"] == "a’b °"
     assert rows[2]["n_chars_fixed"] == 3  # 3-byte ’ shrinks 2, Â° shrinks 1
     assert rows[3]["changed"] is None
+
+
+# --- cross-doc sequence packing -------------------------------------------
+
+
+def test_pack_sequences_ledger_and_conservation(spark):
+    from jsonschema_spark.operators.curate import pack_sequences
+
+    rows = [(i, " ".join(["w"] * ((i * 7) % 13 + 1))) for i in range(40)]
+    rows += [(40, ""), (41, None), (42, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_len=10).orderBy("seq_id").collect()
+    total = sum((i * 7) % 13 + 1 for i in range(40))
+    assert sum(r["n_tokens"] for r in out) == total
+    assert [r["seq_id"] for r in out] == list(range(len(out)))
+    # every sequence but the last is exactly full
+    assert all(r["is_full"] for r in out[:-1])
+    assert out[-1]["n_tokens"] == total - 10 * (len(out) - 1)
+    # started docs partition the corpus exactly once (40 non-empty docs)
+    assert sum(r["n_docs_started"] for r in out) == 40
+    # boundary-crossing docs are counted in both sequences:
+    # sum(n_docs) = 40 + number of boundary crossings
+    crossings = sum(r["n_docs"] - r["n_docs_started"] for r in out)
+    assert crossings >= 1
+    # first/last doc chain is monotone and overlapping-or-adjacent
+    for a, b in zip(out, out[1:]):
+        assert a["last_doc"] <= b["first_doc"] <= a["last_doc"] + 1
+    assert out[0]["fill_ppm"] == 1_000_000
+
+
+def test_pack_sequences_long_doc_spans_many(spark):
+    from jsonschema_spark.operators.curate import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, " ".join(["x"] * 35)), (2, "d e")],
+        "doc_id long, text string")
+    out = {r["seq_id"]: r for r in pack_sequences(df, seq_len=10).collect()}
+    assert len(out) == 4
+    assert out[0]["n_docs"] == 2 and out[0]["n_docs_started"] == 2
+    assert out[1]["n_docs"] == 1 and out[1]["n_docs_started"] == 0
+    assert out[2]["n_docs"] == 1
+    assert out[3]["n_docs"] == 2 and out[3]["last_doc"] == 2
+    assert out[3]["n_tokens"] == 40 - 30
+
+
+def test_pack_sequences_partition_invariance(spark):
+    from jsonschema_spark.operators.curate import pack_sequences
+
+    rows = [(i, " ".join(["w"] * ((i * 11) % 29 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pack_sequences(df, seq_len=32).collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(df.repartition(13), seq_len=32).collect()))
+    assert a == b
+
+
+def test_pack_sequences_tokens_count_col_and_validation(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.curate import pack_sequences
+
+    df = spark.createDataFrame([(0, 5), (1, 7), (2, 0)],
+                               "doc_id long, n_tok long")
+    out = pack_sequences(df, tokens_count_col="n_tok", seq_len=6) \
+        .orderBy("seq_id").collect()
+    assert [r["n_tokens"] for r in out] == [6, 6]
+    assert out[1]["last_doc"] == 1  # zero-count doc 2 excluded
+    with _pytest.raises(ValueError):
+        pack_sequences(df, tokens_count_col="n_tok", seq_len=0)

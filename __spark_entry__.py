@@ -4929,6 +4929,153 @@ def _tdigest_chars_sql() -> str:
     )
 
 
+_JSONLD_SCHEMA = {
+    "type": "object",
+    "required": ["@type"],
+    "allOf": [
+        {
+            "if": {"properties": {"@type": {"const": "Article"}},
+                   "required": ["@type"]},
+            "then": {
+                "required": ["headline"],
+                "properties": {
+                    "headline": {"type": "string"},
+                    "wordCount": {"type": "integer", "minimum": 0},
+                    "inLanguage": {"enum": ["en", "de", "fr", "es"]},
+                },
+            },
+        },
+        {
+            "if": {"properties": {"@type": {"const": "Product"}},
+                   "required": ["@type"]},
+            "then": {
+                "required": ["name"],
+                "properties": {"price": {"type": "number", "minimum": 0}},
+            },
+        },
+    ],
+}
+
+
+def _jsonld_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose <head> carries schema.org JSON-LD islands beside a
+    noise JS block: every doc an Article block (headline omitted on
+    i%7==3, wordCount mis-typed string on i%5==2, inLanguage 'zz' on
+    i%11==6, malformed JSON — closing brace dropped — on i%13==9), even
+    ids a second Product block (negative price on i%8==4)."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    headline = F.when(i % 7 == 3, F.lit("")).otherwise(
+        F.concat(F.lit('"headline":"Doc '), s(i), F.lit('",')))
+    wc = F.when(i % 5 == 2,
+                F.concat(F.lit('"wordCount":"'), s(i % 900), F.lit('"')))\
+        .otherwise(F.concat(F.lit('"wordCount":'), s(i % 900)))
+    lang = F.when(i % 11 == 6, F.lit("zz")).otherwise(F.col("lang"))
+    art = F.when(i % 13 == 9, F.expr("substring(a, 1, length(a)-1)"))\
+        .otherwise(F.col("a"))
+    price = F.when(i % 8 == 4, F.lit("-5.5")).otherwise(
+        F.concat(s(i % 50), F.lit(".5")))
+    prod = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("<script TYPE='application/ld+json'>"
+                       '{"@type":"Product","name":"P'), s(i),
+                 F.lit('","price":'), price, F.lit("}</script>")),
+    ).otherwise(F.lit(""))
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.concat(
+            F.lit('{"@context":"https://schema.org","@type":"Article",'),
+            headline, wc, F.lit(',"inLanguage":"'), lang, F.lit('"}'))
+        .alias("a"))
+    html = F.concat(
+        F.lit("<html><head><script>var x=1; // {not json}</script>"
+              '<script type="application/ld+json">'),
+        art, F.lit("</script>"), prod,
+        F.lit("</head><body>t</body></html>"))
+    return base.select("doc_id", html.alias("html"))
+
+
+def q_jsonld_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jsonschema × webtext flagship composition: JSON-LD islands
+    extracted from crawl HTML (embedded_jsonld_df — typed <script>
+    filter, noise JS never matches) and validated by THE ENGINE'S OWN
+    VARIANT validator with a per-@type if/then schema — malformed JSON
+    is data (valid=false), never a task-killing error. One codegen
+    extraction + the fast-validate projection; no Python, no joins."""
+    from jsonschema_spark.operators.htmltext import embedded_jsonld_df
+    from jsonschema_spark.operators.validate import validate
+
+    blocks = embedded_jsonld_df(_jsonld_pages(spark, sf_dir),
+                                binary=False)
+    out = validate(blocks, _JSONLD_SCHEMA, doc_col="jsonld")
+    return out.select(
+        "doc_id", "block_idx",
+        F.get_json_object("jsonld", "$['@type']").alias("jtype"),
+        "valid",
+    )
+
+
+def _jsonld_validate_sql() -> str:
+    from jsonschema_spark.operators.htmltext import embedded_jsonld_sql
+
+    pages = """
+SELECT doc_id,
+       '<html><head><script>var x=1; // {not json}</script>'
+       || '<script type="application/ld+json">'
+       || CASE WHEN doc_id % 13 = 9 THEN substr(a, 1, length(a)-1)
+               ELSE a END
+       || '</script>'
+       || CASE WHEN doc_id % 2 = 0
+               THEN '<script TYPE=''application/ld+json''>'
+                    || '{"@type":"Product","name":"P' || doc_id::VARCHAR
+                    || '","price":'
+                    || CASE WHEN doc_id % 8 = 4 THEN '-5.5'
+                            ELSE (doc_id % 50)::VARCHAR || '.5' END
+                    || '}</script>'
+               ELSE '' END
+       || '</head><body>t</body></html>' AS html
+FROM (SELECT doc_id,
+             '{"@context":"https://schema.org","@type":"Article",'
+             || CASE WHEN doc_id % 7 = 3 THEN ''
+                     ELSE '"headline":"Doc ' || doc_id::VARCHAR || '",' END
+             || CASE WHEN doc_id % 5 = 2
+                     THEN '"wordCount":"' || (doc_id % 900)::VARCHAR || '"'
+                     ELSE '"wordCount":' || (doc_id % 900)::VARCHAR END
+             || ',"inLanguage":"'
+             || CASE WHEN doc_id % 11 = 6 THEN 'zz' ELSE lang END
+             || '"}' AS a
+      FROM documents)"""
+    jt = """json_extract_string(jsonld, '$."@type"')"""
+    return f"""
+WITH b AS ({embedded_jsonld_sql(pages)})
+SELECT doc_id, block_idx,
+       CASE WHEN json_valid(jsonld) THEN {jt} END AS jtype,
+       CASE
+         WHEN NOT json_valid(jsonld) THEN false
+         WHEN json_extract(jsonld, '$."@type"') IS NULL THEN false
+         WHEN {jt} = 'Article' THEN
+              json_extract(jsonld, '$.headline') IS NOT NULL
+              AND json_type(jsonld, '$.headline') = 'VARCHAR'
+              AND (json_extract(jsonld, '$.wordCount') IS NULL
+                   OR (json_type(jsonld, '$.wordCount')
+                         IN ('BIGINT', 'UBIGINT')
+                       AND json_extract(jsonld, '$.wordCount')::BIGINT
+                           >= 0))
+              AND (json_extract(jsonld, '$.inLanguage') IS NULL
+                   OR (json_type(jsonld, '$.inLanguage') = 'VARCHAR'
+                       AND json_extract_string(jsonld, '$.inLanguage')
+                           IN ('en', 'de', 'fr', 'es')))
+         WHEN {jt} = 'Product' THEN
+              json_extract(jsonld, '$.name') IS NOT NULL
+              AND (json_extract(jsonld, '$.price') IS NULL
+                   OR (json_type(jsonld, '$.price')
+                         IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+                       AND json_extract(jsonld, '$.price')::DOUBLE >= 0))
+         ELSE true
+       END AS valid
+FROM b"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -4949,6 +5096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": q_mojibake_repair,
         "pack_sequences": q_pack_sequences,
         "tdigest_chars": q_tdigest_chars,
+        "jsonld_validate": q_jsonld_validate,
         "canonical_dedup": q_canonical_dedup,
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
@@ -5443,6 +5591,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_repair": _mojibake_repair_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "tdigest_chars": _tdigest_chars_sql(),
+        "jsonld_validate": _jsonld_validate_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),

@@ -154,6 +154,7 @@ from jsonschema_spark.operators.urltools import (
 from jsonschema_spark.operators.htmltext import (
     canonical_dedup_df,
     charset_guess,
+    embedded_jsonld_df,
     extract_text_html,
     html_meta_df,
     html_text_df,
@@ -250,6 +251,7 @@ __all__ = [
     "normalize_urls_df",
     "extract_text_html",
     "html_meta_df",
+    "embedded_jsonld_df",
     "canonical_dedup_df",
     "resolve_href",
     "html_text_df",

@@ -581,3 +581,52 @@ SELECT doc_id,
                 {_sql_quote(ROBOTS_NOFOLLOW_RE)}), false) AS nofollow,
        {first(CANONICAL_RES)} AS canonical_href
 FROM ({src})"""
+
+
+# --- embedded structured data: <script type="application/ld+json"> -------
+#
+# The jsonschema × webtext composition point: crawled pages CARRY JSON
+# documents (schema.org JSON-LD islands), and the engine's VARIANT
+# validator consumes them directly — extract_blocks → validate(doc_col=)
+# → violation rows, all inside one Spark plan. Reference analogue:
+# `jsonschema validate` over .json instance files; here the instances
+# live inside the html column of the crawl table.
+
+JSONLD_SCRIPT_RE = (
+    r"(?is)<script\b[^>]*\btype\s*=\s*[\"']application/ld\+json[\"']"
+    r"[^>]*>(.*?)</script"
+)
+
+
+def embedded_jsonld_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    *,
+    binary: bool = True,
+) -> DataFrame:
+    """One row per embedded JSON-LD block: (id, block_idx 0-based,
+    jsonld string — RAW block text, whitespace preserved; parse/validate
+    downstream so malformed islands are data, not errors).
+
+    Plain <script> JS blocks never match (the type attribute is part of
+    the pattern). Pure codegen: regexp_extract_all + ONE posexplode —
+    zero Python, zero shuffles; pages without blocks emit no rows."""
+    h = F.decode(F.col(html_col), "UTF-8") if binary else F.col(html_col)
+    blocks = F.regexp_extract_all(h, F.lit(JSONLD_SCRIPT_RE), F.lit(1))
+    return df.select(
+        F.col(id_col), F.posexplode(blocks).alias("block_idx", "jsonld")
+    ).select(
+        id_col, F.col("block_idx").cast("long").alias("block_idx"), "jsonld"
+    )
+
+
+def embedded_jsonld_sql(src: str) -> str:
+    """DuckDB mirror over (doc_id, html TEXT): same pattern, 0-based
+    ordinality via the LATERAL-range idiom."""
+    return f"""
+SELECT doc_id, (ix.i - 1)::BIGINT AS block_idx, bs[ix.i] AS jsonld
+FROM (SELECT doc_id,
+             regexp_extract_all(html, {_sql_quote(JSONLD_SCRIPT_RE)}, 1) AS bs
+      FROM ({src})),
+     LATERAL (SELECT unnest(range(1, len(bs) + 1)) AS i) ix"""

@@ -292,3 +292,62 @@ def test_canonical_dedup_clusters(meta_pages):
     assert out["https://ex.org/a2"]["n_pages"] == 1
     assert out["https://ex.org/a4"]["keep_id"] == 4
     assert len(out) == 6
+
+
+# --- embedded JSON-LD extraction ------------------------------------------
+
+JSONLD_PAGES = [
+    (0, '<html><head><script>var x = {"not":"matched"};</script>'
+        '<script type="application/ld+json">{"@type":"Article","headline":"A"}'
+        "</script><script TYPE='application/ld+json'> {\"@type\":\"Product\"} "
+        "</script></head><body>b</body></html>"),
+    (1, "<html><body>no blocks</body></html>"),
+    (2, '<html><head><SCRIPT type="application/ld+json">broken {json'
+        "</SCRIPT></head></html>"),
+    (3, '<html><script type="application/ld+json" async>'
+        '{"@type":"X",\n "multi":"line"}</script></html>'),
+]
+
+
+def test_embedded_jsonld_extraction(spark):
+    from jsonschema_spark.operators.htmltext import embedded_jsonld_df
+
+    df = spark.createDataFrame(JSONLD_PAGES, "doc_id long, html string")
+    rows = sorted(
+        (r["doc_id"], r["block_idx"], r["jsonld"])
+        for r in embedded_jsonld_df(df, binary=False).collect())
+    assert rows == [
+        (0, 0, '{"@type":"Article","headline":"A"}'),
+        (0, 1, ' {"@type":"Product"} '),
+        (2, 0, "broken {json"),
+        (3, 0, '{"@type":"X",\n "multi":"line"}'),
+    ]
+
+
+def test_embedded_jsonld_sql_parity(spark):
+    from jsonschema_spark.operators.htmltext import (
+        embedded_jsonld_df, embedded_jsonld_sql)
+
+    df = spark.createDataFrame(JSONLD_PAGES, "doc_id long, html string")
+    sp = sorted(map(tuple,
+                    embedded_jsonld_df(df, binary=False).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, html TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", JSONLD_PAGES)
+    dk = sorted(map(tuple, con.sql(
+        embedded_jsonld_sql("SELECT doc_id, html FROM t")).fetchall()))
+    assert sp == dk
+
+
+def test_embedded_jsonld_validate_composition(spark):
+    """Extraction feeds the engine's VARIANT validator directly:
+    malformed islands are data (valid=false), typed blocks validate."""
+    from jsonschema_spark.operators.htmltext import embedded_jsonld_df
+    from jsonschema_spark.operators.validate import validate
+
+    df = spark.createDataFrame(JSONLD_PAGES, "doc_id long, html string")
+    blocks = embedded_jsonld_df(df, binary=False)
+    out = validate(blocks, {"type": "object", "required": ["@type"]},
+                   doc_col="jsonld")
+    got = {(r["doc_id"], r["block_idx"]): r["valid"] for r in out.collect()}
+    assert got == {(0, 0): True, (0, 1): True, (2, 0): False, (3, 0): True}

@@ -5076,6 +5076,97 @@ SELECT doc_id, block_idx,
 FROM b"""
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL change-rate over a 4-snapshot crawl series (Cho &
+    Garcia-Molina recrawl scheduling): urls skip snapshots on a mod-7
+    lattice (missed fetches shrink n_obs, never fabricate changes) and
+    content versions advance at per-url speeds (every snap / every 2nd /
+    every 3rd) — ONE per-url lag window + ONE groupBy, all integer."""
+    from jsonschema_spark.operators.urltools import recrawl_priority
+
+    i = F.col("doc_id")
+    base = _docs(spark, sf_dir).where(i < 150).select("doc_id")
+    s = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("snap_id")
+    obs = base.select("doc_id", s).where(
+        (F.col("doc_id") + F.col("snap_id")) % 7 != 0)
+    speed = (F.col("doc_id") % 3 + 1).cast("long")  # versions per 3 snaps
+    ver = (F.col("snap_id") * speed / F.lit(3)).cast("long")
+    rows = obs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.org/p/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.col("snap_id").cast("long").alias("snap_id"),
+        F.concat(F.lit("v"), ver.cast("string"), F.lit(":"),
+                 F.col("doc_id").cast("string")).alias("sig"),
+    )
+    return recrawl_priority(rows)
+
+
+def _recrawl_priority_sql() -> str:
+    return """
+WITH b AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+o AS (SELECT doc_id, s.snap_id
+      FROM b, LATERAL (SELECT unnest(range(0, 4)) AS snap_id) s
+      WHERE (doc_id + snap_id) % 7 <> 0),
+r AS (SELECT
+        'https://h' || (doc_id % 50)::VARCHAR || '.example.org/p/'
+          || doc_id::VARCHAR AS url,
+        snap_id::BIGINT AS snap_id,
+        'v' || ((snap_id * (doc_id % 3 + 1)) // 3)::VARCHAR || ':'
+          || doc_id::VARCHAR AS sig
+      FROM o),
+c AS (SELECT url, snap_id, sig,
+             CASE WHEN lag(sig) OVER w IS NULL THEN 0
+                  WHEN lag(sig) OVER w <> sig THEN 1 ELSE 0 END AS chg
+      FROM r WINDOW w AS (PARTITION BY url ORDER BY snap_id)),
+g AS (SELECT url, count(*)::BIGINT AS n_obs, sum(chg)::BIGINT AS n_changes,
+             min(snap_id) AS first_snap, max(snap_id) AS last_snap,
+             struct_extract(max({'s': snap_id, 'g': sig}), 'g') AS last_sig
+      FROM c GROUP BY 1)
+SELECT url, n_obs, n_changes,
+       CASE WHEN n_obs >= 2
+            THEN floor(n_changes * 1000000.0 / (n_obs - 1))::BIGINT END
+         AS change_rate_ppm,
+       first_snap, last_snap, last_sig
+FROM g"""
+
+
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link spam signal per host: one edge per doc on a
+    quadratic-residue lattice (src h(i%40) → dst h((i²+1)%40)), so
+    reciprocity emerges from number theory and both engines derive the
+    identical edge set — ONE self-join on the composite key + ONE
+    groupBy; output is host-table-sized."""
+    from jsonschema_spark.operators.linkgraph import host_reciprocity
+
+    i = F.col("doc_id")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"),  # noqa: E731
+                           F.lit(".example.org"))
+    edges = _docs(spark, sf_dir).select(
+        h(i % 40).alias("src_host"),
+        h((i * i + 1) % 40).alias("dst_host"),
+    ).where(F.col("src_host") != F.col("dst_host"))
+    return host_reciprocity(edges)
+
+
+def _host_reciprocity_sql() -> str:
+    return """
+WITH e AS (SELECT DISTINCT
+             'h' || (doc_id % 40)::VARCHAR || '.example.org' AS s,
+             'h' || ((doc_id * doc_id + 1) % 40)::VARCHAR
+               || '.example.org' AS d
+           FROM documents
+           WHERE (doc_id % 40) <> ((doc_id * doc_id + 1) % 40)),
+rc AS (SELECT e.s, count(*)::BIGINT AS n_recip
+       FROM e WHERE EXISTS (SELECT 1 FROM e r
+                            WHERE r.s = e.d AND r.d = e.s)
+       GROUP BY 1),
+o AS (SELECT s, count(*)::BIGINT AS n_out FROM e GROUP BY 1)
+SELECT o.s AS host, n_out, coalesce(n_recip, 0) AS n_recip,
+       floor(coalesce(n_recip, 0) * 1000000.0 / n_out)::BIGINT AS recip_ppm
+FROM o LEFT JOIN rc ON o.s = rc.s"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -5097,6 +5188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tdigest_chars": q_tdigest_chars,
         "jsonld_validate": q_jsonld_validate,
+        "recrawl_priority": q_recrawl_priority,
+        "host_reciprocity": q_host_reciprocity,
         "canonical_dedup": q_canonical_dedup,
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
@@ -5592,6 +5685,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "tdigest_chars": _tdigest_chars_sql(),
         "jsonld_validate": _jsonld_validate_sql(),
+        "recrawl_priority": _recrawl_priority_sql(),
+        "host_reciprocity": _host_reciprocity_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),

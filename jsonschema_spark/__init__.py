@@ -148,6 +148,7 @@ from jsonschema_spark.operators.urltools import (
     normalize_urls_df,
     public_suffix,
     registered_domain,
+    recrawl_priority,
     snapshot_delta_df,
     url_dedup_df,
 )
@@ -163,6 +164,7 @@ from jsonschema_spark.operators.htmltext import (
 )
 from jsonschema_spark.operators.linkgraph import (
     anchor_text_df,
+    host_reciprocity,
     extract_links,
     host_hits_df,
     link_stats_df,
@@ -267,6 +269,8 @@ __all__ = [
     "link_stats_df",
     "url_signature",
     "frontier_interleave",
+    "recrawl_priority",
+    "host_reciprocity",
     "extract_links",
     "link_edges_df",
     "host_rank_df",

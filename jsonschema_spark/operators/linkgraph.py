@@ -344,3 +344,33 @@ def link_stats_df(
         F.size(ext).cast("long").alias("n_external"),
         F.size(F.array_distinct(ext)).cast("long").alias("n_ext_hosts"),
     )
+
+
+def host_reciprocity(edges: DataFrame) -> DataFrame:
+    """Reciprocal-link profile per source host — the classic link-farm /
+    link-exchange spam signal: organic sites link asymmetrically, farms
+    trade edges both ways. Input: distinct (src_host, dst_host) edges
+    (link_edges_df output shape).
+
+    Output: (host, n_out, n_recip, recip_ppm) — out-degree, reciprocated
+    out-edges (the reversed edge exists), and their ratio in ppm.
+
+    Scale shape: ONE equi-join of the edge table against its own
+    reversal on the composite key (shuffle on (src,dst) — high-entropy,
+    skew-safe) + ONE map-side-partial groupBy(src). No windows, no
+    explosion: output is host-table-sized."""
+    e = edges.select(F.col("src_host").alias("s"),
+                     F.col("dst_host").alias("d")) \
+        .where(F.col("src_host") != F.col("dst_host")).distinct()
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi") \
+        .groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    out = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    j = out.join(recip, "s", "left")
+    n_recip = F.coalesce(F.col("n_recip"), F.lit(0))
+    return j.select(
+        F.col("s").alias("host"), "n_out",
+        n_recip.alias("n_recip"),
+        F.floor(n_recip * 1_000_000 / F.col("n_out")).cast("long")
+        .alias("recip_ppm"),
+    )

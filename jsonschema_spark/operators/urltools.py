@@ -505,3 +505,62 @@ def snapshot_delta_df(
     return j.select(
         F.col("_k").alias(key_col), "h_old", "h_new", status.alias("status")
     )
+
+
+def recrawl_priority(
+    df: DataFrame,
+    url_col: str = "url",
+    snap_col: str = "snap_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Per-URL change-rate estimation over a crawl-snapshot SERIES — the
+    Cho & Garcia-Molina recrawl-scheduling input that ``snapshot_delta_df``
+    (two snapshots) generalizes to: how often does this page change when
+    we look at it?
+
+    Input: one row per (url, snapshot) observation with a content
+    signature — (url, snap) must be unique (run ``url_dedup_df`` per
+    snapshot first, same documented contract as ``snapshot_delta_df``:
+    conflicting sigs inside one snapshot make the lag order, and hence
+    the change count, partitioning-dependent); a url absent from a
+    snapshot simply has no row (missed
+    fetches shrink n_obs, they do not fabricate changes — changes are
+    counted between CONSECUTIVE OBSERVATIONS of the url, the estimator a
+    sparse observation series supports).
+
+    Output per url: (url, n_obs, n_changes, change_rate_ppm =
+    1e6·n_changes/(n_obs−1), NULL when n_obs < 2, first_snap, last_snap,
+    last_sig). Rate is the recrawl priority; combine with host politeness
+    (frontier_schedule) downstream.
+
+    Scale shape: ONE per-url window (lag over snap order — partitioned
+    by the high-cardinality url key, never global) + ONE map-side-partial
+    groupBy(url). Integer arithmetic throughout — oracle-replayable."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(url_col).orderBy(F.col(snap_col).asc())
+    prev = F.lag(F.col(sig_col)).over(w)
+    obs = df.select(
+        F.col(url_col), F.col(snap_col), F.col(sig_col)
+    ).withColumn(
+        "_chg",
+        F.when(prev.isNull(), F.lit(0))
+        .when(prev != F.col(sig_col), F.lit(1)).otherwise(F.lit(0)),
+    )
+    g = obs.groupBy(url_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        F.min(snap_col).cast("long").alias("first_snap"),
+        F.max(snap_col).cast("long").alias("last_snap"),
+        F.max(F.struct(F.col(snap_col).alias("s"),
+                       F.col(sig_col).alias("g"))).alias("_last"),
+    )
+    return g.select(
+        url_col, "n_obs", "n_changes",
+        F.when(F.col("n_obs") >= 2,
+               F.floor(F.col("n_changes") * 1_000_000
+                       / (F.col("n_obs") - 1))
+               .cast("long")).alias("change_rate_ppm"),
+        "first_snap", "last_snap",
+        F.col("_last.g").alias("last_sig"),
+    )

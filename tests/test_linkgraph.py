@@ -140,3 +140,23 @@ def test_hits_duckdb_parity_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_host_reciprocity(spark):
+    from jsonschema_spark.operators.linkgraph import host_reciprocity
+
+    edges = [
+        ("a", "b"), ("b", "a"),          # reciprocated pair
+        ("a", "c"),                      # one-way
+        ("c", "d"), ("d", "c"), ("c", "e"),
+        ("e", "e"),                      # self-loop: ignored entirely
+        ("a", "b"),                      # duplicate edge: counted once
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: (r["n_out"], r["n_recip"], r["recip_ppm"])
+           for r in host_reciprocity(df).collect()}
+    assert got["a"] == (2, 1, 500000)
+    assert got["b"] == (1, 1, 1000000)
+    assert got["c"] == (2, 1, 500000)
+    assert got["d"] == (1, 1, 1000000)
+    assert "e" not in got  # only edge was a self-loop

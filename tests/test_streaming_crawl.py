@@ -250,3 +250,63 @@ def test_stream_sketch_resumes_from_checkpoint(spark, tmp_path):
     want = sorted((r["bucket"], r["max_rank"]) for r in
                   hll_sketch(spark.read.parquet(src), "url", p).collect())
     assert got == want
+
+
+def test_meta_mojibake_jsonld_stream_equals_batch(spark, tmp_path):
+    """The third-session scan-shaped operators (html_meta_df,
+    mojibake_stats_df, embedded_jsonld_df → validate) are pure per-row
+    projections/generators, so they run UNCHANGED on a streaming
+    DataFrame — drained stream == batch. The three legs are re-joined
+    per micro-batch via foreachBatch (a page's rows arrive together;
+    same documented pattern as the WARC pipeline above)."""
+    from jsonschema_spark.operators.htmltext import (
+        embedded_jsonld_df, html_meta_df)
+    from jsonschema_spark.operators.textstats import mojibake_stats_df
+    from jsonschema_spark.operators.validate import validate
+
+    src = str(tmp_path / "pages")
+    rows = []
+    for i in range(30):
+        title = f"<title>Doc {i} cafÃ©</title>" if i % 3 else ""
+        robots = ("<meta name='robots' content='noindex'>"
+                  if i % 5 == 0 else "")
+        block = ('{"@type":"Article","headline":"h%d"}' % i
+                 if i % 4 else '{"@type":"Article"')  # malformed on %4==0
+        rows.append((
+            i,
+            f"<html lang=en><head>{title}{robots}"
+            f'<script type="application/ld+json">{block}</script>'
+            "</head><body>b â€“ body</body></html>",
+        ))
+    batch = spark.createDataFrame(rows, "doc_id long, html string")
+    batch.write.parquet(src)
+
+    def pipeline(df):
+        meta = html_meta_df(df, binary=False)
+        moji = mojibake_stats_df(df, "doc_id", "html")
+        blocks = validate(
+            embedded_jsonld_df(df, binary=False),
+            {"type": "object", "required": ["@type", "headline"]},
+            doc_col="jsonld")
+        return (
+            meta.select("doc_id", "title", "noindex")
+            .join(moji.select("doc_id", "n_chars_fixed"), "doc_id")
+            .join(blocks.select("doc_id", "block_idx", "valid"), "doc_id")
+        )
+
+    want = sorted(map(tuple, pipeline(batch).collect()))
+    assert len(want) == 30
+    assert any(not t[-1] for t in want) and any(t[-1] for t in want)
+    assert any(t[3] > 0 for t in want)  # mojibake repaired somewhere
+
+    collected = []
+
+    def sink(bdf, _epoch):
+        collected.extend(pipeline(bdf).collect())
+
+    sdf = spark.readStream.schema(batch.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = sdf.writeStream.foreachBatch(sink) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(map(tuple, collected)) == want

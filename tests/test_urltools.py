@@ -267,3 +267,43 @@ def test_frontier_interleave_host_diversity(spark):
     # within one host, priority descends with round
     a = [r for r in out if "a.org" in r["url"]]
     assert [r["prio"] for r in a] == [10, 9, 8, 7]
+
+
+# --- recrawl_priority -------------------------------------------------------
+
+
+def test_recrawl_priority_change_rates(spark):
+    from jsonschema_spark.operators.urltools import recrawl_priority
+
+    rows = [
+        # u1: observed 4x, changes at snap 2 only -> 1 change / 3 gaps
+        ("u1", 0, "a"), ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "b"),
+        # u2: observed snaps 0,2,3 (snap 1 missed); sig differs at every
+        # CONSECUTIVE OBSERVATION -> 2 changes / 2 gaps
+        ("u2", 0, "a"), ("u2", 2, "b"), ("u2", 3, "c"),
+        # u3: single observation -> rate NULL
+        ("u3", 1, "z"),
+        # u4: never changes
+        ("u4", 0, "k"), ("u4", 3, "k"),
+    ]
+    df = spark.createDataFrame(rows, "url string, snap_id long, sig string")
+    got = {r["url"]: r for r in recrawl_priority(df).collect()}
+    assert (got["u1"]["n_obs"], got["u1"]["n_changes"],
+            got["u1"]["change_rate_ppm"]) == (4, 1, 333333)
+    assert (got["u2"]["n_obs"], got["u2"]["n_changes"],
+            got["u2"]["change_rate_ppm"]) == (3, 2, 1000000)
+    assert got["u3"]["n_obs"] == 1 and got["u3"]["change_rate_ppm"] is None
+    assert got["u4"]["n_changes"] == 0 and got["u4"]["change_rate_ppm"] == 0
+    assert got["u2"]["last_sig"] == "c" and got["u2"]["first_snap"] == 0
+    assert got["u2"]["last_snap"] == 3
+
+
+def test_recrawl_priority_partition_invariance(spark):
+    from jsonschema_spark.operators.urltools import recrawl_priority
+
+    rows = [(f"u{u}", s, f"v{(s * (u % 3 + 1)) // 3}")
+            for u in range(37) for s in range(4) if (u + s) % 5]
+    df = spark.createDataFrame(rows, "url string, snap_id long, sig string")
+    a = sorted(map(tuple, recrawl_priority(df).collect()))
+    b = sorted(map(tuple, recrawl_priority(df.repartition(17)).collect()))
+    assert a == b and len(a) == 37

@@ -5167,6 +5167,77 @@ SELECT o.s AS host, n_out, coalesce(n_recip, 0) AS n_recip,
 FROM o LEFT JOIN rc ON o.s = rc.s"""
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection 64→8 over the embeddings
+    table — the ANN prefilter that cuts vector bytes before
+    sign-LSH/IVF bucketing. Quantize-first integer arithmetic makes the
+    Arrow numpy-matmul path, the JVM explode→groupBy path and the
+    DuckDB mirror bit-identical (path equality test-pinned); exploded
+    (vec_id, j, v) output attests every projected component."""
+    from jsonschema_spark.operators.embed import embedding_project_df
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = embedding_project_df(emb, "vec_id", "embedding", 64, 8)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "v")
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "v")
+
+
+def _embedding_project_sql() -> str:
+    sign = ("CASE WHEN " + _h56("'proj:'||(i)::VARCHAR||':'||j::VARCHAR")
+            + " % 2 = 0 THEN 1 ELSE -1 END")
+    return f"""
+WITH q AS (SELECT vec_id, ix.i - 1 AS i,
+                  floor(embedding[ix.i]::DOUBLE * 100)::BIGINT AS qv
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+                  ix),
+x AS (SELECT vec_id, i, qv, jj.j
+      FROM q, LATERAL (SELECT unnest(range(0, 8)) AS j) jj)
+SELECT vec_id, j::BIGINT AS j, sum(qv * {sign})::BIGINT AS v
+FROM x GROUP BY 1, 2"""
+
+
+_EPOCH_B, _EPOCH_E = 420_000, 3
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-repetition planning under a token budget (Muennighoff
+    data-constrained scaling): equal share per source, capped at
+    max_epochs repetitions, capped groups' leftover waterfalls to the
+    rest — exact integer waterfilling via the sorted-capacity closed
+    form over the G-row source table (bounded windows only)."""
+    from jsonschema_spark.operators.curate import epoch_plan
+
+    return epoch_plan(_docs(spark, sf_dir), "source", "n_chars",
+                      token_budget=_EPOCH_B, max_epochs=_EPOCH_E)
+
+
+def _epoch_plan_sql() -> str:
+    B, E = _EPOCH_B, _EPOCH_E
+    return f"""
+WITH g AS (SELECT source AS grp, sum(n_chars)::BIGINT AS n
+           FROM documents GROUP BY 1),
+r AS (SELECT grp, n, (n * {E})::BIGINT AS cap,
+             row_number() OVER w AS k,
+             sum(n * {E}) OVER (w ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+             count(*) OVER ()::BIGINT AS ng
+      FROM g WINDOW w AS (ORDER BY n * {E}, grp)),
+c AS (SELECT *, (cum - cap) + cap * (ng - k + 1) <= {B} AS capped FROM r),
+t AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0 END)::BIGINT AS capsum,
+             sum(CASE WHEN capped THEN 0 ELSE 1 END)::BIGINT AS nfree
+      FROM c)
+SELECT grp AS source, n AS n_tokens, cap AS cap_tokens,
+       CASE WHEN capped THEN cap
+            ELSE least(({B} - capsum) // greatest(nfree, 1), cap)
+       END AS alloc_tokens,
+       (CASE WHEN capped THEN cap
+             ELSE least(({B} - capsum) // greatest(nfree, 1), cap)
+        END * 1000) // n AS epochs_milli,
+       capped
+FROM c, t"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -5190,6 +5261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_validate": q_jsonld_validate,
         "recrawl_priority": q_recrawl_priority,
         "host_reciprocity": q_host_reciprocity,
+        "embedding_project": q_embedding_project,
+        "epoch_plan": q_epoch_plan,
         "canonical_dedup": q_canonical_dedup,
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
@@ -5687,6 +5760,8 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_validate": _jsonld_validate_sql(),
         "recrawl_priority": _recrawl_priority_sql(),
         "host_reciprocity": _host_reciprocity_sql(),
+        "embedding_project": _embedding_project_sql(),
+        "epoch_plan": _epoch_plan_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),

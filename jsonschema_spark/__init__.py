@@ -52,6 +52,7 @@ from jsonschema_spark.sources.warc import warc_records
 from jsonschema_spark.operators.curate import (
     budget_sample,
     chunk_docs,
+    epoch_plan,
     pack_sequences,
     curate_corpus,
     curation_report,
@@ -93,6 +94,10 @@ from jsonschema_spark.operators.textstats import (
     readability,
     tfidf_top_terms,
     winnow_fingerprints,
+)
+from jsonschema_spark.operators.embed import (
+    embedding_project_df,
+    hashed_embedding_df,
 )
 from jsonschema_spark.operators.robots import (
     frontier_schedule,
@@ -261,6 +266,9 @@ __all__ = [
     "fix_mojibake",
     "mojibake_stats_df",
     "pack_sequences",
+    "epoch_plan",
+    "embedding_project_df",
+    "hashed_embedding_df",
     "tdigest_sketch",
     "tdigest_merge",
     "tdigest_quantiles",

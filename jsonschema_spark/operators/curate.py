@@ -20,6 +20,8 @@ funnel counts (input → quality-kept → canonical) in one pass each.
 
 from __future__ import annotations
 
+import pandas as pd  # module top: pandas_udf string type hints resolve here
+
 from pyspark.sql import DataFrame, functions as F
 
 from jsonschema_spark.operators.dedup import (
@@ -747,4 +749,79 @@ def pack_sequences(
             ((F.col("n_tokens") * F.lit(1_000_000)) / F.lit(int(seq_len)))
             .cast("long").alias("fill_ppm"),
         )
+    )
+
+
+def epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    token_budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-repetition planning under a token budget (the
+    data-constrained-scaling mix step, cf. Muennighoff et al. 2023):
+    give every source an EQUAL share of ``token_budget``, but no source
+    may repeat more than ``max_epochs`` times — small sources cap out
+    and their unused share waterfalls to the rest.
+
+    Exact integer waterfilling via the sorted-capacity closed form: with
+    capacities c_g = n_g·max_epochs sorted ascending (ties by group
+    name, ASCII == SQL binary collation), group k is capped iff
+    cum_{k-1} + c_k·(G−k+1) ≤ B, and the uncapped level is
+    L = (B − Σ_capped c) div (#uncapped). Exact Python ints — the DuckDB
+    mirror replays the identical arithmetic with SQL windows.
+
+    Output per group: (group, n_tokens, cap_tokens, alloc_tokens,
+    epochs_milli = 1000·alloc/n floored, capped). Σ alloc = B minus the
+    final integer-division remainder (< #groups), or Σ cap when the
+    budget exceeds every cap.
+
+    Scale shape: ONE map-side-partial groupBy to the G-row source table,
+    collected into ONE row through the allowed global-agg-of-partials
+    exchange (the hist_quantiles/tdigest pattern — no unpartitioned
+    window anywhere), planned by one Arrow scalar UDF over the tiny
+    array, exploded back. G is source cardinality — a mixing plan is
+    inherently group-table-sized."""
+    if token_budget < 0 or max_epochs < 1:
+        raise ValueError("epoch_plan: bad budget/max_epochs")
+    B, E = int(token_budget), int(max_epochs)
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("n_tokens"))
+    one = g.agg(F.collect_list(
+        F.struct(F.col("grp").alias("g"),
+                 F.col("n_tokens").alias("n"))).alias("xs"))
+
+    @F.pandas_udf(
+        "array<struct<g:string,n:bigint,c:bigint,a:bigint,cp:boolean>>")
+    def plan_udf(xs: pd.Series) -> pd.Series:
+        out = []
+        for arr in xs:
+            items = sorted((int(x["n"]) * E, str(x["g"]), int(x["n"]))
+                           for x in arr)
+            G = len(items)
+            cum = 0
+            flags = []
+            for k, (c, _, _) in enumerate(items, 1):
+                flags.append(cum + c * (G - k + 1) <= B)
+                cum += c
+            capsum = sum(c for (c, _, _), f in zip(items, flags) if f)
+            nfree = sum(1 for f in flags if not f)
+            level = (B - capsum) // nfree if nfree else 0
+            out.append([
+                {"g": gname, "n": n, "c": c,
+                 "a": c if f else min(level, c), "cp": bool(f)}
+                for (c, gname, n), f in zip(items, flags)
+            ])
+        return pd.Series(out)
+
+    ex = one.select(F.explode(plan_udf(F.col("xs"))).alias("r"))
+    return ex.select(
+        F.col("r.g").alias(group_col),
+        F.col("r.n").alias("n_tokens"),
+        F.col("r.c").alias("cap_tokens"),
+        F.col("r.a").alias("alloc_tokens"),
+        F.floor(F.col("r.a") * 1000 / F.col("r.n")).cast("long")
+        .alias("epochs_milli"),
+        F.col("r.cp").alias("capped"),
     )

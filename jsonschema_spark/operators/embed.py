@@ -122,3 +122,100 @@ def embedding_stats_df(
             F.coalesce("checksum", F.lit(0)).cast("long").alias("checksum"),
         )
     )
+
+
+# --- random-sign projection (Johnson-Lindenstrauss dimension cut) --------
+
+PROJ_SALT = "proj"
+
+
+def projection_signs(dim_in: int, dim_out: int) -> list:
+    """The deterministic ±1 projection matrix: s(i,j) = +1 iff the
+    portable md5-56 hash of ``proj:i:j`` is even — the same hash family
+    every portable operator uses, so the DuckDB oracle derives the
+    IDENTICAL matrix from SQL md5()."""
+    import hashlib
+
+    out = []
+    for i in range(dim_in):
+        row = []
+        for j in range(dim_out):
+            h = int(hashlib.md5(
+                f"{PROJ_SALT}:{i}:{j}".encode()).hexdigest()[:14], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def embedding_project_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim_in: int,
+    dim_out: int,
+    *,
+    scale: int = 100,
+    arrow: bool = True,
+) -> DataFrame:
+    """Project ``array<float>`` embeddings to ``dim_out`` integer
+    components with a deterministic ±1 sign matrix (Achlioptas 2003 —
+    database-friendly random projections; the JL lemma gives distance
+    preservation ~1/√dim_out). The ANN prefilter path: cut 768→64 before
+    sign-LSH/IVF so the bucketing stage moves 12× fewer bytes.
+
+    Vectors are quantized first (floor(x·scale), the repo-wide exact
+    convention), so BOTH paths and the DuckDB oracle produce bit-identical
+    integers: ``arrow=True`` is one numpy int matmul per Arrow batch
+    (production); ``arrow=False`` is the pure-JVM explode → groupBy plan
+    the oracle replays (posexplode over components × a dim_in·dim_out
+    literal sign matrix — gate-sized inputs only).
+
+    Output: (id_col, proj array<long>, dim_out elements). Rows with NULL
+    embeddings are dropped (nothing to project — documented).
+    """
+    if dim_in < 1 or dim_out < 1 or dim_in * dim_out > 1_000_000:
+        raise ValueError("embedding_project_df: bad dims")
+    signs = projection_signs(dim_in, dim_out)
+    base = df.select(F.col(id_col), F.col(vec_col)) \
+        .where(F.col(vec_col).isNotNull())
+    if arrow:
+        import numpy as np
+
+        S = np.array(signs, dtype=np.int64)
+        id_type = [f for f in df.schema.fields
+                   if f.name == id_col][0].dataType.simpleString()
+
+        def fn(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                if V.shape[1] != dim_in:
+                    raise ValueError(
+                        f"embedding_project_df: expected dim {dim_in}, "
+                        f"got {V.shape[1]}")
+                P = np.floor(V * scale).astype(np.int64) @ S
+                yield pd.DataFrame({id_col: pdf[id_col],
+                                    "proj": [p.tolist() for p in P]})
+
+        return base.mapInPandas(fn, f"{id_col} {id_type}, proj array<bigint>")
+    from jsonschema_spark.operators.dedup import quantize_embedding
+
+    q = quantize_embedding(F.col(vec_col), scale)
+    sarr = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    ex = base.select(F.col(id_col), F.posexplode(q).alias("_i", "_q"))
+    exj = ex.select(
+        id_col, "_q",
+        F.posexplode(F.element_at(sarr, F.col("_i").cast("int") + 1))
+        .alias("_j", "_s"))
+    g = exj.groupBy(id_col, "_j").agg(
+        F.sum(F.col("_q") * F.col("_s")).cast("long").alias("_v"))
+    out = g.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_j", "_v"))).alias("_ps"))
+    return out.select(
+        id_col,
+        F.transform("_ps", lambda s: s["_v"]).alias("proj"))

@@ -2087,3 +2087,111 @@ def test_pack_sequences_tokens_count_col_and_validation(spark):
     assert out[1]["last_doc"] == 1  # zero-count doc 2 excluded
     with _pytest.raises(ValueError):
         pack_sequences(df, tokens_count_col="n_tok", seq_len=0)
+
+
+# --- JL random-sign embedding projection ------------------------------------
+
+
+def test_embedding_project_paths_identical(spark):
+    from jsonschema_spark.operators.embed import embedding_project_df
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: list(r["proj"]) for r in embedding_project_df(
+        emb, "vec_id", "embedding", 64, 8).collect()}
+    b = {r["vec_id"]: list(r["proj"]) for r in embedding_project_df(
+        emb.repartition(7), "vec_id", "embedding", 64, 8,
+        arrow=False).collect()}
+    assert a == b and len(a) == emb.count()
+    assert all(len(v) == 8 for v in a.values())
+
+
+def test_embedding_project_distance_preservation(spark):
+    """JL sanity at dim_out=32 from 64: projected cosine tracks original
+    cosine within a generous envelope over planted pairs."""
+    import numpy as np
+
+    from jsonschema_spark.operators.embed import (
+        embedding_project_df, projection_signs)
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, (60, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = {r["vec_id"]: np.array(r["proj"], dtype=np.float64)
+            for r in embedding_project_df(
+                df, "vec_id", "embedding", 64, 32).collect()}
+    q = np.floor(np.array([r[1] for r in rows], dtype=np.float64) * 100)
+    errs = []
+    for a in range(0, 40, 7):
+        for b in range(a + 1, 50, 11):
+            co = q[a] @ q[b] / (np.linalg.norm(q[a]) * np.linalg.norm(q[b]))
+            pa, pb = proj[a], proj[b]
+            cp = pa @ pb / (np.linalg.norm(pa) * np.linalg.norm(pb))
+            errs.append(abs(co - cp))
+    assert np.mean(errs) < 0.15 and max(errs) < 0.45, (np.mean(errs),
+                                                       max(errs))
+
+
+def test_embedding_project_edge_cases(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.embed import embedding_project_df
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, None), (2, [1.5, -2.5, 0.25, 3.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: list(r["proj"]) for r in
+           embedding_project_df(df, "vec_id", "embedding", 4, 3).collect()}
+    assert out[0] == [0, 0, 0]
+    assert 1 not in out  # NULL embedding dropped
+    assert len(out[2]) == 3
+    with _pytest.raises(ValueError):
+        embedding_project_df(df, "vec_id", "embedding", 0, 3)
+    with _pytest.raises(Exception):
+        # declared dim mismatch must fail loudly, not mis-project
+        embedding_project_df(df.where("vec_id = 0"), "vec_id",
+                             "embedding", 8, 3).collect()
+
+
+# --- epoch_plan waterfilling -------------------------------------------------
+
+
+def test_epoch_plan_waterfilling(spark):
+    from jsonschema_spark.operators.curate import epoch_plan
+
+    rows = [("a", 100), ("a", 100), ("b", 50), ("c", 2000), ("d", 10)]
+    df = spark.createDataFrame(rows, "src string, n_tok long")
+    got = {r["src"]: r for r in epoch_plan(
+        df, "src", "n_tok", token_budget=3000, max_epochs=4).collect()}
+    # caps: a=800 b=200 c=8000 d=40; a/b/d cap out, c gets the leftover
+    assert (got["a"]["alloc_tokens"], got["a"]["capped"]) == (800, True)
+    assert (got["b"]["alloc_tokens"], got["d"]["alloc_tokens"]) == (200, 40)
+    assert (got["c"]["alloc_tokens"], got["c"]["capped"]) == (1960, False)
+    assert got["c"]["epochs_milli"] == 980  # < 1 epoch of c
+    assert got["a"]["epochs_milli"] == 4000
+    assert sum(r["alloc_tokens"] for r in got.values()) == 3000
+
+
+def test_epoch_plan_budget_exceeds_all_caps(spark):
+    from jsonschema_spark.operators.curate import epoch_plan
+
+    df = spark.createDataFrame([("a", 10), ("b", 20)], "src string, n long")
+    got = {r["src"]: r for r in epoch_plan(
+        df, "src", "n", token_budget=10_000, max_epochs=2).collect()}
+    assert all(r["capped"] for r in got.values())
+    assert got["a"]["alloc_tokens"] == 20 and got["b"]["alloc_tokens"] == 40
+
+
+def test_epoch_plan_equal_split_and_validation(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.curate import epoch_plan
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 1000), ("c", 1000)], "src string, n long")
+    got = {r["src"]: r for r in epoch_plan(
+        df, "src", "n", token_budget=900, max_epochs=4).collect()}
+    assert all(r["alloc_tokens"] == 300 and not r["capped"]
+               for r in got.values())
+    with _pytest.raises(ValueError):
+        epoch_plan(df, "src", "n", token_budget=-1)

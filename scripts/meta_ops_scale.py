@@ -34,6 +34,10 @@ from jsonschema_spark.session import get_spark  # noqa: E402
 CORES = os.environ.get("SPARK_GRAFT_CPUS", "16")
 ROWS = int(os.environ.get("META_SCALE_ROWS", "4000000"))
 ONLY = set(filter(None, os.environ.get("META_SCALE_OPS", "").split(",")))
+# recrawl_priority at 16M rows spills its per-url window sort at the
+# default cores==shuffle-partitions sizing (measured 2.25x super-linear;
+# same cause as the snapshot_delta finding) — 128 partitions reads 0.36x.
+SHUFFLE = os.environ.get("META_SCALE_SHUFFLE")
 
 
 def main() -> int:
@@ -43,7 +47,8 @@ def main() -> int:
     from jsonschema_spark.operators.stats import tdigest_sketch
     from jsonschema_spark.operators.textstats import mojibake_stats_df
 
-    spark = get_spark("meta_ops_scale", cores=CORES)
+    spark = get_spark("meta_ops_scale", cores=CORES,
+                      shuffle_partitions=int(SHUFFLE) if SHUFFLE else None)
     results = {}
 
     def point(op, n, fn):
@@ -105,16 +110,20 @@ def main() -> int:
             .alias("v"),
         ).localCheckpoint(eager=True)
 
+    OLD_OPS = {"html_meta", "canonical_dedup", "mojibake_stats",
+               "pack_sequences_2048", "tdigest_build_d100"}
+    run_old = not ONLY or bool(ONLY & OLD_OPS)
     # warmup (JVM + codegen + Arrow)
-    w = pages(100_000)
-    html_meta_df(w, binary=False).agg(F.count("*")).collect()
-    w2 = counted_docs(100_000)
-    tdigest_sketch(w2, "v").collect()
-    pack_sequences(w2, tokens_count_col="n_tok", seq_len=2048) \
-        .agg(F.count("*")).collect()
-    w.unpersist(); w2.unpersist()
+    w = pages(100_000) if run_old else None
+    if run_old:
+        html_meta_df(w, binary=False).agg(F.count("*")).collect()
+        w2 = counted_docs(100_000)
+        tdigest_sketch(w2, "v").collect()
+        pack_sequences(w2, tokens_count_col="n_tok", seq_len=2048) \
+            .agg(F.count("*")).collect()
+        w.unpersist(); w2.unpersist()
 
-    for mult in (1, 4):
+    for mult in (1, 4) if run_old else ():
         n = ROWS * mult
         pg = pages(n)
         point("html_meta", n, lambda d=pg: [tuple(
@@ -142,6 +151,76 @@ def main() -> int:
             (lambda r: (int(r["n_rows"]), len(r["centroids"])))(
                 tdigest_sketch(d, "v").collect()[0])])
         cd.unpersist()
+
+    from jsonschema_spark.operators.embed import embedding_project_df
+    from jsonschema_spark.operators.linkgraph import host_reciprocity
+    from jsonschema_spark.operators.urltools import recrawl_priority
+
+    def vec_docs(n, dim=64):
+        i = F.col("id")
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: ((F.xxhash64(i, j) % 1000) / F.lit(500.0) - 1.0)
+            .cast("float"))
+        return spark.range(0, n, numPartitions=64).select(
+            i.alias("vec_id"), vec.alias("embedding")
+        ).localCheckpoint(eager=True)
+
+    def snap_obs(n):
+        # n observations = n/4 urls x 4 snapshots, version speeds by mod
+        i = F.col("id")
+        u = (i / 4).cast("long")
+        s = (i % 4).cast("long")
+        return spark.range(0, n, numPartitions=64).select(
+            F.concat(F.lit("https://h"), (u % 99991).cast("string"),
+                     F.lit(".org/p/"), u.cast("string")).alias("url"),
+            s.alias("snap_id"),
+            F.concat(F.lit("v"), ((s * (u % 3 + 1)) / 3).cast("long")
+                     .cast("string"), F.lit(":"),
+                     u.cast("string")).alias("sig"),
+        ).localCheckpoint(eager=True)
+
+    def edge_table(n):
+        # quadratic lattice + every 5th edge REVERSED (guaranteed
+        # reciprocity so the semi-join leg does real work)
+        i = F.col("id")
+        a = F.concat(F.lit("h"), ((i / 5).cast("long") % 200003)
+                     .cast("string"))
+        b = F.concat(F.lit("h"), (((i / 5).cast("long") ** 2 + 1) % 200003)
+                     .cast("string"))
+        rev = i % 5 == 0
+        return spark.range(0, n, numPartitions=64).select(
+            F.when(rev, b).otherwise(a).alias("src_host"),
+            F.when(rev, a).otherwise(b).alias("dst_host"),
+        ).localCheckpoint(eager=True)
+
+    if not ONLY or ONLY & {"embedding_project_64_16", "recrawl_priority",
+                           "host_reciprocity"}:
+        wv = vec_docs(100_000)
+        embedding_project_df(wv, "vec_id", "embedding", 64, 16) \
+            .agg(F.count("*")).collect()
+        wv.unpersist()
+        for mult in (1, 4):
+            n = ROWS * mult
+            vd = vec_docs(n // 4)  # vectors are 64 floats: 1M/4M rows
+            point("embedding_project_64_16", n // 4, lambda d=vd: [tuple(
+                embedding_project_df(d, "vec_id", "embedding", 64, 16)
+                .select("vec_id", F.explode("proj").alias("v"))
+                .agg(F.count("*"), F.sum("v"),
+                     F.sum(F.abs("v"))).collect()[0])])
+            vd.unpersist()
+            so = snap_obs(n)
+            point("recrawl_priority", n, lambda d=so: [tuple(
+                recrawl_priority(d)
+                .agg(F.count("*"), F.sum("n_changes"),
+                     F.sum("change_rate_ppm")).collect()[0])])
+            so.unpersist()
+            et = edge_table(n)
+            point("host_reciprocity", n, lambda d=et: [tuple(
+                host_reciprocity(d)
+                .agg(F.count("*"), F.sum("n_recip"),
+                     F.sum("recip_ppm")).collect()[0])])
+            et.unpersist()
 
     out = {"stage": "meta_ops_scale", "cores": int(CORES), "ops": {}}
     ok = True

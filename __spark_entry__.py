@@ -5238,6 +5238,84 @@ SELECT grp AS source, n AS n_tokens, cap AS cap_tokens,
 FROM c, t"""
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export — the engine WRITES the Common-Crawl extracted-text
+    exchange format it ingests: crawl-chrome-wrapped docs → html→text
+    extraction → WET conversion records (Content-Length in BYTES —
+    a planted é on doc_id%4==1 keeps chars≠bytes honest), then each
+    record is re-parsed IN SPARK by the exact byte-walk warc_records
+    parser and roundtrip_ok attests payload/uri/length equality row by
+    row. Serialization is pure codegen concat; the oracle rebuilds the
+    identical record string (strlen == octet_length) and asserts the
+    round-trip bound as literal true."""
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.htmltext import html_text_df
+    from jsonschema_spark.sources.warc import warc_records, wet_serialize_df
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    ids = i.cast("string")
+    p = _HTML_P
+    text2 = F.when(i % 4 == 1, F.concat(F.col("text"), F.lit(" café")))\
+        .otherwise(F.col("text"))
+    html = F.encode(
+        F.concat(F.lit(p[0]), ids, F.lit(p[1]), ids, F.lit(p[2]), ids,
+                 F.lit(p[3]), ids, F.lit(p[4]), text2, F.lit(p[5])),
+        "UTF-8")
+    ext = html_text_df(d.select("doc_id", html.alias("html")))
+    uri = F.concat(F.lit("https://h"), (i % 50).cast("string"),
+                   F.lit(".example.org/p/"), ids)
+    wet = wet_serialize_df(
+        ext.select("doc_id", uri.alias("uri"),
+                   F.col("text_extracted").alias("text")),
+        "doc_id", "uri", "text")
+    back = warc_records(
+        wet.select(F.col("doc_id").alias("file_id"),
+                   F.col("wet").alias("warc")), exact=True)
+    j = wet.join(
+        back.select(F.col("file_id").alias("doc_id"), "warc_type",
+                    "target_uri", "content_length", "payload"),
+        "doc_id")
+    ok = ((F.col("warc_type") == "conversion")
+          & (F.col("content_length") == F.col("n_payload_bytes"))
+          & (F.col("payload") == F.regexp_extract(
+              F.col("wet"), r"(?s)\r\n\r\n(.*)\r\n\r\n$", 1)))
+    return j.select(
+        "doc_id", "n_payload_bytes",
+        hash56(F.col("wet")).alias("wet_h56"),
+        ok.alias("roundtrip_ok"),
+    )
+
+
+def _wet_export_sql() -> str:
+    from jsonschema_spark.operators.htmltext import html_text_sql
+
+    p = _HTML_P
+    build = (
+        f"'{p[0]}' || i || '{p[1]}' || i || '{p[2]}' || i || "
+        f"'{p[3]}' || i || '{p[4]}' || text2 || '{p[5]}'"
+    )
+    crlf = "chr(13) || chr(10)"
+    return f"""
+WITH h AS (SELECT doc_id, {build} AS html
+           FROM (SELECT doc_id, doc_id::VARCHAR AS i,
+                        CASE WHEN doc_id % 4 = 1 THEN text || ' café'
+                             ELSE text END AS text2
+                 FROM documents WHERE text IS NOT NULL)),
+e AS (SELECT doc_id, coalesce({html_text_sql('html')}, '') AS t FROM h),
+w AS (SELECT doc_id, strlen(t)::BIGINT AS n_payload_bytes,
+             'WARC/1.0' || {crlf} || 'WARC-Type: conversion' || {crlf}
+             || 'WARC-Target-URI: https://h' || (doc_id % 50)::VARCHAR
+             || '.example.org/p/' || doc_id::VARCHAR || {crlf}
+             || 'Content-Type: text/plain' || {crlf}
+             || 'Content-Length: ' || strlen(t)::VARCHAR
+             || {crlf} || {crlf} || t || {crlf} || {crlf} AS wet
+      FROM e)
+SELECT doc_id, n_payload_bytes, {_h56('wet')} AS wet_h56,
+       true AS roundtrip_ok
+FROM w"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: violation rows (reference short-circuit semantics) for the
     documents table at sf0.001."""
@@ -5263,6 +5341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reciprocity": q_host_reciprocity,
         "embedding_project": q_embedding_project,
         "epoch_plan": q_epoch_plan,
+        "wet_export": q_wet_export,
         "canonical_dedup": q_canonical_dedup,
         "url_hll_sketch": q_url_hll_sketch,
         "url_distinct_hll": q_url_distinct_hll,
@@ -5762,6 +5841,7 @@ def oracle_sql() -> dict[str, str]:
         "host_reciprocity": _host_reciprocity_sql(),
         "embedding_project": _embedding_project_sql(),
         "epoch_plan": _epoch_plan_sql(),
+        "wet_export": _wet_export_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
         "url_hll_sketch": _hll_sketch_sql(),
         "url_distinct_hll": _hll_distinct_sql(),

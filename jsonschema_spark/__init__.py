@@ -48,7 +48,11 @@ from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.fmt import fmt_check, format_schema
 from jsonschema_spark.plans.pyeval import validate_py
 from jsonschema_spark.sources.http_resolver import http_resolver, resolve_remote_refs
-from jsonschema_spark.sources.warc import warc_records
+from jsonschema_spark.sources.warc import (
+    warc_records,
+    wet_record,
+    wet_serialize_df,
+)
 from jsonschema_spark.operators.curate import (
     budget_sample,
     chunk_docs,
@@ -295,6 +299,8 @@ __all__ = [
     "pairwise_corr",
     "script_profile",
     "warc_records",
+    "wet_record",
+    "wet_serialize_df",
     "sitemap_entries",
     "quality_buckets",
     "public_suffix",

@@ -205,3 +205,48 @@ def _warc_records_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     src = df.select(F.col(id_col).alias("_fid"), F.col(text_col).alias("_txt"))
     return src.mapInPandas(run, _OUT_SCHEMA)
+
+
+# --- WET serialization (the Common-Crawl extracted-text sink) ------------
+
+
+def wet_record(uri: Column, text: Column, date: Column | None = None) -> Column:
+    """One WET ``conversion`` record string (the Common-Crawl WET shape):
+    version line, WARC-Type/Target-URI[/Date]/Content-Type headers, a
+    Content-Length counted in BYTES (octet_length — the spec's octet
+    count, not chars; DuckDB's strlen mirrors it exactly), blank line,
+    payload, record separator. Pure codegen concat — the engine WRITES
+    the same exchange format ``warc_records`` reads, so a WET export
+    round-trips through the exact (byte-walk) parser by construction."""
+    parts = [
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        uri,
+    ]
+    if date is not None:
+        parts += [F.lit("\r\nWARC-Date: "), date]
+    parts += [
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"), text, F.lit("\r\n\r\n"),
+    ]
+    return F.concat(*parts)
+
+
+def wet_serialize_df(
+    df: DataFrame,
+    id_col: str,
+    uri_col: str,
+    text_col: str,
+    date_col: str | None = None,
+) -> DataFrame:
+    """Per-page WET records: (id, wet, n_payload_bytes). Group into
+    shard files downstream with curate.shard_assign + concat — record
+    strings are self-framing, so any grouping is valid WET. NULL text
+    serializes as an empty payload (Content-Length: 0), never an error."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col),
+        wet_record(F.col(uri_col), text,
+                   F.col(date_col) if date_col else None).alias("wet"),
+        F.octet_length(text).cast("long").alias("n_payload_bytes"),
+    )

@@ -112,3 +112,69 @@ def test_lf_only_framing_and_warc_11(spark):
         rows = _collect(spark, [(1, f)], exact=exact)
         assert len(rows) == 1 and rows[0]["payload"] == "body"
         assert rows[0]["content_length"] == 4
+
+
+# --- WET serialization (write side) ----------------------------------------
+
+
+def test_wet_roundtrip_bytes_exact(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.sources.warc import warc_records, wet_serialize_df
+
+    df = spark.createDataFrame(
+        [(0, "https://a.org/x", "plain text"),
+         (1, "https://b.org/y", "café — naïve ünïcode"),
+         (2, "https://c.org/z", None),
+         (3, "https://d.org/w", "line1\nline2\r\nline3")],
+        "doc_id long, uri string, text string")
+    wet = wet_serialize_df(df, "doc_id", "uri", "text")
+    got = {r["doc_id"]: r for r in wet.collect()}
+    assert got[1]["n_payload_bytes"] == len(
+        "café — naïve ünïcode".encode())  # bytes, not chars
+    assert got[2]["n_payload_bytes"] == 0
+    back = {r["file_id"]: r for r in warc_records(
+        wet.select(F.col("doc_id").alias("file_id"),
+                   F.col("wet").alias("warc")), exact=True).collect()}
+    for i, (_, uri, text) in enumerate(
+            [tuple(r) for r in df.orderBy("doc_id").collect()]):
+        assert back[i]["warc_type"] == "conversion"
+        assert back[i]["target_uri"] == uri
+        assert back[i]["payload"] == (text or "")
+        assert back[i]["content_length"] == len((text or "").encode())
+
+
+def test_wet_sharded_file_parses_as_multirecord(spark):
+    """Concatenating per-page records (the shard_assign grouping) yields
+    a valid multi-record WET file for BOTH parser paths."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.sources.warc import warc_records, wet_serialize_df
+
+    df = spark.createDataFrame(
+        [(i, f"https://h.org/p{i}", f"text {i} body") for i in range(6)],
+        "doc_id long, uri string, text string")
+    wet = wet_serialize_df(df, "doc_id", "uri", "text")
+    one = wet.groupBy((F.col("doc_id") % 2).alias("file_id")).agg(
+        F.concat_ws("", F.array_sort(F.collect_list(
+            F.struct("doc_id", "wet"))).getField("wet")).alias("warc"))
+    for exact in (False, True):
+        recs = warc_records(one, exact=exact).collect()
+        assert len(recs) == 6
+        assert sorted(r["payload"] for r in recs) == sorted(
+            f"text {i} body" for i in range(6))
+
+
+def test_wet_date_header(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.sources.warc import warc_records, wet_serialize_df
+
+    df = spark.createDataFrame(
+        [(0, "https://a.org", "t", "2026-08-19T00:00:00Z")],
+        "doc_id long, uri string, text string, dt string")
+    wet = wet_serialize_df(df, "doc_id", "uri", "text", date_col="dt")
+    r = warc_records(wet.select(F.col("doc_id").alias("file_id"),
+                                F.col("wet").alias("warc")),
+                     exact=True).collect()[0]
+    assert r["warc_date"] == "2026-08-19T00:00:00Z"

@@ -5323,6 +5323,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return violations(df, DOCS_SCHEMA, id_cols=["doc_id"])
 
 
+def q_url_param_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn strip-safe query params from content-signature evidence
+    (urltools.url_param_policy). Fixture: 7 hosts × 13 paths; ``page``
+    changes the content signature, ``utm`` (present on 40% of urls)
+    never does, ``sess`` is a high-cardinality session id — the learner
+    must mark utm strip-safe, page content-bearing, and leave sess
+    below min_support. The oracle replays the full algorithm
+    (base-group construction with sorted residual params) in DuckDB."""
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.urltools import url_param_policy
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(i % 7), F.lit(".example.org"))
+    path = F.concat(F.lit("/p/"), s(i % 13))
+    url = F.concat(
+        F.lit("https://"), host, path, F.lit("?page="), s(i % 2),
+        F.when(i % 5 < 2, F.concat(F.lit("&utm="), s(i % 11)))
+        .otherwise(F.lit("")),
+        F.when(i % 17 == 0, F.concat(F.lit("&sess="), s(i)))
+        .otherwise(F.lit("")),
+    )
+    sig = hash56(F.concat(host, path, F.lit("#"), s(i % 2)))
+    rows = _docs(spark, sf_dir).select(url.alias("url"),
+                                       sig.cast("string").alias("sig"))
+    return url_param_policy(rows, "url", "sig")
+
+
+def _url_param_policy_sql() -> str:
+    sig = _h56("'h' || (doc_id % 7)::VARCHAR || '.example.org/p/' || "
+               "(doc_id % 13)::VARCHAR || '#' || (doc_id % 2)::VARCHAR")
+    return f"""
+WITH raw AS (
+  SELECT 'https://h' || (doc_id % 7)::VARCHAR || '.example.org/p/'
+         || (doc_id % 13)::VARCHAR || '?page=' || (doc_id % 2)::VARCHAR
+         || CASE WHEN doc_id % 5 < 2
+                 THEN '&utm=' || (doc_id % 11)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN '&sess=' || doc_id::VARCHAR ELSE '' END AS u,
+         {sig}::VARCHAR AS sig
+  FROM documents),
+pages AS (SELECT u, min(sig) AS sig FROM raw GROUP BY 1),
+parsed AS (SELECT u, sig,
+    regexp_extract(u, '^([^:/?#]+)://([^/?#:]*)', 2) AS host,
+    regexp_extract(u, '^([^?#]*)', 1) AS pre,
+    string_split(regexp_extract(u, '\\?([^#]*)', 1), '&') AS params
+  FROM pages WHERE regexp_extract(u, '\\?([^#]*)', 1) <> ''),
+keyed AS (SELECT u, sig, host, pre, params, kx.param
+  FROM parsed, LATERAL (SELECT unnest(list_distinct(list_transform(
+       params, x -> split_part(x, '=', 1)))) AS param) kx),
+based AS (SELECT host, param, u, sig,
+    -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join '' —
+    -- the round-3 trap; a NULL base would fuse every no-residual URL into
+    -- one bogus evidence group per (host,param)
+    pre || '|' || coalesce(array_to_string(list_sort(list_filter(
+      params, x -> split_part(x, '=', 1) <> param)), '&'), '') AS base
+  FROM keyed),
+grp AS (SELECT host, param, base,
+               count(DISTINCT u) AS n_urls, count(DISTINCT sig) AS n_sigs
+        FROM based GROUP BY 1, 2, 3),
+pol AS (SELECT host, param, count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN n_sigs = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_invariant
+        FROM grp WHERE n_urls >= 2 GROUP BY 1, 2)
+SELECT host, param, n_groups, n_invariant,
+       floor(n_invariant * 1000000.0 / n_groups)::BIGINT AS invariant_ppm,
+       (n_groups >= 3
+        AND floor(n_invariant * 1000000.0 / n_groups) >= 950000)
+         AS strip_safe
+FROM pol"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness gate, which attests
     # entries in dict order and may truncate by count/time budget.
@@ -5332,6 +5404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "url_param_policy": q_url_param_policy,
         "page_meta": q_page_meta,
         "mojibake_repair": q_mojibake_repair,
         "pack_sequences": q_pack_sequences,
@@ -5832,6 +5905,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_param_policy": _url_param_policy_sql(),
         "page_meta": _page_meta_sql(),
         "mojibake_repair": _mojibake_repair_sql(),
         "pack_sequences": _pack_sequences_sql(),

@@ -564,3 +564,90 @@ def recrawl_priority(
         "first_snap", "last_snap",
         F.col("_last.g").alias("last_sig"),
     )
+
+
+def url_param_policy(
+    df: DataFrame,
+    url_col: str = "url",
+    sig_col: str = "sig",
+    min_support: int = 3,
+    invariant_min_ppm: int = 950_000,
+) -> DataFrame:
+    """LEARN which query parameters are content-irrelevant (strip-safe)
+    from content-signature evidence — the crawl-canonicalization step
+    that turns ``?utm_source=…``/session-id noise into a per-host strip
+    rule instead of a hand-maintained blocklist (normalize_url's
+    TRACKING_RE covers only the universal offenders).
+
+    Method (the classic "learning URL rewrite rules from duplicate
+    content" setup, cf. Dasgupta/Kumar/Sasturkar, WWW 2008 — ours is the
+    evidence-counting core): for each (host, param) take every BASE
+    GROUP — URLs identical after removing that one param (other params
+    bytewise-sorted so order noise doesn't split groups) — having ≥2
+    distinct URL variants. The group is INVARIANT when all variants
+    share one content signature. A param is strip-safe for the host
+    when ≥ ``min_support`` evidence groups exist and ≥
+    ``invariant_min_ppm`` of them are invariant.
+
+    Input contract: ``sig_col`` is a content signature (hash of the
+    EXTRACTED text, not raw bytes, so ads/timestamps don't defeat the
+    invariance test — pair with htmltext + hash56 upstream); refetches
+    of one URL are collapsed to min(sig) first, so an unstable page
+    (sig churn across fetches) conservatively reads as one signature
+    per URL and cannot FAKE invariance across different URLs.
+
+    Output per (host, param): n_groups, n_invariant, invariant_ppm
+    (floor 1e6·n_invariant/n_groups), strip_safe boolean.
+
+    Scale shape: one pre-groupBy(url) collapse, ONE bounded explode
+    (distinct param keys per URL — a handful), two map-side-partial
+    groupBys keyed (host,param,base) then (host,param). The HOF
+    filter/sort runs over the per-row param array (≤ tens of elements);
+    no window, no self-join, no Python. At crawl scale the
+    (host,param,base) key is near-unique → partial aggregation shrinks
+    each group to one row per task before the shuffle."""
+    u = F.col(url_col)
+    pages = (
+        df.select(u.alias("_url"), F.col(sig_col).alias("_sig"))
+        .groupBy("_url").agg(F.min("_sig").alias("_sig"))
+    )
+    pre = F.regexp_extract(F.col("_url"), r"^([^?#]*)", 1)
+    qy = F.regexp_extract(F.col("_url"), r"\?([^#]*)", 1)
+    parsed = pages.select(
+        "_url", "_sig",
+        F.regexp_extract(F.col("_url"), _URL_RE, 2).alias("host"),
+        pre.alias("_pre"),
+        F.split(qy, "&").alias("_params"),
+    ).where(qy != "")
+    keys = parsed.select(
+        "_url", "_sig", "host", "_pre", "_params",
+        F.explode(F.array_distinct(F.transform(
+            F.col("_params"),
+            lambda p: F.substring_index(p, "=", 1),
+        ))).alias("param"),
+    )
+    others = F.filter(
+        F.col("_params"),
+        lambda p: F.substring_index(p, "=", 1) != F.col("param"),
+    )
+    based = keys.select(
+        "host", "param", "_url", "_sig",
+        F.concat(F.col("_pre"), F.lit("|"),
+                 F.array_join(F.array_sort(others), "&")).alias("_base"),
+    )
+    groups = based.groupBy("host", "param", "_base").agg(
+        F.countDistinct("_url").alias("_n_urls"),
+        F.countDistinct("_sig").alias("_n_sigs"),
+    ).where(F.col("_n_urls") >= 2)
+    pol = groups.groupBy("host", "param").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_n_sigs") == 1, 1).otherwise(0))
+        .cast("long").alias("n_invariant"),
+    )
+    ppm = F.floor(F.col("n_invariant") * 1_000_000 / F.col("n_groups"))
+    return pol.select(
+        "host", "param", "n_groups", "n_invariant",
+        ppm.cast("long").alias("invariant_ppm"),
+        ((F.col("n_groups") >= min_support)
+         & (ppm >= invariant_min_ppm)).alias("strip_safe"),
+    )

@@ -307,3 +307,52 @@ def test_recrawl_priority_partition_invariance(spark):
     a = sorted(map(tuple, recrawl_priority(df).collect()))
     b = sorted(map(tuple, recrawl_priority(df.repartition(17)).collect()))
     assert a == b and len(a) == 37
+
+
+def test_url_param_policy_hand_computed(spark):
+    from jsonschema_spark.operators.urltools import url_param_policy
+
+    rows = [
+        # utm is strip-safe on h1: 3 base groups, each 2 url variants
+        # differing only in utm, same content sig.
+        ("http://h1/a?page=1&utm=x", "A"),
+        ("http://h1/a?utm=y&page=1", "A"),      # param order noise
+        ("http://h1/a?page=2&utm=x", "B"),
+        ("http://h1/a?page=2&utm=z", "B"),
+        ("http://h1/b?page=1&utm=x", "C"),
+        ("http://h1/b?page=1&utm=y", "C"),
+        # page CHANGES content on h1: same base (minus page), sigs differ
+        # -> its groups are non-invariant. (The pairs above also give
+        # page evidence groups: {page=1,page=2} under base a?utm=x.)
+        # sess: only ONE evidence group -> below min_support.
+        ("http://h1/c?sess=1", "D"),
+        ("http://h1/c?sess=2", "D"),
+        # refetch of one url with sig churn must NOT fake invariance
+        ("http://h1/a?page=1&utm=x", "A2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, sig string")
+    got = {(r["host"], r["param"]): r
+           for r in url_param_policy(df, "url", "sig").collect()}
+    utm = got[("h1", "utm")]
+    assert (utm["n_groups"], utm["n_invariant"], utm["strip_safe"]) == \
+        (3, 3, True)
+    assert utm["invariant_ppm"] == 1000000
+    page = got[("h1", "page")]
+    assert page["strip_safe"] is False and page["n_invariant"] == 0
+    sess = got[("h1", "sess")]
+    assert (sess["n_groups"], sess["n_invariant"], sess["strip_safe"]) == \
+        (1, 1, False)  # invariant but support < 3
+
+
+def test_url_param_policy_partition_invariance(spark):
+    from jsonschema_spark.operators.urltools import url_param_policy
+
+    rows = [(f"http://h{i % 3}/p{i % 5}?page={i % 2}"
+             + (f"&utm={i % 7}" if i % 5 < 2 else "")
+             + (f"&sess={i}" if i % 11 == 0 else ""),
+             f"s{(i % 3, i % 5, i % 2)}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, sig string")
+    a = sorted(map(tuple, url_param_policy(df).collect()))
+    b = sorted(map(tuple, url_param_policy(df.repartition(13)).collect()))
+    assert a == b and len(a) >= 3

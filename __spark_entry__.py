@@ -5323,6 +5323,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return violations(df, DOCS_SCHEMA, id_cols=["doc_id"])
 
 
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007) trained
+    in-engine on the reference-domain subset (source src0-2) with
+    min_count=2 pruning — every tier one exact int64 division (0.4·x ≡
+    2x div 5), so the backoff-tier census and the ppm score hash-match
+    DuckDB bit-for-bit. Scoring: one explode → three broadcast joins →
+    one groupBy(doc)."""
+    from jsonschema_spark.operators.lm import stupid_backoff_score
+
+    d = _docs(spark, sf_dir)
+    ref = d.where(F.col("source").isin("src0", "src1", "src2"))
+    return stupid_backoff_score(d, "doc_id", "text", ref_df=ref,
+                                min_count=2)
+
+
+def _stupid_backoff_sql() -> str:
+    return f"""
+WITH reft AS (SELECT {{toks}} AS toks FROM documents
+              WHERE source IN {{refsrc}}),
+pos AS (SELECT toks[i] AS w1,
+               CASE WHEN i + 1 <= len(toks) THEN toks[i+1] END AS w2,
+               CASE WHEN i + 2 <= len(toks) THEN toks[i+2] END AS w3
+        FROM reft, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS i) ix),
+cc1 AS (SELECT w1 AS w, count(*)::BIGINT AS c1 FROM pos GROUP BY 1),
+cc2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pos
+        WHERE w2 IS NOT NULL GROUP BY 1, 2),
+cc3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM pos
+        WHERE w3 IS NOT NULL GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+nn AS (SELECT count(*)::BIGINT AS n FROM pos),
+t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+dtr AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) ix
+        WHERE len(toks) >= 3),
+sc AS (SELECT doc_id,
+        CASE WHEN tr.c3 IS NOT NULL THEN (1000000 * tr.c3) // x2.c2
+             WHEN bn.c2 IS NOT NULL THEN (2000000 * bn.c2) // (5 * x1.c1)
+             WHEN u.c1 IS NOT NULL
+               THEN (4000000 * u.c1) // (25 * (SELECT n FROM nn))
+             ELSE 0 END AS p,
+        CASE WHEN tr.c3 IS NOT NULL THEN 3
+             WHEN bn.c2 IS NOT NULL THEN 2
+             WHEN u.c1 IS NOT NULL THEN 1 ELSE 0 END AS tier
+     FROM dtr
+     LEFT JOIN cc3 tr ON tr.w1 = dtr.w1 AND tr.w2 = dtr.w2
+                     AND tr.w3 = dtr.w3
+     LEFT JOIN cc2 x2 ON x2.w1 = dtr.w1 AND x2.w2 = dtr.w2
+     LEFT JOIN (SELECT * FROM cc2 WHERE c2 >= 2) bn
+            ON bn.w1 = dtr.w2 AND bn.w2 = dtr.w3
+     LEFT JOIN cc1 x1 ON x1.w = dtr.w2
+     LEFT JOIN cc1 u ON u.w = dtr.w3),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n, sum(p)::BIGINT AS s,
+               sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END)::BIGINT AS t3,
+               sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END)::BIGINT AS t2,
+               sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END)::BIGINT AS t1,
+               sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END)::BIGINT AS t0
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(agg.n, 0)::BIGINT AS n_trigrams,
+       coalesce(agg.s // agg.n, 0)::BIGINT AS sb_score_ppm,
+       coalesce(agg.t3, 0)::BIGINT AS n_tier3,
+       coalesce(agg.t2, 0)::BIGINT AS n_tier2,
+       coalesce(agg.t1, 0)::BIGINT AS n_tier1,
+       coalesce(agg.t0, 0)::BIGINT AS n_oov
+FROM documents d LEFT JOIN agg USING (doc_id)""".format(
+        toks=_TOKS, refsrc=_REF_SRC)
+
+
 def q_url_param_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn strip-safe query params from content-signature evidence
     (urltools.url_param_policy). Fixture: 7 hosts × 13 paths; ``page``
@@ -5404,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "stupid_backoff": q_stupid_backoff,
         "url_param_policy": q_url_param_policy,
         "page_meta": q_page_meta,
         "mojibake_repair": q_mojibake_repair,
@@ -5905,6 +5972,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stupid_backoff": _stupid_backoff_sql(),
         "url_param_policy": _url_param_policy_sql(),
         "page_meta": _page_meta_sql(),
         "mojibake_repair": _mojibake_repair_sql(),

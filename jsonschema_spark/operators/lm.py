@@ -267,3 +267,159 @@ def dsir_weight(
         F.count("_w").alias("n_tokens"),
         F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("dsir_weight_ppm"),
     )
+
+
+def trigram_model(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Train the stupid-backoff trigram model (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale LM
+    whose whole point is that counts + backoff beat smoothing when the
+    corpus is the web).
+
+    Returns (tri, bi, uni, n_tokens):
+    - tri: (w1, w2, w3, c3, ctx2) — trigram count + its bigram-context
+      count, pre-joined so scoring needs no separate context lookup
+    - bi:  (w2, w3, bc2, ctx1) — bigram count keyed on the LAST two
+      scoring tokens + its unigram-context count
+    - uni: (w3, uc1)
+    - n_tokens: total reference token count (the unigram denominator)
+
+    ``min_count`` prunes the tri and bi NUMERATOR tables — count
+    monotonicity (c3 ≤ c2(w1,w2) ≤ c1(w1)) guarantees every kept
+    numerator's context survives the same cutoff, so pruning never
+    strands a lookup. Contexts (ctx2, ctx1) are attached UNPRUNED.
+
+    Scale shape: ONE explode of the reference corpus into NULL-padded
+    (w1, w2, w3) position triples (arrays_zip pads the shorter slices),
+    ONE groupBy to the distinct-padded-trigram table (checkpointed —
+    it is counts-sized, not corpus-sized), and every model table + N
+    derives from that table with map-side-partial aggregations."""
+    toks = ref_df.select(tokens(F.col(text_col)).alias("_toks"))
+    sz = F.size("_toks")
+    pos = toks.where(sz >= 1).select(
+        F.explode(
+            F.arrays_zip(
+                F.col("_toks").alias("w1"),
+                F.slice("_toks", 2, F.greatest(sz - 1, F.lit(0))).alias("w2"),
+                F.slice("_toks", 3, F.greatest(sz - 2, F.lit(0))).alias("w3"),
+            )
+        ).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3")
+    padded = pos.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).localCheckpoint(eager=True)
+    n_tokens = int(padded.agg(F.sum("_cnt")).collect()[0][0] or 0)
+    c1 = padded.groupBy("w1").agg(F.sum("_cnt").cast("long").alias("c1"))
+    c2 = padded.where(F.col("w2").isNotNull()).groupBy("w1", "w2").agg(
+        F.sum("_cnt").cast("long").alias("c2"))
+    c3 = padded.where(F.col("w3").isNotNull()).groupBy("w1", "w2", "w3").agg(
+        F.sum("_cnt").cast("long").alias("c3"))
+    if min_count > 1:
+        c3 = c3.where(F.col("c3") >= min_count)
+    tri = c3.join(c2.withColumnRenamed("c2", "ctx2"), ["w1", "w2"])
+    bi_num = c2.where(F.col("c2") >= min_count) if min_count > 1 else c2
+    bi = bi_num.join(
+        c1.withColumnRenamed("c1", "ctx1"), ["w1"]
+    ).select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+             F.col("c2").alias("bc2"), "ctx1")
+    uni = c1.select(F.col("w1").alias("w3"), F.col("c1").alias("uc1"))
+    return tri, bi, uni, n_tokens
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_df: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Score every document with a stupid-backoff trigram LM trained on
+    ``ref_df`` (Brants et al. 2007; fixed backoff α = 0.4):
+
+        S(w3 | w1 w2) = c3/ctx2            if the trigram was seen
+                      = 0.4·bc2/ctx1        elif the (w2,w3) bigram was
+                      = 0.16·uc1/N          elif w3 is in-vocabulary
+                      = 0                   else (OOV)
+
+    reported in integer ppm — 0.4·x ≡ (2·x) div 5 and 0.16·x ≡ (4·x)
+    div 25 keep EVERY tier one exact int64 division (no doubles, no
+    transcendental), so scores are bit-stable across engines. Int
+    contract: 4e6·count < 2⁶³ → reference corpora to ~2.3e12 tokens.
+
+    Output per document: n_trigrams (scored positions: doc length − 2),
+    sb_score_ppm = (Σ tier scores) div n_trigrams, and the backoff-tier
+    census (n_tier3, n_tier2, n_tier1, n_oov) — the census is the
+    CCNet-style quality signal in itself (fluent prose hits tier 3;
+    gibberish drowns in tier 1/OOV). Docs under 3 tokens score 0.
+
+    Scale shape: scoring is one explode into (w1,w2,w3) triples + THREE
+    broadcast left joins (model tables are count-pruned via
+    ``min_count``; at crawl scale set it so they fit executor memory —
+    pruned n-grams fall through to the next tier, which is exactly the
+    stupid-backoff contract) + one map-side-partial groupBy(doc). The
+    corpus itself never shuffles."""
+    ref = ref_df if ref_df is not None else df
+    tri, bi, uni, n = trigram_model(
+        ref, ref_text_col or text_col, min_count=min_count)
+    toks = _doc_tokens(df, id_col, text_col)
+    sz = F.size("_toks")
+    trips = toks.select(
+        id_col,
+        F.when(
+            sz >= 3,
+            F.arrays_zip(
+                F.slice("_toks", 1, sz - 2).alias("w1"),
+                F.slice("_toks", 2, sz - 2).alias("w2"),
+                F.slice("_toks", 3, sz - 2).alias("w3"),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+        ).alias("_tgs"),
+    ).select(id_col, F.explode_outer("_tgs").alias("tg")).select(
+        id_col, F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"), F.col("tg.w3").alias("w3"),
+    )
+    joined = (
+        trips
+        .join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(bi), ["w2", "w3"], "left")
+        .join(F.broadcast(uni), ["w3"], "left")
+    )
+    sentinel = F.col("w1").isNull()  # explode_outer row for short docs
+    p = (
+        F.when(sentinel, F.lit(None).cast("long"))
+        .when(F.col("c3").isNotNull(),
+              F.expr("(1000000 * c3) div ctx2"))
+        .when(F.col("bc2").isNotNull(),
+              F.expr("(2000000 * bc2) div (5 * ctx1)"))
+        .when(F.col("uc1").isNotNull(),
+              F.expr(f"(4000000 * uc1) div (25 * {max(n, 1)})"))
+        .otherwise(F.lit(0))
+    )
+    tier = (
+        F.when(sentinel, F.lit(None).cast("int"))
+        .when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("bc2").isNotNull(), F.lit(2))
+        .when(F.col("uc1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    scored = joined.select(id_col, p.alias("_p"), tier.alias("_tier"))
+
+    def _n_tier(t: int):
+        return F.sum(F.when(F.col("_tier") == t, 1).otherwise(0)) \
+            .cast("long")
+
+    return scored.groupBy(id_col).agg(
+        F.count("_p").cast("long").alias("n_trigrams"),
+        F.coalesce(
+            F.expr("sum(_p) div greatest(count(_p), 1)"), F.lit(0)
+        ).cast("long").alias("sb_score_ppm"),
+        _n_tier(3).alias("n_tier3"),
+        _n_tier(2).alias("n_tier2"),
+        _n_tier(1).alias("n_tier1"),
+        _n_tier(0).alias("n_oov"),
+    )

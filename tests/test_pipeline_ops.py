@@ -2195,3 +2195,58 @@ def test_epoch_plan_equal_split_and_validation(spark):
                for r in got.values())
     with _pytest.raises(ValueError):
         epoch_plan(df, "src", "n", token_budget=-1)
+
+
+def test_stupid_backoff_hand_computed(spark):
+    from jsonschema_spark.operators.lm import stupid_backoff_score
+
+    # ref corpus: uni a:3 b:3 c:2 d:1 (N=9); bi ab:3 bc:2 ca:1 bd:1;
+    # tri abc:2 bca:1 cab:1 abd:1
+    ref = spark.createDataFrame(
+        [(100, "a b c a b c"), (101, "a b d")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"),        # tier3: 1e6*2 div c2(ab)=3 -> 666666
+         (2, "b c d"),        # tier1: 4e6*c1(d)=1 div 25*9 -> 17777
+         (3, "a b x"),        # OOV: 0
+         (4, "c a b d"),      # tri cab: 1e6 div c2(ca)=1; abd: 1e6 div 3
+         (5, "a b")],         # too short: 0 trigrams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in stupid_backoff_score(docs, "doc_id", "text",
+                                         ref_df=ref).collect()}
+    assert (out[1]["n_trigrams"], out[1]["sb_score_ppm"],
+            out[1]["n_tier3"]) == (1, 666666, 1)
+    assert (out[2]["sb_score_ppm"], out[2]["n_tier1"]) == (17777, 1)
+    assert (out[3]["sb_score_ppm"], out[3]["n_oov"]) == (0, 1)
+    assert (out[4]["n_trigrams"], out[4]["sb_score_ppm"],
+            out[4]["n_tier3"]) == (2, 666666, 2)  # (1000000+333333) div 2
+    assert (out[5]["n_trigrams"], out[5]["sb_score_ppm"]) == (0, 0)
+
+
+def test_stupid_backoff_min_count_backoff_tiers(spark):
+    from jsonschema_spark.operators.lm import stupid_backoff_score
+
+    ref = spark.createDataFrame(
+        [(100, "a b c a b c"), (101, "a b d")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(4, "c a b d")], "doc_id long, text string")
+    # min_count=2 prunes tri cab/abd and bi bd -> (c,a,b) falls to
+    # bigram ab: (2e6*3) div (5*c1(a)=3*5) = 400000; (a,b,d) falls to
+    # unigram d: 4e6 div 225 = 17777
+    r = stupid_backoff_score(docs, "doc_id", "text", ref_df=ref,
+                             min_count=2).collect()[0]
+    assert (r["n_tier3"], r["n_tier2"], r["n_tier1"]) == (0, 1, 1)
+    assert r["sb_score_ppm"] == (400000 + 17777) // 2
+
+
+def test_stupid_backoff_partition_invariance(spark):
+    from jsonschema_spark.operators.lm import stupid_backoff_score
+
+    rows = [(i, " ".join(f"w{(i * j) % 23}" for j in range(i % 9)))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple,
+                   stupid_backoff_score(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, stupid_backoff_score(
+        docs.repartition(13), "doc_id", "text").collect()))
+    assert a == b and len(a) == 120

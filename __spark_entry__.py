@@ -5323,6 +5323,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return violations(df, DOCS_SCHEMA, id_cols=["doc_id"])
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded TrustRank (Gyöngyi et al. VLDB 2004) over the
+    quadratic-residue host lattice (src h(i%40) → dst h((i²+1)%40),
+    multi-edges kept as weight) with h0-h2 as the trusted seed set —
+    trust attenuates with link distance from the seeds; integer-ppm
+    arithmetic makes the 3-iteration fixpoint bit-stable."""
+    from jsonschema_spark.operators.linkgraph import trustrank_df
+
+    i = F.col("doc_id")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"),  # noqa: E731
+                           F.lit(".example.org"))
+    edges = _docs(spark, sf_dir).select(
+        h(i % 40).alias("src_host"),
+        h((i * i + 1) % 40).alias("dst_host"),
+    ).where(F.col("src_host") != F.col("dst_host"))
+    seeds = spark.createDataFrame(
+        [("h0.example.org",), ("h1.example.org",), ("h2.example.org",)],
+        "host string")
+    return trustrank_df(edges, seeds, n_iter=3)
+
+
+def _trustrank_sql() -> str:
+    from jsonschema_spark.operators.linkgraph import trustrank_sql
+
+    edges_cte = (
+        "SELECT 'h' || (doc_id % 40)::VARCHAR || '.example.org' AS src_host,"
+        " 'h' || ((doc_id * doc_id + 1) % 40)::VARCHAR || '.example.org'"
+        " AS dst_host FROM documents"
+        " WHERE (doc_id % 40) <> ((doc_id * doc_id + 1) % 40)")
+    seeds_cte = ("SELECT * FROM (VALUES ('h0.example.org'),"
+                 " ('h1.example.org'), ('h2.example.org')) t(host)")
+    return trustrank_sql(edges_cte, seeds_cte, n_iter=3)
+
+
 def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram LM scoring (Brants et al. 2007) trained
     in-engine on the reference-domain subset (source src0-2) with
@@ -5470,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "trustrank": q_trustrank,
         "stupid_backoff": q_stupid_backoff,
         "url_param_policy": q_url_param_policy,
         "page_meta": q_page_meta,
@@ -5972,6 +6007,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "trustrank": _trustrank_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
         "url_param_policy": _url_param_policy_sql(),
         "page_meta": _page_meta_sql(),

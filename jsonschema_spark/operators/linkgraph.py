@@ -374,3 +374,92 @@ def host_reciprocity(edges: DataFrame) -> DataFrame:
         F.floor(n_recip * 1_000_000 / F.col("n_out")).cast("long")
         .alias("recip_ppm"),
     )
+
+
+def trustrank_df(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed-iteration integer TrustRank (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004): PageRank whose teleport mass goes ONLY to a
+    hand-vetted trusted seed set, so trust attenuates with link
+    distance from the seeds and link-farm islands get none. The spam
+    signal downstream is high host_rank with low trustrank.
+
+    ``seeds`` is a one-column (host) DataFrame — at web scale a few
+    hundred curated hosts, always broadcastable. Same integer-ppm
+    arithmetic contract as ``host_rank_df`` (seed nodes start at 1e6
+    and receive the 150000-ppm teleport base; everyone else starts at
+    0 and inherits trust only through in-links: rank = base_seed +
+    (85·inmass) div 100, inmass = Σ rank div outdeg); per-iteration
+    localCheckpoint cuts the lineage, edges carry their outdeg so
+    iterations only ever join on the rank table."""
+    seed_flag = seeds.select(
+        F.col(seeds.columns[0]).alias("host"), F.lit(1).alias("_seed"))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+        .join(F.broadcast(seed_flag), "host", "left")
+        .select("host", F.coalesce("_seed", F.lit(0)).alias("_seed"))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("src_host").agg(F.count("*").alias("deg"))
+    ed = edges.join(outdeg, "src_host").localCheckpoint(eager=False)
+
+    base = (F.col("_seed") * BASE_PPM).cast("long")
+    ranks = nodes.select(
+        "host", (F.col("_seed") * 1_000_000).cast("long").alias("trust_ppm"))
+    for _ in range(n_iter):
+        inmass = (
+            ed.join(ranks, ed.src_host == ranks.host)
+            .select(F.col("dst_host").alias("host"),
+                    F.expr("trust_ppm div deg").alias("share"))
+            .groupBy("host")
+            .agg(F.sum("share").alias("m"))
+        )
+        ranks = (
+            nodes.join(inmass, "host", "left")
+            .select(
+                "host",
+                (base + F.expr(f"({DAMP_PCT} * coalesce(m, 0L)) div 100")
+                 ).cast("long").alias("trust_ppm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def trustrank_sql(edges_cte: str, seeds_cte: str, n_iter: int = 3) -> str:
+    """DuckDB mirror of ``trustrank_df`` — unrolled iterations of the
+    same integer formula. ``seeds_cte`` must produce one column
+    ``host``."""
+    parts = [
+        f"e AS ({edges_cte})",
+        f"sd AS ({seeds_cte})",
+        # graph nodes only — a seed host absent from the graph gets no row,
+        # matching the Spark side (nodes derive from edges, seeds left-join)
+        "n AS (SELECT g.host, CASE WHEN sd.host IS NOT NULL THEN 1 ELSE 0 "
+        "END AS s FROM (SELECT DISTINCT host FROM ("
+        "SELECT src_host AS host FROM e UNION ALL SELECT dst_host FROM e"
+        ")) g LEFT JOIN sd ON g.host = sd.host)",
+        "od AS (SELECT src_host, count(*)::BIGINT AS deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT host, (s * 1000000)::BIGINT AS r FROM n)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"m{t} AS (SELECT e.dst_host AS host, "
+            f"sum(r{t-1}.r // od.deg)::BIGINT AS m "
+            f"FROM e JOIN r{t-1} ON e.src_host = r{t-1}.host "
+            f"JOIN od ON e.src_host = od.src_host GROUP BY 1)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT n.host, "
+            f"(n.s * {BASE_PPM} + ({DAMP_PCT} * coalesce(m{t}.m, 0)) // 100)"
+            f"::BIGINT AS r FROM n LEFT JOIN m{t} USING (host))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT host, r AS trust_ppm FROM r{n_iter}"
+    )

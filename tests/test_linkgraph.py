@@ -160,3 +160,54 @@ def test_host_reciprocity(spark):
     assert got["c"] == (2, 1, 500000)
     assert got["d"] == (1, 1, 1000000)
     assert "e" not in got  # only edge was a self-loop
+
+
+def test_trustrank_hand_computed(spark):
+    from jsonschema_spark.operators.linkgraph import trustrank_df
+
+    # edges: a->b, b->a, a->c; seeds={a}; outdeg a=2, b=1
+    # r0: a=1e6, b=c=0
+    # iter1: inmass b=c=500000 (from a), a=0 (b holds 0)
+    #   a = 150000 + 0 = 150000; b = c = 0 + 425000 = 425000
+    # iter2: a's share 75000 -> b,c; b->a 425000; c leaks
+    #   a = 150000 + (85*425000)//100 = 511250
+    #   b = c = 0 + (85*75000)//100 = 63750
+    edges = _tiny_edges(spark)
+    seeds = spark.createDataFrame([("a",)], "host string")
+    got = {r["host"]: r["trust_ppm"]
+           for r in trustrank_df(edges, seeds, n_iter=2).collect()}
+    assert got == {"a": 511250, "b": 63750, "c": 63750}
+
+
+def test_trustrank_matches_duckdb_mirror(spark):
+    from jsonschema_spark.operators.linkgraph import (trustrank_df,
+                                                      trustrank_sql)
+
+    edges = _tiny_edges(spark)
+    # seed 'z' is NOT in the graph: must contribute nothing and emit no row
+    seeds = spark.createDataFrame([("a",), ("z",)], "host string")
+    spark_ranks = sorted(
+        (r["host"], r["trust_ppm"])
+        for r in trustrank_df(edges, seeds, n_iter=4).collect())
+    edges_cte = ("SELECT * FROM (VALUES ('a','b'), ('b','a'), ('a','c'))"
+                 " t(src_host, dst_host)")
+    seeds_cte = "SELECT * FROM (VALUES ('a'), ('z')) t(host)"
+    duck = duckdb.sql(trustrank_sql(edges_cte, seeds_cte, n_iter=4)
+                      + " ORDER BY host").fetchall()
+    assert spark_ranks == [(h, int(r)) for h, r in duck]
+    assert all(h != "z" for h, _ in spark_ranks)
+
+
+def test_trustrank_spam_island_gets_zero(spark):
+    from jsonschema_spark.operators.linkgraph import trustrank_df
+
+    # trusted component a<->b plus a disconnected link farm s1<->s2:
+    # the farm ranks HIGH on plain PageRank but gets ZERO trust.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("s1", "s2"), ("s2", "s1")],
+        "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("a",)], "host string")
+    got = {r["host"]: r["trust_ppm"]
+           for r in trustrank_df(edges, seeds, n_iter=3).collect()}
+    assert got["s1"] == 0 and got["s2"] == 0
+    assert got["a"] > 0 and got["b"] > 0

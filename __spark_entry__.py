@@ -5323,6 +5323,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return violations(df, DOCS_SCHEMA, id_cols=["doc_id"])
 
 
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing over REAL container bytes: synthetic
+    PNG/GIF/JPEG/WAV/MP4 headers (synth_media_bytes) with pdf/gzip/zip/
+    garbage payloads planted on doc_id%10 ∈ {9,8,7,6} — the Spark side
+    reads the bytes (pure codegen hex CASE, no UDF); the oracle
+    recomputes the answer arithmetically from doc_id, so a sniffer
+    regression breaks the hash."""
+    from jsonschema_spark.operators.multimodal import (media_from_documents,
+                                                       sniff_mime)
+
+    media = media_from_documents(_docs(spark, sf_dir), payload="media")
+    i = F.col("media_id")
+    pay = (
+        F.when(i % 10 == 9, F.unhex(F.lit("255044462D312E35")))
+        .when(i % 10 == 8, F.unhex(F.lit("1F8B080000000000")))
+        .when(i % 10 == 7, F.unhex(F.lit("504B030414000600")))
+        .when(i % 10 == 6, F.unhex(F.lit("DEADBEEF")))
+        .otherwise(F.col("payload"))
+    )
+    return media.select("media_id", sniff_mime(pay).alias("mime"))
+
+
+def _mime_sniff_sql() -> str:
+    return """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 10 = 9 THEN 'application/pdf'
+            WHEN doc_id % 10 = 8 THEN 'application/gzip'
+            WHEN doc_id % 10 = 7 THEN 'application/zip'
+            WHEN doc_id % 10 = 6 THEN 'application/octet-stream'
+            WHEN doc_id % 3 = 1 THEN 'audio/x-wav'
+            WHEN doc_id % 3 = 2 THEN 'video/mp4'
+            WHEN (doc_id % 9) // 3 = 0 THEN 'image/png'
+            WHEN (doc_id % 9) // 3 = 1 THEN 'image/gif'
+            ELSE 'image/jpeg' END AS mime
+FROM documents"""
+
+
 def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded TrustRank (Gyöngyi et al. VLDB 2004) over the
     quadratic-residue host lattice (src h(i%40) → dst h((i²+1)%40),
@@ -5504,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "mime_sniff": q_mime_sniff,
         "trustrank": q_trustrank,
         "stupid_backoff": q_stupid_backoff,
         "url_param_policy": q_url_param_policy,
@@ -6007,6 +6045,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mime_sniff": _mime_sniff_sql(),
         "trustrank": _trustrank_sql(),
         "stupid_backoff": _stupid_backoff_sql(),
         "url_param_policy": _url_param_policy_sql(),

@@ -340,3 +340,50 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
         payload_col.alias("payload"),
         F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
     )
+
+
+def sniff_mime(col: Column) -> Column:
+    """Magic-byte MIME sniffing as a PURE COLUMN EXPRESSION — the
+    content-type gate a multimodal ingest runs before routing payloads
+    to decoders (server-reported Content-Type headers lie; the bytes
+    don't). One F.hex over the first 16 bytes, then a codegen CASE
+    chain over hex prefixes — zero Python, zero shuffles, no UDF.
+
+    Detects: PNG, GIF (87a/89a), JPEG, RIFF-WAVE (audio/x-wav),
+    RIFF-WEBP, ISO-BMFF ftyp (video/mp4), PDF, gzip, zip. Everything
+    else (including empty payloads) → application/octet-stream; NULL
+    payload → NULL. Container-before-codec caveat documented: a .docx
+    is a zip and sniffs as one — that is what the bytes say."""
+    hx = F.hex(F.substring(col, 1, 16))
+
+    def pre(p: str) -> Column:
+        return hx.startswith(p)
+
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(pre("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(pre("474946383761") | pre("474946383961"), F.lit("image/gif"))
+        .when(pre("FFD8FF"), F.lit("image/jpeg"))
+        .when(pre("52494646") & (F.substring(hx, 17, 8) == "57415645"),
+              F.lit("audio/x-wav"))
+        .when(pre("52494646") & (F.substring(hx, 17, 8) == "57454250"),
+              F.lit("image/webp"))
+        .when(F.substring(hx, 9, 8) == "66747970", F.lit("video/mp4"))
+        .when(pre("25504446"), F.lit("application/pdf"))
+        .when(pre("1F8B"), F.lit("application/gzip"))
+        .when(pre("504B0304"), F.lit("application/zip"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def mime_profile_df(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Corpus MIME census: sniff every payload, ONE groupBy(mime) with
+    map-side partials — the table you consult before sizing decoder
+    fleets. Columns: (mime, n, total_bytes)."""
+    return df.select(
+        sniff_mime(F.col(payload_col)).alias("mime"),
+        F.octet_length(F.col(payload_col)).cast("long").alias("_sz"),
+    ).groupBy("mime").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_sz").cast("long").alias("total_bytes"),
+    )

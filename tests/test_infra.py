@@ -939,3 +939,50 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         batch, "user_id", "ts", gap="5 minutes", value_col="value").collect()
         if r["user_id"] != 99}
     assert got == want and len(want) > 5
+
+
+def test_sniff_mime_magic_bytes(spark):
+    """Hand-built magic prefixes for every detected format, plus the
+    synthetic container headers, the garbage/empty/NULL fallthroughs and
+    the container-before-codec zip case."""
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.operators.multimodal import (sniff_mime,
+                                                       synth_media_bytes)
+
+    rows = [
+        (1, synth_media_bytes(0), "image/png"),
+        (2, synth_media_bytes(3), "image/gif"),
+        (3, synth_media_bytes(6), "image/jpeg"),
+        (4, synth_media_bytes(1), "audio/x-wav"),
+        (5, synth_media_bytes(2), "video/mp4"),
+        (6, b"%PDF-1.5 blah", "application/pdf"),
+        (7, b"\x1f\x8b\x08rest", "application/gzip"),
+        (8, b"PK\x03\x04docx-is-a-zip", "application/zip"),
+        (9, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (10, b"\xde\xad\xbe\xef", "application/octet-stream"),
+        (11, b"", "application/octet-stream"),
+        (12, None, None),
+        # truncated magic must NOT match (png prefix cut short)
+        (13, b"\x89PNG\r\n", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], "media_id long, payload binary")
+    got = {r["media_id"]: r["mime"]
+           for r in df.select("media_id",
+                              sniff_mime(F.col("payload")).alias("mime"))
+           .collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_mime_profile_census(spark):
+    from jsonschema_spark.operators.multimodal import mime_profile_df
+
+    df = spark.createDataFrame(
+        [(b"%PDF-x",), (b"%PDF-yy",), (b"\xde\xad",)],
+        "payload binary")
+    got = {r["mime"]: (r["n"], r["total_bytes"])
+           for r in mime_profile_df(df).collect()}
+    assert got["application/pdf"] == (2, 13)
+    assert got["application/octet-stream"] == (1, 2)

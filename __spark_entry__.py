@@ -5323,6 +5323,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return violations(df, DOCS_SCHEMA, id_cols=["doc_id"])
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/FastCDC lineage): boundaries open
+    where the 3-token gram hash ≡ 0 mod 16, chunks are the
+    insertion-robust unit of storage dedup. Every chunk row (position,
+    length, portable chunk hash) attested against a DuckDB replay of
+    the identical cumsum-over-boundary-flags construction."""
+    from jsonschema_spark.operators.dedup import cdc_chunks_df
+
+    return cdc_chunks_df(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _cdc_chunks_sql() -> str:
+    gram = "toks[j0+1] || ' ' || toks[j0+2] || ' ' || toks[j0+3]"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, j - 1 AS j0, toks[j] AS tok, len(toks) AS L, toks
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS j) ix),
+fl AS (SELECT doc_id, j0, tok,
+         CASE WHEN j0 > 0 AND j0 + 3 <= L
+              AND {_h56(gram)} % 16 = 0
+              THEN 1 ELSE 0 END AS bf
+       FROM tok),
+ck AS (SELECT doc_id, j0, tok,
+              sum(bf) OVER (PARTITION BY doc_id ORDER BY j0) AS chunk_id
+       FROM fl)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       min(j0)::BIGINT AS start_tok, count(*)::BIGINT AS n_toks,
+       {_h56("string_agg(tok, ' ' ORDER BY j0)")} AS chunk_hash
+FROM ck GROUP BY 1, 2"""
+
+
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte MIME sniffing over REAL container bytes: synthetic
     PNG/GIF/JPEG/WAV/MP4 headers (synth_media_bytes) with pdf/gzip/zip/
@@ -5443,7 +5474,7 @@ sc AS (SELECT doc_id,
      LEFT JOIN (SELECT * FROM cc2 WHERE c2 >= 2) bn
             ON bn.w1 = dtr.w2 AND bn.w2 = dtr.w3
      LEFT JOIN cc1 x1 ON x1.w = dtr.w2
-     LEFT JOIN cc1 u ON u.w = dtr.w3),
+     LEFT JOIN (SELECT * FROM cc1 WHERE c1 >= 2) u ON u.w = dtr.w3),
 agg AS (SELECT doc_id, count(*)::BIGINT AS n, sum(p)::BIGINT AS s,
                sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END)::BIGINT AS t3,
                sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END)::BIGINT AS t2,
@@ -5541,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
         "trustrank": q_trustrank,
         "stupid_backoff": q_stupid_backoff,
@@ -6045,6 +6077,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),
         "trustrank": _trustrank_sql(),
         "stupid_backoff": _stupid_backoff_sql(),

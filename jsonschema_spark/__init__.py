@@ -73,6 +73,8 @@ from jsonschema_spark.operators.curate import (
 )
 from jsonschema_spark.operators.dedup import (
     auto_rows_per_band,
+    cdc_chunk_stats,
+    cdc_chunks_df,
     cross_corpus_lsh_pairs,
     dedup_against_corpus,
     dedup_clusters,
@@ -160,6 +162,7 @@ from jsonschema_spark.operators.urltools import (
     recrawl_priority,
     snapshot_delta_df,
     url_dedup_df,
+    url_param_policy,
 )
 from jsonschema_spark.operators.htmltext import (
     canonical_dedup_df,
@@ -179,8 +182,10 @@ from jsonschema_spark.operators.linkgraph import (
     link_stats_df,
     host_rank_df,
     link_edges_df,
+    trustrank_df,
 )
-from jsonschema_spark.operators.lm import dsir_weight, ngram_lm_score
+from jsonschema_spark.operators.lm import (dsir_weight, ngram_lm_score,
+                                           stupid_backoff_score)
 from jsonschema_spark.operators.binpack import (
     binpack_decode,
     binpack_encode,
@@ -283,6 +288,11 @@ __all__ = [
     "frontier_interleave",
     "recrawl_priority",
     "host_reciprocity",
+    "url_param_policy",
+    "cdc_chunks_df",
+    "cdc_chunk_stats",
+    "trustrank_df",
+    "stupid_backoff_score",
     "extract_links",
     "link_edges_df",
     "host_rank_df",

@@ -1204,3 +1204,90 @@ def dedup_keep_latest(
         *[F.col(f"_top.{c}").alias(c) for c in ordered],
         "n_versions",
     )
+
+
+def cdc_chunks_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_n: int = 3,
+    boundary_div: int = 16,
+) -> DataFrame:
+    """Content-defined chunking over token streams (the LBFS recipe —
+    Muthitacharoen et al., SOSP 2001 — that FastCDC/Venti storage dedup
+    descends from): a chunk boundary opens at every token position p>0
+    whose ``gram_n``-token window hashes to 0 mod ``boundary_div``, so
+    boundaries are CONTENT-LOCAL — inserting one token early in a
+    document shifts only the chunk it lands in; every later chunk keeps
+    its identity, which is exactly what fixed-width ``chunk_docs``
+    cannot do and why CDC is the insertion-robust unit for chunk-level
+    corpus dedup. Expected chunk length ≈ ``boundary_div`` tokens.
+
+    Output one row per chunk: (id_col, chunk_id, start_tok, n_toks,
+    chunk_hash) — chunk_id is the 0-based running index inside the doc,
+    start_tok the 0-based first-token position, chunk_hash the portable
+    md5-56 of the space-joined tokens (cross-doc equal chunks collide
+    on purpose; dedupe/count on it). Docs shorter than ``gram_n``
+    tokens are one chunk; empty docs emit no row.
+
+    Scale shape: boundary flags are computed ARRAY-SIDE (one
+    interpreted transform pass over the gram array), then ONE
+    posexplode into (doc, pos, tok, flag) rows, ONE per-doc window
+    cumsum (partitioned on the high-cardinality doc key, never global)
+    and ONE groupBy(doc, chunk) whose map-side partials collapse tokens
+    to chunk rows. The text column never rides the shuffle — only
+    (doc_id, pos, token) triples do."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    grams = span_grams_from_tokens(toks, gram_n)
+    flags = F.transform(
+        grams,
+        lambda g, p: ((p > 0) & (hash56(g) % boundary_div == 0))
+        .cast("int"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.arrays_zip(toks.alias("tok"), flags.alias("bf"))),
+    ).select(
+        "_id", F.col("pos").alias("_j"), F.col("col.tok").alias("_tok"),
+        F.coalesce("col.bf", F.lit(0)).alias("_bf"),
+    )
+    w = Window.partitionBy("_id").orderBy("_j") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = base.select(
+        "_id", "_j", "_tok", F.sum("_bf").over(w).alias("_chunk"))
+    return rows.groupBy("_id", "_chunk").agg(
+        F.min("_j").cast("long").alias("start_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        hash56(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("_j", "_tok"))),
+            lambda s: s["_tok"]), " ")).alias("chunk_hash"),
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_chunk").cast("long").alias("chunk_id"),
+        "start_tok", "n_toks", "chunk_hash",
+    )
+
+
+def cdc_chunk_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus chunk-dedup ledger over ``cdc_chunks_df`` output — the
+    storage-dedup measurement: ONE aggregation. dup_chunk_ppm is the
+    fraction of chunk instances whose content occurs elsewhere in the
+    corpus (1e6·(n_chunks − n_distinct)/n_chunks); dup_token_ppm weighs
+    by chunk length (tokens you would NOT store under
+    dedup-by-chunk-hash)."""
+    per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("n_toks").alias("_t"),
+        F.max("n_toks").alias("_t1"),
+    )
+    return per_hash.agg(
+        F.sum("_m").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+        F.floor((F.sum("_m") - F.count(F.lit(1))) * 1_000_000
+                / F.sum("_m")).cast("long").alias("dup_chunk_ppm"),
+        F.floor((F.sum("_t") - F.sum("_t1")) * 1_000_000
+                / F.sum("_t")).cast("long").alias("dup_token_ppm"),
+    )

@@ -287,36 +287,48 @@ def trigram_model(
     - uni: (w3, uc1)
     - n_tokens: total reference token count (the unigram denominator)
 
-    ``min_count`` prunes the tri and bi NUMERATOR tables — count
-    monotonicity (c3 ≤ c2(w1,w2) ≤ c1(w1)) guarantees every kept
-    numerator's context survives the same cutoff, so pruning never
-    strands a lookup. Contexts (ctx2, ctx1) are attached UNPRUNED.
+    ``min_count`` prunes ALL THREE numerator tables (uni included —
+    the open-vocabulary tail of a crawl otherwise grows the broadcast
+    unigram table with corpus size; a pruned rare unigram falls through
+    to OOV, the standard count-cutoff contract). Count monotonicity
+    (c3 ≤ c2(w1,w2) ≤ c1(w1)) guarantees every kept numerator's
+    CONTEXT row survives the same cutoff, so pruning never strands a
+    lookup; context VALUES (ctx2, ctx1) are attached from the unpruned
+    aggregates (identical numbers — pruning drops rows, not counts).
 
-    Scale shape: ONE explode of the reference corpus into NULL-padded
-    (w1, w2, w3) position triples (arrays_zip pads the shorter slices),
-    ONE groupBy to the distinct-padded-trigram table (checkpointed —
-    it is counts-sized, not corpus-sized), and every model table + N
-    derives from that table with map-side-partial aggregations."""
+    Scale shape: each count table derives from its own MINIMAL explode
+    (uni/bi/tri positions) with map-side-partial count aggregation, and
+    N is one ``sum(size(tokens))`` scan with no explode at all — the
+    model build is a handful of linear passes over the reference corpus
+    and NOTHING corpus-sized is materialized, checkpointed or pinned
+    (the first draft checkpointed the unpruned padded-trigram table —
+    distinct trigrams grow with the corpus on an open vocabulary, and
+    the 4M-doc scale point OOMed exactly there; count shuffles instead
+    spill gracefully when shuffle partitions are sized to the sort).
+    The unpruned bigram aggregation is consumed twice (ctx2 source +
+    numerator) and recomputes rather than persisting — two extra scans
+    beat an O(distinct-bigrams) resident table."""
     toks = ref_df.select(tokens(F.col(text_col)).alias("_toks"))
     sz = F.size("_toks")
-    pos = toks.where(sz >= 1).select(
-        F.explode(
-            F.arrays_zip(
-                F.col("_toks").alias("w1"),
-                F.slice("_toks", 2, F.greatest(sz - 1, F.lit(0))).alias("w2"),
-                F.slice("_toks", 3, F.greatest(sz - 2, F.lit(0))).alias("w3"),
-            )
-        ).alias("tg")
-    ).select("tg.w1", "tg.w2", "tg.w3")
-    padded = pos.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    ).localCheckpoint(eager=True)
-    n_tokens = int(padded.agg(F.sum("_cnt")).collect()[0][0] or 0)
-    c1 = padded.groupBy("w1").agg(F.sum("_cnt").cast("long").alias("c1"))
-    c2 = padded.where(F.col("w2").isNotNull()).groupBy("w1", "w2").agg(
-        F.sum("_cnt").cast("long").alias("c2"))
-    c3 = padded.where(F.col("w3").isNotNull()).groupBy("w1", "w2", "w3").agg(
-        F.sum("_cnt").cast("long").alias("c3"))
+    n_tokens = int(
+        toks.agg(F.sum(sz)).collect()[0][0] or 0)
+    c1 = toks.select(F.explode("_toks").alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c1"))
+    c2 = toks.where(sz >= 2).select(
+        F.explode(F.arrays_zip(
+            F.slice("_toks", 1, sz - 1).alias("w1"),
+            F.slice("_toks", 2, sz - 1).alias("w2"),
+        )).alias("bg")
+    ).select("bg.w1", "bg.w2").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2"))
+    c3 = toks.where(sz >= 3).select(
+        F.explode(F.arrays_zip(
+            F.slice("_toks", 1, sz - 2).alias("w1"),
+            F.slice("_toks", 2, sz - 2).alias("w2"),
+            F.slice("_toks", 3, sz - 2).alias("w3"),
+        )).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3").groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3"))
     if min_count > 1:
         c3 = c3.where(F.col("c3") >= min_count)
     tri = c3.join(c2.withColumnRenamed("c2", "ctx2"), ["w1", "w2"])
@@ -325,7 +337,8 @@ def trigram_model(
         c1.withColumnRenamed("c1", "ctx1"), ["w1"]
     ).select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
              F.col("c2").alias("bc2"), "ctx1")
-    uni = c1.select(F.col("w1").alias("w3"), F.col("c1").alias("uc1"))
+    uni_num = c1.where(F.col("c1") >= min_count) if min_count > 1 else c1
+    uni = uni_num.select(F.col("w1").alias("w3"), F.col("c1").alias("uc1"))
     return tri, bi, uni, n_tokens
 
 

@@ -2229,14 +2229,22 @@ def test_stupid_backoff_min_count_backoff_tiers(spark):
     ref = spark.createDataFrame(
         [(100, "a b c a b c"), (101, "a b d")], "doc_id long, text string")
     docs = spark.createDataFrame(
-        [(4, "c a b d")], "doc_id long, text string")
-    # min_count=2 prunes tri cab/abd and bi bd -> (c,a,b) falls to
-    # bigram ab: (2e6*3) div (5*c1(a)=3*5) = 400000; (a,b,d) falls to
-    # unigram d: 4e6 div 225 = 17777
-    r = stupid_backoff_score(docs, "doc_id", "text", ref_df=ref,
-                             min_count=2).collect()[0]
-    assert (r["n_tier3"], r["n_tier2"], r["n_tier1"]) == (0, 1, 1)
-    assert r["sb_score_ppm"] == (400000 + 17777) // 2
+        [(4, "c a b d"), (5, "b c c")], "doc_id long, text string")
+    # min_count=2 prunes tri cab/abd, bi bd AND uni d -> (c,a,b) falls
+    # to bigram ab: (2e6*3) div (5*c1(a)=3*5) = 400000; (a,b,d) falls
+    # all the way to OOV (d count 1 pruned from the unigram table too —
+    # the broadcast-bound contract)
+    out = {r["doc_id"]: r
+           for r in stupid_backoff_score(docs, "doc_id", "text",
+                                         ref_df=ref, min_count=2)
+           .collect()}
+    r = out[4]
+    assert (r["n_tier3"], r["n_tier2"], r["n_tier1"], r["n_oov"]) == \
+        (0, 1, 0, 1)
+    assert r["sb_score_ppm"] == (400000 + 0) // 2
+    # (b,c,c): tri pruned (1<2), bi cc unseen, uni c kept (c1=2):
+    # tier1 = (4e6*2) div (25*9) = 35555
+    assert (out[5]["n_tier1"], out[5]["sb_score_ppm"]) == (1, 35555)
 
 
 def test_stupid_backoff_partition_invariance(spark):
@@ -2250,3 +2258,82 @@ def test_stupid_backoff_partition_invariance(spark):
     b = sorted(map(tuple, stupid_backoff_score(
         docs.repartition(13), "doc_id", "text").collect()))
     assert a == b and len(a) == 120
+
+
+def _h56_py(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _cdc_py(text: str, n: int = 3, d: int = 16):
+    """Python mirror of cdc_chunks_df for one doc."""
+    toks = text.lower().split()
+    bounds = [p > 0 and p + n <= len(toks)
+              and _h56_py(" ".join(toks[p:p + n])) % d == 0
+              for p in range(len(toks))]
+    chunks, cur = [], []
+    for j, t in enumerate(toks):
+        if bounds[j] and cur:
+            chunks.append(cur)
+            cur = []
+        cur.append((j, t))
+    if cur:
+        chunks.append(cur)
+    return [(ci, c[0][0], len(c), _h56_py(" ".join(t for _, t in c)))
+            for ci, c in enumerate(chunks)]
+
+
+def test_cdc_chunks_matches_python_mirror(spark):
+    from jsonschema_spark.operators.dedup import cdc_chunks_df
+
+    texts = {i: " ".join(f"t{(i * 31 + j * 7) % 19}" for j in range(40))
+             for i in range(12)}
+    texts[50] = "a b"          # shorter than gram_n: one chunk
+    texts[51] = ""             # empty: no rows
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_toks"],
+         r["chunk_hash"])
+        for r in cdc_chunks_df(docs, "doc_id", "text").collect())
+    want = sorted((i, *c) for i, t in texts.items() for c in _cdc_py(t))
+    assert got == want
+    assert not any(i == 51 for i, *_ in got)
+    assert [c for c in got if c[0] == 50] == [
+        (50, 0, 0, 2, _h56_py("a b"))]
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    from jsonschema_spark.operators.dedup import cdc_chunks_df
+
+    base = " ".join(f"w{j}" for j in range(200))
+    shifted = "zzz " + base     # one token inserted at the front
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string")
+    ch = cdc_chunks_df(docs, "doc_id", "text").collect()
+    h1 = {r["chunk_hash"] for r in ch if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in ch if r["doc_id"] == 2}
+    # only the first chunk differs; every later boundary re-syncs
+    assert len(h1 & h2) >= len(h1) - 1
+    # fixed-width chunking would shift EVERY chunk: sanity-check CDC
+    # actually shares the tail
+    assert len(h1) >= 5
+
+
+def test_cdc_chunk_stats(spark):
+    from jsonschema_spark.operators.dedup import (cdc_chunk_stats,
+                                                  cdc_chunks_df)
+
+    # two identical docs + one unique: every chunk of doc 2 is a dup
+    t1 = " ".join(f"w{j}" for j in range(100))
+    t2 = " ".join(f"u{j}" for j in range(100))
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2)], "doc_id long, text string")
+    chunks = cdc_chunks_df(docs, "doc_id", "text")
+    s = cdc_chunk_stats(chunks).collect()[0]
+    per_doc1 = chunks.where("doc_id = 1").count()
+    assert s["n_chunks"] == s["n_distinct"] + per_doc1
+    assert s["n_tokens"] == 300
+    assert s["dup_chunk_ppm"] == (
+        per_doc1 * 1_000_000) // s["n_chunks"]
+    assert s["dup_token_ppm"] == (100 * 1_000_000) // 300

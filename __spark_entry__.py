@@ -5323,6 +5323,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return violations(df, DOCS_SCHEMA, id_cols=["doc_id"])
 
 
+def q_homoglyph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-spam accounting (UTS #39 confusable subset): Cyrillic
+    а planted into every 5th doc and Cyrillic о into every 7th — the
+    engine counts confusables, flags latin+confusable MIXED tokens (the
+    phishing-lure signature) and emits the skeleton hash that catches
+    disguised duplicates byte-level dedup misses. Pure codegen scan;
+    oracle replays the same plant + translate + regex in DuckDB."""
+    from jsonschema_spark.operators.textstats import homoglyph_stats_df
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.regexp_replace(t, "a", "а")).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.regexp_replace(t, "o", "о")).otherwise(t)
+    return homoglyph_stats_df(d.select("doc_id", t.alias("text")),
+                              "doc_id", "text")
+
+
+def _homoglyph_sql() -> str:
+    from jsonschema_spark.operators.textstats import (CONFUSABLE_FROM,
+                                                      CONFUSABLE_TO)
+
+    cf = CONFUSABLE_FROM
+    mixed_re = (f"[^ \\t\\n]*(?:[a-z][^ \\t\\n]*[{cf}]"
+                f"|[{cf}][^ \\t\\n]*[a-z])[^ \\t\\n]*")
+    return f"""
+WITH p AS (SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'а')
+         ELSE text END AS t0 FROM documents),
+p2 AS (SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN replace(t0, 'o', 'о')
+         ELSE t0 END AS t FROM p),
+l AS (SELECT doc_id, lower(t) AS low FROM p2)
+SELECT doc_id,
+  (length(low) - length(translate(low, '{cf}', '')))::BIGINT
+    AS n_confusables,
+  len(regexp_extract_all(low, '{mixed_re}'))::BIGINT AS n_mixed_tokens,
+  {_h56(f"translate(low, '{cf}', '{CONFUSABLE_TO}')")} AS skeleton_hash
+FROM l"""
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (LBFS/FastCDC lineage): boundaries open
     where the 3-token gram hash ≡ 0 mod 16, chunks are the
@@ -5572,6 +5614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
         "trustrank": q_trustrank,
@@ -6077,6 +6120,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),
         "trustrank": _trustrank_sql(),

@@ -91,6 +91,8 @@ from jsonschema_spark.operators.dedup import (
 from jsonschema_spark.operators.textstats import (
     boilerplate_strip,
     fix_mojibake,
+    homoglyph_skeleton,
+    homoglyph_stats_df,
     mojibake_stats_df,
     vocab_stats,
     script_profile,
@@ -289,6 +291,8 @@ __all__ = [
     "recrawl_priority",
     "host_reciprocity",
     "url_param_policy",
+    "homoglyph_stats_df",
+    "homoglyph_skeleton",
     "cdc_chunks_df",
     "cdc_chunk_stats",
     "trustrank_df",

@@ -909,3 +909,53 @@ def mojibake_stats_df(
         (t != fixed).alias("changed"),
         (F.length(t) - F.length(fixed)).cast("long").alias("n_chars_fixed"),
     )
+
+
+# UTS #39-style confusable subset: the Cyrillic/Greek letters that render
+# identically to Latin in most fonts — the homoglyph alphabet of phishing
+# hosts ("pаypal" with U+0430) and cloaked spam. Single-char map so BOTH
+# engines apply it with one translate(); order is paired positionally.
+CONFUSABLE_FROM = "аеорсхуіѕјԛѡαον"   # 12 Cyrillic + 3 Greek
+CONFUSABLE_TO = "aeopcxyisjqwaov"
+
+
+def homoglyph_skeleton(col: Column) -> Column:
+    """Confusable skeleton (UTS #39 idea, single-char subset): map
+    Latin-lookalike Cyrillic/Greek letters onto their Latin twins so
+    visually-identical strings compare equal. Pure JVM translate."""
+    return F.translate(col, CONFUSABLE_FROM, CONFUSABLE_TO)
+
+
+def homoglyph_stats_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document homoglyph-spam accounting — the signal that catches
+    content disguised from exact/shingle dedup and keyword filters by
+    swapping Latin letters for Cyrillic/Greek twins (classic cloaking
+    and phishing-lure trick; ASCII-only prose scores 0 everywhere):
+
+    - n_confusables: count of confusable characters;
+    - n_mixed_tokens: tokens mixing a Latin letter with a confusable in
+      EITHER order — legitimate all-Cyrillic text does NOT fire this,
+      "pаypal" does;
+    - skeleton_hash: portable md5-56 of the skeletonized lowercase text
+      — dedup on it to catch homoglyph-disguised duplicates that defeat
+      every byte-level hash.
+
+    Pure scan projection: one lower, one translate, one
+    regexp_extract_all — zero shuffles, zero Python, fully codegen."""
+    low = F.lower(F.col(text_col))
+    skel = homoglyph_skeleton(low)
+    cf = CONFUSABLE_FROM
+    mixed_re = (f"[^ \\t\\n]*(?:[a-z][^ \\t\\n]*[{cf}]"
+                f"|[{cf}][^ \\t\\n]*[a-z])[^ \\t\\n]*")
+    return df.select(
+        F.col(id_col),
+        (F.length(low) - F.length(F.translate(low, cf, "")))
+        .cast("long").alias("n_confusables"),
+        F.size(F.regexp_extract_all(low, F.lit(mixed_re), 0))
+        .cast("long").alias("n_mixed_tokens"),
+        hash56(skel).alias("skeleton_hash"),
+    )

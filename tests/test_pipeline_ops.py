@@ -2337,3 +2337,41 @@ def test_cdc_chunk_stats(spark):
     assert s["dup_chunk_ppm"] == (
         per_doc1 * 1_000_000) // s["n_chunks"]
     assert s["dup_token_ppm"] == (100 * 1_000_000) // 300
+
+
+def test_homoglyph_stats(spark):
+    from jsonschema_spark.operators.dedup import hash56  # noqa: F401
+    from jsonschema_spark.operators.textstats import homoglyph_stats_df
+
+    rows = [
+        (1, "plain ascii prose only"),
+        (2, "visit pаypal now"),          # Cyrillic а inside latin token
+        (3, "всё хорошо"),
+        # ^ genuine all-Cyrillic text: confusables counted (х,о) but NO
+        #   mixed tokens — must not fire the spam signal
+        (4, "gооgle аnd αlpha"),  # о,о / а / Greek α
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in homoglyph_stats_df(df, "doc_id", "text").collect()}
+    assert (got[1]["n_confusables"], got[1]["n_mixed_tokens"]) == (0, 0)
+    assert (got[2]["n_confusables"], got[2]["n_mixed_tokens"]) == (1, 1)
+    assert got[3]["n_mixed_tokens"] == 0 and got[3]["n_confusables"] >= 2
+    assert (got[4]["n_confusables"], got[4]["n_mixed_tokens"]) == (4, 3)
+
+
+def test_homoglyph_skeleton_dedup_catches_disguise(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.textstats import homoglyph_stats_df
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a.replace("o", "о").replace("e", "е")  # disguised copy
+    c = "a genuinely different document body"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    st = homoglyph_stats_df(df, "doc_id", "text")
+    groups = st.groupBy("skeleton_hash").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    sizes = sorted(r["n"] for r in groups)
+    assert sizes == [1, 2]  # byte-level hashes would see 3 distinct docs

@@ -310,3 +310,35 @@ def test_meta_mojibake_jsonld_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert sorted(map(tuple, collected)) == want
+
+
+def test_stream_mime_census_equals_batch(spark, tmp_path):
+    """mime_profile_df is built purely from select + one groupBy-agg, so
+    it runs UNCHANGED on a streaming DataFrame (the groupBy becomes the
+    stateful streaming agg; state is one row per MIME type — bounded
+    forever, no watermark needed). Drained over multiple micro-batches
+    it equals the batch census over the union."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.multimodal import mime_profile_df
+
+    src = str(tmp_path / "pay")
+    for f in range(3):
+        spark.range(f * 500, (f + 1) * 500).select(
+            F.when(F.col("id") % 3 == 0,
+                   F.unhex(F.lit("89504E470D0A1A0A00")))
+            .when(F.col("id") % 3 == 1, F.unhex(F.lit("255044462D312E35")))
+            .otherwise(F.unhex(F.lpad(F.hex(F.col("id")), 16, "0")))
+            .alias("payload")
+        ).write.mode("append").parquet(src)
+    batch = spark.read.parquet(src)
+    want = sorted(map(tuple, mime_profile_df(batch).collect()))
+    sdf = (spark.readStream.schema(batch.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (mime_profile_df(sdf).writeStream.format("memory")
+         .queryName("mime_census_t").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql("select * from mime_census_t").collect()))
+    assert got == want

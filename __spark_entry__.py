@@ -5365,6 +5365,91 @@ SELECT doc_id,
 FROM l"""
 
 
+def q_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LINE language ID rolled up to a code-switching profile (the
+    CCNet per-paragraph practice): marker lines in fr/de/en and an
+    unknown line planted on doc_id mod classes so documents genuinely
+    code-switch; the engine reports line counts, distinct languages,
+    the dominant language + its ppm share and the `mixed` routing flag.
+    Oracle replays the identical plant, per-line argmax (ascending
+    tie-break) and struct-argmin dominant in DuckDB."""
+    from jsonschema_spark.operators.textstats import mixed_lang_stats
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(t, F.lit("\nle chat et les des la"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 4 == 0,
+               F.concat(t, F.lit("\nder und das nicht ist hier"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat(t, F.lit("\nthe and of it is fine"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit("\n\nzzz qqq rrr"))).otherwise(t)
+    out = mixed_lang_stats(d.select("doc_id", t.alias("text")),
+                           "doc_id", "text")
+    return out.withColumn("mixed", F.col("mixed").cast("int"))
+
+
+def _mixed_lang_sql() -> str:
+    from jsonschema_spark.operators.textstats import LANG_MARKERS
+
+    scores = {
+        lang: ("len(list_filter(ltoks, x -> x IN ("
+               + ", ".join(repr(w) for w in ws) + ")))")
+        for lang, ws in LANG_MARKERS.items()
+    }
+    ordered = sorted(scores)
+    best = f"greatest({', '.join(scores[lg] for lg in ordered)})"
+    pred = ("CASE WHEN " + best + " = 0 THEN NULL " + " ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in ordered
+    ) + " END")
+    nl = "chr(10)"
+    return f"""
+WITH p AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || {nl} || 'le chat et les des la' ELSE text END AS t0
+  FROM documents),
+p2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+    THEN t0 || {nl} || 'der und das nicht ist hier' ELSE t0 END AS t1 FROM p),
+p3 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+    THEN t1 || {nl} || 'the and of it is fine' ELSE t1 END AS t2 FROM p2),
+p4 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+    THEN t2 || {nl} || {nl} || 'zzz qqq rrr' ELSE t2 END AS t FROM p3),
+ln AS (SELECT doc_id, line FROM p4,
+         LATERAL (SELECT unnest(string_split(t, {nl})) AS line) lx
+       WHERE trim(line) <> ''),
+sc AS (SELECT doc_id, {pred} AS lang
+       FROM (SELECT doc_id,
+               string_split_regex(trim(lower(line)), '\\s+') AS ltoks
+             FROM ln)),
+g1 AS (SELECT doc_id, lang, count(*)::BIGINT AS cnt
+       FROM sc GROUP BY 1, 2),
+g2 AS (SELECT doc_id,
+         sum(cnt)::BIGINT AS n_lines,
+         coalesce(sum(CASE WHEN lang IS NULL THEN cnt END), 0)::BIGINT
+           AS n_unknown_lines,
+         count(CASE WHEN lang IS NOT NULL THEN 1 END)::BIGINT AS n_langs,
+         min(CASE WHEN lang IS NOT NULL
+                  THEN {{'nc': -cnt, 'lg': lang}} END) AS dom
+       FROM g1 GROUP BY 1),
+g3 AS (SELECT doc_id, n_lines, n_unknown_lines, n_langs,
+         dom.lg AS dominant_lang,
+         CASE WHEN n_lines - n_unknown_lines > 0
+              THEN floor(((-dom.nc) * 1000000)::DOUBLE
+                         / (n_lines - n_unknown_lines))::BIGINT
+         END AS dominant_ppm
+       FROM g2)
+SELECT d.doc_id,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(n_unknown_lines, 0) AS n_unknown_lines,
+       coalesce(n_langs, 0) AS n_langs,
+       dominant_lang, dominant_ppm,
+       coalesce(n_langs >= 2 AND dominant_ppm < 900000, false)::INT
+         AS mixed
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN g3 ON d.doc_id = g3.doc_id"""
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (LBFS/FastCDC lineage): boundaries open
     where the 3-token gram hash ≡ 0 mod 16, chunks are the
@@ -5614,6 +5699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fronted per VERDICT r3 directive #1 so round 4 attests them.
     return {
         # --- round-4 front block: no driver attestation yet ---
+        "mixed_lang": q_mixed_lang,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6120,6 +6206,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mixed_lang": _mixed_lang_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

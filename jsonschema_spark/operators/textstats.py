@@ -959,3 +959,84 @@ def homoglyph_stats_df(
         .cast("long").alias("n_mixed_tokens"),
         hash56(skel).alias("skeleton_hash"),
     )
+
+
+def mixed_lang_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dominant_min_ppm: int = 900_000,
+) -> DataFrame:
+    """Per-LINE language ID rolled up to a document code-switching
+    profile — the CCNet practice (Wenzek et al. 2020 run langid per
+    paragraph precisely because crawled pages splice languages:
+    boilerplate in one, content in another, spam in three). Each
+    non-blank line gets the marker-word argmax (same scorer and
+    ascending-language tie-break as ``langid``; zero marker hits →
+    unknown), then ONE groupBy(doc, line_lang) + ONE groupBy(doc):
+
+    - n_lines / n_unknown_lines;
+    - n_langs: distinct languages among scored lines;
+    - dominant_lang / dominant_ppm: majority language and its share of
+      scored lines (argmax, ties to the ascending-first language via
+      min(struct(-count, lang)) — the cross-engine-safe argmax);
+    - mixed: n_langs ≥ 2 AND dominant_ppm < ``dominant_min_ppm`` — the
+      code-switching flag a monolingual filter should route to
+      per-SEGMENT extraction instead of dropping the whole doc.
+
+    Docs with no scored lines keep a row (dominant NULL). Line arrays
+    are bounded per row; both shuffles move (doc_id, lang, count)."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    ).where(F.trim(F.col("_line")) != "")
+    ltoks = tokens(F.col("_line"))
+
+    def score(ws: list[str]) -> Column:
+        return F.size(F.filter(ltoks, lambda t: t.isin(ws)))
+
+    scores = {lang: score(ws) for lang, ws in LANG_MARKERS.items()}
+    ordered = sorted(scores)
+    best_lang = F.lit(ordered[0])
+    best_score = scores[ordered[0]]
+    for lang in ordered[1:]:
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    scored = lines.select(
+        "_id",
+        F.when(best_score > 0, best_lang).alias("_lang"),
+    )
+    g1 = scored.groupBy("_id", "_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"))
+    dom = F.min(F.when(F.col("_lang").isNotNull(),
+                       F.struct((-F.col("_cnt")).alias("nc"),
+                                F.col("_lang").alias("lg"))))
+    g2 = g1.groupBy("_id").agg(
+        F.sum("_cnt").cast("long").alias("n_lines"),
+        F.coalesce(F.sum(F.when(F.col("_lang").isNull(), F.col("_cnt"))),
+                   F.lit(0)).cast("long").alias("n_unknown_lines"),
+        F.count(F.when(F.col("_lang").isNotNull(), 1))
+        .cast("long").alias("n_langs"),
+        dom.alias("_dom"),
+    )
+    n_scored = F.col("n_lines") - F.col("n_unknown_lines")
+    dom_cnt = -F.col("_dom.nc")
+    dom_ppm = F.when(
+        n_scored > 0, F.floor(dom_cnt * 1_000_000 / n_scored)).cast("long")
+    out = g2.select(
+        F.col("_id"), "n_lines", "n_unknown_lines", "n_langs",
+        F.col("_dom.lg").alias("dominant_lang"),
+        dom_ppm.alias("dominant_ppm"),
+        ((F.col("n_langs") >= 2)
+         & F.coalesce(dom_ppm < dominant_min_ppm, F.lit(False)))
+        .alias("mixed"),
+    )
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    return base.join(out, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        *[F.coalesce(c, F.lit(0)).alias(c)
+          for c in ["n_lines", "n_unknown_lines", "n_langs"]],
+        "dominant_lang", "dominant_ppm",
+        F.coalesce("mixed", F.lit(False)).alias("mixed"),
+    )

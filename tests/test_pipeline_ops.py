@@ -2375,3 +2375,56 @@ def test_homoglyph_skeleton_dedup_catches_disguise(spark):
         F.count(F.lit(1)).alias("n")).collect()
     sizes = sorted(r["n"] for r in groups)
     assert sizes == [1, 2]  # byte-level hashes would see 3 distinct docs
+
+
+def test_mixed_lang_stats_hand_computed(spark):
+    from jsonschema_spark.operators.textstats import mixed_lang_stats
+
+    rows = [
+        # 3 en lines, 1 fr line -> dominant en 750000, mixed
+        (1, "the cat and the dog\nit is the thing\n"
+            "of the and to\nle chat et les chiens"),
+        # monolingual: 2 en lines
+        (2, "the and of\nit is the"),
+        # no markers anywhere: all lines unknown
+        (3, "zzz qqq\nrrr www"),
+        # blank lines skipped; unknown line counted
+        (4, "the and of it\n\n   \nzzz zzz"),
+        # empty doc: keeps a row, all zeros
+        (5, ""),
+        # tie de/en on one line -> ascending tie-break (de)
+        (6, "der the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in mixed_lang_stats(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1["n_lines"], r1["n_langs"], r1["dominant_lang"],
+            r1["dominant_ppm"], r1["mixed"]) == (4, 2, "en", 750000, True)
+    r2 = got[2]
+    assert (r2["n_langs"], r2["dominant_lang"], r2["dominant_ppm"],
+            r2["mixed"]) == (1, "en", 1000000, False)
+    r3 = got[3]
+    assert (r3["n_lines"], r3["n_unknown_lines"], r3["n_langs"],
+            r3["dominant_lang"], r3["mixed"]) == (2, 2, 0, None, False)
+    r4 = got[4]
+    assert (r4["n_lines"], r4["n_unknown_lines"],
+            r4["dominant_ppm"]) == (2, 1, 1000000)
+    r5 = got[5]
+    assert (r5["n_lines"], r5["dominant_lang"], r5["mixed"]) == \
+        (0, None, False)
+    assert got[6]["dominant_lang"] == "de"
+
+
+def test_mixed_lang_partition_invariance(spark):
+    from jsonschema_spark.operators.textstats import mixed_lang_stats
+
+    rows = [(i, "\n".join(
+        ("the and of it", "le chat et les", "der und das nicht",
+         "zzz qqq")[: (i % 4) + 1]))
+        for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, mixed_lang_stats(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, mixed_lang_stats(
+        df.repartition(11), "doc_id", "text").collect()))
+    assert a == b and len(a) == 80

@@ -5450,6 +5450,58 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN g3 ON d.doc_id = g3.doc_id"""
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer jumping over a synthetic hop
+    graph: per-doc chains down to mod-5 terminals, a 13-node chain that
+    overruns the 8-hop horizon mid-chain, and a planted 2-cycle — the
+    three behaviors (resolve, truncate, loop) all attested per row
+    against a DuckDB recursive-CTE replay capped at the same horizon."""
+    from jsonschema_spark.operators.linkgraph import resolve_redirects
+
+    def u(c):
+        return F.concat(F.lit("https://r"), c.cast("string"),
+                        F.lit(".example.org/"))
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    base = d.where(F.col("doc_id") % 5 != 0).select(
+        u(F.col("doc_id")).alias("src"),
+        u(F.col("doc_id") - 1).alias("dst"))
+    ch = spark.range(12).select(
+        F.concat(F.lit("chain"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("chain"), (F.col("id") + 1).cast("string"))
+        .alias("dst"))
+    loop = spark.createDataFrame([("loopA", "loopB"), ("loopB", "loopA")],
+                                 "src string, dst string")
+    out = resolve_redirects(base.unionAll(ch).unionAll(loop),
+                            "src", "dst", max_hops=8)
+    return out.withColumn("resolved", F.col("resolved").cast("int"))
+
+
+_REDIRECT_RESOLVE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'https://r' || doc_id::VARCHAR || '.example.org/' AS src,
+         'https://r' || (doc_id - 1)::VARCHAR || '.example.org/' AS dst
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'chain' || i::VARCHAR, 'chain' || (i + 1)::VARCHAR
+  FROM (SELECT unnest(range(0, 12)) AS i)
+  UNION ALL SELECT 'loopA', 'loopB'
+  UNION ALL SELECT 'loopB', 'loopA'),
+p AS (SELECT src AS node, min(dst) AS ptr FROM e GROUP BY 1),
+w AS (
+  SELECT node, ptr, 1 AS hops FROM p
+  UNION ALL
+  SELECT w.node, p.ptr, w.hops + 1 FROM w JOIN p ON w.ptr = p.node
+  WHERE w.hops < 8),
+f AS (SELECT node, arg_max(ptr, hops) AS final_url,
+             max(hops)::BIGINT AS n_hops
+      FROM w GROUP BY 1)
+SELECT node AS url, final_url, n_hops,
+       CASE WHEN final_url IN (SELECT node FROM p) THEN 0 ELSE 1 END
+         AS resolved
+FROM f"""
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (LBFS/FastCDC lineage): boundaries open
     where the 3-token gram hash ≡ 0 mod 16, chunks are the
@@ -5700,6 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front block: no driver attestation yet ---
         "mixed_lang": q_mixed_lang,
+        "redirect_resolve": q_redirect_resolve,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6207,6 +6260,7 @@ SELECT url_norm, fetch_ts, doc_id FROM r WHERE rn = 1"""
 def oracle_sql() -> dict[str, str]:
     return {
         "mixed_lang": _mixed_lang_sql(),
+        "redirect_resolve": _REDIRECT_RESOLVE_SQL,
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -463,3 +463,81 @@ def trustrank_sql(edges_cte: str, seeds_cte: str, n_iter: int = 3) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT host, r AS trust_ppm FROM r{n_iter}"
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Redirect-chain resolution by pointer jumping — collapse every
+    HTTP 3xx chain to its terminal URL in O(log max_hops) rounds, the
+    crawl-ingest step that turns (url, Location) hop pairs into the
+    canonical fetch target. Chains are short in the mean but adversarial
+    in the tail (SEO redirect laundering, tracking-hop stacks, outright
+    loops); browsers cap at ~20 hops, so ``max_hops`` is a contract, not
+    a tuning knob.
+
+    Input: one row per observed redirect hop (``src_col`` → ``dst_col``).
+    A source with several recorded Locations (content-dependent
+    redirects, refetch churn) deterministically keeps ``min(dst)``.
+
+    Output: one row per redirect SOURCE —
+    (url, final_url, n_hops, resolved):
+
+    - resolved=true: ``final_url`` is a terminal (no outgoing redirect)
+      reached in exactly ``n_hops`` hops within the horizon;
+    - resolved=false: a loop, or a chain longer than the horizon;
+      ``final_url`` is the walk position after exactly ``n_hops``
+      (= horizon) hops — still useful as the politeness-budget charge.
+
+    URLs that never redirect don't emit rows (union them as identity).
+
+    The horizon is ``2**ceil(log2(max_hops))`` ≥ max_hops: after round
+    r every pointer has advanced ``min(chain_len, 2**r)`` hops (the
+    doubling invariant holds for walks into cycles too), so
+    ``ceil(log2(max_hops))`` self-joins replace ``max_hops`` sequential
+    ones — O(log d) exchanges where naive following is O(d), the same
+    reason connected components pointer-jump (``dedup.py``).
+
+    Scale shape: state is one (node, ptr, n_hops) row per redirect
+    source; each round is ONE self-equi-join on the pointer (shuffle on
+    a high-entropy URL key — skew-free because every node has exactly
+    one pointer) over a ``localCheckpoint``-ed state (self-joins
+    recompute both sides otherwise; lineage stays O(1) in rounds). The
+    terminal flag is one left join against the source set. Nothing is
+    collected, nothing broadcast.
+
+    Cross-engine: hop counts are exact int64; the DuckDB mirror is a
+    recursive CTE capped at the same horizon (``WHERE hops < 2**r``)
+    taking ``arg_max(ptr, hops)`` per node — bit-identical n_hops and
+    final_url including loop rows (both engines stop at exactly the
+    horizon). Reference analogue: resolution/redirect following in the
+    reference's HTTP ``$ref`` resolver (src/core documentation surface);
+    here it is the data-plane operator a frontier needs.
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    p = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.min(dst_col).alias("ptr"))
+    state = p.select(
+        "node", "ptr", F.lit(1).cast("long").alias("n_hops"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        a, b = state.alias("a"), state.alias("b")
+        state = a.join(b, F.col("a.ptr") == F.col("b.node"), "left").select(
+            F.col("a.node").alias("node"),
+            F.coalesce(F.col("b.ptr"), F.col("a.ptr")).alias("ptr"),
+            (F.col("a.n_hops")
+             + F.coalesce(F.col("b.n_hops"), F.lit(0).cast("long")))
+            .alias("n_hops"),
+        ).localCheckpoint(eager=True)
+    srcs = p.select(F.col("node").alias("_t"), F.lit(1).alias("_has_out"))
+    return state.join(srcs, state["ptr"] == srcs["_t"], "left").select(
+        F.col("node").alias("url"),
+        F.col("ptr").alias("final_url"),
+        "n_hops",
+        F.col("_has_out").isNull().alias("resolved"),
+    )

@@ -2428,3 +2428,49 @@ def test_mixed_lang_partition_invariance(spark):
     b = sorted(map(tuple, mixed_lang_stats(
         df.repartition(11), "doc_id", "text").collect()))
     assert a == b and len(a) == 80
+
+
+def _redirects(spark, pairs):
+    from jsonschema_spark.operators.linkgraph import resolve_redirects
+
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+            for r in resolve_redirects(df, "src", "dst", max_hops=8)
+            .collect()}
+
+
+def test_resolve_redirects_chain(spark):
+    got = _redirects(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {"a": ("d", 3, True), "b": ("d", 2, True),
+                   "c": ("d", 1, True)}
+
+
+def test_resolve_redirects_cycle_and_horizon(spark):
+    # 2-cycle: 8 hops from x lands back on x; never resolved
+    got = _redirects(spark, [("x", "y"), ("y", "x")])
+    assert got == {"x": ("x", 8, False), "y": ("y", 8, False)}
+    # 12-hop chain, horizon 8: c4 reaches the terminal c12 in exactly 8
+    # hops; c3 stops mid-chain at c11 with the horizon spent
+    chain = [(f"c{i}", f"c{i+1}") for i in range(12)]
+    got = _redirects(spark, chain)
+    assert got["c4"] == ("c12", 8, True)
+    assert got["c3"] == ("c11", 8, False)
+    assert got["c11"] == ("c12", 1, True)
+
+
+def test_resolve_redirects_multi_dst_min(spark):
+    # content-dependent redirect: min(dst) wins deterministically
+    got = _redirects(spark, [("a", "z"), ("a", "b"), ("b", "t")])
+    assert got["a"] == ("t", 2, True)
+
+
+def test_resolve_redirects_partition_invariance(spark):
+    from jsonschema_spark.operators.linkgraph import resolve_redirects
+
+    pairs = [(f"u{i}", f"u{i - 1}") for i in range(200) if i % 5 != 0]
+    pairs += [("pA", "pB"), ("pB", "pA")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    a = sorted(map(tuple, resolve_redirects(df, "src", "dst").collect()))
+    b = sorted(map(tuple, resolve_redirects(
+        df.repartition(13), "src", "dst").collect()))
+    assert a == b and len(a) == len(pairs)

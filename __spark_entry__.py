@@ -5450,6 +5450,70 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN g3 ON d.doc_id = g3.doc_id"""
 
 
+_CODE_PY = ("\ndef f(x):\n    return x + 1\nclass Foo:\n"
+            "    import os\n    my_val = 2")
+_CODE_CC = "\nint main() {\n  println(theVal);\n  return 0;\n}"
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing over documents with Python planted on
+    doc_id%4==0 and a C-style block on doc_id%6==1 — the StarCoder-side
+    complement of Gopher's has_brace DROP rule. Every signal (line
+    endings, indentation, brace density, keyword/identifier counts) and
+    the 2-of-5 vote replayed verbatim in DuckDB (all regexes
+    Java∩RE2-safe; keyword single-match-per-start argument in
+    textstats.CODE_KEYWORDS)."""
+    from jsonschema_spark.operators.textstats import code_detect_df
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 4 == 0,
+               F.concat(t, F.lit(_CODE_PY))).otherwise(t)
+    t = F.when(F.col("doc_id") % 6 == 1,
+               F.concat(t, F.lit(_CODE_CC))).otherwise(t)
+    return code_detect_df(d.select("doc_id", t.alias("text")),
+                          "doc_id", "text")
+
+
+def _code_detect_sql() -> str:
+    from jsonschema_spark.operators.textstats import (
+        BRACE_CHARS, CAMEL_RE, CODE_KEYWORD_RE, SNAKE_RE)
+
+    py = "E'" + _CODE_PY.replace("\n", r"\n") + "'"
+    cc = "E'" + _CODE_CC.replace("\n", r"\n") + "'"
+    return f"""
+WITH p AS (SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || {py} ELSE text END AS t0
+  FROM documents WHERE text IS NOT NULL),
+p2 AS (SELECT doc_id,
+    CASE WHEN doc_id % 6 = 1 THEN t0 || {cc} ELSE t0 END AS t FROM p),
+s AS (SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+  FROM p2),
+m AS (SELECT doc_id, t, len(lines)::BIGINT AS n_lines,
+    greatest(len(lines), 1) AS nl1,
+    greatest(length(t), 1) AS len1,
+    len(list_filter(lines, l -> regexp_matches(l, '[;{{}}]\\s*$')))
+      AS semi_end,
+    len(list_filter(lines, l -> regexp_matches(l, '^(\\t| {{4}})')))
+      AS indent,
+    length(t) - length(translate(t, '{BRACE_CHARS}', '')) AS n_brace,
+    len(regexp_extract_all(t, '{CODE_KEYWORD_RE}'))::BIGINT AS n_kw,
+    len(regexp_extract_all(t, '{CAMEL_RE}'))::BIGINT AS n_camel,
+    len(regexp_extract_all(t, '{SNAKE_RE}'))::BIGINT AS n_snake
+  FROM s),
+r AS (SELECT doc_id, n_lines,
+    floor((semi_end * 1000000)::DOUBLE / nl1)::BIGINT AS semi_end_ppm,
+    floor((indent * 1000000)::DOUBLE / nl1)::BIGINT AS indent_ppm,
+    floor((n_brace * 1000000)::DOUBLE / len1)::BIGINT AS brace_ppm,
+    n_kw AS n_keywords, n_camel, n_snake
+  FROM m)
+SELECT *, ((semi_end_ppm >= 150000)::INT + (indent_ppm >= 300000)::INT
+         + (brace_ppm >= 20000)::INT + (n_keywords >= 3)::INT
+         + (n_camel + n_snake >= 3)::INT >= 2)::BIGINT AS is_code
+FROM r"""
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer jumping over a synthetic hop
     graph: per-doc chains down to mod-5 terminals, a 13-node chain that
@@ -5753,6 +5817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 front block: no driver attestation yet ---
         "mixed_lang": q_mixed_lang,
         "redirect_resolve": q_redirect_resolve,
+        "code_detect": q_code_detect,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6261,6 +6326,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mixed_lang": _mixed_lang_sql(),
         "redirect_resolve": _REDIRECT_RESOLVE_SQL,
+        "code_detect": _code_detect_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -1040,3 +1040,79 @@ def mixed_lang_stats(
         "dominant_lang", "dominant_ppm",
         F.coalesce("mixed", F.lit(False)).alias("mixed"),
     )
+
+
+# Code keywords for the code-vs-prose router: chosen to be common across
+# C/Java/Python/JS but RARE in English prose (no bare if/for/else). With
+# \b on both sides exactly ONE alternative can match at any start (a
+# shorter prefix alternative would have to end inside a word — not a
+# boundary), so Java-greedy and RE2-longest counts agree — the same
+# single-match argument documented for the homoglyph mixed-token regex.
+CODE_KEYWORDS = (
+    "function", "namespace", "println", "typedef", "import", "lambda",
+    "printf", "public", "return", "static", "struct", "class", "const",
+    "endif", "elif", "void", "def", "var",
+)
+CODE_KEYWORD_RE = r"\b(" + "|".join(CODE_KEYWORDS) + r")\b"
+CAMEL_RE = r"\b[a-z][a-z0-9]*[A-Z][A-Za-z0-9]*\b"
+SNAKE_RE = r"\b[a-z][a-z0-9]*(_[a-z0-9]+)+\b"
+BRACE_CHARS = "{}()[];"
+
+
+def code_detect_df(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Code-vs-prose routing — the signal Gopher throws away (its
+    ``has_brace`` rule DROPS anything code-shaped; ``webtext_filters``)
+    and a code-corpus pipeline (The Stack / StarCoder lineage) needs to
+    KEEP and route. One pure-codegen scan, no Python, no joins:
+
+    - semi_end_ppm / indent_ppm: share of non-blank lines ending in
+      ``;``/``{``/``}`` resp. starting with a tab or ≥4 spaces;
+    - brace_ppm: ``{}()[];`` chars per million chars (translate, not
+      regex);
+    - n_keywords: whole-word hits of 18 cross-language keywords chosen
+      to be rare in prose (``CODE_KEYWORDS``; case-sensitive);
+    - n_camel / n_snake: camelCase and snake_case identifier counts —
+      prose has essentially none, code of either bracing style has many;
+    - is_code: ≥2 of the five families fire (line endings, indentation,
+      brace density, keywords, identifiers). A voting rule is robust to
+      single-family spoofs (a legal document full of ``(a)(b)`` subsection
+      markers fires brace density alone and stays prose).
+
+    All ratios exact-integer ppm; every regex is Java∩RE2-safe and the
+    DuckDB oracle shares it verbatim. Scale shape: scan projection only
+    — the line split is per-row bounded, nothing shuffles."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    nl1 = F.greatest(n_lines, F.lit(1))
+    semi_end = F.size(F.filter(lines, lambda l: l.rlike(r"[;{}]\s*$")))
+    indent = F.size(F.filter(lines, lambda l: l.rlike(r"^(\t| {4})")))
+    len1 = F.greatest(F.length(t), F.lit(1))
+    n_brace = F.length(t) - F.length(
+        F.translate(t, BRACE_CHARS, ""))
+    n_kw = F.regexp_count(t, F.lit(CODE_KEYWORD_RE))
+    n_camel = F.regexp_count(t, F.lit(CAMEL_RE))
+    n_snake = F.regexp_count(t, F.lit(SNAKE_RE))
+    semi_ppm = F.floor(semi_end * 1_000_000 / nl1).cast("long")
+    indent_ppm = F.floor(indent * 1_000_000 / nl1).cast("long")
+    brace_ppm = F.floor(n_brace * 1_000_000 / len1).cast("long")
+    votes = (
+        (semi_ppm >= 150_000).cast("int")
+        + (indent_ppm >= 300_000).cast("int")
+        + (brace_ppm >= 20_000).cast("int")
+        + (n_kw >= 3).cast("int")
+        + (n_camel + n_snake >= 3).cast("int")
+    )
+    return df.where(t.isNotNull()).select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        semi_ppm.alias("semi_end_ppm"),
+        indent_ppm.alias("indent_ppm"),
+        brace_ppm.alias("brace_ppm"),
+        n_kw.cast("long").alias("n_keywords"),
+        n_camel.cast("long").alias("n_camel"),
+        n_snake.cast("long").alias("n_snake"),
+        (votes >= 2).cast("long").alias("is_code"),
+    )

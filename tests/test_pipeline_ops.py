@@ -2474,3 +2474,43 @@ def test_resolve_redirects_partition_invariance(spark):
     b = sorted(map(tuple, resolve_redirects(
         df.repartition(13), "src", "dst").collect()))
     assert a == b and len(a) == len(pairs)
+
+
+def test_code_detect_hand_computed(spark):
+    from jsonschema_spark.operators.textstats import code_detect_df
+
+    py = ("def add(x, y):\n    return x + y\n\n"
+          "class FooBar:\n    import os\n    my_val = 1\n")
+    c = ("int main() {\n  printf(\"hi\");\n  return 0;\n}\n")
+    prose = ("The quick brown fox jumps over the lazy dog. "
+             "It was the best of times.\nA second line of plain prose.")
+    legal = "(a) first; (b) second; (c) third"  # brace density alone
+    rows = [(1, py), (2, c), (3, prose), (4, legal), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           code_detect_df(df, "doc_id", "text").collect()}
+    assert got[1]["is_code"] == 1
+    # python sample: keywords def/return/class/import = 4 hits
+    assert got[1]["n_keywords"] == 4
+    assert got[1]["n_snake"] == 1 and got[1]["indent_ppm"] == 600000
+    assert got[2]["is_code"] == 1
+    assert got[2]["n_keywords"] == 2  # printf, return
+    assert got[3]["is_code"] == 0 and got[3]["n_keywords"] == 0
+    # single-family spoof stays prose under the 2-of-5 vote
+    assert got[4]["brace_ppm"] >= 20000 and got[4]["is_code"] == 0
+    assert got[5]["n_lines"] == 0 and got[5]["is_code"] == 0
+
+
+def test_code_detect_keyword_boundaries(spark):
+    from jsonschema_spark.operators.textstats import code_detect_df
+
+    # 'className' must NOT hit 'class' (no boundary inside a word);
+    # 'import.' must (punctuation is a boundary); 'deft'/'returnable'
+    # must not hit 'def'/'return'
+    rows = [(1, "className deft import.x returnable return;"),
+            (2, "class.foo endif")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           code_detect_df(df, "doc_id", "text").collect()}
+    assert got[1]["n_keywords"] == 2  # import, return
+    assert got[2]["n_keywords"] == 2  # class, endif

@@ -5450,6 +5450,61 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN g3 ON d.doc_id = g3.doc_id"""
 
 
+def _skew_key() -> Column:
+    c = F.col("doc_id")
+    return F.concat(
+        F.lit("h"),
+        F.when(c % 2 == 0, F.lit(0)).otherwise(c % 97).cast("string"))
+
+
+_SKEW_KK = ("SELECT 'h' || (CASE WHEN doc_id % 2 = 0 THEN 0 "
+            "ELSE doc_id % 97 END)::VARCHAR AS k FROM documents")
+
+
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report over a deliberately skewed synthetic key
+    (every even doc lands on h0): the pre-shuffle measurement that
+    decides salting/broadcast. TakeOrderedAndProject top-k, never a
+    global sort; share from a broadcast one-row total."""
+    from jsonschema_spark.operators.stats import hot_keys
+
+    d = _docs(spark, sf_dir).select(_skew_key().alias("k"))
+    return hot_keys(d, ["k"], k=10)
+
+
+_HOT_KEYS_SQL = f"""
+WITH kk AS ({_SKEW_KK}),
+g AS (SELECT k, count(*)::BIGINT AS cnt FROM kk GROUP BY 1),
+t AS (SELECT sum(cnt) AS n FROM g),
+top AS (SELECT k, cnt FROM g ORDER BY cnt DESC, k ASC LIMIT 10)
+SELECT k, cnt, floor((cnt * 1000000)::DOUBLE / n)::BIGINT AS share_ppm,
+       row_number() OVER (ORDER BY cnt DESC, k ASC)::BIGINT AS rnk
+FROM top, t"""
+
+
+def q_key_skew_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 key-size histogram over the same skewed key — the whole
+    skew shape in ≤64 rows (bucket = bit length of the per-key count,
+    portable via length(bin(cnt)) in both engines)."""
+    from jsonschema_spark.operators.stats import key_size_histogram
+
+    d = _docs(spark, sf_dir).select(_skew_key().alias("k"))
+    return key_size_histogram(d, ["k"])
+
+
+_KEY_SKEW_HIST_SQL = f"""
+WITH kk AS ({_SKEW_KK}),
+g AS (SELECT k, count(*)::BIGINT AS cnt FROM kk GROUP BY 1),
+h AS (SELECT length(bin(cnt))::BIGINT AS cnt_bits,
+             count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+             max(cnt)::BIGINT AS max_cnt
+      FROM g GROUP BY 1),
+t AS (SELECT sum(n_rows) AS n FROM h)
+SELECT cnt_bits, n_keys, n_rows, max_cnt,
+       floor((n_rows * 1000000)::DOUBLE / n)::BIGINT AS rows_share_ppm
+FROM h, t"""
+
+
 _CODE_PY = ("\ndef f(x):\n    return x + 1\nclass Foo:\n"
             "    import os\n    my_val = 2")
 _CODE_CC = "\nint main() {\n  println(theVal);\n  return 0;\n}"
@@ -5818,6 +5873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_lang": q_mixed_lang,
         "redirect_resolve": q_redirect_resolve,
         "code_detect": q_code_detect,
+        "hot_keys": q_hot_keys,
+        "key_skew_hist": q_key_skew_hist,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6327,6 +6384,8 @@ def oracle_sql() -> dict[str, str]:
         "mixed_lang": _mixed_lang_sql(),
         "redirect_resolve": _REDIRECT_RESOLVE_SQL,
         "code_detect": _code_detect_sql(),
+        "hot_keys": _HOT_KEYS_SQL,
+        "key_skew_hist": _KEY_SKEW_HIST_SQL,
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -1103,3 +1103,63 @@ def tdigest_quantiles(
         .alias("p_ppm"),
         F.col("q_est"),
     )
+
+
+def hot_keys(df: DataFrame, key_cols: Sequence[str], k: int = 20) -> DataFrame:
+    """Heavy-hitter report for a prospective shuffle key — the
+    measurement that decides salting / AQE-skew-join / broadcast before
+    a 100 TB job, instead of discovering the straggler at hour three.
+
+    Output: top-``k`` keys by row count with (cnt, share_ppm, rnk);
+    ties break to the ascending key (deterministic cross-engine).
+
+    Scale shape: ONE map-side-partial groupBy(key) — the count table is
+    keys-sized — then ``orderBy().limit(k)`` = TakeOrderedAndProject
+    (each partition forwards only its own top-k; never a global sort),
+    a broadcast one-row total for the share, and a window over the k
+    survivors only. The hot key itself cannot hurt THIS job: partial
+    aggregation collapses it map-side before the exchange."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(c) for c in key_cols]
+    g = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = g.agg(F.sum("cnt").alias("_n"))
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
+    top = g.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.crossJoin(F.broadcast(tot)).select(
+        *key_cols,
+        "cnt",
+        F.floor(F.col("cnt") * 1_000_000 / F.col("_n")).cast("long")
+        .alias("share_ppm"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+def key_size_histogram(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Key-size distribution as a log2 histogram — the whole shape of
+    the skew in O(64) output rows: bucket = bit length of the per-key
+    row count (``length(bin(cnt))``, portable Spark↔DuckDB for positive
+    int64 — the same trick as the HLL rank), with per-bucket key count,
+    row mass, row share and max key size. Reading it: a healthy key has
+    its mass in low buckets; a bucket-40 entry IS the salting decision.
+
+    Scale shape: groupBy(key) with map-side partials (keys-sized), then
+    a groupBy over ≤64 buckets, then one broadcast one-row total. No
+    windows, no sorts, nothing key-cardinality-sized leaves the second
+    aggregation."""
+    keys = [F.col(c) for c in key_cols]
+    g = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    h = g.groupBy(
+        F.length(F.bin(F.col("cnt"))).cast("long").alias("cnt_bits")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    tot = h.agg(F.sum("n_rows").alias("_n"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "cnt_bits", "n_keys", "n_rows", "max_cnt",
+        F.floor(F.col("n_rows") * 1_000_000 / F.col("_n")).cast("long")
+        .alias("rows_share_ppm"),
+    )

@@ -2514,3 +2514,33 @@ def test_code_detect_keyword_boundaries(spark):
            code_detect_df(df, "doc_id", "text").collect()}
     assert got[1]["n_keywords"] == 2  # import, return
     assert got[2]["n_keywords"] == 2  # class, endif
+
+
+def test_hot_keys_and_histogram_hand_computed(spark):
+    from jsonschema_spark.operators.stats import (hot_keys,
+                                                  key_size_histogram)
+
+    # key a: 8 rows, b: 4, c: 4, d: 1  (N=17)
+    rows = ([("a",)] * 8 + [("b",)] * 4 + [("c",)] * 4 + [("d",)])
+    df = spark.createDataFrame(rows, "k string")
+    top = hot_keys(df, ["k"], k=3).collect()
+    assert [(r["k"], r["cnt"], r["rnk"]) for r in top] == \
+        [("a", 8, 1), ("b", 4, 2), ("c", 4, 3)]  # tie b<c ascending
+    assert top[0]["share_ppm"] == (8 * 1_000_000) // 17
+    hist = {r["cnt_bits"]: r for r in
+            key_size_histogram(df, ["k"]).collect()}
+    # cnt=8 -> bits 4; cnt=4 -> bits 3 (x2 keys); cnt=1 -> bits 1
+    assert hist[4]["n_keys"] == 1 and hist[4]["n_rows"] == 8
+    assert hist[3]["n_keys"] == 2 and hist[3]["max_cnt"] == 4
+    assert hist[1]["n_keys"] == 1
+    assert sum(r["rows_share_ppm"] for r in hist.values()) >= 999998
+
+
+def test_hot_keys_partition_invariance(spark):
+    from jsonschema_spark.operators.stats import hot_keys
+
+    rows = [(f"k{i % 13 if i % 2 else 0}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string")
+    a = [tuple(r) for r in hot_keys(df, ["k"], k=5).collect()]
+    b = [tuple(r) for r in hot_keys(df.repartition(7), ["k"], k=5).collect()]
+    assert a == b and a[0][0] == "k0" and a[0][3] == 1

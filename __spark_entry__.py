@@ -5450,6 +5450,166 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN g3 ON d.doc_id = g3.doc_id"""
 
 
+def q_url_pub_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date extraction from CMS-style URL paths: /Y/M/D/
+    blog paths, /Y/M/ archives, Y-M-D slugs and undated pages planted
+    per doc_id%4, with months sweeping 1..16 so regex-invalid dates
+    (month 13-16) genuinely occur and must yield NULLs."""
+    from jsonschema_spark.operators.urltools import url_pub_date
+
+    c = F.col("doc_id")
+    y = (c % 10 + 2015).cast("string")
+    m = F.lpad((c % 16 + 1).cast("string"), 2, "0")
+    d = F.lpad((c % 28 + 1).cast("string"), 2, "0")
+    url = F.concat(
+        F.lit("https://s"), (c % 20).cast("string"), F.lit(".example.org"),
+        F.when(c % 4 == 0, F.concat(F.lit("/blog/"), y, F.lit("/"), m,
+                                    F.lit("/"), d, F.lit("/post.html")))
+        .when(c % 4 == 1, F.concat(F.lit("/news/"), y, F.lit("/"), m,
+                                   F.lit("/")))
+        .when(c % 4 == 2, F.concat(F.lit("/p/item-"), y, F.lit("-"), m,
+                                   F.lit("-"), d, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/about/page"), c.cast("string"),
+                            F.lit(".html"))))
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_pub_date(docs, "url")
+
+
+def _url_pub_date_sql() -> str:
+    from jsonschema_spark.operators.urltools import (
+        URLDATE_DAY_DASH_RE, URLDATE_DAY_SLASH_RE, URLDATE_MON_SLASH_RE)
+
+    return f"""
+WITH b AS (SELECT doc_id,
+    (doc_id % 10 + 2015)::VARCHAR AS y,
+    lpad((doc_id % 16 + 1)::VARCHAR, 2, '0') AS m,
+    lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS d
+  FROM documents),
+u AS (SELECT doc_id,
+    'https://s' || (doc_id % 20)::VARCHAR || '.example.org' ||
+    CASE WHEN doc_id % 4 = 0
+         THEN '/blog/' || y || '/' || m || '/' || d || '/post.html'
+         WHEN doc_id % 4 = 1 THEN '/news/' || y || '/' || m || '/'
+         WHEN doc_id % 4 = 2
+         THEN '/p/item-' || y || '-' || m || '-' || d || '.html'
+         ELSE '/about/page' || doc_id::VARCHAR || '.html' END AS url
+  FROM b),
+x AS (SELECT doc_id, url,
+    regexp_extract(url, '{URLDATE_DAY_SLASH_RE}', 1) AS s1,
+    regexp_extract(url, '{URLDATE_DAY_SLASH_RE}', 2) AS s2,
+    regexp_extract(url, '{URLDATE_DAY_SLASH_RE}', 3) AS s3,
+    regexp_extract(url, '{URLDATE_DAY_DASH_RE}', 2) AS h1,
+    regexp_extract(url, '{URLDATE_DAY_DASH_RE}', 3) AS h2,
+    regexp_extract(url, '{URLDATE_DAY_DASH_RE}', 4) AS h3,
+    regexp_extract(url, '{URLDATE_MON_SLASH_RE}', 1) AS m1,
+    regexp_extract(url, '{URLDATE_MON_SLASH_RE}', 2) AS m2
+  FROM u)
+SELECT doc_id, url,
+    CASE WHEN s1 <> '' THEN s1 || '-' || s2 || '-' || s3
+         WHEN h1 <> '' THEN h1 || '-' || h2 || '-' || h3
+         WHEN m1 <> '' THEN m1 || '-' || m2 || '-01' END AS pub_date,
+    CASE WHEN s1 <> '' OR h1 <> '' THEN 'day'
+         WHEN m1 <> '' THEN 'month' END AS date_precision
+FROM x"""
+
+
+def q_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 cache directives → recrawl routing over synthetic-but-
+    real response headers: no-store on mod-11, max-age sweeping the
+    no-cache/hourly/daily/weekly buckets, ETag / Last-Modified /
+    IMF-fixdate Expires on their own mod classes. Expires re-rendered
+    to ISO by pure regex + month CASE (no engine date parsing — the
+    cross-engine tz/locale trap), adversarial max-age overflow
+    try_cast-safe."""
+    from jsonschema_spark.operators.httpmeta import cache_policy_df
+
+    c = F.col("doc_id")
+    crlf = F.lit("\r\n")
+    cc = (F.when(c % 11 == 0,
+                 F.concat(crlf, F.lit("Cache-Control: no-store, private")))
+          .when(c % 7 != 3,
+                F.concat(crlf, F.lit("Cache-Control: public, max-age="),
+                         ((c % 90) * 1000).cast("string")))
+          .otherwise(F.lit("")))
+    etag = F.when(c % 3 == 0, F.concat(
+        crlf, F.lit("ETag: \"e"), c.cast("string"), F.lit("\"")))
+    lm = F.when(c % 13 == 0, F.concat(
+        crlf, F.lit("Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT")))
+    exp = F.when(c % 5 == 0, F.concat(
+        crlf, F.lit("Expires: Wed, "),
+        F.lpad(((c % 28) + 1).cast("string"), 2, "0"),
+        F.lit(" Oct 2026 07:28:00 GMT")))
+    hdrs = F.concat(
+        F.lit("HTTP/1.1 200 OK"), crlf, F.lit("Content-Type: text/html"),
+        cc, F.coalesce(etag, F.lit("")), F.coalesce(lm, F.lit("")),
+        F.coalesce(exp, F.lit("")))
+    d = _docs(spark, sf_dir).select("doc_id", hdrs.alias("hdrs"))
+    return cache_policy_df(d, "doc_id", "hdrs")
+
+
+def _cache_policy_sql() -> str:
+    from jsonschema_spark.operators.httpmeta import MONTHS
+
+    crlf = "chr(13) || chr(10)"
+    mon_case = "CASE m " + " ".join(
+        f"WHEN '{m}' THEN '{i:02d}'" for i, m in enumerate(MONTHS, 1)
+    ) + " END"
+    exp_re = (r"(?m)^expires:\s*[a-z]{3}, "
+              r"(\d{2}) ([a-z]{3}) (\d{4}) (\d{2}:\d{2}:\d{2}) gmt")
+    return f"""
+WITH h AS (SELECT doc_id,
+    'HTTP/1.1 200 OK' || {crlf} || 'Content-Type: text/html'
+    || CASE WHEN doc_id % 11 = 0
+            THEN {crlf} || 'Cache-Control: no-store, private'
+            WHEN doc_id % 7 <> 3
+            THEN {crlf} || 'Cache-Control: public, max-age='
+                 || ((doc_id % 90) * 1000)::VARCHAR
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN {crlf} || 'ETag: "e' || doc_id::VARCHAR || '"'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN {crlf} || 'Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN {crlf} || 'Expires: Wed, '
+                 || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                 || ' Oct 2026 07:28:00 GMT'
+            ELSE '' END AS hdrs
+  FROM documents),
+l AS (SELECT doc_id, lower(hdrs) AS hl FROM h),
+x AS (SELECT doc_id, hl,
+    regexp_extract(hl, '(?m)^cache-control:([^\\r\\n]*)', 1) AS cc,
+    regexp_extract(hl, '{exp_re}', 1) AS dd,
+    regexp_extract(hl, '{exp_re}', 2) AS m,
+    regexp_extract(hl, '{exp_re}', 3) AS yyyy,
+    regexp_extract(hl, '{exp_re}', 4) AS hms
+  FROM l),
+y AS (SELECT doc_id,
+    CASE WHEN regexp_extract(cc, 'max-age=(\\d+)', 1) <> ''
+         THEN try_cast(regexp_extract(cc, 'max-age=(\\d+)', 1) AS BIGINT)
+    END AS max_age_s,
+    contains(cc, 'no-store')::BIGINT AS no_store,
+    contains(cc, 'no-cache')::BIGINT AS no_cache,
+    contains(cc, 'private')::BIGINT AS private,
+    regexp_matches(hl, '(?m)^etag:')::BIGINT AS has_etag,
+    regexp_matches(hl, '(?m)^last-modified:')::BIGINT
+      AS has_last_modified,
+    CASE WHEN dd <> '' AND {mon_case} IS NOT NULL
+         THEN yyyy || '-' || {mon_case} || '-' || dd || ' ' || hms
+    END AS expires_iso
+  FROM x)
+SELECT *, CASE WHEN no_store = 1 OR no_cache = 1 OR max_age_s = 0
+               THEN 'no-cache'
+          WHEN max_age_s < 3600 THEN 'hourly'
+          WHEN max_age_s < 86400 THEN 'daily'
+          WHEN max_age_s IS NOT NULL THEN 'weekly'
+          WHEN expires_iso IS NOT NULL THEN 'expires'
+          WHEN has_etag = 1 OR has_last_modified = 1 THEN 'conditional'
+          ELSE 'unknown' END AS policy
+FROM y"""
+
+
 def _skew_key() -> Column:
     c = F.col("doc_id")
     return F.concat(
@@ -5875,6 +6035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_detect": q_code_detect,
         "hot_keys": q_hot_keys,
         "key_skew_hist": q_key_skew_hist,
+        "cache_policy": q_cache_policy,
+        "url_pub_date": q_url_pub_date,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6386,6 +6548,8 @@ def oracle_sql() -> dict[str, str]:
         "code_detect": _code_detect_sql(),
         "hot_keys": _HOT_KEYS_SQL,
         "key_skew_hist": _KEY_SKEW_HIST_SQL,
+        "cache_policy": _cache_policy_sql(),
+        "url_pub_date": _url_pub_date_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -651,3 +651,50 @@ def url_param_policy(
         ((F.col("n_groups") >= min_support)
          & (ppm >= invariant_min_ppm)).alias("strip_safe"),
     )
+
+
+# Publication-date-in-URL patterns. Validity is IN the regex (year
+# 1990-2029, month 01-12, day 01-31) so no post-hoc date parsing is
+# needed and the DuckDB oracle shares each pattern verbatim
+# (Java∩RE2-safe: classes + alternation only).
+_URLDATE_Y = r"(199\d|20[0-2]\d)"
+_URLDATE_M = r"(0[1-9]|1[0-2])"
+_URLDATE_D = r"(0[1-9]|[12]\d|3[01])"
+URLDATE_DAY_SLASH_RE = f"/{_URLDATE_Y}/{_URLDATE_M}/{_URLDATE_D}(/|$)"
+URLDATE_MON_SLASH_RE = f"/{_URLDATE_Y}/{_URLDATE_M}(/|$)"
+URLDATE_DAY_DASH_RE = (
+    f"(^|[^0-9]){_URLDATE_Y}-{_URLDATE_M}-{_URLDATE_D}($|[^0-9])")
+
+
+def url_pub_date(df: DataFrame, url_col: str) -> DataFrame:
+    """Publication-date estimate from the URL path — the freshness
+    prior news/blog CMSes leak for free (/2023/05/21/post.html,
+    ...-2023-05-21.html): recrawl schedulers and recency-weighted
+    samplers consume it when no on-page date exists. Precedence:
+    /Y/M/D/ path > Y-M-D slug > /Y/M/ path; month-only dates fill
+    day=01 and report precision='month'; anything else (including
+    regex-invalid month 13 or day 32 — validity is in the pattern)
+    yields NULLs. Pure codegen scan projection; no shuffle, no Python.
+
+    Output: input columns + (pub_date 'YYYY-MM-DD', date_precision
+    'day'|'month'|NULL)."""
+    u = F.col(url_col)
+
+    def ex(re: str, grp: int) -> Column:
+        return F.regexp_extract(u, re, grp)
+
+    ds = [ex(URLDATE_DAY_SLASH_RE, i) for i in (1, 2, 3)]
+    dd = [ex(URLDATE_DAY_DASH_RE, i) for i in (2, 3, 4)]
+    ms = [ex(URLDATE_MON_SLASH_RE, i) for i in (1, 2)]
+
+    def iso(y: Column, m: Column, d) -> Column:
+        return F.concat(y, F.lit("-"), m, F.lit("-"),
+                        d if isinstance(d, Column) else F.lit(d))
+
+    pub = (F.when(ds[0] != "", iso(*ds))
+           .when(dd[0] != "", iso(*dd))
+           .when(ms[0] != "", iso(ms[0], ms[1], "01")))
+    prec = (F.when((ds[0] != "") | (dd[0] != ""), F.lit("day"))
+            .when(ms[0] != "", F.lit("month")))
+    return df.select("*", pub.alias("pub_date"),
+                     prec.alias("date_precision"))

@@ -2544,3 +2544,66 @@ def test_hot_keys_partition_invariance(spark):
     a = [tuple(r) for r in hot_keys(df, ["k"], k=5).collect()]
     b = [tuple(r) for r in hot_keys(df.repartition(7), ["k"], k=5).collect()]
     assert a == b and a[0][0] == "k0" and a[0][3] == 1
+
+
+def test_cache_policy_hand_computed(spark):
+    from jsonschema_spark.operators.httpmeta import cache_policy_df
+
+    crlf = "\r\n"
+    rows = [
+        (1, f"HTTP/1.1 200 OK{crlf}Cache-Control: public, max-age=1200"),
+        (2, f"HTTP/1.1 200 OK{crlf}Cache-Control: no-store{crlf}"
+            f"ETag: \"abc\""),
+        (3, f"HTTP/1.1 200 OK{crlf}Cache-Control: max-age=0"),
+        (4, f"HTTP/1.1 200 OK{crlf}"
+            f"Expires: Wed, 21 Oct 2015 07:28:00 GMT"),
+        (5, f"HTTP/1.1 200 OK{crlf}Last-Modified: whenever"),
+        (6, "HTTP/1.1 200 OK"),
+        (7, f"HTTP/1.1 200 OK{crlf}Cache-Control: max-age=90000"),
+        # directive text in an unrelated header must not fire
+        (8, f"HTTP/1.1 200 OK{crlf}X-Note: no-store max-age=5"),
+        # adversarial overflow: try_cast -> NULL -> no max-age route
+        (9, f"HTTP/1.1 200 OK{crlf}"
+            f"Cache-Control: max-age=99999999999999999999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, hdrs string")
+    got = {r["doc_id"]: r for r in
+           cache_policy_df(df, "doc_id", "hdrs").collect()}
+    assert (got[1]["max_age_s"], got[1]["policy"]) == (1200, "hourly")
+    assert (got[2]["no_store"], got[2]["policy"]) == (1, "no-cache")
+    assert got[3]["policy"] == "no-cache"
+    assert (got[4]["expires_iso"], got[4]["policy"]) == \
+        ("2015-10-21 07:28:00", "expires")
+    assert got[5]["policy"] == "conditional"
+    assert got[6]["policy"] == "unknown"
+    assert got[7]["policy"] == "weekly"  # 90000 s > 1 day
+    assert (got[8]["no_store"], got[8]["max_age_s"], got[8]["policy"]) == \
+        (0, None, "unknown")
+    assert (got[9]["max_age_s"], got[9]["policy"]) == (None, "unknown")
+
+
+def test_url_pub_date_hand_computed(spark):
+    from jsonschema_spark.operators.urltools import url_pub_date
+
+    rows = [
+        (1, "https://a.org/blog/2023/05/21/post.html"),
+        (2, "https://a.org/news/2019/11/"),
+        (3, "https://a.org/p/breaking-2021-02-28.html"),
+        (4, "https://a.org/about.html"),
+        (5, "https://a.org/x/2023/13/05/"),      # month 13 invalid
+        (6, "https://a.org/y/2023/05/32/"),      # day 32 -> month only
+        (7, "https://a.org/1989/05/21/"),        # year out of range
+        (8, "https://a.org/2024/12"),            # month path at end
+        (9, "https://a.org/id/12023/05/oops"),   # 12023: digit before year
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: (r["pub_date"], r["date_precision"])
+           for r in url_pub_date(df, "url").collect()}
+    assert got[1] == ("2023-05-21", "day")
+    assert got[2] == ("2019-11-01", "month")
+    assert got[3] == ("2021-02-28", "day")
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    assert got[6] == ("2023-05-01", "month")
+    assert got[7] == (None, None)
+    assert got[8] == ("2024-12-01", "month")

@@ -5450,6 +5450,62 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN g3 ON d.doc_id = g3.doc_id"""
 
 
+_DQ_BOILER = "the shared boilerplate page of this crawl and more and more"
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality prior (FineWeb wholesale-domain practice)
+    over the messy-url corpus with exact-duplicate boilerplate planted
+    on doc_id%31==7 so dup_ppm is non-trivial: per PSL registered
+    domain — doc count, token mass, Gopher-keep share, corpus-dup
+    share and the keep/review/drop route."""
+    from jsonschema_spark.operators.curate import domain_quality_df
+
+    c = F.col("doc_id")
+    t = F.when(c % 31 == 7, F.lit(_DQ_BOILER)).otherwise(F.col("text"))
+    d = _docs(spark, sf_dir).select("doc_id", "source", t.alias("text")) \
+        .withColumn("url", _messy_url())
+    return domain_quality_df(d, "url", "text", min_words=10,
+                             max_words=100000, min_stopwords=1)
+
+
+def _domain_quality_sql() -> str:
+    from jsonschema_spark.operators.urltools import _URL_RE
+
+    wt = _WEBTEXT_SQL.replace("FROM documents", "FROM pdocs")
+    kppm = "floor((k * 1000000)::DOUBLE / n_docs)"
+    return f"""WITH {_psl_sql_ctes()},
+pdocs AS (SELECT doc_id, source,
+            CASE WHEN doc_id % 31 = 7 THEN '{_DQ_BOILER}'
+                 ELSE text END AS text
+          FROM documents),
+wt AS ({wt}),
+m AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM pdocs),
+hs AS (SELECT doc_id, host, string_split(host, '.') AS ls
+       FROM (SELECT doc_id,
+               lower(regexp_extract(url, '{_URL_RE}', 2)) AS host
+             FROM m)),
+rd AS (SELECT doc_id, {_psl_reg_sql(want='reg')} AS reg_domain FROM hs),
+hh AS (SELECT doc_id, {_h56('text')} AS h FROM pdocs
+       WHERE text IS NOT NULL),
+dc AS (SELECT h, count(*) AS c FROM hh GROUP BY 1),
+per AS (SELECT rd.reg_domain, wt.keep, wt.n_words, (dc.c > 1)::INT AS dup
+        FROM hh JOIN dc USING (h) JOIN rd USING (doc_id)
+        JOIN wt USING (doc_id)),
+g AS (SELECT reg_domain, count(*)::BIGINT AS n_docs,
+        sum(keep)::BIGINT AS k, sum(dup)::BIGINT AS d,
+        sum(n_words)::BIGINT AS n_tokens
+      FROM per GROUP BY 1)
+SELECT reg_domain, n_docs, n_tokens,
+  floor((n_tokens * 1000)::DOUBLE / n_docs)::BIGINT AS mean_tokens_milli,
+  {kppm}::BIGINT AS keep_ppm,
+  floor((d * 1000000)::DOUBLE / n_docs)::BIGINT AS dup_ppm,
+  CASE WHEN {kppm} >= 500000 THEN 'keep'
+       WHEN {kppm} >= 200000 THEN 'review'
+       ELSE 'drop' END AS route
+FROM g"""
+
+
 def q_url_pub_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Publication-date extraction from CMS-style URL paths: /Y/M/D/
     blog paths, /Y/M/ archives, Y-M-D slugs and undated pages planted
@@ -6037,6 +6093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_hist": q_key_skew_hist,
         "cache_policy": q_cache_policy,
         "url_pub_date": q_url_pub_date,
+        "domain_quality": q_domain_quality,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6550,6 +6607,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_hist": _KEY_SKEW_HIST_SQL,
         "cache_policy": _cache_policy_sql(),
         "url_pub_date": _url_pub_date_sql(),
+        "domain_quality": _domain_quality_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -825,3 +825,70 @@ def epoch_plan(
         .alias("epochs_milli"),
         F.col("r.cp").alias("capped"),
     )
+
+
+def domain_quality_df(
+    df: DataFrame,
+    url_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_stopwords: int = 2,
+    keep_ppm_keep: int = 500_000,
+    keep_ppm_review: int = 200_000,
+) -> DataFrame:
+    """Domain-level quality prior — the FineWeb/CC practice of judging
+    REGISTERED DOMAINS, not just documents: a domain whose pages almost
+    never survive the doc-level filter is spam/boilerplate wholesale,
+    and dropping it at the frontier saves the fetch, not just the
+    tokens. Per PSL registered domain:
+
+    - n_docs, n_tokens, mean_tokens_milli;
+    - keep_ppm: share of docs passing the Gopher/C4 ``webtext_keep``
+      predicate (same thresholds → same semantics as the doc filter);
+    - dup_ppm: share of docs whose exact text hash appears more than
+      once in the CORPUS (cross-domain mirrors count — a domain of
+      copies of other sites' pages is the signal);
+    - route: 'keep' / 'review' / 'drop' by keep_ppm thresholds.
+
+    Scale shape: the per-doc projection (domain, keep, n_words, hash56)
+    is computed IN the scan — the text column never rides a shuffle —
+    and localCheckpointed once because it feeds both sides of the dup
+    join (self-joins recompute otherwise). Then: hash-groupBy (entropy
+    key, skew-free), join back on the hash, ONE groupBy(reg_domain)
+    with map-side partials (the heavy-tailed domain distribution
+    collapses per-task before the exchange). Three exchanges total,
+    all on narrow rows.
+    """
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.textstats import token_count
+    from jsonschema_spark.operators.urltools import registered_domain
+
+    t = F.col(text_col)
+    base = df.where(t.isNotNull()).select(
+        registered_domain(F.col(url_col)).alias("reg_domain"),
+        webtext_keep(t, min_words, max_words, min_stopwords)
+        .cast("long").alias("_keep"),
+        token_count(t).cast("long").alias("_nw"),
+        hash56(t).alias("_h"),
+    ).localCheckpoint(eager=True)
+    dc = base.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    per = base.join(dc, "_h")
+    g = per.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_keep").cast("long").alias("_k"),
+        F.sum((F.col("_c") > 1).cast("long")).cast("long").alias("_d"),
+        F.sum("_nw").cast("long").alias("n_tokens"),
+    )
+    keep_ppm = F.floor(F.col("_k") * 1_000_000 / F.col("n_docs"))
+    dup_ppm = F.floor(F.col("_d") * 1_000_000 / F.col("n_docs"))
+    mean_milli = F.floor(F.col("n_tokens") * 1000 / F.col("n_docs"))
+    return g.select(
+        "reg_domain", "n_docs", "n_tokens",
+        mean_milli.cast("long").alias("mean_tokens_milli"),
+        keep_ppm.cast("long").alias("keep_ppm"),
+        dup_ppm.cast("long").alias("dup_ppm"),
+        F.when(keep_ppm >= keep_ppm_keep, F.lit("keep"))
+        .when(keep_ppm >= keep_ppm_review, F.lit("review"))
+        .otherwise(F.lit("drop")).alias("route"),
+    )

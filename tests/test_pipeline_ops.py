@@ -2607,3 +2607,32 @@ def test_url_pub_date_hand_computed(spark):
     assert got[6] == ("2023-05-01", "month")
     assert got[7] == (None, None)
     assert got[8] == ("2024-12-01", "month")
+
+
+def test_domain_quality_hand_computed(spark):
+    from jsonschema_spark.operators.curate import domain_quality_df
+
+    good = ("the cat and the dog sat with the hat and the mat "
+            "went to town it was fine")  # 18 words, passes at min 10
+    bad = "x" * 30  # one 30-char token: fails word count + mean len
+    rows = [
+        (1, "https://a.good.com/p1", good + " one"),
+        (2, "https://www.good.com/p2", good + " two"),
+        (3, "https://good.com/p3", bad + "3"),
+        (4, "https://spam.net/p1", bad + "4"),
+        (5, "https://spam.net/p2", bad + "5"),
+        # exact cross-domain mirror pair
+        (6, "https://mirror.org/copy", good),
+        (7, "https://spam.net/copy", good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["reg_domain"]: r for r in domain_quality_df(
+        df, "url", "text", min_words=10, max_words=1000,
+        min_stopwords=1).collect()}
+    g = got["good.com"]  # subdomains a./www. collapse to the domain
+    assert (g["n_docs"], g["keep_ppm"], g["route"]) == (3, 666666, "keep")
+    s = got["spam.net"]
+    assert s["n_docs"] == 3 and s["route"] == "review"  # 1/3 keep
+    assert s["dup_ppm"] == 333333  # the mirrored copy
+    assert got["mirror.org"]["dup_ppm"] == 1000000
+    assert g["dup_ppm"] == 0

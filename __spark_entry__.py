@@ -5506,6 +5506,263 @@ SELECT reg_domain, n_docs, n_tokens,
 FROM g"""
 
 
+_OPEN_BOUND = 1 << 62
+
+
+def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative table contract over orders: size,
+    completeness, PK distinctness, cardinality, value domain, format
+    rate, bounds and scaled mean — ALL algebraic metrics in one
+    aggregation pass (one scan, map-side partials), the two exact
+    count-distincts fused via Spark's Expand in the same agg."""
+    from jsonschema_spark.operators.checks import check_suite
+
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return check_suite(o, [
+        {"name": "size", "check": "size_min", "min": 1000},
+        {"name": "orderdate_complete", "check": "completeness",
+         "col": "o_orderdate", "min_ppm": 1_000_000},
+        {"name": "orderkey_pk", "check": "distinctness",
+         "col": "o_orderkey", "min_ppm": 1_000_000},
+        {"name": "custkey_card", "check": "distinctness",
+         "col": "o_custkey", "min_ppm": 500_000},
+        {"name": "status_domain", "check": "contained_ppm",
+         "col": "o_orderstatus", "allowed": ["O", "F", "P"],
+         "min_ppm": 1_000_000},
+        {"name": "priority_format", "check": "match_ppm",
+         "col": "o_orderpriority", "pattern": "^[1-5]-[A-Z ]+$",
+         "min_ppm": 1_000_000},
+        {"name": "price_min", "check": "min_ge",
+         "col": "o_totalprice", "scale": 100, "ge": 0},
+        {"name": "price_mean", "check": "mean_scaled_between",
+         "col": "o_totalprice", "scale": 100,
+         "lo": 1_000_000, "hi": 50_000_000},
+    ])
+
+
+def _check_suite_sql() -> str:
+    open_b = _OPEN_BOUND
+    ppm = "floor(({n} * 1000000)::DOUBLE / {d})::BIGINT"
+
+    def row(name, ctype, col, metric, lo, hi):
+        return (f"SELECT '{name}' AS check_name, '{ctype}' AS "
+                f"check_type, '{col}' AS col_name, {metric} AS metric, "
+                f"{lo}::BIGINT AS lo, {hi}::BIGINT AS hi, "
+                f"CASE WHEN {metric} >= {lo} AND {metric} <= {hi} "
+                f"THEN 'pass' ELSE 'fail' END AS status FROM a")
+
+    rows = [
+        row("size", "size_min", "", "n_rows", 1000, open_b),
+        row("orderdate_complete", "completeness", "o_orderdate",
+            ppm.format(n="nn_date", d="n_rows"), 1_000_000, 1_000_000),
+        row("orderkey_pk", "distinctness", "o_orderkey",
+            ppm.format(n="nd_ok", d="n_rows"), 1_000_000, 1_000_000),
+        row("custkey_card", "distinctness", "o_custkey",
+            ppm.format(n="nd_ck", d="n_rows"), 500_000, 1_000_000),
+        row("status_domain", "contained_ppm", "o_orderstatus",
+            ppm.format(n="in_st", d="nn_st"), 1_000_000, 1_000_000),
+        row("priority_format", "match_ppm", "o_orderpriority",
+            ppm.format(n="rx_pr", d="nn_pr"), 1_000_000, 1_000_000),
+        row("price_min", "min_ge", "o_totalprice", "mn_tp",
+            0, open_b),
+        row("price_mean", "mean_scaled_between", "o_totalprice",
+            "floor(sq_tp::DOUBLE / nn_tp)::BIGINT",
+            1_000_000, 50_000_000),
+    ]
+    union = "\nUNION ALL\n".join(rows)
+    return f"""WITH a AS (SELECT
+  count(*)::BIGINT AS n_rows,
+  count(o_orderdate)::BIGINT AS nn_date,
+  count(DISTINCT o_orderkey)::BIGINT AS nd_ok,
+  count(DISTINCT o_custkey)::BIGINT AS nd_ck,
+  count(o_orderstatus)::BIGINT AS nn_st,
+  sum((o_orderstatus IN ('O','F','P'))::INT)::BIGINT AS in_st,
+  count(o_orderpriority)::BIGINT AS nn_pr,
+  sum(regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')::INT)::BIGINT
+    AS rx_pr,
+  min(floor(o_totalprice * 100.0))::BIGINT AS mn_tp,
+  sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS sq_tp,
+  count(o_totalprice)::BIGINT AS nn_tp
+FROM orders)
+{union}"""
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit l_partkey → l_suppkey over
+    lineitem: every part supplied by more than one supplier, with row
+    mass and min/max witnesses. Two narrow exchanges (composite-key
+    groupBy, then lhs groupBy with map-side partials)."""
+    from jsonschema_spark.operators.checks import fd_violations
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return fd_violations(li, ["l_partkey"], "l_suppkey")
+
+
+_FD_CHECK_SQL = """
+WITH g1 AS (SELECT l_partkey, l_suppkey AS _rhs, count(*)::BIGINT AS c
+            FROM lineitem GROUP BY 1, 2),
+g2 AS (SELECT l_partkey, sum(c)::BIGINT AS n_rows,
+         count(*)::BIGINT AS n_distinct_rhs,
+         min(_rhs) AS rhs_min, max(_rhs) AS rhs_max
+       FROM g1 GROUP BY 1)
+SELECT * FROM g2 WHERE n_distinct_rhs > 1"""
+
+
+def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate reconciliation: o_totalprice vs the
+    lineitem charge roll-up sum(extprice*(1-disc)*(1+tax)), both sides
+    quantized to integer cents PER ROW before the exact int64 sum so
+    the verdict is partition-order independent. Top-100 worst
+    mismatches via TakeOrderedAndProject (never a global sort);
+    childless orders surface as no_parts."""
+    from jsonschema_spark.operators.checks import reconcile_sum
+
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = (F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax")))
+    r = reconcile_sum(o, "o_orderkey", "o_totalprice",
+                      li, "l_orderkey", part)
+    return r.orderBy(F.abs(F.col("diff_units")).desc(),
+                     F.col("o_orderkey")).limit(100)
+
+
+_RECONCILE_ORDERS_SQL = """
+WITH cs AS (SELECT l_orderkey AS k,
+       sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 * 100.0)::BIGINT)::BIGINT AS parts,
+       count(*)::BIGINT AS np
+     FROM lineitem GROUP BY 1),
+p AS (SELECT o_orderkey AS k,
+        floor(o_totalprice * 100.0)::BIGINT AS stated
+      FROM orders)
+SELECT k AS o_orderkey, stated AS stated_units,
+  coalesce(parts, 0)::BIGINT AS parts_units,
+  coalesce(np, 0)::BIGINT AS n_parts,
+  (coalesce(parts, 0) - stated)::BIGINT AS diff_units,
+  CASE WHEN parts IS NULL THEN 'no_parts'
+       WHEN abs(coalesce(parts, 0) - stated) <= 0 THEN 'ok'
+       ELSE 'mismatch' END AS status
+FROM p LEFT JOIN cs USING (k)
+ORDER BY abs(coalesce(parts, 0) - stated) DESC, k
+LIMIT 100"""
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum over documents (replica /
+    snapshot / engine equality without a sort): canonical row
+    rendering → portable 56-bit hash → per-bucket (count, XOR,
+    mod-sum). One scan + one 64-row exchange; a mismatch localizes to
+    1/64 of the data."""
+    from jsonschema_spark.operators.checks import table_fingerprint
+
+    return table_fingerprint(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "text"], 64)
+
+
+_TABLE_FINGERPRINT_SQL = f"""
+WITH r AS (SELECT concat_ws(chr(1),
+    coalesce(doc_id::VARCHAR, '<NULL>'),
+    coalesce(lang, '<NULL>'),
+    coalesce(source, '<NULL>'),
+    coalesce(text, '<NULL>')) AS s FROM documents),
+h AS (SELECT {_h56('s')} AS h FROM r)
+SELECT h % 64 AS bucket, count(*)::BIGINT AS n_rows,
+       bit_xor(h)::BIGINT AS xor56,
+       sum(h % 1000003)::BIGINT AS modsum
+FROM h GROUP BY 1"""
+
+
+def q_partition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition row-count anomaly vs the lower-median bucket,
+    with a genuinely anomalous plant: bucket 3 loses its even doc_ids
+    (half-written ingest), bucket 7 is loaded twice (double ingest).
+    Median via the allowed collect-into-one-row global agg — no
+    single-partition window."""
+    from jsonschema_spark.operators.checks import partition_anomaly
+
+    c = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(c, (c % 12).alias("b"))
+    d = d.where(~((F.col("b") == 3) & (c % 2 == 0)))
+    d = d.unionAll(d.where(F.col("b") == 7))
+    return partition_anomaly(d, F.col("b"),
+                             lo_ppm=600_000, hi_ppm=1_500_000)
+
+
+_PARTITION_ANOMALY_SQL = """
+WITH base AS (SELECT doc_id, doc_id % 12 AS b FROM documents
+              WHERE NOT (doc_id % 12 = 3 AND doc_id % 2 = 0)),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM base WHERE b = 7),
+g AS (SELECT b AS bucket, count(*)::BIGINT AS n_rows
+      FROM u GROUP BY 1),
+m AS (SELECT a[(len(a) + 1) // 2] AS median_rows
+      FROM (SELECT list_sort(list(n_rows)) AS a FROM g)),
+j AS (SELECT bucket, n_rows, median_rows,
+        floor((n_rows * 1000000)::DOUBLE / median_rows)::BIGINT
+          AS ratio_ppm
+      FROM g, m)
+SELECT bucket, n_rows, median_rows, ratio_ppm,
+  CASE WHEN ratio_ppm < 600000 THEN 'low'
+       WHEN ratio_ppm > 1500000 THEN 'high'
+       ELSE 'ok' END AS status
+FROM j"""
+
+
+_BL_TERMS_RE = r"\b(casino|lottery)\b"
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style blocklist routing over the messy-url corpus with
+    planted content: doc_id%9==0 gains two term hits (blocked at
+    max_hits=2), %9==1 gains one (soft, kept); messy-url doc_id%5
+    classes 1 and 3 land on the two blocked registered domains. Pure
+    codegen scan — PSL InSet probe + one regexp_count, no shuffle."""
+    from jsonschema_spark.operators.curate import blocklist_route
+
+    c = F.col("doc_id")
+    t = F.when(c % 9 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" Casino night casino prize"))) \
+        .when(c % 9 == 1,
+              F.concat(F.col("text"), F.lit(" LOTTERY winner"))) \
+        .otherwise(F.col("text"))
+    d = _docs(spark, sf_dir).select(c, "source", t.alias("text")) \
+        .withColumn("url", _messy_url())
+    out = blocklist_route(d, "url", "text",
+                          ["crawl-site.org", "city.kobe.jp"],
+                          ["casino", "lottery"], max_hits=2)
+    return out.select("doc_id", "reg_domain", "term_hits", "route")
+
+
+def _blocklist_sql() -> str:
+    from jsonschema_spark.operators.urltools import _URL_RE
+
+    return f"""WITH {_psl_sql_ctes()},
+pdocs AS (SELECT doc_id, source,
+            CASE WHEN doc_id % 9 = 0
+                 THEN text || ' Casino night casino prize'
+                 WHEN doc_id % 9 = 1 THEN text || ' LOTTERY winner'
+                 ELSE text END AS text
+          FROM documents),
+m AS (SELECT doc_id, text, {_MESSY_URL_SQL} AS url FROM pdocs),
+hs AS (SELECT doc_id, text, host, string_split(host, '.') AS ls
+       FROM (SELECT doc_id, text,
+               lower(regexp_extract(url, '{_URL_RE}', 2)) AS host
+             FROM m)),
+rd AS (SELECT doc_id,
+         {_psl_reg_sql(want='reg')} AS reg_domain,
+         coalesce(len(regexp_extract_all(
+             lower(text), '{_BL_TERMS_RE}')), 0)::BIGINT AS term_hits
+       FROM hs)
+SELECT doc_id, reg_domain, term_hits,
+  CASE WHEN reg_domain IN ('crawl-site.org', 'city.kobe.jp')
+       THEN 'blocked_domain'
+       WHEN term_hits >= 2 THEN 'blocked_content'
+       ELSE 'keep' END AS route
+FROM rd"""
+
+
 def q_url_pub_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Publication-date extraction from CMS-style URL paths: /Y/M/D/
     blog paths, /Y/M/ archives, Y-M-D slugs and undated pages planted
@@ -6094,6 +6351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_policy": q_cache_policy,
         "url_pub_date": q_url_pub_date,
         "domain_quality": q_domain_quality,
+        "check_suite": q_check_suite,
+        "fd_check": q_fd_check,
+        "reconcile_orders": q_reconcile_orders,
+        "table_fingerprint": q_table_fingerprint,
+        "partition_anomaly": q_partition_anomaly,
+        "blocklist": q_blocklist,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6608,6 +6871,12 @@ def oracle_sql() -> dict[str, str]:
         "cache_policy": _cache_policy_sql(),
         "url_pub_date": _url_pub_date_sql(),
         "domain_quality": _domain_quality_sql(),
+        "check_suite": _check_suite_sql(),
+        "fd_check": _FD_CHECK_SQL,
+        "reconcile_orders": _RECONCILE_ORDERS_SQL,
+        "table_fingerprint": _TABLE_FINGERPRINT_SQL,
+        "partition_anomaly": _PARTITION_ANOMALY_SQL,
+        "blocklist": _blocklist_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

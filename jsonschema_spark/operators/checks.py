@@ -1,0 +1,352 @@
+"""Declarative table-level check suites — the Deequ/Great-Expectations
+analogue of the reference's schema validation, aimed at the TABLE
+contract rather than the per-row document: completeness, cardinality,
+value domains, bounds, format rates, functional dependencies and
+cross-table aggregate reconciliation.
+
+Reference parity: sourcemeta/jsonschema validates one JSON document at
+a time (src/command_validate.cc); at warehouse scale the same contract
+questions arrive as *column* assertions ("o_orderkey is a key",
+"o_orderstatus ∈ {O,F,P}", "totalprice equals the lineitem roll-up").
+These operators express that surface Spark-first.
+
+Scale design notes (100 TB):
+
+- ``check_suite`` evaluates every algebraic metric (count, non-null,
+  sum, min, max, regex-match count, containment count) in ONE global
+  aggregation over ONE scan — map-side partials collapse each task to
+  a single row, the exchange moves n_tasks rows. ``distinctness``
+  checks add Spark's Expand-based multi-count-distinct to the same
+  agg: the scan stays single, shuffled rows multiply by the number of
+  distinct columns (documented cost; at crawl scale prefer the HLL
+  sketch route in operators/stats.py when ±2 % suffices).
+- All reported metrics are integers (counts, scaled units, ppm with
+  explicit floor) so value-hashes are bit-stable across engines.
+- ``fd_violations`` is two narrow exchanges: groupBy(lhs, rhs) on the
+  high-entropy composite key (skew-free), then groupBy(lhs) with
+  map-side partials.
+- ``reconcile_sum`` quantizes to integer units PER ROW before summing
+  (float sums are order-dependent; integer sums are exact), so the
+  parent/child comparison is deterministic under any partitioning.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Open-bound sentinel for lo/hi — large enough to never bind, small
+# enough that |metric| + sentinel arithmetic stays far from int64.
+OPEN_BOUND = 1 << 62
+
+_CHECK_TYPES = (
+    "size_min",
+    "completeness",
+    "distinctness",
+    "min_ge",
+    "max_le",
+    "mean_scaled_between",
+    "match_ppm",
+    "contained_ppm",
+)
+
+
+def _ppm(num: Column, den: Column) -> Column:
+    return F.floor((num * 1_000_000).cast("double") / den)
+
+
+def _quant(col: Column, scale: int) -> Column:
+    """Per-row integer quantization. scale=1 truncates toward -inf
+    (floor), matching DuckDB floor() for negatives too."""
+    if scale == 1:
+        return F.floor(col.cast("double")).cast("long")
+    return F.floor(col * F.lit(float(scale))).cast("long")
+
+
+def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+    """Evaluate a declarative list of table-level constraints in one
+    aggregation pass; returns one row per check:
+
+    ``(check_name, check_type, col_name, metric, lo, hi, status)``
+
+    where ``status`` is 'pass' iff ``lo <= metric <= hi`` (a NULL
+    metric — e.g. min of an all-NULL column — fails). Check dicts:
+
+    - ``{"check": "size_min", "min": n}`` — metric = row count.
+    - ``{"check": "completeness", "col": c, "min_ppm": p}`` — metric =
+      non-NULL share of all rows, integer ppm.
+    - ``{"check": "distinctness", "col": c, "min_ppm": p}`` — metric =
+      exact distinct non-NULL values / rows, ppm (the PK check at
+      1_000_000).
+    - ``{"check": "min_ge", "col": c, "ge": v, "scale": s}`` /
+      ``{"check": "max_le", "col": c, "le": v, "scale": s}`` — metric =
+      min/max of floor(col*scale) (scale default 1).
+    - ``{"check": "mean_scaled_between", "col": c, "lo": a, "hi": b,
+      "scale": s}`` — metric = floor(sum(floor(col*scale)) / n_nonnull),
+      one IEEE division so engines agree bit-for-bit.
+    - ``{"check": "match_ppm", "col": c, "pattern": re, "min_ppm": p}``
+      — share of non-NULL values matching the (Java-and-RE2-safe)
+      regex, ppm of non-NULL.
+    - ``{"check": "contained_ppm", "col": c, "allowed": [...],
+      "min_ppm": p}`` — share of non-NULL values in the allow-list,
+      ppm of non-NULL.
+
+    Every check may carry ``"name"``; defaults to ``c{i}``.
+    """
+    aggs: dict[str, Column] = {
+        "n_rows": F.count(F.lit(1)).cast("long"),
+    }
+
+    def need(alias: str, expr: Column) -> str:
+        if alias not in aggs:
+            aggs[alias] = expr
+        return alias
+
+    def nonnull(c: str) -> str:
+        return need(
+            f"nn_{c}", F.sum(F.col(c).isNotNull().cast("long"))
+        )
+
+    # (name, ctype, colname, metric_builder(agg row cols), lo, hi)
+    specs: list[tuple] = []
+    for i, ck in enumerate(checks):
+        t = ck["check"]
+        if t not in _CHECK_TYPES:
+            raise ValueError(f"unknown check type {t!r}")
+        name = ck.get("name", f"c{i}")
+        c = ck.get("col", "")
+        scale = int(ck.get("scale", 1))
+        if t == "size_min":
+            metric = F.col("n_rows")
+            lo, hi = int(ck["min"]), OPEN_BOUND
+        elif t == "completeness":
+            a = nonnull(c)
+            metric = _ppm(F.col(a), F.col("n_rows"))
+            lo, hi = int(ck["min_ppm"]), 1_000_000
+        elif t == "distinctness":
+            a = need(f"nd_{c}", F.countDistinct(F.col(c)).cast("long"))
+            metric = _ppm(F.col(a), F.col("n_rows"))
+            lo, hi = int(ck["min_ppm"]), 1_000_000
+        elif t == "min_ge":
+            a = need(f"mn_{c}_{scale}",
+                     F.min(_quant(F.col(c), scale)))
+            metric = F.col(a)
+            lo, hi = int(ck["ge"]), OPEN_BOUND
+        elif t == "max_le":
+            a = need(f"mx_{c}_{scale}",
+                     F.max(_quant(F.col(c), scale)))
+            metric = F.col(a)
+            lo, hi = -OPEN_BOUND, int(ck["le"])
+        elif t == "mean_scaled_between":
+            s = need(f"sq_{c}_{scale}",
+                     F.sum(_quant(F.col(c), scale)))
+            n = nonnull(c)
+            metric = F.floor(F.col(s).cast("double") / F.col(n))
+            lo, hi = int(ck["lo"]), int(ck["hi"])
+        elif t == "match_ppm":
+            a = need(f"rx_{i}",
+                     F.sum(F.col(c).rlike(ck["pattern"]).cast("long")))
+            metric = _ppm(F.col(a), F.col(nonnull(c)))
+            lo, hi = int(ck["min_ppm"]), 1_000_000
+        else:  # contained_ppm
+            a = need(f"in_{i}",
+                     F.sum(F.col(c).isin(list(ck["allowed"]))
+                           .cast("long")))
+            metric = _ppm(F.col(a), F.col(nonnull(c)))
+            lo, hi = int(ck["min_ppm"]), 1_000_000
+        specs.append((name, t, c, metric, lo, hi))
+
+    row = df.agg(*[v.alias(k) for k, v in aggs.items()])
+    entries = []
+    for name, t, c, metric, lo, hi in specs:
+        m = metric.cast("long")
+        entries.append(F.struct(
+            F.lit(name).alias("check_name"),
+            F.lit(t).alias("check_type"),
+            F.lit(c).alias("col_name"),
+            m.alias("metric"),
+            F.lit(lo).cast("long").alias("lo"),
+            F.lit(hi).cast("long").alias("hi"),
+            F.when((m >= lo) & (m <= hi), F.lit("pass"))
+            .otherwise(F.lit("fail")).alias("status"),
+        ))
+    return row.select(F.explode(F.array(*entries)).alias("r")) \
+        .select("r.*")
+
+
+NULL_SENTINEL = "<NULL>"
+FIELD_SEP = "\x01"
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Order-independent table checksum for replica / snapshot / engine
+    equality at any scale: render each row to a canonical string
+    (NULL → sentinel, fields joined by \\x01), hash to the portable
+    56-bit md5 value, and fold per hash-prefix bucket into
+
+    ``(bucket, n_rows, xor56, modsum)``
+
+    - ``xor56`` = bit-XOR of row hashes: order-independent, never
+      overflows; an even-multiplicity duplicate pair cancels, which is
+      why ``modsum`` rides along;
+    - ``modsum`` = exact int64 sum of (hash mod 1_000_003): multiset-
+      sensitive; bounded by rows·10^6, so ANSI-safe to ~9·10^12 rows.
+
+    Two fingerprints are equal iff the tables are (with 56-bit
+    confidence) equal as multisets — no sort, no join, one scan and
+    one tiny ``n_buckets``-row exchange; a mismatch localizes to a
+    bucket, so the binary-search drill-down re-reads 1/n_buckets of
+    the data. Caller contract: pass string/integer columns (cast
+    floats/timestamps to an explicit text rendering first — engine
+    default float→string renderings differ).
+    """
+    from jsonschema_spark.operators.dedup import hash56
+
+    rendered = F.concat_ws(
+        FIELD_SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+          for c in cols],
+    )
+    h = hash56(rendered)
+    return (
+        df.select((h % n_buckets).alias("bucket"), h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("_h").cast("long").alias("xor56"),
+            F.sum(F.col("_h") % 1_000_003).cast("long").alias("modsum"),
+        )
+    )
+
+
+def partition_anomaly(
+    df: DataFrame,
+    bucket_col: Column,
+    lo_ppm: int = 500_000,
+    hi_ppm: int = 2_000_000,
+) -> DataFrame:
+    """Row-count anomaly detection across partitions of a table (the
+    per-day / per-shard sanity check that catches a half-written
+    ingest or a double-loaded day before training does): per bucket,
+    rows and the integer ratio to the LOWER MEDIAN bucket, flagged
+    'low' / 'high' / 'ok' against ppm thresholds.
+
+    The median is exact and cross-engine: bucket counts are bounded
+    (days, shards), so they collapse into ONE row via
+    array_sort(collect_list) — the allowed global-agg-of-partials
+    shape — and the lower median is one element_at; no single-
+    partition window anywhere. The tiny one-row median broadcasts
+    back over the bucket rows.
+    """
+    g = df.groupBy(bucket_col.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    med = g.agg(
+        F.array_sort(F.collect_list("n_rows")).alias("a"),
+    ).select(
+        F.element_at(
+            "a", ((F.size("a") + 1) / 2).cast("int")
+        ).alias("median_rows"),
+    )
+    out = g.crossJoin(F.broadcast(med))
+    ratio = F.floor((F.col("n_rows") * 1_000_000).cast("double")
+                    / F.col("median_rows"))
+    return out.select(
+        "bucket", "n_rows", "median_rows",
+        ratio.cast("long").alias("ratio_ppm"),
+        F.when(ratio < lo_ppm, F.lit("low"))
+        .when(ratio > hi_ppm, F.lit("high"))
+        .otherwise(F.lit("ok")).alias("status"),
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: Sequence[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Functional-dependency check lhs → rhs: return every lhs key
+    determined by MORE than one distinct rhs value, with row mass and
+    the min/max witnesses. A NULL rhs counts as its own determination
+    (one NULL group — both engines group NULLs together); ``rhs_min``
+    / ``rhs_max`` skip NULLs (SQL aggregate semantics).
+
+    Two narrow exchanges: groupBy(lhs, rhs) first — the composite key
+    has at least per-key-pair entropy, so a hot lhs key cannot skew
+    this stage worse than its own distinct-rhs fan-out — then
+    groupBy(lhs) over the already-collapsed pairs with map-side
+    partials.
+    """
+    lhs = [F.col(c) for c in lhs_cols]
+    g1 = df.groupBy(*lhs, F.col(rhs_col).alias("_rhs")) \
+        .agg(F.count(F.lit(1)).alias("_c"))
+    g2 = g1.groupBy(*[F.col(c) for c in lhs_cols]).agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_rhs"),
+        F.min("_rhs").alias("rhs_min"),
+        F.max("_rhs").alias("rhs_max"),
+    )
+    return g2.where(F.col("n_distinct_rhs") > 1)
+
+
+def reconcile_sum(
+    parent: DataFrame,
+    parent_key: str,
+    stated_col: str,
+    child: DataFrame,
+    child_key: str,
+    part: Column,
+    scale: int = 100,
+    tol_units: int = 0,
+) -> DataFrame:
+    """Cross-table aggregate reconciliation: does the parent's stated
+    total equal the sum of its child parts? (orders.o_totalprice vs
+    the lineitem charge roll-up — the classic warehouse contract.)
+
+    Both sides quantize to integer units PER ROW first —
+    floor(value * scale) — then sum exactly in int64: a float sum is
+    partition-order-dependent, an integer sum is not, so the verdict
+    is deterministic under any parallelism. ``part`` is a Column
+    expression over the child table evaluated in the scan.
+
+    Output per parent key: ``stated_units``, ``parts_units`` (0 when
+    childless), ``n_parts``, ``diff_units = parts - stated`` and
+    ``status`` ∈ {'ok', 'mismatch', 'no_parts'}.
+
+    Scale shape: child groupBy(key) with map-side partials collapses
+    the fact table before the join; the parent↔child join is the
+    canonical co-partitioned key join (bucket both by the key at the
+    lake layer and it never shuffles at all). Parents keep a LEFT
+    join so missing children surface; orphaned children are the
+    referential operator's job (operators/referential.py).
+    """
+    cents = F.floor(part * F.lit(float(scale))).cast("long")
+    cs = child.select(
+        F.col(child_key).alias("_k"), cents.alias("_q"),
+    ).groupBy("_k").agg(
+        F.sum("_q").cast("long").alias("_parts"),
+        F.count(F.lit(1)).cast("long").alias("_np"),
+    )
+    stated = F.floor(F.col(stated_col) * F.lit(float(scale))) \
+        .cast("long")
+    p = parent.select(
+        F.col(parent_key).alias("_k"), stated.alias("stated_units"),
+    )
+    j = p.join(cs, "_k", "left")
+    parts = F.coalesce(F.col("_parts"), F.lit(0).cast("long"))
+    diff = parts - F.col("stated_units")
+    return j.select(
+        F.col("_k").alias(parent_key),
+        F.col("stated_units"),
+        parts.alias("parts_units"),
+        F.coalesce(F.col("_np"), F.lit(0).cast("long"))
+        .alias("n_parts"),
+        diff.alias("diff_units"),
+        F.when(F.col("_parts").isNull(), F.lit("no_parts"))
+        .when(F.abs(diff) <= tol_units, F.lit("ok"))
+        .otherwise(F.lit("mismatch")).alias("status"),
+    )

@@ -20,6 +20,8 @@ funnel counts (input → quality-kept → canonical) in one pass each.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pandas as pd  # module top: pandas_udf string type hints resolve here
 
 from pyspark.sql import DataFrame, functions as F
@@ -891,4 +893,55 @@ def domain_quality_df(
         F.when(keep_ppm >= keep_ppm_keep, F.lit("keep"))
         .when(keep_ppm >= keep_ppm_review, F.lit("review"))
         .otherwise(F.lit("drop")).alias("route"),
+    )
+
+
+def blocklist_route(
+    df: DataFrame,
+    url_col: str,
+    text_col: str,
+    blocked_domains: Sequence[str],
+    terms: Sequence[str],
+    max_hits: int = 1,
+) -> DataFrame:
+    """UT1-style blocklist routing (RefinedWeb/FineWeb URL-filtering
+    practice): a hard domain blocklist plus a soft content-term vote.
+
+    - ``reg_domain`` via the PSL probe; ``blocked_domain`` when it is
+      in the blocklist — shipped as ONE InSet probe (isInCollection:
+      a single py4j call however large the UT1 list is, no join, no
+      broadcast table);
+    - ``term_hits`` = whole-word matches of the term alternation over
+      the lowercased text, ONE regexp_count in the scan. Terms must be
+      regex-safe lowercase words; with ``\\b`` on both sides exactly
+      one alternative can match at any start (a shorter prefix
+      alternative would have to end inside a word — not a boundary),
+      so Java-greedy and RE2-longest counts agree;
+    - ``route``: 'blocked_domain' > 'blocked_content' (hits >=
+      max_hits) > 'keep'. NULL text scores 0 hits.
+
+    Pure-codegen scan projection: zero joins, zero shuffles, zero
+    Python — the filter a 100 TB crawl applies to every page.
+    """
+    from pyspark.sql import Column as _C
+
+    from jsonschema_spark.operators.urltools import registered_domain
+
+    reg = registered_domain(F.col(url_col))
+    if blocked_domains:
+        blocked = _C(reg._jc.isInCollection(sorted(blocked_domains)))
+    else:
+        blocked = F.lit(False)
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    hits = F.coalesce(
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)),
+        F.lit(0),
+    ).cast("long")
+    return df.select(
+        "*",
+        reg.alias("reg_domain"),
+        hits.alias("term_hits"),
+        F.when(blocked, F.lit("blocked_domain"))
+        .when(hits >= max_hits, F.lit("blocked_content"))
+        .otherwise(F.lit("keep")).alias("route"),
     )

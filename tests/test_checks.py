@@ -1,0 +1,211 @@
+"""Hand-computed ledgers for the table-level check operators
+(operators/checks.py): Deequ-style check_suite, functional-dependency
+violations, cross-table aggregate reconciliation."""
+import math
+
+import pytest  # noqa: F401
+
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.checks import (
+    OPEN_BOUND,
+    check_suite,
+    fd_violations,
+    reconcile_sum,
+)
+
+
+def test_check_suite_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.5, None),
+            (2, "a", None, None),
+            (3, None, -2.25, None),
+            (4, "b", 3.0, None),
+            (4, "c", 3.0, None),
+        ],
+        "id long, v string, x double, z double",
+    )
+    out = check_suite(df, [
+        {"name": "size_ok", "check": "size_min", "min": 5},
+        {"name": "size_bad", "check": "size_min", "min": 6},
+        {"name": "v_complete", "check": "completeness", "col": "v",
+         "min_ppm": 800_000},
+        {"name": "id_pk", "check": "distinctness", "col": "id",
+         "min_ppm": 1_000_000},
+        {"name": "x_min", "check": "min_ge", "col": "x",
+         "scale": 100, "ge": 0},
+        {"name": "x_max", "check": "max_le", "col": "x", "le": 10},
+        {"name": "x_mean", "check": "mean_scaled_between", "col": "x",
+         "scale": 100, "lo": 356, "hi": 356},
+        {"name": "v_format", "check": "match_ppm", "col": "v",
+         "pattern": "^[ab]$", "min_ppm": 700_000},
+        {"name": "v_domain", "check": "contained_ppm", "col": "v",
+         "allowed": ["a", "b"], "min_ppm": 800_000},
+        {"name": "z_min", "check": "min_ge", "col": "z", "ge": 0},
+    ])
+    rows = {r["check_name"]: r for r in out.collect()}
+    assert len(rows) == 10
+    assert (rows["size_ok"]["metric"], rows["size_ok"]["status"]) \
+        == (5, "pass")
+    assert rows["size_ok"]["hi"] == OPEN_BOUND
+    assert rows["size_bad"]["status"] == "fail"
+    # 4 non-null of 5 rows
+    assert (rows["v_complete"]["metric"],
+            rows["v_complete"]["status"]) == (800_000, "pass")
+    # distinct non-null ids {1,2,3,4} of 5 rows
+    assert (rows["id_pk"]["metric"], rows["id_pk"]["status"]) \
+        == (800_000, "fail")
+    # floor(-2.25*100) = -225
+    assert (rows["x_min"]["metric"], rows["x_min"]["status"]) \
+        == (-225, "fail")
+    # floor at scale 1: max(10, -3, 3, 3) = 10 <= 10
+    assert (rows["x_max"]["metric"], rows["x_max"]["status"]) \
+        == (10, "pass")
+    # floor((1050 - 225 + 300 + 300) / 4) = floor(356.25)
+    assert (rows["x_mean"]["metric"], rows["x_mean"]["status"]) \
+        == (356, "pass")
+    # a, a, b match of 4 non-null
+    assert (rows["v_format"]["metric"], rows["v_format"]["status"]) \
+        == (750_000, "pass")
+    assert (rows["v_domain"]["metric"], rows["v_domain"]["status"]) \
+        == (750_000, "fail")
+    # all-NULL column: NULL metric fails, never passes
+    assert rows["z_min"]["metric"] is None
+    assert rows["z_min"]["status"] == "fail"
+
+
+def test_check_suite_partition_invariant(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("v"),
+        (F.col("id") % 13).cast("double").alias("x"),
+    )
+    checks = [
+        {"name": "n", "check": "size_min", "min": 1},
+        {"name": "d", "check": "distinctness", "col": "v",
+         "min_ppm": 1},
+        {"name": "m", "check": "mean_scaled_between", "col": "x",
+         "scale": 1000, "lo": 0, "hi": 10**9},
+    ]
+    a = sorted(map(tuple, check_suite(df, checks).collect()))
+    b = sorted(map(tuple,
+                   check_suite(df.repartition(17), checks).collect()))
+    assert a == b
+
+
+def test_fd_violations_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "x"),
+         (3, None), (3, "z"), (4, None)],
+        "k long, r string",
+    )
+    got = {r["k"]: r for r in
+           fd_violations(df, ["k"], "r").collect()}
+    assert set(got) == {1, 3}  # 2 and 4 are single-valued
+    assert (got[1]["n_rows"], got[1]["n_distinct_rhs"],
+            got[1]["rhs_min"], got[1]["rhs_max"]) == (3, 2, "x", "y")
+    # NULL rhs counts as a distinct determination; min/max skip it
+    assert (got[3]["n_rows"], got[3]["n_distinct_rhs"],
+            got[3]["rhs_min"], got[3]["rhs_max"]) == (2, 2, "z", "z")
+
+
+def test_reconcile_sum_hand_computed(spark):
+    parent = spark.createDataFrame(
+        [(1, 10.00), (2, 5.50), (3, 7.00)],
+        "k long, total double")
+    child = spark.createDataFrame(
+        [(1, 4.0), (1, 6.0), (2, 5.49)], "k long, amt double")
+    out = {r["k"]: r for r in reconcile_sum(
+        parent, "k", "total", child, "k", F.col("amt")).collect()}
+    assert (out[1]["parts_units"], out[1]["n_parts"],
+            out[1]["diff_units"], out[1]["status"]) == (1000, 2, 0, "ok")
+    # IEEE-exact expectation, same double ops as both engines
+    exp2 = math.floor(5.49 * 100.0)
+    stated2 = math.floor(5.50 * 100.0)
+    assert out[2]["parts_units"] == exp2
+    assert out[2]["diff_units"] == exp2 - stated2
+    assert out[2]["status"] == ("ok" if exp2 == stated2 else "mismatch")
+    assert (out[3]["parts_units"], out[3]["n_parts"],
+            out[3]["diff_units"], out[3]["status"]) \
+        == (0, 0, -700, "no_parts")
+
+    # tolerance turns the off-by-rounding row into a pass
+    tol = {r["k"]: r["status"] for r in reconcile_sum(
+        parent, "k", "total", child, "k", F.col("amt"),
+        tol_units=1).collect()}
+    assert tol[2] == "ok" and tol[3] == "no_parts"
+
+
+def test_table_fingerprint_properties(spark):
+    from jsonschema_spark.operators.checks import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "b")],
+        "id long, v string")
+    fp = sorted(map(tuple,
+                    table_fingerprint(df, ["id", "v"]).collect()))
+    # multiset-equal tables fingerprint identically under any order
+    # and partitioning
+    fp2 = sorted(map(tuple, table_fingerprint(
+        df.orderBy(F.desc("id")).repartition(7),
+        ["id", "v"]).collect()))
+    assert fp == fp2
+    assert sum(r[1] for r in fp) == 4
+    # a single changed value changes the fingerprint
+    df3 = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "c")],
+        "id long, v string")
+    assert fp != sorted(map(tuple,
+                            table_fingerprint(df3, ["id", "v"])
+                            .collect()))
+    # NULL and empty string are distinct renderings
+    dn = spark.createDataFrame([(2, "")], "id long, v string")
+    d0 = spark.createDataFrame([(2, None)], "id long, v string")
+    assert table_fingerprint(dn, ["id", "v"]).collect() \
+        != table_fingerprint(d0, ["id", "v"]).collect()
+
+
+def test_partition_anomaly_hand_computed(spark):
+    from jsonschema_spark.operators.checks import partition_anomaly
+
+    # buckets: a=10 rows, b=10, c=11, d=4 (low), e=30 (high)
+    rows = ([("a",)] * 10 + [("b",)] * 10 + [("c",)] * 11
+            + [("d",)] * 4 + [("e",)] * 30)
+    df = spark.createDataFrame(rows, "b string")
+    got = {r["bucket"]: r for r in partition_anomaly(
+        df, F.col("b"), lo_ppm=500_000, hi_ppm=2_000_000).collect()}
+    # sorted counts [4,10,10,11,30] -> lower median = 10
+    assert got["a"]["median_rows"] == 10
+    assert (got["d"]["ratio_ppm"], got["d"]["status"]) \
+        == (400_000, "low")
+    assert (got["e"]["ratio_ppm"], got["e"]["status"]) \
+        == (3_000_000, "high")
+    assert all(got[k]["status"] == "ok" for k in ("a", "b", "c"))
+    assert got["c"]["ratio_ppm"] == 1_100_000
+
+
+def test_blocklist_route_hand_computed(spark):
+    from jsonschema_spark.operators.curate import blocklist_route
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ads.spam-hub.net/x", "a clean page"),
+            (2, "https://ok.example.org/y", "win the casino lottery"),
+            (3, "https://ok.example.org/z", "CASINO nights"),
+            (4, "https://ok.example.org/w", "a casinogram page"),
+            (5, "https://ok.example.org/v", None),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_route(
+        df, "url", "text", ["spam-hub.net"],
+        ["casino", "lottery"], max_hits=2).collect()}
+    assert out[1]["route"] == "blocked_domain"
+    assert (out[2]["term_hits"], out[2]["route"]) \
+        == (2, "blocked_content")
+    # case-folded single hit stays under max_hits=2
+    assert (out[3]["term_hits"], out[3]["route"]) == (1, "keep")
+    # word boundary: casinogram is not casino
+    assert (out[4]["term_hits"], out[4]["route"]) == (0, "keep")
+    assert (out[5]["term_hits"], out[5]["route"]) == (0, "keep")

@@ -5709,6 +5709,121 @@ SELECT bucket, n_rows, median_rows, ratio_ppm,
 FROM j"""
 
 
+_FP_COLS = ["doc_id", "lang", "source", "text"]
+
+
+def _fp_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'next snapshot' of documents with all three churn kinds
+    planted deterministically: edits (doc_id%97==5 text suffix),
+    deletes (doc_id%101==7 dropped), inserts (doc_id%103==11
+    re-keyed +1_000_000 with synthetic text)."""
+    c = F.col("doc_id")
+    base = _docs(spark, sf_dir)
+    edited = base.where(~((c % 101) == 7)).withColumn(
+        "text",
+        F.when((c % 97) == 5,
+               F.concat(F.col("text"), F.lit(" [edited]")))
+        .otherwise(F.col("text")))
+    ins = base.where((c % 103) == 11).select(
+        (c + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("inserted row "), c.cast("string")).alias("text"),
+        F.col("lang"), F.col("source"),
+        F.lit(50).cast("long").alias("n_chars"))
+    return edited.unionByName(ins)
+
+
+_FP_NEW_SQL = """
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 5 THEN text || ' [edited]'
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE NOT (doc_id % 101 = 7)
+  UNION ALL
+  SELECT doc_id + 1000000, 'inserted row ' || doc_id::VARCHAR,
+         lang, source, 50::BIGINT
+  FROM documents WHERE doc_id % 103 = 11)"""
+
+_FP_RENDER = ("concat_ws(chr(1), coalesce(doc_id::VARCHAR, '<NULL>'), "
+              "coalesce(lang, '<NULL>'), coalesce(source, '<NULL>'), "
+              "coalesce(text, '<NULL>'))")
+
+
+def _fp_diff_ctes() -> str:
+    return f"""{_FP_NEW_SQL},
+fa AS (SELECT h % 64 AS bucket, count(*)::BIGINT AS n,
+         bit_xor(h)::BIGINT AS x, sum(h % 1000003)::BIGINT AS m
+       FROM (SELECT {_h56(_FP_RENDER)} AS h FROM documents) GROUP BY 1),
+fb AS (SELECT h % 64 AS bucket, count(*)::BIGINT AS n,
+         bit_xor(h)::BIGINT AS x, sum(h % 1000003)::BIGINT AS m
+       FROM (SELECT {_h56(_FP_RENDER)} AS h FROM newd) GROUP BY 1),
+d AS (SELECT coalesce(fa.bucket, fb.bucket) AS bucket,
+        coalesce(fa.n, 0)::BIGINT AS old_rows,
+        coalesce(fb.n, 0)::BIGINT AS new_rows,
+        NOT (coalesce(fa.n, -1) = coalesce(fb.n, -1)
+             AND coalesce(fa.x, -1) = coalesce(fb.x, -1)
+             AND coalesce(fa.m, -1) = coalesce(fb.m, -1)) AS changed
+      FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket)"""
+
+
+def q_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-level snapshot diff over the planted-churn corpus: which
+    1/64 slices of the table changed between snapshots (edits, deletes
+    and inserts all land in specific buckets; untouched buckets prove
+    themselves unchanged with no row-level state)."""
+    from jsonschema_spark.operators.checks import fingerprint_diff
+
+    return fingerprint_diff(_docs(spark, sf_dir),
+                            _fp_new_docs(spark, sf_dir), _FP_COLS, 64)
+
+
+def _fingerprint_diff_sql() -> str:
+    return f"WITH {_fp_diff_ctes()}\nSELECT * FROM d"
+
+
+def q_incremental_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental revalidation — the resumable-manifest story: diff
+    the snapshot fingerprints, then run DOCS_SCHEMA validation ONLY
+    over new-snapshot rows landing in changed buckets (the ≤64-key
+    bucket list broadcasts into the scan as a semi-join filter; at
+    100 TB the validator re-reads 1/64 granularity instead of the
+    table). Per changed bucket: rows, valid, invalid."""
+    from jsonschema_spark.operators.checks import (
+        fingerprint_diff,
+        row_fingerprint_hash,
+    )
+
+    base = _docs(spark, sf_dir)
+    new = _fp_new_docs(spark, sf_dir)
+    ch = fingerprint_diff(base, new, _FP_COLS, 64) \
+        .where(F.col("changed")).select("bucket")
+    tagged = new.withColumn(
+        "bucket", row_fingerprint_hash(_FP_COLS) % 64)
+    sel = tagged.join(F.broadcast(ch), "bucket")
+    v = validate(sel, DOCS_SCHEMA,
+                 instance_cols=["doc_id", "text", "lang", "source",
+                                "n_chars"])
+    return v.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).cast("long")
+        .alias("n_valid"),
+        F.sum((~F.col("valid")).cast("long")).cast("long")
+        .alias("n_invalid"),
+    )
+
+
+def _incremental_validate_sql() -> str:
+    return f"""WITH {_fp_diff_ctes()},
+tag AS (SELECT *, {_h56(_FP_RENDER)} % 64 AS bucket FROM newd)
+SELECT bucket, count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN {_DOCS_VALID_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+  sum(CASE WHEN {_DOCS_VALID_SQL} THEN 0 ELSE 1 END)::BIGINT
+    AS n_invalid
+FROM tag
+WHERE bucket IN (SELECT bucket FROM d WHERE changed)
+GROUP BY 1"""
+
+
 _BL_TERMS_RE = r"\b(casino|lottery)\b"
 
 
@@ -6357,6 +6472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
         "blocklist": q_blocklist,
+        "fingerprint_diff": q_fingerprint_diff,
+        "incremental_validate": q_incremental_validate,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -6877,6 +6994,8 @@ def oracle_sql() -> dict[str, str]:
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,
         "blocklist": _blocklist_sql(),
+        "fingerprint_diff": _fingerprint_diff_sql(),
+        "incremental_validate": _incremental_validate_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

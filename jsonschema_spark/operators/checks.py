@@ -179,6 +179,21 @@ NULL_SENTINEL = "<NULL>"
 FIELD_SEP = "\x01"
 
 
+def row_fingerprint_hash(cols: Sequence[str]) -> Column:
+    """Canonical row rendering (NULL → sentinel, fields joined by
+    \\x01) hashed to the portable 56-bit md5 value — the shared basis
+    of ``table_fingerprint`` and per-row bucket tagging in incremental
+    revalidation. Column ORDER is part of the fingerprint."""
+    from jsonschema_spark.operators.dedup import hash56
+
+    rendered = F.concat_ws(
+        FIELD_SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+          for c in cols],
+    )
+    return hash56(rendered)
+
+
 def table_fingerprint(
     df: DataFrame,
     cols: Sequence[str],
@@ -205,14 +220,7 @@ def table_fingerprint(
     floats/timestamps to an explicit text rendering first — engine
     default float→string renderings differ).
     """
-    from jsonschema_spark.operators.dedup import hash56
-
-    rendered = F.concat_ws(
-        FIELD_SEP,
-        *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
-          for c in cols],
-    )
-    h = hash56(rendered)
+    h = row_fingerprint_hash(cols)
     return (
         df.select((h % n_buckets).alias("bucket"), h.alias("_h"))
         .groupBy("bucket")
@@ -221,6 +229,48 @@ def table_fingerprint(
             F.bit_xor("_h").cast("long").alias("xor56"),
             F.sum(F.col("_h") % 1_000_003).cast("long").alias("modsum"),
         )
+    )
+
+
+def fingerprint_diff(
+    old: DataFrame,
+    new: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Bucket-level diff of two table fingerprints — the incremental-
+    revalidation planner: a bucket whose (count, XOR, modsum) triple
+    is unchanged provably (56-bit) holds the same row multiset, so a
+    downstream validator re-reads ONLY changed buckets — 1/n_buckets
+    granularity without storing per-row state, resumable across
+    snapshots because the fingerprint is pure data.
+
+    Output per bucket: old/new row counts (0 when absent) and
+    ``changed``. Full-outer join on the ≤n_buckets keys — a
+    broadcast-sized plan however large the underlying tables are.
+    """
+    fa = table_fingerprint(old, cols, n_buckets).select(
+        "bucket", F.col("n_rows").alias("old_rows"),
+        F.col("xor56").alias("_xa"), F.col("modsum").alias("_ma"))
+    fb = table_fingerprint(new, cols, n_buckets).select(
+        "bucket", F.col("n_rows").alias("new_rows"),
+        F.col("xor56").alias("_xb"), F.col("modsum").alias("_mb"))
+    j = fa.join(fb, "bucket", "full_outer")
+    changed = ~(
+        (F.coalesce(F.col("old_rows"), F.lit(-1))
+         == F.coalesce(F.col("new_rows"), F.lit(-1)))
+        & (F.coalesce(F.col("_xa"), F.lit(-1))
+           == F.coalesce(F.col("_xb"), F.lit(-1)))
+        & (F.coalesce(F.col("_ma"), F.lit(-1))
+           == F.coalesce(F.col("_mb"), F.lit(-1)))
+    )
+    return j.select(
+        "bucket",
+        F.coalesce(F.col("old_rows"), F.lit(0)).cast("long")
+        .alias("old_rows"),
+        F.coalesce(F.col("new_rows"), F.lit(0)).cast("long")
+        .alias("new_rows"),
+        changed.alias("changed"),
     )
 
 

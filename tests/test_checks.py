@@ -209,3 +209,30 @@ def test_blocklist_route_hand_computed(spark):
     # word boundary: casinogram is not casino
     assert (out[4]["term_hits"], out[4]["route"]) == (0, "keep")
     assert (out[5]["term_hits"], out[5]["route"]) == (0, "keep")
+
+
+def test_fingerprint_diff_localizes_change(spark):
+    from jsonschema_spark.operators.checks import (
+        fingerprint_diff,
+        row_fingerprint_hash,
+    )
+
+    old = spark.range(200).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("v"))
+    # edit exactly one row: id 17
+    new = old.withColumn(
+        "v", F.when(F.col("id") == 17, F.lit("EDITED"))
+        .otherwise(F.col("v")))
+    d = fingerprint_diff(old, new, ["id", "v"], 16)
+    changed = sorted(r["bucket"] for r in d.collect() if r["changed"])
+    # the edited row's old and new renderings land in (at most) two
+    # buckets; every other bucket proves itself unchanged
+    exp = {r[0] for r in old.where("id = 17").select(
+        row_fingerprint_hash(["id", "v"]) % 16).collect()}
+    exp |= {r[0] for r in new.where("id = 17").select(
+        row_fingerprint_hash(["id", "v"]) % 16).collect()}
+    assert set(changed) == exp and 1 <= len(changed) <= 2
+    # identical tables: nothing changed, counts intact
+    same = fingerprint_diff(old, old, ["id", "v"], 16).collect()
+    assert not any(r["changed"] for r in same)
+    assert sum(r["old_rows"] for r in same) == 200

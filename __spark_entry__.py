@@ -5537,19 +5537,25 @@ def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "price_mean", "check": "mean_scaled_between",
          "col": "o_totalprice", "scale": 100,
          "lo": 1_000_000, "hi": 50_000_000},
+        # the crawl-scale PK check: HLL estimate instead of the exact
+        # Expand distinct (±2 % at p=12, hence the 900k floor)
+        {"name": "orderkey_uniq_approx", "check": "distinctness_approx",
+         "col": "o_orderkey", "min_ppm": 900_000, "p": 12},
     ])
 
 
 def _check_suite_sql() -> str:
+    from jsonschema_spark.operators.stats import hll_alpha
+
     open_b = _OPEN_BOUND
     ppm = "floor(({n} * 1000000)::DOUBLE / {d})::BIGINT"
 
-    def row(name, ctype, col, metric, lo, hi):
+    def row(name, ctype, col, metric, lo, hi, from_="a"):
         return (f"SELECT '{name}' AS check_name, '{ctype}' AS "
                 f"check_type, '{col}' AS col_name, {metric} AS metric, "
                 f"{lo}::BIGINT AS lo, {hi}::BIGINT AS hi, "
                 f"CASE WHEN {metric} >= {lo} AND {metric} <= {hi} "
-                f"THEN 'pass' ELSE 'fail' END AS status FROM a")
+                f"THEN 'pass' ELSE 'fail' END AS status FROM {from_}")
 
     rows = [
         row("size", "size_min", "", "n_rows", 1000, open_b),
@@ -5568,8 +5574,31 @@ def _check_suite_sql() -> str:
         row("price_mean", "mean_scaled_between", "o_totalprice",
             "floor(sq_tp::DOUBLE / nn_tp)::BIGINT",
             1_000_000, 50_000_000),
+        row("orderkey_uniq_approx", "distinctness_approx",
+            "o_orderkey",
+            "floor((est_milli * 1000)::DOUBLE / n_rows)::BIGINT",
+            900_000, open_b, from_="a, hest"),
     ]
     union = "\nUNION ALL\n".join(rows)
+    p_hll, w = 12, 44
+    m = 2 ** p_hll
+    alpha = hll_alpha(p_hll)
+    pow_lit = float(2 ** (2 * p_hll + w + 1))
+    hll_ctes = f""",
+hh AS (SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 14))::BIGINT
+         AS hv FROM orders WHERE o_orderkey IS NOT NULL),
+hb AS (SELECT hv % {m} AS bucket, hv // {m} AS rem FROM hh),
+hsk AS (SELECT bucket, MAX(CASE WHEN rem = 0 THEN {w + 1}
+                ELSE {w} - length(bin(rem)) + 1 END) AS max_rank
+        FROM hb GROUP BY 1),
+hagg AS (SELECT count(*) AS nb,
+           coalesce(sum((CAST(1 AS BIGINT) << ({w + 1} - max_rank))), 0)
+             AS s_used
+         FROM hsk),
+hest AS (SELECT CAST(FLOOR({alpha!r} * {pow_lit!r}
+           / CAST(s_used + ({m} - nb) * {2 ** (w + 1)} AS DOUBLE)
+           * 1000.0) AS BIGINT) AS est_milli
+         FROM hagg)"""
     return f"""WITH a AS (SELECT
   count(*)::BIGINT AS n_rows,
   count(o_orderdate)::BIGINT AS nn_date,
@@ -5583,7 +5612,7 @@ def _check_suite_sql() -> str:
   min(floor(o_totalprice * 100.0))::BIGINT AS mn_tp,
   sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS sq_tp,
   count(o_totalprice)::BIGINT AS nn_tp
-FROM orders)
+FROM orders){hll_ctes}
 {union}"""
 
 

@@ -44,6 +44,7 @@ _CHECK_TYPES = (
     "size_min",
     "completeness",
     "distinctness",
+    "distinctness_approx",
     "min_ge",
     "max_le",
     "mean_scaled_between",
@@ -79,6 +80,15 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
     - ``{"check": "distinctness", "col": c, "min_ppm": p}`` — metric =
       exact distinct non-NULL values / rows, ppm (the PK check at
       1_000_000).
+    - ``{"check": "distinctness_approx", "col": c, "min_ppm": p,
+      "p": 12}`` — same metric from the portable HLL sketch (±~2 % at
+      p=12): the crawl-scale path. Exact distinct on a near-unique key
+      shuffles every row (map-side partials can't collapse what never
+      repeats — measured 1.1× super-linear at 16M rows); the sketch is
+      one extra tiny aggregation whose exchange is ≤2^p rows. Still
+      oracle-exact: the estimate is a deterministic integer function
+      of the md5-56 hashes. The upper bound is open (the estimate may
+      exceed 10^6 ppm slightly).
     - ``{"check": "min_ge", "col": c, "ge": v, "scale": s}`` /
       ``{"check": "max_le", "col": c, "le": v, "scale": s}`` — metric =
       min/max of floor(col*scale) (scale default 1).
@@ -110,6 +120,7 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
 
     # (name, ctype, colname, metric_builder(agg row cols), lo, hi)
     specs: list[tuple] = []
+    approx_rows: list[DataFrame] = []
     for i, ck in enumerate(checks):
         t = ck["check"]
         if t not in _CHECK_TYPES:
@@ -128,6 +139,19 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             a = need(f"nd_{c}", F.countDistinct(F.col(c)).cast("long"))
             metric = _ppm(F.col(a), F.col("n_rows"))
             lo, hi = int(ck["min_ppm"]), 1_000_000
+        elif t == "distinctness_approx":
+            from jsonschema_spark.operators.stats import (
+                hll_estimate,
+                hll_sketch,
+            )
+            p_hll = int(ck.get("p", 12))
+            approx_rows.append(
+                hll_estimate(hll_sketch(df, c, p_hll), p_hll)
+                .select(F.col("est_milli").alias(f"hd_{i}")))
+            # est_milli = floor(est·1000) → ppm of rows in one more op
+            metric = F.floor((F.col(f"hd_{i}") * 1000).cast("double")
+                             / F.col("n_rows"))
+            lo, hi = int(ck["min_ppm"]), OPEN_BOUND
         elif t == "min_ge":
             a = need(f"mn_{c}_{scale}",
                      F.min(_quant(F.col(c), scale)))
@@ -158,6 +182,10 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
         specs.append((name, t, c, metric, lo, hi))
 
     row = df.agg(*[v.alias(k) for k, v in aggs.items()])
+    for est in approx_rows:
+        # one-row × one-row broadcast joins: the sketch states fold
+        # into the same single result row
+        row = row.crossJoin(F.broadcast(est))
     entries = []
     for name, t, c, metric, lo, hi in specs:
         m = metric.cast("long")

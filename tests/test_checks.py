@@ -236,3 +236,35 @@ def test_fingerprint_diff_localizes_change(spark):
     same = fingerprint_diff(old, old, ["id", "v"], 16).collect()
     assert not any(r["changed"] for r in same)
     assert sum(r["old_rows"] for r in same) == 200
+
+
+def test_check_suite_distinctness_approx(spark):
+    from jsonschema_spark.operators.stats import distinct_approx
+
+    # both columns sit in the raw-estimate regime (n_distinct well
+    # above 2.5·m) — below it HLL linear-counting bias applies, which
+    # hll_estimate documents as an engine-local correction
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 2000).cast("string").alias("v"))
+    checks = [
+        {"name": "id_u", "check": "distinctness_approx", "col": "id",
+         "min_ppm": 900_000, "p": 12},
+        {"name": "v_card", "check": "distinctness_approx", "col": "v",
+         "min_ppm": 900_000, "p": 8},
+    ]
+    got = {r["check_name"]: r for r in
+           check_suite(df, checks).collect()}
+    # metric must equal the standalone sketch estimate, in ppm of rows
+    for name, col, p in (("id_u", "id", 12), ("v_card", "v", 8)):
+        est = distinct_approx(df, col, p).collect()[0]["est_milli"]
+        assert got[name]["metric"] == est * 1000 // 20000
+    # the unique key passes (±2 % at p=12); the 10 %-cardinality
+    # column fails the PK threshold (±7 % at p=8)
+    assert got["id_u"]["status"] == "pass"
+    assert abs(got["id_u"]["metric"] - 1_000_000) < 25_000
+    assert got["v_card"]["status"] == "fail"
+    assert abs(got["v_card"]["metric"] - 100_000) < 15_000
+    # deterministic under repartitioning (pure set function)
+    again = {r["check_name"]: r["metric"] for r in
+             check_suite(df.repartition(13), checks).collect()}
+    assert again == {k: v["metric"] for k, v in got.items()}

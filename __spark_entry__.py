@@ -5616,6 +5616,61 @@ FROM orders){hll_ctes}
 {union}"""
 
 
+def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion over orders: the profile pass proposes
+    the check_suite a curator would write — completeness floors,
+    key-candidate distinctness (o_orderkey; o_orderdate iff its
+    timestamps happen to be unique — both engines decide from the
+    same count), numeric bounds, small string domains as sorted
+    CSVs."""
+    from jsonschema_spark.operators.checks import suggest_checks
+
+    return suggest_checks(spark.read.parquet(_t(sf_dir, "orders")))
+
+
+def _suggest_checks_sql() -> str:
+    spec = [("o_orderkey", "num"), ("o_custkey", "num"),
+            ("o_orderstatus", "str"), ("o_totalprice", "num"),
+            ("o_orderdate", "other"), ("o_orderpriority", "str")]
+    aggs = ["count(*)::BIGINT AS n"]
+    rows = []
+    for name, kind in spec:
+        aggs.append(f"count({name})::BIGINT AS nn_{name}")
+        aggs.append(f"count(DISTINCT {name})::BIGINT AS nd_{name}")
+        if kind == "num":
+            aggs.append(f"min(floor({name}::DOUBLE))::BIGINT"
+                        f" AS mn_{name}")
+            aggs.append(f"max(floor({name}::DOUBLE))::BIGINT"
+                        f" AS mx_{name}")
+        comp = f"((nn_{name} * 1000000) // n)"
+        rows.append(
+            f"SELECT '{name}' AS col_name, 'completeness' AS \"check\","
+            f" {comp}::VARCHAR AS param, {comp}::BIGINT AS observed"
+            f" FROM a")
+        rows.append(
+            f"SELECT '{name}', 'distinctness',"
+            f" ((nd_{name} * 1000000) // n)::VARCHAR,"
+            f" ((nd_{name} * 1000000) // n)::BIGINT FROM a"
+            f" WHERE nn_{name} > 0 AND nd_{name} = nn_{name}")
+        if kind == "num":
+            rows.append(f"SELECT '{name}', 'min_ge',"
+                        f" mn_{name}::VARCHAR, mn_{name} FROM a"
+                        f" WHERE nn_{name} > 0")
+            rows.append(f"SELECT '{name}', 'max_le',"
+                        f" mx_{name}::VARCHAR, mx_{name} FROM a"
+                        f" WHERE nn_{name} > 0")
+        if kind == "str":
+            dom = (f"(SELECT array_to_string(list_sort("
+                   f"list(DISTINCT {name})), ',') FROM orders"
+                   f" WHERE {name} IS NOT NULL)")
+            rows.append(f"SELECT '{name}', 'contained_ppm', {dom},"
+                        f" ((nd_{name} * 1000000) // n)::BIGINT FROM a"
+                        f" WHERE nd_{name} BETWEEN 1 AND 8")
+    union = "\nUNION ALL\n".join(rows)
+    return (f"WITH a AS (SELECT {', '.join(aggs)} FROM orders)\n"
+            f"{union}")
+
+
 def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit l_partkey → l_suppkey over
     lineitem: every part supplied by more than one supplier, with row
@@ -6496,6 +6551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pub_date": q_url_pub_date,
         "domain_quality": q_domain_quality,
         "check_suite": q_check_suite,
+        "suggest_checks": q_suggest_checks,
         "fd_check": q_fd_check,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
@@ -7018,6 +7074,7 @@ def oracle_sql() -> dict[str, str]:
         "url_pub_date": _url_pub_date_sql(),
         "domain_quality": _domain_quality_sql(),
         "check_suite": _check_suite_sql(),
+        "suggest_checks": _suggest_checks_sql(),
         "fd_check": _FD_CHECK_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,

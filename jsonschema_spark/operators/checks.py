@@ -203,6 +203,99 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
         .select("r.*")
 
 
+def suggest_checks(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    domain_max: int = 8,
+) -> DataFrame:
+    """Constraint suggestion (the Deequ ConstraintSuggestion
+    analogue): profile the table once and propose the check_suite a
+    curator would write by hand — the bootstrap step of the
+    profile → suggest → check → reconcile loop. Per column:
+
+    - ``completeness`` with the OBSERVED non-null ppm as the floor
+      (every column);
+    - ``distinctness`` when the column is a key candidate (distinct
+      == non-null count), with the OBSERVED distinct-per-row ppm as
+      the floor (1_000_000 only when also fully complete — the
+      check_suite metric divides by ALL rows, so a nullable key's
+      observed floor is what actually holds);
+    - ``min_ge`` / ``max_le`` with observed floor()-quantized bounds
+      (numeric columns);
+    - ``contained_ppm`` with the observed value domain as a sorted
+      CSV when a string column has ≤ ``domain_max`` distinct values.
+
+    Output: ``(col_name, check, param, observed)`` — param is the
+    suggested threshold / domain rendered as a string, observed the
+    integer metric it came from.
+
+    Two passes by construction (like Deequ): ONE aggregation computes
+    every count/bound/cardinality (count-distincts fused via Expand);
+    domains are then collected ONLY for the ≤domain_max-cardinality
+    columns the first pass identified — collect_set over a column
+    with a proven tiny domain is map-side-bounded state, never a
+    corpus-wide collect. The pass boundary is a driver action on ONE
+    profile row.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    fields = [f for f in df.schema.fields
+              if cols is None or f.name in cols]
+    num_t = (IntegerType, LongType, ShortType, DoubleType, FloatType)
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("n")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs.append(F.sum(c.isNotNull().cast("long"))
+                    .alias(f"nn_{f.name}"))
+        aggs.append(F.countDistinct(c).cast("long")
+                    .alias(f"nd_{f.name}"))
+        if isinstance(f.dataType, num_t):
+            q = F.floor(c.cast("double")).cast("long")
+            aggs.append(F.min(q).alias(f"mn_{f.name}"))
+            aggs.append(F.max(q).alias(f"mx_{f.name}"))
+    prof = df.agg(*aggs).collect()[0]
+
+    n = prof["n"]
+    domain_cols = [
+        f.name for f in fields
+        if isinstance(f.dataType, StringType)
+        and 0 < prof[f"nd_{f.name}"] <= domain_max
+    ]
+    domains: dict[str, str] = {}
+    if domain_cols:
+        drow = df.agg(*[
+            F.array_join(F.array_sort(F.collect_set(F.col(c))), ",")
+            .alias(c) for c in domain_cols]).collect()[0]
+        domains = {c: drow[c] for c in domain_cols}
+
+    out: list[tuple] = []
+    for f in fields:
+        nn, nd = prof[f"nn_{f.name}"], prof[f"nd_{f.name}"]
+        comp_ppm = (nn * 1_000_000) // n if n else 0
+        out.append((f.name, "completeness", str(comp_ppm), comp_ppm))
+        if nn > 0 and nd == nn:
+            d_ppm = (nd * 1_000_000) // n
+            out.append((f.name, "distinctness", str(d_ppm), d_ppm))
+        if isinstance(f.dataType, num_t) and nn > 0:
+            out.append((f.name, "min_ge", str(prof[f"mn_{f.name}"]),
+                        prof[f"mn_{f.name}"]))
+            out.append((f.name, "max_le", str(prof[f"mx_{f.name}"]),
+                        prof[f"mx_{f.name}"]))
+        if f.name in domains:
+            out.append((f.name, "contained_ppm", domains[f.name],
+                        (nd * 1_000_000) // n))
+    return df.sparkSession.createDataFrame(
+        out, "col_name string, check string, param string, "
+             "observed long")
+
+
 NULL_SENTINEL = "<NULL>"
 FIELD_SEP = "\x01"
 

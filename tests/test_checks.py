@@ -268,3 +268,60 @@ def test_check_suite_distinctness_approx(spark):
     again = {r["check_name"]: r["metric"] for r in
              check_suite(df.repartition(13), checks).collect()}
     assert again == {k: v["metric"] for k, v in got.items()}
+
+
+def test_suggest_checks_hand_computed_and_roundtrip(spark):
+    from jsonschema_spark.operators.checks import suggest_checks
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 2.5, None),
+            (2, "B", -1.25, None),
+            (3, "A", 7.0, None),
+            (4, None, None, None),
+        ],
+        "pk long, cat string, x double, z string",
+    )
+    got = {(r["col_name"], r["check"]): r
+           for r in suggest_checks(df).collect()}
+    # pk: complete, unique, bounded
+    assert got[("pk", "completeness")]["observed"] == 1_000_000
+    assert ("pk", "distinctness") in got
+    assert got[("pk", "min_ge")]["param"] == "1"
+    assert got[("pk", "max_le")]["param"] == "4"
+    # cat: 3/4 complete, 2-value domain, sorted CSV
+    assert got[("cat", "completeness")]["observed"] == 750_000
+    assert got[("cat", "contained_ppm")]["param"] == "A,B"
+    assert ("cat", "distinctness") not in got  # A repeats
+    # x: floor quantization of -1.25 -> -2
+    assert got[("x", "min_ge")]["param"] == "-2"
+    assert got[("x", "max_le")]["param"] == "7"
+    # x IS a key candidate (3 distinct of 3 non-null)
+    assert ("x", "distinctness") in got
+    # all-null column: completeness 0, nothing else
+    assert got[("z", "completeness")]["observed"] == 0
+    assert not any(c == "z" and k != "completeness"
+                   for c, k in got)
+
+    # round-trip contract: the suggested suite passes on its own table
+    from jsonschema_spark.operators.checks import check_suite
+    checks = []
+    for (c, k), r in got.items():
+        if k == "completeness":
+            checks.append({"name": f"{c}_{k}", "check": k, "col": c,
+                           "min_ppm": int(r["param"])})
+        elif k == "distinctness":
+            checks.append({"name": f"{c}_{k}", "check": k, "col": c,
+                           "min_ppm": int(r["param"])})
+        elif k == "min_ge":
+            checks.append({"name": f"{c}_{k}", "check": k, "col": c,
+                           "ge": int(r["param"])})
+        elif k == "max_le":
+            checks.append({"name": f"{c}_{k}", "check": k, "col": c,
+                           "le": int(r["param"])})
+        elif k == "contained_ppm":
+            checks.append({"name": f"{c}_{k}", "check": k, "col": c,
+                           "allowed": r["param"].split(","),
+                           "min_ppm": 1_000_000})
+    res = check_suite(df, checks).collect()
+    assert res and all(r["status"] == "pass" for r in res)

@@ -5908,6 +5908,85 @@ WHERE bucket IN (SELECT bucket FROM d WHERE changed)
 GROUP BY 1"""
 
 
+_DOC_SUITE = [
+    {"name": "size", "check": "size_min", "min": 100},
+    {"name": "text_complete", "check": "completeness", "col": "text",
+     "min_ppm": 900_000},
+    {"name": "docid_pk", "check": "distinctness", "col": "doc_id",
+     "min_ppm": 1_000_000},
+    {"name": "lang_domain", "check": "contained_ppm", "col": "lang",
+     "allowed": ["de", "en", "es", "fr"], "min_ppm": 1_000_000},
+    # ceiling check: NO text may carry the edit marker — the planted
+    # snapshot edits break exactly this, firing 'regressed'
+    {"name": "edited_marker", "check": "match_ppm", "col": "text",
+     "pattern": r" \[edited\]$", "max_ppm": 0},
+    {"name": "nchars_mean", "check": "mean_scaled_between",
+     "col": "n_chars", "scale": 1, "lo": 1, "hi": 1000},
+]
+
+
+def q_check_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check-metric drift between snapshots: the same 6-check contract
+    evaluated over the old documents and the planted-churn next
+    snapshot, joined into (old, new, delta, verdict). The edit-marker
+    ceiling regresses (pass → fail) — the page-someone row — while
+    completeness/PK/domain/mean stay steady under churn."""
+    from jsonschema_spark.operators.checks import check_drift, check_suite
+
+    old = check_suite(_docs(spark, sf_dir), _DOC_SUITE)
+    new = check_suite(_fp_new_docs(spark, sf_dir), _DOC_SUITE)
+    return check_drift(old, new)
+
+
+def _doc_suite_sql(src: str) -> str:
+    """(check_name, metric, status) rows of _DOC_SUITE over ``src`` —
+    the same metric/threshold recipe check_suite plans."""
+    ppm = "floor(({n} * 1000000)::DOUBLE / {d})::BIGINT"
+    agg = f"""(SELECT count(*)::BIGINT AS n,
+      count(text)::BIGINT AS nn_t,
+      count(DISTINCT doc_id)::BIGINT AS nd_id,
+      count(lang)::BIGINT AS nn_l,
+      sum((lang IN ('de','en','es','fr'))::INT)::BIGINT AS in_l,
+      sum(regexp_matches(text, ' \\[edited\\]$')::INT)::BIGINT AS rx_t,
+      count(n_chars)::BIGINT AS nn_c,
+      sum(floor(n_chars::DOUBLE)::BIGINT)::BIGINT AS sq_c
+    FROM {src})"""
+    checks = [
+        ("size", "n", 100, _OPEN_BOUND),
+        ("text_complete", ppm.format(n="nn_t", d="n"),
+         900_000, 1_000_000),
+        ("docid_pk", ppm.format(n="nd_id", d="n"),
+         1_000_000, 1_000_000),
+        ("lang_domain", ppm.format(n="in_l", d="nn_l"),
+         1_000_000, 1_000_000),
+        ("edited_marker", ppm.format(n="rx_t", d="nn_t"), 0, 0),
+        ("nchars_mean", "floor(sq_c::DOUBLE / nn_c)::BIGINT", 1, 1000),
+    ]
+    rows = [
+        (f"SELECT '{nm}' AS check_name, {m} AS metric, "
+         f"CASE WHEN {m} >= {lo} AND {m} <= {hi} THEN 'pass' "
+         f"ELSE 'fail' END AS status FROM ag_{src}")
+        for nm, m, lo, hi in checks
+    ]
+    return f"ag_{src} AS {agg}, su_{src} AS ({' UNION ALL '.join(rows)})"
+
+
+def _check_drift_sql() -> str:
+    return f"""WITH {_FP_NEW_SQL},
+{_doc_suite_sql('documents')},
+{_doc_suite_sql('newd')}
+SELECT coalesce(o.check_name, nw.check_name) AS check_name,
+  o.metric AS old_metric, nw.metric AS new_metric,
+  (nw.metric - o.metric)::BIGINT AS delta,
+  CASE WHEN o.check_name IS NULL THEN 'added'
+       WHEN nw.check_name IS NULL THEN 'retired'
+       WHEN o.status = 'pass' AND nw.status = 'fail' THEN 'regressed'
+       WHEN o.status = 'fail' AND nw.status = 'pass' THEN 'recovered'
+       ELSE 'steady' END AS verdict
+FROM su_documents o FULL OUTER JOIN su_newd nw
+  ON o.check_name = nw.check_name"""
+
+
 _BL_TERMS_RE = r"\b(casino|lottery)\b"
 
 
@@ -6559,6 +6638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "fingerprint_diff": q_fingerprint_diff,
         "incremental_validate": q_incremental_validate,
+        "check_drift": q_check_drift,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -7082,6 +7162,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist": _blocklist_sql(),
         "fingerprint_diff": _fingerprint_diff_sql(),
         "incremental_validate": _incremental_validate_sql(),
+        "check_drift": _check_drift_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

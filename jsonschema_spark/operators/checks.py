@@ -102,6 +102,11 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
       "min_ppm": p}`` — share of non-NULL values in the allow-list,
       ppm of non-NULL.
 
+    ``match_ppm`` / ``contained_ppm`` also accept ``max_ppm`` (default
+    1_000_000) for ceiling checks — "the PII/boilerplate/marker rate
+    must stay BELOW x" — with ``min_ppm`` defaulting to 0 when only a
+    ceiling is given.
+
     Every check may carry ``"name"``; defaults to ``c{i}``.
     """
     aggs: dict[str, Column] = {
@@ -172,13 +177,15 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             a = need(f"rx_{i}",
                      F.sum(F.col(c).rlike(ck["pattern"]).cast("long")))
             metric = _ppm(F.col(a), F.col(nonnull(c)))
-            lo, hi = int(ck["min_ppm"]), 1_000_000
+            lo = int(ck.get("min_ppm", 0))
+            hi = int(ck.get("max_ppm", 1_000_000))
         else:  # contained_ppm
             a = need(f"in_{i}",
                      F.sum(F.col(c).isin(list(ck["allowed"]))
                            .cast("long")))
             metric = _ppm(F.col(a), F.col(nonnull(c)))
-            lo, hi = int(ck["min_ppm"]), 1_000_000
+            lo = int(ck.get("min_ppm", 0))
+            hi = int(ck.get("max_ppm", 1_000_000))
         specs.append((name, t, c, metric, lo, hi))
 
     row = df.agg(*[v.alias(k) for k, v in aggs.items()])
@@ -201,6 +208,43 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
         ))
     return row.select(F.explode(F.array(*entries)).alias("r")) \
         .select("r.*")
+
+
+def check_drift(
+    old_results: DataFrame,
+    new_results: DataFrame,
+) -> DataFrame:
+    """Metric drift between two snapshots' ``check_suite`` outputs —
+    the monitoring loop: store each run's result rows next to the
+    snapshot manifest, and this join answers "what moved, and did
+    anything that used to hold stop holding?".
+
+    Per check (full-outer on check_name, so added/retired checks
+    surface too): old/new metric, ``delta = new - old``, and
+    ``verdict`` ∈ {'regressed' (pass→fail — page someone),
+    'recovered' (fail→pass), 'added', 'retired', 'steady'}. Check
+    results are ≤dozens of rows; this plan is driver-trivial by
+    design — the expensive part already happened inside the two
+    suites.
+    """
+    o = old_results.select(
+        "check_name", F.col("metric").alias("old_metric"),
+        F.col("status").alias("_os"))
+    nw = new_results.select(
+        "check_name", F.col("metric").alias("new_metric"),
+        F.col("status").alias("_ns"))
+    j = o.join(nw, "check_name", "full_outer")
+    return j.select(
+        "check_name", "old_metric", "new_metric",
+        (F.col("new_metric") - F.col("old_metric")).alias("delta"),
+        F.when(F.col("_os").isNull(), F.lit("added"))
+        .when(F.col("_ns").isNull(), F.lit("retired"))
+        .when((F.col("_os") == "pass") & (F.col("_ns") == "fail"),
+              F.lit("regressed"))
+        .when((F.col("_os") == "fail") & (F.col("_ns") == "pass"),
+              F.lit("recovered"))
+        .otherwise(F.lit("steady")).alias("verdict"),
+    )
 
 
 def suggest_checks(

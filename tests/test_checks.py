@@ -325,3 +325,39 @@ def test_suggest_checks_hand_computed_and_roundtrip(spark):
                            "min_ppm": 1_000_000})
     res = check_suite(df, checks).collect()
     assert res and all(r["status"] == "pass" for r in res)
+
+
+def test_check_drift_verdicts(spark):
+    from jsonschema_spark.operators.checks import check_drift
+
+    def res(rows):
+        return spark.createDataFrame(
+            rows, "check_name string, metric long, status string")
+
+    old = res([("a", 10, "pass"), ("b", 5, "fail"),
+               ("c", 7, "pass"), ("gone", 1, "pass")])
+    new = res([("a", 12, "fail"), ("b", 9, "pass"),
+               ("c", 7, "pass"), ("fresh", 3, "pass")])
+    got = {r["check_name"]: r for r in
+           check_drift(old, new).collect()}
+    assert (got["a"]["verdict"], got["a"]["delta"]) == ("regressed", 2)
+    assert got["b"]["verdict"] == "recovered"
+    assert (got["c"]["verdict"], got["c"]["delta"]) == ("steady", 0)
+    assert got["gone"]["verdict"] == "retired"
+    assert got["fresh"]["verdict"] == "added"
+    assert got["fresh"]["old_metric"] is None
+
+
+def test_match_ppm_ceiling(spark):
+    df = spark.createDataFrame(
+        [("clean",), ("clean too",), ("PII 555-1234",)], "t string")
+    got = {r["check_name"]: r for r in check_suite(df, [
+        {"name": "pii_rate", "check": "match_ppm", "col": "t",
+         "pattern": "[0-9]{3}-[0-9]{4}", "max_ppm": 100_000},
+        {"name": "clean_rate", "check": "match_ppm", "col": "t",
+         "pattern": "^clean", "min_ppm": 500_000},
+    ]).collect()}
+    # 1/3 = 333333 ppm > 10% ceiling -> fail; floor defaults to 0
+    assert (got["pii_rate"]["metric"], got["pii_rate"]["lo"],
+            got["pii_rate"]["status"]) == (333_333, 0, "fail")
+    assert got["clean_rate"]["status"] == "pass"

@@ -342,3 +342,52 @@ def test_stream_mime_census_equals_batch(spark, tmp_path):
     got = sorted(map(tuple,
                      spark.sql("select * from mime_census_t").collect()))
     assert got == want
+
+
+def test_stream_check_suite_equals_batch(spark, tmp_path):
+    """The ALGEBRAIC subset of check_suite (counts, bounds, rates —
+    everything except the Expand count-distincts, which streaming
+    forbids) runs UNCHANGED on a streaming DataFrame: the one global
+    agg becomes the stateful streaming aggregate (bounded state: one
+    row), the explode is a stateless projection after it. Drained over
+    3 micro-batches the result rows are identical to batch over the
+    union — the live table monitor is plain delegation."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.checks import check_suite
+
+    src = str(tmp_path / "rows")
+    for f in range(3):
+        spark.range(f * 5000, (f + 1) * 5000).select(
+            F.col("id"),
+            F.when(F.col("id") % 11 == 0, None)
+            .otherwise((F.col("id") % 5).cast("string")).alias("v"),
+            ((F.col("id") % 997) / F.lit(10.0)).alias("x"),
+        ).write.mode("append").parquet(src)
+    batch = spark.read.parquet(src)
+
+    checks = [
+        {"name": "size", "check": "size_min", "min": 10_000},
+        {"name": "v_complete", "check": "completeness", "col": "v",
+         "min_ppm": 900_000},
+        {"name": "v_domain", "check": "contained_ppm", "col": "v",
+         "allowed": ["0", "1", "2", "3", "4"], "min_ppm": 1_000_000},
+        {"name": "x_min", "check": "min_ge", "col": "x",
+         "scale": 10, "ge": 0},
+        {"name": "x_max", "check": "max_le", "col": "x",
+         "scale": 10, "le": 996},
+        {"name": "x_mean", "check": "mean_scaled_between", "col": "x",
+         "scale": 10, "lo": 1, "hi": 10_000},
+    ]
+    want = sorted(map(tuple, check_suite(batch, checks).collect()))
+
+    sdf = (spark.readStream.schema(batch.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (check_suite(sdf, checks)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("checks_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("checks_stream").collect()))
+    assert got == want
+    assert {r[0] for r in got} == {c["name"] for c in checks}

@@ -5908,6 +5908,60 @@ WHERE bucket IN (SELECT bucket FROM d WHERE changed)
 GROUP BY 1"""
 
 
+def q_sampled_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25 %-sample validation estimate over documents —
+    the cheap gate before a full run: hash-selected rows are identical
+    in any engine/re-run, one scan, one aggregation."""
+    from jsonschema_spark.operators.validate import sampled_verdict
+
+    return sampled_verdict(_docs(spark, sf_dir), DOCS_SCHEMA,
+                           "doc_id", 250_000)
+
+
+_SAMPLED_VERDICT_SQL = f"""
+WITH s AS (SELECT *,
+    (('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 1000000
+     < 250000) AS ins,
+    ({_DOCS_VALID_SQL}) AS ok
+  FROM documents),
+a AS (SELECT count(*)::BIGINT AS n_total,
+        sum(CASE WHEN ins THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+        sum(CASE WHEN ins AND ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+        sum(CASE WHEN ins THEN
+              (CASE WHEN ok THEN 0 ELSE 1 END) ELSE 0 END)::BIGINT
+          AS n_invalid
+      FROM s)
+SELECT n_total, n_sampled, n_valid, n_invalid,
+  floor((n_invalid * 1000000)::DOUBLE / n_sampled)::BIGINT
+    AS est_invalid_ppm
+FROM a"""
+
+
+def q_violation_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 failing keyword locations over documents with counts and
+    corpus share — the 'which constraint is responsible' view; the
+    hot_keys plan shape (TakeOrderedAndProject, broadcast total,
+    window over 10 survivors)."""
+    from jsonschema_spark.operators.validate import violation_pareto
+
+    return violation_pareto(_docs(spark, sf_dir), DOCS_SCHEMA,
+                            ["doc_id"], k=10)
+
+
+def _violation_pareto_sql() -> str:
+    return f"""WITH viol AS ({_VIOL_SQL}),
+g AS (SELECT keywordLocation, count(*)::BIGINT AS n_violations
+      FROM viol GROUP BY 1),
+t AS (SELECT sum(n_violations) AS tot FROM g),
+top AS (SELECT * FROM g
+        ORDER BY n_violations DESC, keywordLocation LIMIT 10)
+SELECT keywordLocation, n_violations,
+  floor((n_violations * 1000000)::DOUBLE / tot)::BIGINT AS share_ppm,
+  row_number() OVER (ORDER BY n_violations DESC, keywordLocation)
+    ::BIGINT AS rnk
+FROM top, t"""
+
+
 _DOC_SUITE = [
     {"name": "size", "check": "size_min", "min": 100},
     {"name": "text_complete", "check": "completeness", "col": "text",
@@ -6639,6 +6693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_diff": q_fingerprint_diff,
         "incremental_validate": q_incremental_validate,
         "check_drift": q_check_drift,
+        "sampled_verdict": q_sampled_verdict,
+        "violation_pareto": q_violation_pareto,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -7163,6 +7219,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_diff": _fingerprint_diff_sql(),
         "incremental_validate": _incremental_validate_sql(),
         "check_drift": _check_drift_sql(),
+        "sampled_verdict": _SAMPLED_VERDICT_SQL,
+        "violation_pareto": _violation_pareto_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -355,3 +355,82 @@ def verdict_counts_cube(
         .agg(F.grouping_id().cast("long").alias("gid"), *agg)
         .select(*dims, "gid", "n_rows", "n_valid", "n_invalid")
     )
+
+
+def sampled_verdict(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    key_col: str,
+    sample_ppm: int,
+    doc_col: Optional[str] = None,
+    instance_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Deterministic-sample validation estimate — the cheap gate BEFORE
+    committing a 100 TB validation run: validate only rows whose
+    portable 56-bit key hash lands under ``sample_ppm``, report the
+    sampled verdict counts and the extrapolated invalid rate. The
+    sample is a pure function of the key (no RNG, no seed state), so
+    any engine — and any later re-run — selects the identical rows;
+    reference: `jsonschema validate` gives per-document verdicts
+    (src/command_validate.cc), this answers "roughly how bad is the
+    table" at 1/N the cost.
+
+    One scan, one global aggregation: (n_total, n_sampled, n_valid,
+    n_invalid, est_invalid_ppm = floor(1e6·invalid/sampled)).
+    """
+    from jsonschema_spark.operators.dedup import hash56
+
+    v = validate(df, schema, doc_col=doc_col,
+                 instance_cols=instance_cols)
+    ins = (hash56(F.col(key_col).cast("string"))
+           % 1_000_000) < sample_ppm
+    n_inv = F.sum((ins & ~F.col("valid")).cast("long")).cast("long")
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(ins.cast("long")).cast("long").alias("n_sampled"),
+        F.sum((ins & F.col("valid")).cast("long")).cast("long")
+        .alias("n_valid"),
+        n_inv.alias("n_invalid"),
+    ).select(
+        "*",
+        F.floor((F.col("n_invalid") * 1_000_000).cast("double")
+                / F.col("n_sampled")).cast("long")
+        .alias("est_invalid_ppm"),
+    )
+
+
+def violation_pareto(
+    df: DataFrame,
+    schema: Union[dict, bool, CompiledSchema],
+    id_cols: Sequence[str],
+    k: int = 10,
+    doc_col: Optional[str] = None,
+) -> DataFrame:
+    """Violation Pareto: the top-k failing keyword locations with
+    counts and corpus share — "which constraint is responsible for the
+    damage" before anyone reads a million violation rows. Counts the
+    EXHAUSTIVE violation set (short_circuit=False): a Pareto over
+    short-circuited rows would under-count every constraint evaluated
+    after another failure and skew the ranking. Plan shape is the
+    hot_keys recipe: groupBy(keywordLocation) with map-side partials,
+    orderBy+limit = TakeOrderedAndProject (per-partition top-k, never
+    a global sort), share from a broadcast one-row total, rank window
+    over only the k survivors; ties break to the ascending location
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    v = violations(df, schema, id_cols=list(id_cols), doc_col=doc_col,
+                   short_circuit=False)
+    g = v.groupBy("keywordLocation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations"))
+    tot = g.agg(F.sum("n_violations").alias("_t"))
+    top = g.orderBy(F.col("n_violations").desc(),
+                    F.col("keywordLocation")).limit(k)
+    w = Window.orderBy(F.col("n_violations").desc(),
+                       F.col("keywordLocation"))
+    return top.crossJoin(F.broadcast(tot)).select(
+        "keywordLocation", "n_violations",
+        F.floor((F.col("n_violations") * 1_000_000).cast("double")
+                / F.col("_t")).cast("long").alias("share_ppm"),
+    ).withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -361,3 +361,54 @@ def test_match_ppm_ceiling(spark):
     assert (got["pii_rate"]["metric"], got["pii_rate"]["lo"],
             got["pii_rate"]["status"]) == (333_333, 0, "fail")
     assert got["clean_rate"]["status"] == "pass"
+
+
+def test_sampled_verdict_hand_computed(spark):
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.validate import sampled_verdict
+
+    schema = {"required": ["k"],
+              "properties": {"v": {"type": "integer", "minimum": 0}}}
+    df = spark.createDataFrame(
+        [(i, i - 5) for i in range(200)], "k long, v long")
+    r = sampled_verdict(df, schema, "k", 300_000).collect()[0]
+    # the sample is the exact hash-defined subset
+    ins = df.where(
+        (hash56(F.col("k").cast("string")) % 1_000_000) < 300_000)
+    n_s = ins.count()
+    n_bad = ins.where(F.col("v") < 0).count()
+    assert (r["n_total"], r["n_sampled"]) == (200, n_s)
+    assert r["n_invalid"] == n_bad
+    assert r["n_valid"] == n_s - n_bad
+    assert r["est_invalid_ppm"] == n_bad * 1_000_000 // n_s
+    # determinism: identical under repartitioning
+    r2 = sampled_verdict(df.repartition(7), schema, "k",
+                         300_000).collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_violation_pareto_hand_computed(spark):
+    from jsonschema_spark.operators.validate import violation_pareto
+
+    schema = {
+        "required": ["k"],
+        "properties": {
+            "v": {"type": "integer", "minimum": 0},
+            "s": {"type": "string", "maxLength": 2},
+        },
+    }
+    rows = ([(i, -1, "ok") for i in range(5)]        # 5 minimum fails
+            + [(100 + i, 1, "long") for i in range(3)]  # 3 maxLength
+            + [(200, 2, "ok")])                      # clean
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    got = violation_pareto(df, schema, ["k"], k=2).collect()
+    assert [r["rnk"] for r in got] == [1, 2]
+    # the parent /properties applicator entry fires once per failing
+    # row (5 + 3), outranking the 5 leaf minimum rows
+    assert (got[0]["keywordLocation"], got[0]["n_violations"]) \
+        == ("/properties", 8)
+    assert "minimum" in got[1]["keywordLocation"]
+    assert got[1]["n_violations"] == 5
+    total = sum(r["n_violations"] for r in
+                violation_pareto(df, schema, ["k"], k=100).collect())
+    assert got[0]["share_ppm"] == 8 * 1_000_000 // total

@@ -5908,6 +5908,93 @@ WHERE bucket IN (SELECT bucket FROM d WHERE changed)
 GROUP BY 1"""
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused join attestation: a planted hot key (every third
+    lineitem collapses onto orderkey 7 — a ~33 % single-key share no
+    plain shuffle join should eat) joins orders via salt-and-replicate;
+    the per-status roll-up is row-identical to the plain join the
+    oracle runs, which is the operator's whole contract."""
+    from jsonschema_spark.operators.referential import salted_join
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    hot = F.when(F.col("l_orderkey") % 3 == 0, F.lit(7)) \
+        .otherwise(F.col("l_orderkey"))
+    f = li.select(hot.alias("k"),
+                  F.floor(F.col("l_quantity")).cast("long").alias("q"))
+    d = o.select(F.col("o_orderkey").alias("dk"), "o_orderstatus")
+    j = salted_join(f, d, "k", "dk", n_salts=16)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("q").cast("long").alias("qty"))
+
+
+_SALTED_JOIN_SQL = """
+WITH f AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 7
+                       ELSE l_orderkey END AS k,
+                  floor(l_quantity)::BIGINT AS q
+           FROM lineitem),
+j AS (SELECT o_orderstatus, q FROM f JOIN orders ON k = o_orderkey)
+SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+       sum(q)::BIGINT AS qty
+FROM j GROUP BY 1"""
+
+
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm clique detection: per-host triangle counts over a
+    deterministic host graph (24-cycle + distance-2 chords from
+    doc_ids (every consecutive host triple closes), plus a planted K4 link farm on q0..q3) via degree-ordered
+    wedge counting — each triangle exactly once, wedge fan-out bounded
+    by the orientation."""
+    from jsonschema_spark.operators.linkgraph import triangle_counts
+
+    c = F.col("doc_id")
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"))  # noqa: E731
+    d = _docs(spark, sf_dir)
+    e1 = d.select(h(c % 24).alias("src"), h((c + 1) % 24).alias("dst"))
+    e2 = d.select(h(c % 24).alias("src"), h((c + 2) % 24).alias("dst"))
+    pairs = [("q0", "q1"), ("q0", "q2"), ("q0", "q3"),
+             ("q1", "q2"), ("q1", "q3"), ("q2", "q3")]
+    k4 = d.where(c % 125 == 1).select(F.explode(F.array(*[
+        F.struct(F.lit(x).alias("src"), F.lit(y).alias("dst"))
+        for x, y in pairs])).alias("e")).select("e.src", "e.dst")
+    return triangle_counts(e1.unionAll(e2).unionAll(k4))
+
+
+_HOST_TRIANGLES_SQL = """
+WITH raw AS (
+  SELECT 'h' || (doc_id % 24)::VARCHAR AS src,
+         'h' || ((doc_id + 1) % 24)::VARCHAR AS dst FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 24)::VARCHAR,
+         'h' || ((doc_id + 2) % 24)::VARCHAR FROM documents
+  UNION ALL
+  SELECT v.src, v.dst
+  FROM (VALUES ('q0','q1'),('q0','q2'),('q0','q3'),
+               ('q1','q2'),('q1','q3'),('q2','q3')) v(src, dst)
+  WHERE EXISTS (SELECT 1 FROM documents WHERE doc_id % 125 = 1)
+),
+e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM raw
+       WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+dg AS (SELECT n, count(*)::BIGINT AS dgc
+       FROM (SELECT unnest([a, b]) AS n FROM e0) GROUP BY 1),
+ed AS (SELECT a, b, x.dgc AS da, y.dgc AS db
+       FROM e0 JOIN dg x ON e0.a = x.n JOIN dg y ON e0.b = y.n),
+e AS (SELECT CASE WHEN row(da, a) < row(db, b) THEN a ELSE b END AS u,
+             CASE WHEN row(da, a) < row(db, b) THEN b ELSE a END AS v,
+             CASE WHEN row(da, a) < row(db, b) THEN db ELSE da END
+               AS dv
+      FROM ed),
+w AS (SELECT p.u AS u, p.v AS v, q.v AS w
+      FROM e p JOIN e q
+        ON p.u = q.u AND row(p.dv, p.v) < row(q.dv, q.v)),
+t AS (SELECT w.u, w.v, w.w FROM w
+      JOIN e c ON w.v = c.u AND w.w = c.v),
+x AS (SELECT unnest([u, v, w]) AS host FROM t)
+SELECT host, count(*)::BIGINT AS n_triangles FROM x GROUP BY 1"""
+
+
 def q_sampled_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25 %-sample validation estimate over documents —
     the cheap gate before a full run: hash-selected rows are identical
@@ -6695,6 +6782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_drift": q_check_drift,
         "sampled_verdict": q_sampled_verdict,
         "violation_pareto": q_violation_pareto,
+        "salted_join": q_salted_join,
+        "host_triangles": q_host_triangles,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -7221,6 +7310,8 @@ def oracle_sql() -> dict[str, str]:
         "check_drift": _check_drift_sql(),
         "sampled_verdict": _SAMPLED_VERDICT_SQL,
         "violation_pareto": _violation_pareto_sql(),
+        "salted_join": _SALTED_JOIN_SQL,
+        "host_triangles": _HOST_TRIANGLES_SQL,
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -541,3 +541,67 @@ def resolve_redirects(
         "n_hops",
         F.col("_has_out").isNull().alias("resolved"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over the undirected simple
+    graph — the link-farm clique signal `host_reciprocity` can't see
+    (mutual links are 2-cycles; a farm is a dense triangle mesh).
+    Output: (host, n_triangles), nodes in ≥1 triangle only.
+
+    Scale shape is the degree-ordered orientation (compact-forward /
+    Latapy 2008): orient every edge from the (degree, node)-smaller
+    endpoint to the larger, then wedges are pairs of OUT-edges of a
+    common low-degree endpoint and close iff the oriented (v, w) edge
+    exists. Under this orientation out-degree is O(√E), so the wedge
+    self-join fans out per-task-bounded even when a hub carries
+    millions of links — the lexicographic orientation a simpler
+    implementation would use keeps a hub that merely SORTS low as a
+    full-fan-out wedge center. Each triangle materializes exactly
+    once. Three narrow exchanges (dedup, degree, wedge join on the
+    low endpoint) + one closure join; the oriented edge set is
+    localCheckpointed once because wedge and closure both consume it.
+    Self-loops dropped; duplicate / reversed raw edges collapse in
+    the canonical dedup.
+    """
+    s, d = F.col(src), F.col(dst)
+    e0 = (
+        edges.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("dg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("dg").alias("_db"))
+    ed = e0.join(da, "a").join(db, "b")
+    lo = F.struct(F.col("_da").alias("dg"), F.col("a").alias("n")) \
+        < F.struct(F.col("_db").alias("dg"), F.col("b").alias("n"))
+    e = ed.select(
+        F.when(lo, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    ).localCheckpoint(eager=True)
+    p = e.select(F.col("u"), F.col("v"), F.col("_dv"))
+    q = e.select(F.col("u").alias("u2"), F.col("v").alias("w"),
+                 F.col("_dv").alias("_dw"))
+    # each unordered out-neighbor pair once, ordered by (deg, node)
+    wedge = p.join(q, (F.col("u") == F.col("u2"))
+                   & (F.struct(F.col("_dv").alias("dg"),
+                               F.col("v").alias("n"))
+                      < F.struct(F.col("_dw").alias("dg"),
+                                 F.col("w").alias("n"))))
+    closer = e.select(F.col("u").alias("_cu"),
+                      F.col("v").alias("_cv"))
+    tri = wedge.join(
+        closer, (F.col("v") == F.col("_cu"))
+        & (F.col("w") == F.col("_cv")))
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -168,3 +168,38 @@ def salted_counts(fact: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     )
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias("n"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-defused inner equi-join — the ACTION the `hot_keys` /
+    `key_size_histogram` measurements call for when one fact key
+    carries a double-digit share: salt the fact side (hot key spreads
+    over ``n_salts`` reducers), replicate the dim side ``n_salts``
+    times, join on (key, salt). The result is row-for-row the plain
+    inner join — duplicate dim keys included, since a fact row meets
+    exactly its own salt's replica of every matching dim row — at the
+    cost of shuffling the dim side ×n_salts (cheap when dim ≪ fact,
+    which is exactly the skewed-fact regime; when dim fits in memory
+    prefer broadcast(), which needs no salt at all; AQE's skew-join
+    handles the middle ground at runtime).
+
+    The salt hashes the whole fact row (deterministic under task
+    retry, unlike rand()); its distribution only affects balance,
+    never the result multiset.
+    """
+    struct_cols = [F.col(c) for c in fact.columns]
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.struct(*struct_cols)),
+                         F.lit(n_salts)))
+    # generators can't nest in expressions (no cast around explode);
+    # the int salt coerces fine against the hashed long in the join key
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    cond = (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"])
+    return f.join(d, cond, "inner").drop("__salt")

@@ -412,3 +412,40 @@ def test_violation_pareto_hand_computed(spark):
     total = sum(r["n_violations"] for r in
                 violation_pareto(df, schema, ["k"], k=100).collect())
     assert got[0]["share_ppm"] == 8 * 1_000_000 // total
+
+
+def test_salted_join_equals_plain_join(spark):
+    from jsonschema_spark.operators.referential import salted_join
+
+    fact = spark.createDataFrame(
+        # hot key 1 (6 rows), key 2, an orphan 9, a NULL key
+        [(1, i) for i in range(6)] + [(2, 10), (9, 11), (None, 12)],
+        "k long, fv long")
+    dim = spark.createDataFrame(
+        # duplicate dim key 1 (two rows) + key 2 + unmatched 3
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "dk long, dv string")
+    plain = sorted(map(tuple, fact.join(
+        dim, fact["k"] == dim["dk"], "inner").collect()))
+    salted = sorted(map(tuple, salted_join(
+        fact, dim, "k", "dk", n_salts=4).collect()))
+    assert salted == plain
+    assert len(salted) == 6 * 2 + 1  # hot key x dup dim + key 2
+
+
+def test_triangle_counts_hand_computed(spark):
+    from jsonschema_spark.operators.linkgraph import triangle_counts
+
+    edges = spark.createDataFrame(
+        # K4 on a,b,c,d (one edge reversed + one duplicated), a
+        # self-loop, a dangling edge, and a NULL edge
+        [("a", "b"), ("a", "c"), ("a", "d"), ("c", "b"), ("b", "d"),
+         ("c", "d"), ("a", "b"), ("e", "e"), ("d", "x"), (None, "y")],
+        "src string, dst string")
+    got = {r["host"]: r["n_triangles"]
+           for r in triangle_counts(edges).collect()}
+    # K4 has C(4,3)=4 triangles; each node sits in C(3,2)=3
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # triangle-free graph: empty result
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    assert triangle_counts(chain).count() == 0

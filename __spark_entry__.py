@@ -5995,6 +5995,67 @@ x AS (SELECT unnest([u, v, w]) AS host FROM t)
 SELECT host, count(*)::BIGINT AS n_triangles FROM x GROUP BY 1"""
 
 
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality estimate (AGMS/CM inner product):
+    two d×w count-min sketches of the join keys answer what
+    lineitem ⋈ orders would produce without running it — the
+    broadcast-vs-salt-vs-shuffle decision input. Attested beside the
+    exact size with the realized overcount in ppm (CMS only ever
+    over-counts)."""
+    from jsonschema_spark.operators.stats import cms_join_size, cms_sketch
+
+    d, w = 4, 1024
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    est = cms_join_size(cms_sketch(li, "l_orderkey", d, w),
+                        cms_sketch(o, "o_orderkey", d, w), d)
+    ca = li.groupBy(F.col("l_orderkey").alias("k")) \
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    cb = o.groupBy(F.col("o_orderkey").alias("k")) \
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    exact = ca.join(cb, "k").agg(
+        F.sum(F.col("_ca") * F.col("_cb")).cast("long")
+        .alias("exact_rows"))
+    j = est.crossJoin(exact)
+    return j.select(
+        "est_join_rows", "exact_rows",
+        F.floor(((F.col("est_join_rows") - F.col("exact_rows"))
+                 * 1_000_000).cast("double") / F.col("exact_rows"))
+        .cast("long").alias("overcount_ppm"))
+
+
+def _join_size_est_sql() -> str:
+    d, w = 4, 1024
+    probe = ("CAST(CAST(('0x' || substr(md5(ix.i::VARCHAR || ':' || "
+             "v::VARCHAR), 1, 14)) AS BIGINT) % {w} AS INTEGER)")
+    return f"""
+WITH pa AS (SELECT l_orderkey AS v FROM lineitem
+            WHERE l_orderkey IS NOT NULL),
+pb AS (SELECT o_orderkey AS v FROM orders
+       WHERE o_orderkey IS NOT NULL),
+ska AS (SELECT row, bucket, count(*)::BIGINT AS cnt
+        FROM (SELECT ix.i AS row, {probe.format(w=w)} AS bucket
+              FROM pa, LATERAL (SELECT unnest(range(0, {d})) AS i) ix)
+        GROUP BY 1, 2),
+skb AS (SELECT row, bucket, count(*)::BIGINT AS cnt
+        FROM (SELECT ix.i AS row, {probe.format(w=w)} AS bucket
+              FROM pb, LATERAL (SELECT unnest(range(0, {d})) AS i) ix)
+        GROUP BY 1, 2),
+dots AS (SELECT a.row, sum(a.cnt * b.cnt)::BIGINT AS dot
+         FROM ska a JOIN skb b
+           ON a.row = b.row AND a.bucket = b.bucket
+         GROUP BY 1),
+est AS (SELECT min(coalesce(dot, 0))::BIGINT AS est_join_rows
+        FROM (SELECT unnest(range(0, {d})) AS row) r
+        LEFT JOIN dots USING (row)),
+ex AS (SELECT count(*)::BIGINT AS exact_rows
+       FROM pa JOIN pb ON pa.v = pb.v)
+SELECT est_join_rows, exact_rows,
+  floor(((est_join_rows - exact_rows) * 1000000)::DOUBLE
+        / exact_rows)::BIGINT AS overcount_ppm
+FROM est, ex"""
+
+
 def q_sampled_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25 %-sample validation estimate over documents —
     the cheap gate before a full run: hash-selected rows are identical
@@ -6784,6 +6845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_pareto": q_violation_pareto,
         "salted_join": q_salted_join,
         "host_triangles": q_host_triangles,
+        "join_size_est": q_join_size_est,
         "homoglyph": q_homoglyph,
         "cdc_chunks": q_cdc_chunks,
         "mime_sniff": q_mime_sniff,
@@ -7312,6 +7374,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_pareto": _violation_pareto_sql(),
         "salted_join": _SALTED_JOIN_SQL,
         "host_triangles": _HOST_TRIANGLES_SQL,
+        "join_size_est": _join_size_est_sql(),
         "homoglyph": _homoglyph_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "mime_sniff": _mime_sniff_sql(),

@@ -491,6 +491,39 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def cms_join_size(
+    sk_a: DataFrame, sk_b: DataFrame, d: int = 4,
+) -> DataFrame:
+    """Pre-flight join-cardinality estimate from two count-min
+    sketches (the AGMS/CM inner-product result, Alon et al. 1999 /
+    Cormode & Muthukrishnan 2005): |A ⋈ B| on a key = Σ_k cA(k)·cB(k),
+    and the bucket-wise dot product of each hash row OVER-estimates it
+    (colliding keys only add cross terms), so ``min`` over the d rows
+    is an upper bound within ε·nA·nB with probability 1−δ. This is
+    the broadcast-vs-salt-vs-shuffle decision BEFORE the 100 TB join
+    — two ≤d·w-row sketches (built map-side, mergeable across
+    snapshots) answer what the join would cost without running it.
+
+    One ≤d·w-row join + one d-row aggregate; every arithmetic step
+    is exact int64 (oracle-replayable). Bound: per-row dot ≤ nA·nB
+    must stay < 2^63 — past ~3·10^9 rows a side, sketch a
+    deterministic hash-sample and scale (ANSI throws rather than
+    silently wrapping).
+    """
+    a = sk_a.select("row", "bucket", F.col("cnt").alias("_ca"))
+    b = sk_b.select("row", "bucket", F.col("cnt").alias("_cb"))
+    dots = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    rows = sk_a.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("row"))
+    return rows.join(dots, "row", "left").agg(
+        F.min(F.coalesce(F.col("_dot"), F.lit(0))).cast("long")
+        .alias("est_join_rows"))
+
+
 def cms_lookup(
     sketch: DataFrame, items: DataFrame, col: str, d: int = 4, w: int = 1024
 ) -> DataFrame:

@@ -449,3 +449,26 @@ def test_triangle_counts_hand_computed(spark):
     chain = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
     assert triangle_counts(chain).count() == 0
+
+
+def test_cms_join_size_hand_computed(spark):
+    from jsonschema_spark.operators.stats import cms_join_size, cms_sketch
+
+    # exact |A join B| = sum_k cA(k)*cB(k) = 3*2 + 1*1 = 7
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("x",), ("y",), ("z",)], "k string")
+    b = spark.createDataFrame([("x",), ("x",), ("y",)], "k string")
+    d, w = 4, 64
+    est = cms_join_size(cms_sketch(a, "k", d, w),
+                        cms_sketch(b, "k", d, w), d) \
+        .collect()[0]["est_join_rows"]
+    # CMS only over-counts; at 3 keys in 64 buckets collisions are
+    # rare but legal — the estimate is an upper bound near 7
+    assert 7 <= est <= 7 + 3 * 5
+    # disjoint key sets: every row's dot is 0 -> est 0 (the missing-
+    # row left-join guard, not a silent min over joined rows only)
+    c = spark.createDataFrame([("q",), ("r",)], "k string")
+    est0 = cms_join_size(cms_sketch(a, "k", d, w),
+                         cms_sketch(c, "k", d, w), d) \
+        .collect()[0]["est_join_rows"]
+    assert est0 >= 0 and est0 <= 4  # 0 unless a rare bucket collision

@@ -5692,6 +5692,30 @@ g2 AS (SELECT l_partkey, sum(c)::BIGINT AS n_rows,
 SELECT * FROM g2 WHERE n_distinct_rhs > 1"""
 
 
+def q_fd_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD rate for l_partkey → l_suppkey (TANE g3): the
+    one-number form of the 2000-key violation list — how many rows
+    survive keeping each part's majority supplier."""
+    from jsonschema_spark.operators.checks import fd_compliance
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return fd_compliance(li, ["l_partkey"], "l_suppkey")
+
+
+_FD_COMPLIANCE_SQL = """
+WITH g1 AS (SELECT l_partkey, l_suppkey, count(*)::BIGINT AS c
+            FROM lineitem GROUP BY 1, 2),
+g2 AS (SELECT l_partkey, sum(c)::BIGINT AS n, max(c)::BIGINT AS mx
+       FROM g1 GROUP BY 1),
+a AS (SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        sum(mx)::BIGINT AS compliant_rows
+      FROM g2)
+SELECT n_rows, n_keys, compliant_rows,
+  floor((compliant_rows * 1000000)::DOUBLE / n_rows)::BIGINT
+    AS compliance_ppm
+FROM a"""
+
+
 def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table aggregate reconciliation: o_totalprice vs the
     lineitem charge roll-up sum(extprice*(1-disc)*(1+tax)), both sides
@@ -6834,6 +6858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_suite": q_check_suite,
         "suggest_checks": q_suggest_checks,
         "fd_check": q_fd_check,
+        "fd_compliance": q_fd_compliance,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7363,6 +7388,7 @@ def oracle_sql() -> dict[str, str]:
         "check_suite": _check_suite_sql(),
         "suggest_checks": _suggest_checks_sql(),
         "fd_check": _FD_CHECK_SQL,
+        "fd_compliance": _FD_COMPLIANCE_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

@@ -508,6 +508,39 @@ def fd_violations(
     return g2.where(F.col("n_distinct_rhs") > 1)
 
 
+def fd_compliance(
+    df: DataFrame,
+    lhs_cols: Sequence[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Approximate-FD compliance (the TANE g3 measure): the share of
+    rows that would survive if every lhs key kept only its MAJORITY
+    rhs value — "l_partkey → l_suppkey holds at 991234 ppm" is the
+    actionable form of an almost-dependency that ``fd_violations``
+    can only enumerate. One row out: (n_rows, n_keys,
+    compliant_rows, compliance_ppm).
+
+    Majority ties need no break: only the max count matters. Same
+    two-narrow-exchange shape as fd_violations, plus one global agg
+    of the per-key maxima.
+    """
+    lhs = [F.col(c) for c in lhs_cols]
+    g1 = df.groupBy(*lhs, F.col(rhs_col).alias("_rhs")) \
+        .agg(F.count(F.lit(1)).alias("_c"))
+    g2 = g1.groupBy(*[F.col(c) for c in lhs_cols]).agg(
+        F.sum("_c").alias("_n"), F.max("_c").alias("_m"))
+    return g2.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_m").cast("long").alias("compliant_rows"),
+    ).select(
+        "*",
+        F.floor((F.col("compliant_rows") * 1_000_000).cast("double")
+                / F.col("n_rows")).cast("long")
+        .alias("compliance_ppm"),
+    )
+
+
 def reconcile_sum(
     parent: DataFrame,
     parent_key: str,

@@ -472,3 +472,86 @@ def test_cms_join_size_hand_computed(spark):
                          cms_sketch(c, "k", d, w), d) \
         .collect()[0]["est_join_rows"]
     assert est0 >= 0 and est0 <= 4  # 0 unless a rare bucket collision
+
+
+def test_check_suite_hypothesis_vs_python_mirror(spark):
+    """Property net: on random small tables, every algebraic
+    check_suite metric equals a pure-Python mirror computing the same
+    integer recipes (ppm floors, per-row quantization, one-IEEE-op
+    mean)."""
+    import math as m
+
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    vals = st.tuples(
+        st.one_of(st.none(), st.integers(-10**6, 10**6)),
+        st.one_of(st.none(), st.sampled_from(["a", "ab", "b", "c"])),
+        st.one_of(st.none(),
+                  st.floats(allow_nan=False, allow_infinity=False,
+                            min_value=-1e6, max_value=1e6, width=64)),
+    )
+    checks = [
+        {"name": "n", "check": "size_min", "min": 1},
+        {"name": "c", "check": "completeness", "col": "v",
+         "min_ppm": 500_000},
+        {"name": "d", "check": "distinctness", "col": "i",
+         "min_ppm": 500_000},
+        {"name": "mn", "check": "min_ge", "col": "x",
+         "scale": 100, "ge": 0},
+        {"name": "mx", "check": "max_le", "col": "x",
+         "scale": 100, "le": 0},
+        {"name": "me", "check": "mean_scaled_between", "col": "x",
+         "scale": 100, "lo": -10**10, "hi": 10**10},
+        {"name": "rx", "check": "match_ppm", "col": "v",
+         "pattern": "^a", "min_ppm": 1},
+        {"name": "in", "check": "contained_ppm", "col": "v",
+         "allowed": ["a", "b"], "max_ppm": 900_000},
+    ]
+
+    def mirror(rows):
+        n = len(rows)
+        ints = [r[0] for r in rows if r[0] is not None]
+        strs = [r[1] for r in rows if r[1] is not None]
+        xs = [m.floor(r[2] * 100.0) for r in rows if r[2] is not None]
+        out = {"n": n}
+        out["c"] = (len(strs) * 1_000_000) // n
+        out["d"] = (len(set(ints)) * 1_000_000) // n
+        out["mn"] = min(xs) if xs else None
+        out["mx"] = max(xs) if xs else None
+        out["me"] = m.floor(sum(xs) / len(xs)) if xs else None
+        nrx = sum(1 for s in strs if _re.search("^a", s))
+        out["rx"] = (nrx * 1_000_000) // len(strs) if strs else None
+        nin = sum(1 for s in strs if s in ("a", "b"))
+        out["in"] = (nin * 1_000_000) // len(strs) if strs else None
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(vals, min_size=1, max_size=12))
+    def run(rows):
+        df = spark.createDataFrame(rows, "i long, v string, x double")
+        got = {r["check_name"]: r["metric"]
+               for r in check_suite(df, checks).collect()}
+        assert got == mirror(rows)
+
+    run()
+
+
+def test_fd_compliance_hand_computed(spark):
+    from jsonschema_spark.operators.checks import fd_compliance
+
+    df = spark.createDataFrame(
+        # key 1: majority x (3 of 4); key 2: perfect; key 3: 1-1 tie
+        [(1, "x"), (1, "x"), (1, "x"), (1, "y"),
+         (2, "x"), (2, "x"), (3, "a"), (3, "b")],
+        "k long, r string")
+    r = fd_compliance(df, ["k"], "r").collect()[0]
+    # compliant = 3 + 2 + 1 (tie: only the max count matters)
+    assert (r["n_rows"], r["n_keys"], r["compliant_rows"]) == (8, 3, 6)
+    assert r["compliance_ppm"] == 750_000
+    # a perfect FD reads exactly 1e6
+    perfect = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "k long, r string")
+    assert fd_compliance(perfect, ["k"], "r") \
+        .collect()[0]["compliance_ppm"] == 1_000_000

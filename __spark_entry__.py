@@ -5692,6 +5692,44 @@ g2 AS (SELECT l_partkey, sum(c)::BIGINT AS n_rows,
 SELECT * FROM g2 WHERE n_distinct_rhs > 1"""
 
 
+def q_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-level JSON key census over events.props with all three
+    absence kinds planted: extra keys (event_id%7), malformed JSON
+    (%11 — parses to nothing in Spark, json_valid-guarded in the
+    mirror where it would THROW), top-level arrays (%13 — NULL keys
+    in Spark, [] in DuckDB; both contribute no rows)."""
+    from jsonschema_spark.operators.checks import json_key_census
+
+    e = spark.read.parquet(_t(sf_dir, "events"))
+    c = F.col("event_id")
+    j = (F.when(c % 11 == 0, F.lit("oops"))
+         .when(c % 13 == 0, F.lit("[1, 2]"))
+         .when(c % 7 == 0,
+               F.concat(F.lit('{"k": '), (c % 100).cast("string"),
+                        F.lit(', "tag": "x", "lang": "en"}')))
+         .otherwise(F.col("props")))
+    return json_key_census(e.select(j.alias("p")), "p")
+
+
+_JSON_KEY_CENSUS_SQL = """
+WITH j AS (SELECT CASE WHEN event_id % 11 = 0 THEN 'oops'
+                WHEN event_id % 13 = 0 THEN '[1, 2]'
+                WHEN event_id % 7 = 0 THEN
+                  '{"k": ' || (event_id % 100)::VARCHAR
+                  || ', "tag": "x", "lang": "en"}'
+                ELSE props END AS p
+           FROM events),
+t AS (SELECT count(*)::BIGINT AS total FROM j),
+ks AS (SELECT unnest(CASE WHEN p IS NOT NULL AND json_valid(p)
+                          THEN json_keys(p)
+                          ELSE []::VARCHAR[] END) AS json_key
+       FROM j),
+g AS (SELECT json_key, count(*)::BIGINT AS n_rows FROM ks GROUP BY 1)
+SELECT json_key, n_rows,
+  floor((n_rows * 1000000)::DOUBLE / total)::BIGINT AS presence_ppm
+FROM g, t"""
+
+
 def q_fd_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-FD rate for l_partkey → l_suppkey (TANE g3): the
     one-number form of the 2000-key violation list — how many rows
@@ -6859,6 +6897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_checks": q_suggest_checks,
         "fd_check": q_fd_check,
         "fd_compliance": q_fd_compliance,
+        "json_key_census": q_json_key_census,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7389,6 +7428,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_checks": _suggest_checks_sql(),
         "fd_check": _FD_CHECK_SQL,
         "fd_compliance": _FD_COMPLIANCE_SQL,
+        "json_key_census": _JSON_KEY_CENSUS_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

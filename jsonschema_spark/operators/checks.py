@@ -508,6 +508,34 @@ def fd_violations(
     return g2.where(F.col("n_distinct_rhs") > 1)
 
 
+def json_key_census(df: DataFrame, json_col: str) -> DataFrame:
+    """Top-level key census over a JSON text column — the
+    schema-inference precursor ("which fields exist at what rate")
+    that feeds ``suggest_checks``-style contract writing for
+    semi-structured payloads: per key, row count and presence ppm of
+    ALL rows (so missing-because-malformed and missing-because-absent
+    both count against presence — the contract consumer's view).
+
+    One explode of the engine-parsed key array + one groupBy with
+    map-side partials; non-objects, malformed JSON and NULLs
+    contribute no keys (Spark json_object_keys → NULL; the SQL mirror
+    guards with json_valid, whose absence THROWS in DuckDB — the
+    engines differ in failure mode, not in counts).
+    """
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    g = (
+        df.select(F.explode(F.json_object_keys(F.col(json_col)))
+                  .alias("json_key"))
+        .groupBy("json_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "json_key", "n_rows",
+        F.floor((F.col("n_rows") * 1_000_000).cast("double")
+                / F.col("_t")).cast("long").alias("presence_ppm"),
+    )
+
+
 def fd_compliance(
     df: DataFrame,
     lhs_cols: Sequence[str],

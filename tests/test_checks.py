@@ -555,3 +555,21 @@ def test_fd_compliance_hand_computed(spark):
         [(1, "x"), (1, "x"), (2, "y")], "k long, r string")
     assert fd_compliance(perfect, ["k"], "r") \
         .collect()[0]["compliance_ppm"] == 1_000_000
+
+
+def test_json_key_census_hand_computed(spark):
+    from jsonschema_spark.operators.checks import json_key_census
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": 2}',), ('{"a": 3}',), ('[1]',),
+         ("oops",), (None,), ("{}",)],
+        "p string")
+    got = {r["json_key"]: r for r in
+           json_key_census(df, "p").collect()}
+    assert set(got) == {"a", "b"}
+    # presence is of ALL 6 rows — malformed/array/null/empty count
+    # against it (the contract consumer's view)
+    assert (got["a"]["n_rows"], got["a"]["presence_ppm"]) \
+        == (2, 333_333)
+    assert (got["b"]["n_rows"], got["b"]["presence_ppm"]) \
+        == (1, 166_666)

@@ -5692,6 +5692,42 @@ g2 AS (SELECT l_partkey, sum(c)::BIGINT AS n_rows,
 SELECT * FROM g2 WHERE n_distinct_rhs > 1"""
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford profile of o_totalprice — the reference-
+    free numeric-sanity lens; the synthetic uniform prices genuinely
+    DEVIATE from the law, which is exactly the signal shape the
+    check exists to flag (dev_ppm per digit, all 9 rows pinned by a
+    digit spine)."""
+    from jsonschema_spark.operators.checks import benford_profile
+
+    return benford_profile(
+        spark.read.parquet(_t(sf_dir, "orders")), "o_totalprice")
+
+
+def _benford_sql() -> str:
+    from jsonschema_spark.operators.checks import BENFORD_PPM
+
+    vals = ", ".join(f"({i + 1}, {p})" for i, p in enumerate(BENFORD_PPM))
+    return f"""
+WITH b(digit, expected_ppm) AS (VALUES {vals}),
+g AS (SELECT substr(floor(abs(o_totalprice))::BIGINT::VARCHAR, 1, 1)
+         ::INT AS digit,
+       count(*)::BIGINT AS n_rows
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1
+      GROUP BY 1),
+j AS (SELECT b.digit, coalesce(g.n_rows, 0)::BIGINT AS n_rows,
+        b.expected_ppm::BIGINT AS expected_ppm
+      FROM b LEFT JOIN g USING (digit)),
+t AS (SELECT sum(n_rows)::BIGINT AS tot FROM j)
+SELECT digit, n_rows,
+  floor((n_rows * 1000000)::DOUBLE / tot)::BIGINT AS observed_ppm,
+  expected_ppm,
+  (floor((n_rows * 1000000)::DOUBLE / tot) - expected_ppm)::BIGINT
+    AS dev_ppm
+FROM j, t"""
+
+
 def q_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-level JSON key census over events.props with all three
     absence kinds planted: extra keys (event_id%7), malformed JSON
@@ -6898,6 +6934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "fd_compliance": q_fd_compliance,
         "json_key_census": q_json_key_census,
+        "benford": q_benford,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7429,6 +7466,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_check": _FD_CHECK_SQL,
         "fd_compliance": _FD_COMPLIANCE_SQL,
         "json_key_census": _JSON_KEY_CENSUS_SQL,
+        "benford": _benford_sql(),
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

@@ -508,6 +508,57 @@ def fd_violations(
     return g2.where(F.col("n_distinct_rhs") > 1)
 
 
+# floor(1e6·log10(1+1/d)) — Benford first-digit expectation, pinned as
+# integer literals so no engine evaluates a log
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181,
+               66946, 57991, 51152, 45757)
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the numeric-
+    sanity check that catches fabricated, truncated, or unit-mangled
+    measure columns (amounts, sizes, durations) without any reference
+    snapshot: natural multi-scale data follows log-uniform mantissas;
+    capped, defaulted or invented data does not.
+
+    Rows with |value| ≥ 1 only (the law concerns leading digits of
+    magnitudes). The digit is extracted INTEGER-portably — first char
+    of floor(abs(x))::bigint rendered as a string; double→string
+    rendering differs across engines, bigint digits do not. Output
+    per digit 1-9: observed count, observed ppm, expected ppm and
+    ``dev_ppm = obs - exp``; digits absent from the data still get a
+    row (the full |deviation| sum is Σ|dev_ppm| downstream). One scan,
+    one 9-key groupBy, a 9-row digit spine outer-joined so the
+    profile shape is fixed.
+    """
+    v = F.floor(F.abs(F.col(col))).cast("long")
+    d = F.substring(v.cast("string"), 1, 1).cast("int")
+    g = (
+        df.where(F.col(col).isNotNull() & (F.abs(F.col(col)) >= 1))
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in BENFORD_PPM]),
+            F.col("id").cast("int")).cast("long").alias("expected_ppm"),
+    )
+    j = spine.join(g, "digit", "left")
+    n = F.coalesce(F.col("n_rows"), F.lit(0)).cast("long")
+    tot = j.agg(F.sum(n).alias("_t"))
+    out = j.crossJoin(F.broadcast(tot))
+    obs = F.floor((n * 1_000_000).cast("double") / F.col("_t"))
+    return out.select(
+        "digit", n.alias("n_rows"),
+        obs.cast("long").alias("observed_ppm"),
+        "expected_ppm",
+        (obs - F.col("expected_ppm")).cast("long").alias("dev_ppm"),
+    )
+
+
 def json_key_census(df: DataFrame, json_col: str) -> DataFrame:
     """Top-level key census over a JSON text column — the
     schema-inference precursor ("which fields exist at what rate")

@@ -573,3 +573,40 @@ def test_json_key_census_hand_computed(spark):
         == (2, 333_333)
     assert (got["b"]["n_rows"], got["b"]["presence_ppm"]) \
         == (1, 166_666)
+
+
+def test_benford_profile_hand_computed(spark):
+    from jsonschema_spark.operators.checks import (
+        BENFORD_PPM,
+        benford_profile,
+    )
+
+    df = spark.createDataFrame(
+        # digits: 1,1,2,9, plus excluded rows (|x|<1, null);
+        # -250.3 -> digit 2, 0.5 excluded
+        [(1.0,), (19.9,), (-250.3,), (900.0,), (0.5,), (None,),
+         (-0.99,)],
+        "x double")
+    got = {r["digit"]: r for r in
+           benford_profile(df, "x").collect()}
+    assert set(got) == set(range(1, 10))  # spine pins all 9 rows
+    assert got[1]["n_rows"] == 2 and got[2]["n_rows"] == 1
+    assert got[9]["n_rows"] == 1
+    assert all(got[d]["n_rows"] == 0 for d in (3, 4, 5, 6, 7, 8))
+    assert got[1]["observed_ppm"] == 500_000
+    assert got[1]["dev_ppm"] == 500_000 - BENFORD_PPM[0]
+    assert got[3]["dev_ppm"] == -BENFORD_PPM[2]
+    # a genuinely Benford-ish sample: powers 2^k lead-digit
+    # distribution is the classical convergent case
+    pw = spark.createDataFrame([(float(2 ** k),) for k in range(1, 64)],
+                               "x double")
+    prof = {r["digit"]: r for r in benford_profile(pw, "x").collect()}
+    dev = sum(abs(prof[d]["dev_ppm"]) for d in range(1, 10))
+    # count granularity at n=63 is 1/63 ≈ 15.9k ppm per digit; the
+    # observed L1 ≈ 177k is ~1.2 counts/digit off the law — convergent
+    assert dev < 250_000
+    # and an all-constant column maximally violates it
+    const = spark.createDataFrame([(5.0,)] * 50, "x double")
+    cdev = sum(abs(r["dev_ppm"]) for r in
+               benford_profile(const, "x").collect())
+    assert cdev > 1_300_000

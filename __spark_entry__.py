@@ -5541,6 +5541,9 @@ def q_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Expand distinct (±2 % at p=12, hence the 900k floor)
         {"name": "orderkey_uniq_approx", "check": "distinctness_approx",
          "col": "o_orderkey", "min_ppm": 900_000, "p": 12},
+        # composite cardinality via the canonical row-hash rendering
+        {"name": "status_priority_card", "check": "distinctness",
+         "cols": ["o_orderstatus", "o_orderpriority"], "min_ppm": 1},
     ])
 
 
@@ -5578,6 +5581,9 @@ def _check_suite_sql() -> str:
             "o_orderkey",
             "floor((est_milli * 1000)::DOUBLE / n_rows)::BIGINT",
             900_000, open_b, from_="a, hest"),
+        row("status_priority_card", "distinctness",
+            "o_orderstatus,o_orderpriority",
+            ppm.format(n="nd_sp", d="n_rows"), 1, 1_000_000),
     ]
     union = "\nUNION ALL\n".join(rows)
     p_hll, w = 12, 44
@@ -5611,7 +5617,11 @@ hest AS (SELECT CAST(FLOOR({alpha!r} * {pow_lit!r}
     AS rx_pr,
   min(floor(o_totalprice * 100.0))::BIGINT AS mn_tp,
   sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS sq_tp,
-  count(o_totalprice)::BIGINT AS nn_tp
+  count(o_totalprice)::BIGINT AS nn_tp,
+  count(DISTINCT ('0x' || substr(md5(
+      coalesce(o_orderstatus, '<NULL>') || chr(1)
+      || coalesce(o_orderpriority, '<NULL>')), 1, 14))::BIGINT)
+    ::BIGINT AS nd_sp
 FROM orders){hll_ctes}
 {union}"""
 

@@ -79,7 +79,11 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
       non-NULL share of all rows, integer ppm.
     - ``{"check": "distinctness", "col": c, "min_ppm": p}`` — metric =
       exact distinct non-NULL values / rows, ppm (the PK check at
-      1_000_000).
+      1_000_000). Composite form: ``"cols": [c1, c2, ...]`` counts
+      distinct canonical row renderings (NULL-sentinel, \\x01-joined)
+      via the portable 56-bit hash — SQL count(DISTINCT c1, c2)
+      semantics differ across engines on NULLs, the rendering does
+      not; a 56-bit collision under-counts by 1 in ~10^16 pairs.
     - ``{"check": "distinctness_approx", "col": c, "min_ppm": p,
       "p": 12}`` — same metric from the portable HLL sketch (±~2 % at
       p=12): the crawl-scale path. Exact distinct on a near-unique key
@@ -141,7 +145,15 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             metric = _ppm(F.col(a), F.col("n_rows"))
             lo, hi = int(ck["min_ppm"]), 1_000_000
         elif t == "distinctness":
-            a = need(f"nd_{c}", F.countDistinct(F.col(c)).cast("long"))
+            if "cols" in ck:
+                cs = list(ck["cols"])
+                c = ",".join(cs)
+                a = need(f"ndh_{i}",
+                         F.countDistinct(row_fingerprint_hash(cs))
+                         .cast("long"))
+            else:
+                a = need(f"nd_{c}",
+                         F.countDistinct(F.col(c)).cast("long"))
             metric = _ppm(F.col(a), F.col("n_rows"))
             lo, hi = int(ck["min_ppm"]), 1_000_000
         elif t == "distinctness_approx":

@@ -610,3 +610,21 @@ def test_benford_profile_hand_computed(spark):
     cdev = sum(abs(r["dev_ppm"]) for r in
                benford_profile(const, "x").collect())
     assert cdev > 1_300_000
+
+
+def test_check_suite_composite_distinctness(spark):
+    df = spark.createDataFrame(
+        # pairs: (1,a) x2, (1,b), (2,a), (2,NULL), (NULL,NULL) -> 5
+        # distinct renderings of 6 rows
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, None),
+         (None, None)],
+        "k long, v string")
+    got = check_suite(df, [
+        {"name": "pair", "check": "distinctness", "cols": ["k", "v"],
+         "min_ppm": 900_000},
+    ]).collect()[0]
+    assert got["col_name"] == "k,v"
+    # NULL-bearing pairs COUNT as renderings (unlike SQL multi-col
+    # count distinct, which drops any-NULL rows)
+    assert got["metric"] == 5 * 1_000_000 // 6
+    assert got["status"] == "fail"

@@ -5626,6 +5626,70 @@ FROM orders){hll_ctes}
 {union}"""
 
 
+def q_check_suite_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME declarative contract evaluated PER PARTITION — the
+    per-language / per-shard / per-day verdict form: check_suite with
+    by=['o_orderstatus'] runs the whole suite once per status in ONE
+    scan (the groupBy collapses map-side; the exchange moves
+    n_groups x n_metrics values), group key prefixed to every check
+    row. The question a curator actually asks is not "does the table
+    pass" but "WHICH slice broke"."""
+    from jsonschema_spark.operators.checks import check_suite
+
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return check_suite(o, [
+        {"name": "size", "check": "size_min", "min": 100},
+        {"name": "orderdate_complete", "check": "completeness",
+         "col": "o_orderdate", "min_ppm": 1_000_000},
+        {"name": "custkey_card", "check": "distinctness",
+         "col": "o_custkey", "min_ppm": 500_000},
+        {"name": "priority_format", "check": "match_ppm",
+         "col": "o_orderpriority", "pattern": "^[1-5]-[A-Z ]+$",
+         "min_ppm": 1_000_000},
+        {"name": "price_mean", "check": "mean_scaled_between",
+         "col": "o_totalprice", "scale": 100,
+         "lo": 1_000_000, "hi": 50_000_000},
+    ], by=["o_orderstatus"])
+
+
+def _check_suite_by_sql() -> str:
+    open_b = _OPEN_BOUND
+    ppm = "floor(({n} * 1000000)::DOUBLE / {d})::BIGINT"
+
+    def row(name, ctype, col, metric, lo, hi):
+        return (f"SELECT o_orderstatus, '{name}' AS check_name, "
+                f"'{ctype}' AS check_type, '{col}' AS col_name, "
+                f"{metric} AS metric, "
+                f"{lo}::BIGINT AS lo, {hi}::BIGINT AS hi, "
+                f"CASE WHEN {metric} >= {lo} AND {metric} <= {hi} "
+                f"THEN 'pass' ELSE 'fail' END AS status FROM a")
+
+    rows = [
+        row("size", "size_min", "", "n_rows", 100, open_b),
+        row("orderdate_complete", "completeness", "o_orderdate",
+            ppm.format(n="nn_date", d="n_rows"), 1_000_000, 1_000_000),
+        row("custkey_card", "distinctness", "o_custkey",
+            ppm.format(n="nd_ck", d="n_rows"), 500_000, 1_000_000),
+        row("priority_format", "match_ppm", "o_orderpriority",
+            ppm.format(n="rx_pr", d="nn_pr"), 1_000_000, 1_000_000),
+        row("price_mean", "mean_scaled_between", "o_totalprice",
+            "floor(sq_tp::DOUBLE / nn_tp)::BIGINT",
+            1_000_000, 50_000_000),
+    ]
+    union = "\nUNION ALL\n".join(rows)
+    return f"""WITH a AS (SELECT o_orderstatus,
+  count(*)::BIGINT AS n_rows,
+  count(o_orderdate)::BIGINT AS nn_date,
+  count(DISTINCT o_custkey)::BIGINT AS nd_ck,
+  count(o_orderpriority)::BIGINT AS nn_pr,
+  sum(regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')::INT)::BIGINT
+    AS rx_pr,
+  sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS sq_tp,
+  count(o_totalprice)::BIGINT AS nn_tp
+FROM orders GROUP BY 1)
+{union}"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -6940,6 +7004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pub_date": q_url_pub_date,
         "domain_quality": q_domain_quality,
         "check_suite": q_check_suite,
+        "check_suite_by": q_check_suite_by,
         "suggest_checks": q_suggest_checks,
         "fd_check": q_fd_check,
         "fd_compliance": q_fd_compliance,
@@ -7472,6 +7537,7 @@ def oracle_sql() -> dict[str, str]:
         "url_pub_date": _url_pub_date_sql(),
         "domain_quality": _domain_quality_sql(),
         "check_suite": _check_suite_sql(),
+        "check_suite_by": _check_suite_by_sql(),
         "suggest_checks": _suggest_checks_sql(),
         "fd_check": _FD_CHECK_SQL,
         "fd_compliance": _FD_COMPLIANCE_SQL,

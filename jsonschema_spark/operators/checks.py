@@ -65,9 +65,17 @@ def _quant(col: Column, scale: int) -> Column:
     return F.floor(col * F.lit(float(scale))).cast("long")
 
 
-def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+def check_suite(
+    df: DataFrame,
+    checks: Sequence[dict],
+    by: Sequence[str] = (),
+) -> DataFrame:
     """Evaluate a declarative list of table-level constraints in one
-    aggregation pass; returns one row per check:
+    aggregation pass; returns one row per check (× group when ``by``
+    is given — the per-partition contract verdict: the whole suite
+    per language / per shard / per day, still ONE scan, the groupBy
+    collapsing map-side; group keys prefix the output columns;
+    ``distinctness_approx`` is global-only and rejected under ``by``):
 
     ``(check_name, check_type, col_name, metric, lo, hi, status)``
 
@@ -200,11 +208,20 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             hi = int(ck.get("max_ppm", 1_000_000))
         specs.append((name, t, c, metric, lo, hi))
 
-    row = df.agg(*[v.alias(k) for k, v in aggs.items()])
-    for est in approx_rows:
-        # one-row × one-row broadcast joins: the sketch states fold
-        # into the same single result row
-        row = row.crossJoin(F.broadcast(est))
+    if by:
+        if approx_rows:
+            raise ValueError(
+                "distinctness_approx is global-only: the HLL estimate "
+                "folds one sketch row, not one per group — use exact "
+                "distinctness under `by`")
+        row = df.groupBy(*[F.col(c) for c in by]).agg(
+            *[v.alias(k) for k, v in aggs.items()])
+    else:
+        row = df.agg(*[v.alias(k) for k, v in aggs.items()])
+        for est in approx_rows:
+            # one-row × one-row broadcast joins: the sketch states
+            # fold into the same single result row
+            row = row.crossJoin(F.broadcast(est))
     entries = []
     for name, t, c, metric, lo, hi in specs:
         m = metric.cast("long")
@@ -218,8 +235,9 @@ def check_suite(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             F.when((m >= lo) & (m <= hi), F.lit("pass"))
             .otherwise(F.lit("fail")).alias("status"),
         ))
-    return row.select(F.explode(F.array(*entries)).alias("r")) \
-        .select("r.*")
+    return row.select(*by,
+                      F.explode(F.array(*entries)).alias("r")) \
+        .select(*by, "r.*")
 
 
 def check_drift(

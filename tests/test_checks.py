@@ -628,3 +628,52 @@ def test_check_suite_composite_distinctness(spark):
     # count distinct, which drops any-NULL rows)
     assert got["metric"] == 5 * 1_000_000 // 6
     assert got["status"] == "fail"
+
+
+def test_check_suite_grouped_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("en", 1, "a"), ("en", 2, "a"), ("en", 2, None),
+         ("fr", 3, "b"), ("fr", 3, "b"), (None, 9, "a")],
+        "g string, id long, v string")
+    suite = [
+        {"name": "size", "check": "size_min", "min": 3},
+        {"name": "v_comp", "check": "completeness", "col": "v",
+         "min_ppm": 700_000},
+        {"name": "id_pk", "check": "distinctness", "col": "id",
+         "min_ppm": 1_000_000},
+        {"name": "v_dom", "check": "contained_ppm", "col": "v",
+         "allowed": ["a"], "min_ppm": 500_000},
+    ]
+    out = check_suite(df, suite, by=["g"])
+    rows = {(r["g"], r["check_name"]): r for r in out.collect()}
+    # 3 groups (NULL key gets its own suite) x 4 checks
+    assert len(rows) == 12
+    assert (rows[("en", "size")]["metric"],
+            rows[("en", "size")]["status"]) == (3, "pass")
+    assert rows[("fr", "size")]["status"] == "fail"
+    assert rows[(None, "size")]["metric"] == 1
+    # en: 2 non-null v of 3 rows -> floor(2e6/3)
+    assert rows[("en", "v_comp")]["metric"] == 666_666
+    assert rows[("en", "v_comp")]["status"] == "fail"
+    assert rows[("fr", "v_comp")]["metric"] == 1_000_000
+    # en distinct ids {1,2} of 3; fr {3} of 2; NULL-group {9} of 1
+    assert rows[("en", "id_pk")]["metric"] == 666_666
+    assert rows[("fr", "id_pk")]["metric"] == 500_000
+    assert (rows[(None, "id_pk")]["metric"],
+            rows[(None, "id_pk")]["status"]) == (1_000_000, "pass")
+    # domain ppm is of NON-NULL values: en 2/2, fr 0/2
+    assert (rows[("en", "v_dom")]["metric"],
+            rows[("en", "v_dom")]["status"]) == (1_000_000, "pass")
+    assert (rows[("fr", "v_dom")]["metric"],
+            rows[("fr", "v_dom")]["status"]) == (0, "fail")
+    # grouped output equals per-group global suites (slice-equivalence)
+    solo = check_suite(df.where(F.col("g") == "en"), suite).collect()
+    assert sorted((r["check_name"], r["metric"], r["status"])
+                  for r in solo) == \
+        sorted((k[1], r["metric"], r["status"])
+               for k, r in rows.items() if k[0] == "en")
+    # HLL sketch folds one global row; grouped mode must reject it
+    with pytest.raises(ValueError, match="global-only"):
+        check_suite(df, [
+            {"name": "x", "check": "distinctness_approx", "col": "id",
+             "min_ppm": 1, "p": 12}], by=["g"])

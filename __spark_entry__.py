@@ -5690,6 +5690,135 @@ FROM orders GROUP BY 1)
 {union}"""
 
 
+_TS_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the brief's canonical missing-in-Spark operator):
+    every purchase event matched to the same user's LATEST prior
+    click within a 1-hour tolerance — union-sort formulation, one
+    exchange on user_id + one per-key sort, zero candidate blow-up
+    (vs the |L|x|R|-per-key theta join a naive range join plans). The
+    DuckDB oracle replays it with a native ASOF LEFT JOIN, so the
+    semantics (inclusive equality, left-join shape, tolerance
+    nulling) are attested against an independent implementation."""
+    from jsonschema_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    left = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    out = asof_join(left, right, "user_id", "ts", "ts", ["click_id"],
+                    tolerance_s=3600)
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", _TS_US).alias("ts"),
+        F.date_format("asof_ts", _TS_US).alias("asof_ts"),
+        "asof_gap_us", "click_id")
+
+
+_ASOF_JOIN_SQL = """
+WITH l AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts AS rts, event_id AS click_id FROM events
+           WHERE event_type = 'click')
+SELECT l.user_id, l.event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CASE WHEN epoch_us(l.ts) - epoch_us(rts) <= 3600000000
+            THEN strftime(rts, '%Y-%m-%d %H:%M:%S.%f') END AS asof_ts,
+       CASE WHEN epoch_us(l.ts) - epoch_us(rts) <= 3600000000
+            THEN epoch_us(l.ts) - epoch_us(rts) END::BIGINT
+         AS asof_gap_us,
+       CASE WHEN epoch_us(l.ts) - epoch_us(rts) <= 3600000000
+            THEN click_id END AS click_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion signup→view→click→purchase over a
+    deterministic 2/7 event sample (the sparsity that gives the
+    funnel a real gradient: 147→133→113→85 users at sf0.01). The
+    Spark plan is ONE exchange (per-user sorted-array fold, greedy
+    earliest-feasible cursor); the oracle replays the equivalent
+    k-pass min-after-previous chain — the two being equal IS the
+    greedy-equals-iterative proof, attested on data."""
+    from jsonschema_spark.operators.temporal import funnel
+
+    ev = spark.read.parquet(_t(sf_dir, "events")) \
+        .where(F.col("event_id") % 7 < 2)
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["signup", "view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH ev AS MATERIALIZED (SELECT user_id, ts, event_type FROM events
+    WHERE event_id % 7 < 2),
+s1 AS MATERIALIZED (SELECT user_id, min(ts) AS t FROM ev
+    WHERE event_type = 'signup' GROUP BY 1),
+s2 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM ev e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM ev e
+    JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+s4 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM ev e
+    JOIN s3 ON e.user_id = s3.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM s1)::BIGINT AS n1,
+             (SELECT count(*) FROM s2)::BIGINT AS n2,
+             (SELECT count(*) FROM s3)::BIGINT AS n3,
+             (SELECT count(*) FROM s4)::BIGINT AS n4)
+SELECT 1::BIGINT AS step, 'signup' AS step_type, n1 AS n_users,
+  CASE WHEN n1 > 0 THEN floor((n1 * 1000000)::DOUBLE / n1)::BIGINT END
+    AS conversion_ppm FROM c
+UNION ALL SELECT 2, 'view', n2,
+  CASE WHEN n1 > 0 THEN floor((n2 * 1000000)::DOUBLE / n1)::BIGINT END
+  FROM c
+UNION ALL SELECT 3, 'click', n3,
+  CASE WHEN n1 > 0 THEN floor((n3 * 1000000)::DOUBLE / n1)::BIGINT END
+  FROM c
+UNION ALL SELECT 4, 'purchase', n4,
+  CASE WHEN n1 > 0 THEN floor((n4 * 1000000)::DOUBLE / n1)::BIGINT END
+  FROM c
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over a deterministic 1/11 event sample
+    (sparse enough that first-seen weeks spread across 4 cohorts at
+    sf0.01): users cohorted by first-event week, activity counted per
+    week offset, retention ppm vs cohort size. Join-free
+    single-exchange plan — per-user (first_week, week-set) collapses
+    in one groupBy; the set is bounded by the calendar."""
+    from jsonschema_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(_t(sf_dir, "events")) \
+        .where(F.col("event_id") % 11 == 0)
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+_COHORT_RETENTION_SQL = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, date_trunc('week', ts) AS p FROM events
+  WHERE event_id % 11 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, min(p) AS c FROM ev GROUP BY 1),
+a AS (SELECT DISTINCT e.user_id, f.c, e.p
+      FROM ev e JOIN f ON e.user_id = f.user_id),
+g AS (SELECT strftime(c, '%Y-%m-%d') AS cohort,
+             (date_diff('day', c, p) // 7)::BIGINT AS "offset",
+             count(DISTINCT user_id)::BIGINT AS n_users
+      FROM a GROUP BY 1, 2),
+w AS (SELECT *, max(CASE WHEN "offset" = 0 THEN n_users END)
+        OVER (PARTITION BY cohort) AS cu FROM g)
+SELECT cohort, "offset", n_users, cu::BIGINT AS cohort_users,
+       floor((n_users * 1000000)::DOUBLE / cu)::BIGINT
+         AS retention_ppm
+FROM w
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7010,6 +7139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_compliance": q_fd_compliance,
         "json_key_census": q_json_key_census,
         "benford": q_benford,
+        "asof_join": q_asof_join,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7543,6 +7675,9 @@ def oracle_sql() -> dict[str, str]:
         "fd_compliance": _FD_COMPLIANCE_SQL,
         "json_key_census": _JSON_KEY_CENSUS_SQL,
         "benford": _benford_sql(),
+        "asof_join": _ASOF_JOIN_SQL,
+        "funnel": _FUNNEL_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

@@ -1,0 +1,278 @@
+"""Temporal-alignment analytics: as-of join, ordered-funnel
+conversion, cohort retention.
+
+Reference parity: sourcemeta/jsonschema has no temporal surface (one
+document, no time axis); these operators cover the time-indexed
+questions a crawl/event warehouse asks of the SAME tables the
+validation suite governs — "join each fetch to the robots snapshot in
+force at that instant", "how far down the signup→view→click→purchase
+path do users get", "does week-N retention of a cohort hold".
+
+Scale design notes (100 TB):
+
+- ``asof_join`` is the union-sort formulation, NOT a range join: both
+  sides union into one (key, ts)-sorted stream and a running
+  last-non-null window picks each left row's match — one exchange on
+  the key, one per-key sort, zero candidate blow-up (a naive
+  ``l.ts >= r.ts`` theta-join materializes |L|·|R| per key before
+  ranking). Per-key work is a spillable external sort; a hot key is
+  bounded by its own row count, and the window moves whole rows, so
+  size shuffle partitions to the SORT, not the core count (the
+  snapshot_delta spill rule).
+- ``funnel`` collapses each user to ONE sorted (ts, type) array in a
+  single exchange, then advances the step cursor in ONE interpreted
+  fold pass (per-user event counts, not corpus size, bound the
+  per-element cost). The k-pass min-after-min formulation the SQL
+  oracle replays costs k shuffles; the fold is provably the same
+  greedy sequence.
+- ``cohort_retention`` is join-free: one exchange collapses each user
+  to (first_period, period_set) — the set is bounded by the calendar,
+  not the event count — then the exploded offsets aggregate map-side.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_s: Optional[int] = None,
+    left_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """As-of (nearest-timestamp) left join: for every left row, the
+    single right row with the same key and the LATEST ``right_ts`` ≤
+    ``left_ts`` (direction='backward'; 'forward' takes the EARLIEST ≥).
+    Matching is inclusive at equality, like DuckDB/pandas. Output =
+    the kept left columns + ``asof_ts`` (matched right timestamp, NULL
+    when unmatched) + ``asof_gap_us`` (exact integer microseconds,
+    ≥ 0 by direction) + the requested right ``value_cols``.
+
+    Implementation (the scale path): union both sides tagged
+    (_side: right=0, left=1), sort per key by (ts, _side) — right
+    first at ties, so equality matches — and take the running
+    ``last(value, ignorenulls=True)``; forward direction is the same
+    scan in descending ts. One exchange + one per-key spillable sort;
+    no |L|·|R| candidate pairs ever exist (vs the theta-join
+    formulation a range join would plan).
+
+    Contracts: right rows with a NULL ``right_ts`` never match (they
+    are dropped); left rows with a NULL ``left_ts`` come out
+    unmatched; if several right rows share (key, ts) the one latest
+    in the (deterministic) struct sort of ``value_cols`` wins — pass
+    a pre-deduplicated right side when that tie matters.
+    ``tolerance_s`` nulls the match (ts, gap and values) when the gap
+    exceeds it, keeping the row — the left-join shape is stable.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lcols = [c for c in (left_cols if left_cols is not None
+                         else [c for c in left.columns
+                               if c not in (on, left_ts)])]
+    vcols = list(value_cols)
+    clash = set(vcols) & (set(lcols) | {on, left_ts})
+    if clash:
+        raise ValueError(f"value_cols clash with left columns: {clash}")
+
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtypes[right_ts]).alias("_rts"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in vcols],
+    )
+    r2 = right.where(F.col(right_ts).isNotNull()).select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_rts"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c) for c in vcols],
+    )
+    u = l2.unionByName(r2)
+    ts_order = (F.col("_ts").asc_nulls_first() if direction == "backward"
+                else F.col("_ts").desc_nulls_first())
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.select(
+        "_k", "_ts", "_side",
+        *[F.col(c) for c in lcols],
+        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+          .over(w).alias(c) for c in vcols],
+    ).where(F.col("_side") == 1)
+
+    # NTZ-proof exact micros: cast interprets wall time in the session
+    # tz (UTC per get_spark), so the DIFFERENCE is tz-free either way
+    gap = (F.unix_micros(F.col("_ts").cast("timestamp"))
+           - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+    if direction == "forward":
+        gap = -gap
+    keep: Column = F.lit(True)
+    if tolerance_s is not None:
+        keep = gap <= F.lit(int(tolerance_s) * 1_000_000)
+    return matched.select(
+        F.col("_k").alias(on),
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        F.when(keep, F.col("asof_ts")).alias("asof_ts"),
+        F.when(keep, gap).cast("long").alias("asof_gap_us"),
+        *[F.when(keep, F.col(c)).alias(c) for c in vcols],
+    )
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel conversion: a user reaches step k iff events of
+    types steps[0..k-1] exist at STRICTLY increasing timestamps (the
+    unbounded-window funnel; equal timestamps never advance — ties
+    are not evidence of order). Output one row per step:
+
+    ``(step, step_type, n_users, conversion_ppm)``
+
+    with ``conversion_ppm`` = floor(n_users·10⁶ / step-1 users)
+    (1_000_000 on the first row; no rows convert when step 1 is
+    empty — the whole result is then counts of 0 with NULL ppm).
+
+    One exchange: events of funnel types collapse per user into a
+    sorted (ts, type) array, and a single left-to-right fold advances
+    the step cursor greedily — taking the EARLIEST feasible event for
+    each step, which is exactly the iterative min-after-previous
+    sequence the SQL oracle computes (greedy earliest never forecloses
+    a later step). Per-user arrays bound both memory and the
+    interpreted per-element cost; corpus size only adds tasks.
+    Repeated step types are allowed (view→view funnels): the cursor
+    just needs a LATER event of the same type.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(steps))
+    per_user = ev.groupBy(F.col(user_col).alias("_u")).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("t")))).alias("_seq"))
+
+    ts_type = events.schema[ts_col].dataType
+    init = F.struct(
+        F.lit(0).cast("int").alias("lvl"),
+        F.lit(None).cast(ts_type).alias("lt"))
+
+    def fold(acc: Column, x: Column) -> Column:
+        need = F.element_at(step_arr, acc["lvl"] + 1)
+        ok = (
+            (acc["lvl"] < k)
+            & (x["t"] == need)
+            & (acc["lt"].isNull() | (x["ts"] > acc["lt"]))
+        )
+        return F.when(ok, F.struct(
+            (acc["lvl"] + 1).cast("int").alias("lvl"),
+            x["ts"].alias("lt"))).otherwise(acc)
+
+    lv = per_user.select(
+        F.aggregate("_seq", init, fold)["lvl"].alias("lvl"))
+    one = lv.agg(*[
+        F.sum((F.col("lvl") >= i).cast("long")).alias(f"n{i}")
+        for i in range(1, k + 1)])
+    entries = [
+        F.struct(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(steps[i - 1]).alias("step_type"),
+            F.coalesce(F.col(f"n{i}"), F.lit(0)).cast("long")
+            .alias("n_users"),
+            F.when(
+                F.col("n1") > 0,
+                F.floor((F.coalesce(F.col(f"n{i}"), F.lit(0))
+                         * 1_000_000).cast("double") / F.col("n1")))
+            .cast("long").alias("conversion_ppm"),
+        ) for i in range(1, k + 1)]
+    return one.select(F.explode(F.array(*entries)).alias("r")) \
+        .select("r.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event (``date_trunc(period)`` — week starts Monday in
+    both engines), and each cohort's activity is counted per offset =
+    periods since the cohort period. Output per (cohort, offset):
+
+    ``(cohort, offset, n_users, cohort_users, retention_ppm)``
+
+    cohort rendered as 'yyyy-MM-dd' of the period start;
+    ``retention_ppm`` = floor(n_users·10⁶ / cohort_users); offset 0 is
+    1_000_000 by construction (the first event IS activity).
+
+    Join-free single-exchange shape: one groupBy(user) collapses each
+    user to (first_period, distinct-period set) — the set is bounded
+    by the CALENDAR (weeks in the corpus), never by the user's event
+    count — then exploding offsets and aggregating (cohort, offset)
+    is map-side-combinable. Cohort sizes ride a window partitioned by
+    cohort over the tiny result (cohorts × offsets rows). ``period``
+    ∈ {'week', 'month', 'day'}; offsets use exact integer day/month
+    arithmetic on truncated boundaries (no epoch math — wall-time
+    fields are the tz-proof cross-engine currency for naive data).
+    """
+    if period not in ("week", "month", "day"):
+        raise ValueError("period must be week|month|day")
+    per_days = {"week": 7, "day": 1}
+
+    p = F.date_trunc(period, F.col(ts_col))
+    pu = (
+        events.where(F.col(user_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(p).alias("_c"), F.collect_set(p).alias("_ps"))
+    )
+    ex = pu.select("_u", "_c", F.explode("_ps").alias("_p"))
+    if period == "month":
+        off = (
+            (F.year("_p") - F.year("_c")) * 12
+            + (F.month("_p") - F.month("_c"))
+        ).cast("long")
+    else:
+        off = (F.datediff(F.to_date("_p"), F.to_date("_c"))
+               / per_days[period]).cast("long")
+    g = ex.groupBy(
+        F.date_format("_c", "yyyy-MM-dd").alias("cohort"),
+        off.alias("offset"),
+    ).agg(F.countDistinct("_u").cast("long").alias("n_users"))
+    w = Window.partitionBy("cohort")
+    cu = F.max(F.when(F.col("offset") == 0, F.col("n_users"))).over(w)
+    return g.select(
+        "cohort", "offset", "n_users",
+        cu.cast("long").alias("cohort_users"),
+        F.floor((F.col("n_users") * 1_000_000).cast("double") / cu)
+        .cast("long").alias("retention_ppm"),
+    )

@@ -1,0 +1,165 @@
+"""Hand-computed ledgers for the temporal-alignment operators
+(operators/temporal.py): as-of join, ordered funnel, cohort
+retention."""
+from datetime import datetime
+
+import pytest  # noqa: F401
+
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.temporal import (
+    asof_join,
+    cohort_retention,
+    funnel,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _asof_fixtures(spark):
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:00"), 1),
+         ("a", _ts("2024-01-01 10:00:05"), 2),
+         ("b", _ts("2024-01-01 10:00:03"), 7),
+         ("b", None, 9)],  # NULL right ts never matches
+        "k string, rts timestamp, val long")
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01 09:59:59"), "p"),
+         ("a", _ts("2024-01-01 10:00:00"), "q"),   # equality matches
+         ("a", _ts("2024-01-01 10:00:04"), "r"),
+         ("a", _ts("2024-01-01 10:00:07"), "s"),
+         ("b", _ts("2024-01-01 10:00:10"), "t"),
+         ("b", None, "u"),                          # NULL left ts
+         ("c", _ts("2024-01-01 10:00:00"), "v")],   # key absent
+        "k string, lts timestamp, x string")
+    return left, right
+
+
+def test_asof_join_backward_hand_computed(spark):
+    left, right = _asof_fixtures(spark)
+    out = asof_join(left, right, "k", "lts", "rts", ["val"])
+    rows = {r["x"]: r for r in out.collect()}
+    assert len(rows) == 7  # left-join shape: every left row kept
+    assert rows["p"]["val"] is None and rows["p"]["asof_ts"] is None
+    assert rows["p"]["asof_gap_us"] is None
+    assert (rows["q"]["val"], rows["q"]["asof_gap_us"]) == (1, 0)
+    assert (rows["r"]["val"], rows["r"]["asof_gap_us"]) == (1, 4_000_000)
+    assert (rows["s"]["val"], rows["s"]["asof_gap_us"]) == (2, 2_000_000)
+    assert (rows["t"]["val"], rows["t"]["asof_gap_us"]) == (7, 7_000_000)
+    assert rows["t"]["asof_ts"] == _ts("2024-01-01 10:00:03")
+    assert rows["u"]["val"] is None
+    assert rows["v"]["val"] is None
+
+
+def test_asof_join_tolerance_and_forward(spark):
+    left, right = _asof_fixtures(spark)
+    out = asof_join(left, right, "k", "lts", "rts", ["val"],
+                    tolerance_s=3)
+    rows = {r["x"]: r for r in out.collect()}
+    assert len(rows) == 7
+    # gap 4s exceeds the 3s tolerance: match nulled, row kept
+    assert rows["r"]["val"] is None and rows["r"]["asof_ts"] is None
+    assert (rows["s"]["val"], rows["s"]["asof_gap_us"]) == (2, 2_000_000)
+    assert rows["t"]["val"] is None  # 7s gap
+
+    fwd = asof_join(left, right, "k", "lts", "rts", ["val"],
+                    direction="forward")
+    rows = {r["x"]: r for r in fwd.collect()}
+    assert (rows["p"]["val"], rows["p"]["asof_gap_us"]) == (1, 1_000_000)
+    assert (rows["q"]["val"], rows["q"]["asof_gap_us"]) == (1, 0)
+    assert (rows["r"]["val"], rows["r"]["asof_gap_us"]) == (2, 1_000_000)
+    assert rows["s"]["val"] is None  # nothing after 10:00:07
+    assert rows["t"]["val"] is None
+    assert rows["u"]["val"] is None
+
+
+def test_asof_join_partition_invariant(spark):
+    left, right = _asof_fixtures(spark)
+    a = sorted(map(repr,
+                   asof_join(left, right, "k", "lts", "rts",
+                             ["val"]).collect()))
+    b = sorted(map(repr,
+                   asof_join(left.repartition(7), right.repartition(5),
+                             "k", "lts", "rts", ["val"]).collect()))
+    assert a == b
+
+
+def test_funnel_hand_computed(spark):
+    rows = []
+    seqs = {
+        "u1": [("A", 1), ("B", 2), ("C", 3)],      # full path -> 3
+        "u2": [("B", 1), ("A", 2), ("C", 3)],      # B precedes A -> 1
+        "u3": [("A", 1), ("B", 1), ("C", 2)],      # tie never advances -> 1
+        "u4": [("A", 5)],                          # -> 1
+        "u5": [("B", 1), ("C", 2)],                # never starts -> 0
+        "u6": [("A", 1), ("A", 2), ("B", 3)],      # -> 2
+    }
+    for u, evs in seqs.items():
+        for t, sec in evs:
+            rows.append((u, _ts(f"2024-01-01 10:00:{sec:02d}"), t))
+    df = spark.createDataFrame(rows, "u string, ts timestamp, t string")
+    out = {r["step"]: r for r in
+           funnel(df, "u", "ts", "t", ["A", "B", "C"]).collect()}
+    assert [out[i]["step_type"] for i in (1, 2, 3)] == ["A", "B", "C"]
+    assert (out[1]["n_users"], out[2]["n_users"], out[3]["n_users"]) \
+        == (5, 2, 1)
+    assert out[1]["conversion_ppm"] == 1_000_000
+    assert out[2]["conversion_ppm"] == 400_000
+    assert out[3]["conversion_ppm"] == 200_000
+    # repeated step types: the cursor needs a strictly LATER same-type
+    # event
+    rep = {r["step"]: r["n_users"] for r in
+           funnel(df, "u", "ts", "t", ["A", "A"]).collect()}
+    # u6 has A@1 < A@2 -> 2; u1/u3/u4 one A -> 1; u2 one A -> 1
+    assert rep == {1: 5, 2: 1}
+    # empty first step: counts 0, ppm NULL
+    z = funnel(df.where(F.col("t") == "C"), "u", "ts", "t",
+               ["A", "B"]).collect()
+    assert all(r["n_users"] == 0 and r["conversion_ppm"] is None
+               for r in z)
+
+
+def test_funnel_partition_invariant(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 97).alias("u"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.col("id") * 7919) % 100_000).alias("ts"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("D")),
+            ((F.col("id") * 31) % 4 + 1).cast("int")).alias("t"),
+    )
+    steps = ["A", "B", "C"]
+    a = sorted(map(tuple, funnel(df, "u", "ts", "t", steps).collect()))
+    b = sorted(map(tuple, funnel(df.repartition(13), "u", "ts", "t",
+                                 steps).collect()))
+    assert a == b
+
+
+def test_cohort_retention_hand_computed(spark):
+    # 2024-01-01 is a Monday: week cohorts align to it
+    rows = [
+        ("u1", "2024-01-01 08:00:00"), ("u1", "2024-01-03 09:00:00"),
+        ("u1", "2024-01-09 10:00:00"), ("u1", "2024-01-16 11:00:00"),
+        ("u2", "2024-01-02 08:00:00"), ("u2", "2024-01-10 09:00:00"),
+        ("u3", "2024-01-09 08:00:00"), ("u3", "2024-01-25 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, _ts(s)) for u, s in rows], "u string, ts timestamp")
+    out = {(r["cohort"], r["offset"]): r for r in
+           cohort_retention(df, "u", "ts").collect()}
+    assert set(out) == {("2024-01-01", 0), ("2024-01-01", 1),
+                        ("2024-01-01", 2), ("2024-01-08", 0),
+                        ("2024-01-08", 2)}
+    r0 = out[("2024-01-01", 0)]
+    assert (r0["n_users"], r0["cohort_users"],
+            r0["retention_ppm"]) == (2, 2, 1_000_000)
+    assert out[("2024-01-01", 1)]["n_users"] == 2
+    assert out[("2024-01-01", 2)]["n_users"] == 1
+    assert out[("2024-01-01", 2)]["retention_ppm"] == 500_000
+    assert out[("2024-01-08", 2)]["retention_ppm"] == 1_000_000
+    # monthly offsets use exact calendar month arithmetic
+    m = {(r["cohort"], r["offset"]): r["n_users"] for r in
+         cohort_retention(df, "u", "ts", period="month").collect()}
+    assert m == {("2024-01-01", 0): 3}

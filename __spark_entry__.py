@@ -5819,6 +5819,80 @@ FROM w
 """
 
 
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence + Cramér's V between documents.lang and
+    documents.source — the categorical-association check ("is the
+    language mix the same across sources?"). ONE corpus exchange
+    (pair-key groupBy); margins, the full cell spine (zero-observed
+    cells contribute expected mass) and the per-cell-floored integer
+    chi2 fold all run on the tiny grouped table."""
+    from jsonschema_spark.operators.stats import contingency_chi2
+
+    return contingency_chi2(
+        spark.read.parquet(_t(sf_dir, "documents")), "lang", "source")
+
+
+_CHI2_LANG_SOURCE_SQL = """
+WITH g AS (SELECT coalesce(lang::VARCHAR, '<NULL>') AS a,
+                  coalesce(source::VARCHAR, '<NULL>') AS b,
+                  count(*)::BIGINT AS c
+           FROM documents GROUP BY 1, 2),
+ga AS (SELECT a, sum(c)::BIGINT AS rt FROM g GROUP BY 1),
+gb AS (SELECT b, sum(c)::BIGINT AS ct FROM g GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM g),
+cells AS (SELECT ga.a, gb.b, rt, ct, coalesce(g.c, 0)::BIGINT AS obs
+          FROM ga CROSS JOIN gb
+          LEFT JOIN g ON g.a = ga.a AND g.b = gb.b),
+ce AS (SELECT cells.*, n,
+              (obs::DOUBLE * n - rt::DOUBLE * ct) AS d
+       FROM cells, tot),
+agg AS (SELECT max(n)::BIGINT AS n_rows,
+               count(DISTINCT a)::BIGINT AS n_a,
+               count(DISTINCT b)::BIGINT AS n_b,
+               sum(floor(d * d * 1000000.0
+                         / (rt::DOUBLE * ct * n))::BIGINT)::BIGINT
+                 AS chi2_ppm
+        FROM ce)
+SELECT n_rows, n_a, n_b, ((n_a - 1) * (n_b - 1))::BIGINT AS dof,
+       chi2_ppm,
+       CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN
+         floor(sqrt(chi2_ppm::DOUBLE
+                    / (n_rows::DOUBLE * least(n_a - 1, n_b - 1)
+                       * 1000000.0)) * 1000.0)::BIGINT END
+         AS cramers_v_milli
+FROM agg
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams ("after an error, what happens next?"): one partitioned
+    lead() window + one groupBy bounded by |type-domain|²; row
+    normalization runs over the tiny matrix, never the corpus."""
+    from jsonschema_spark.operators.temporal import markov_transitions
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return markov_transitions(ev, "user_id", "ts", "event_type",
+                              id_col="event_id")
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL),
+s AS (SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM ev),
+p AS (SELECT src, dst, count(*)::BIGINT AS n_pairs FROM s
+      WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, n_pairs,
+       floor((n_pairs * 1000000)::DOUBLE
+             / sum(n_pairs) OVER (PARTITION BY src))::BIGINT AS row_ppm
+FROM p
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7142,6 +7216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "chi2_lang_source": q_chi2_lang_source,
+        "event_transitions": q_event_transitions,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7678,6 +7754,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_JOIN_SQL,
         "funnel": _FUNNEL_SQL,
         "cohort_retention": _COHORT_RETENTION_SQL,
+        "chi2_lang_source": _CHI2_LANG_SOURCE_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

@@ -297,6 +297,77 @@ def pairwise_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def contingency_chi2(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V — the association lens behind "does lang
+    depend on source?" / "is the failure rate independent of the
+    shard?". One summary row:
+
+    ``(n_rows, n_a, n_b, dof, chi2_ppm, cramers_v_milli)``
+
+    - ``chi2_ppm`` = Σ_cells floor(10⁶·(obs·n − rt·ct)²/(rt·ct·n)) —
+      the classic statistic scaled by 10⁶ and floored PER CELL before
+      the integer sum, so the total is order-independent and
+      bit-stable across engines (each cell is the same three IEEE
+      multiplies + one divide on exact integer inputs; per-cell floor
+      under-counts by < n_cells µunits, documented bias).
+    - zero-observed cells COUNT (they contribute the expected mass):
+      the cell spine is the full margin cross product, built from the
+      grouped table, never from the corpus.
+    - NULL categories are real categories (sentinel-rendered).
+    - ``cramers_v_milli`` = floor(1000·sqrt(chi2/(n·min(n_a−1,
+      n_b−1)))) — IEEE sqrt is correctly rounded, so portable; NULL
+      when either margin is constant (dof 0).
+
+    Scale shape: ONE corpus exchange (groupBy on the (a,b) pair key);
+    margins, spine, expected terms and the final fold all run on the
+    grouped table, whose size is the CATEGORY-pair count, not the row
+    count — this is an operator for categorical (bounded-domain)
+    columns, like category_drift. Determinism contract: cell products
+    obs·n are computed in doubles — exact below 2⁵³ (n ≲ 10¹² with
+    obs ≤ n ≲ 10⁶ distinct pairs is fine), and still bit-identical
+    across engines beyond it (same rounding on the same inputs).
+    """
+    a = F.coalesce(F.col(a_col).cast("string"), F.lit("<NULL>"))
+    b = F.coalesce(F.col(b_col).cast("string"), F.lit("<NULL>"))
+    g = (
+        df.select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    ga = g.groupBy("_a").agg(F.sum("_c").cast("long").alias("_rt"))
+    gb = g.groupBy("_b").agg(F.sum("_c").cast("long").alias("_ct"))
+    spine = ga.crossJoin(gb)
+    cells = spine.join(g, ["_a", "_b"], "left").select(
+        "_a", "_b", "_rt", "_ct",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_obs"))
+    tot = g.agg(F.sum("_c").cast("long").alias("_n"))
+    ce = cells.crossJoin(F.broadcast(tot))
+    d = (F.col("_obs").cast("double") * F.col("_n")
+         - F.col("_rt").cast("double") * F.col("_ct"))
+    term = F.floor(
+        d * d * F.lit(1_000_000.0)
+        / (F.col("_rt").cast("double") * F.col("_ct") * F.col("_n"))
+    ).cast("long")
+    out = ce.agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.countDistinct("_a").cast("long").alias("n_a"),
+        F.countDistinct("_b").cast("long").alias("n_b"),
+        F.sum(term).cast("long").alias("chi2_ppm"),
+    )
+    mind = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    dof = ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long")
+    v = F.floor(
+        F.sqrt(F.col("chi2_ppm").cast("double")
+               / (F.col("n_rows").cast("double") * mind
+                  * F.lit(1_000_000.0))) * F.lit(1000.0)
+    ).cast("long")
+    return out.select(
+        "n_rows", "n_a", "n_b", dof.alias("dof"), "chi2_ppm",
+        F.when(mind > 0, v).alias("cramers_v_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable HyperLogLog — the one-pass mergeable distinct sketch, oracle-exact
 # ---------------------------------------------------------------------------

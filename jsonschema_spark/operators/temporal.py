@@ -276,3 +276,50 @@ def cohort_retention(
         F.floor((F.col("n_users") * 1_000_000).cast("double") / cu)
         .cast("long").alias("retention_ppm"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every ADJACENT pair of events of one user in time
+    order, count (src_type → dst_type) and report the row-normalized
+    probability — the path-analysis view of the same streams funnel()
+    scores ("after an error, what happens next?"). Output per edge:
+
+    ``(src, dst, n_pairs, row_ppm)``
+
+    with ``row_ppm`` = floor(n_pairs·10⁶ / Σ_dst n_pairs) — each src
+    row of the matrix sums to ~10⁶.
+
+    One window pass (lead over the per-user time order — the
+    partitioned-window shape, no global sort) + one groupBy whose
+    output is bounded by |type-domain|², so the row-normalizing
+    window runs over the tiny matrix, never the corpus. Events with
+    a NULL user/ts/type are dropped FIRST (documented: transitions
+    skip over them, they never break adjacency into two streams).
+    ``id_col`` breaks exact-timestamp ties deterministically; pass it
+    whenever the stream can carry duplicate (user, ts) pairs.
+    """
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull())
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    pairs = ev.select(
+        F.col(type_col).alias("src"),
+        F.lead(F.col(type_col)).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    g = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    wsrc = Window.partitionBy("src")
+    return g.select(
+        "src", "dst", "n_pairs",
+        F.floor((F.col("n_pairs") * 1_000_000).cast("double")
+                / F.sum("n_pairs").over(wsrc))
+        .cast("long").alias("row_ppm"),
+    )

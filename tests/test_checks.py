@@ -677,3 +677,63 @@ def test_check_suite_grouped_hand_computed(spark):
         check_suite(df, [
             {"name": "x", "check": "distinctness_approx", "col": "id",
              "min_ppm": 1, "p": 12}], by=["g"])
+
+
+def test_contingency_chi2_hand_computed(spark):
+    from jsonschema_spark.operators.stats import contingency_chi2
+    rows = ([("x", "p")] * 30 + [("x", "q")] * 10
+            + [("y", "p")] * 10 + [("y", "q")] * 50)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = contingency_chi2(df, "a", "b").collect()[0]
+    # exp: 16/24/24/36; per-cell floor(1e6*(obs*n-rt*ct)^2/(rt*ct*n))
+    assert got["n_rows"] == 100 and got["dof"] == 1
+    assert got["chi2_ppm"] == 12_250_000 + 8_166_666 * 2 + 5_444_444
+    # v = sqrt(34.027776/100) = 0.58333...
+    assert got["cramers_v_milli"] == 583
+
+    # exact independence: uniform cross product -> chi2 == 0
+    import pyspark.sql.functions as F
+    ind = spark.range(60).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"))
+    g0 = contingency_chi2(ind, "a", "b").collect()[0]
+    assert g0["chi2_ppm"] == 0 and g0["cramers_v_milli"] == 0
+
+    # constant margin -> dof 0, NULL V; NULL is a real category
+    c = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), (None, "p")], "a string, b string")
+    gc = contingency_chi2(c, "a", "b").collect()[0]
+    assert gc["n_a"] == 2  # x and <NULL>
+    one = contingency_chi2(
+        spark.createDataFrame([("x", "p"), ("x", "q")],
+                              "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert one["dof"] == 0 and one["cramers_v_milli"] is None
+
+
+def test_contingency_chi2_python_mirror(spark):
+    """Random-ish table vs an exact-int python mirror of the per-cell
+    recipe (incl. zero-observed cells contributing expected mass)."""
+    import math
+    from collections import Counter
+
+    from jsonschema_spark.operators.stats import contingency_chi2
+    rows = [(f"a{(i * 7) % 5}", f"b{(i * i) % 3}") for i in range(997)]
+    cnt = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = 0
+    for a in ra:
+        for b in cb:
+            d = cnt.get((a, b), 0) * n - ra[a] * cb[b]
+            chi2 += math.floor(
+                float(d) * d * 1_000_000.0 / (float(ra[a]) * cb[b] * n))
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = contingency_chi2(df, "a", "b").collect()[0]
+    assert got["chi2_ppm"] == chi2
+    # squares mod 3 are only {0, 1}: n_b == 2
+    assert (got["n_a"], got["n_b"], got["n_rows"]) == (5, 2, 997)
+    mind = min(5 - 1, 2 - 1)
+    assert got["cramers_v_milli"] == math.floor(
+        math.sqrt(chi2 / (float(n) * mind * 1_000_000.0)) * 1000.0)

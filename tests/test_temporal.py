@@ -163,3 +163,38 @@ def test_cohort_retention_hand_computed(spark):
     m = {(r["cohort"], r["offset"]): r["n_users"] for r in
          cohort_retention(df, "u", "ts", period="month").collect()}
     assert m == {("2024-01-01", 0): 3}
+
+
+def test_markov_transitions_hand_computed(spark):
+    rows = [
+        ("u1", "2024-01-01 10:00:01", 1, "A"),
+        ("u1", "2024-01-01 10:00:02", 2, "B"),
+        ("u1", "2024-01-01 10:00:03", 3, "A"),
+        ("u2", "2024-01-01 10:00:01", 4, "B"),
+        ("u2", "2024-01-01 10:00:02", 5, "B"),
+        ("u3", "2024-01-01 10:00:01", 6, "A"),   # lone event: no pair
+        (None, "2024-01-01 10:00:01", 7, "A"),   # dropped
+        ("u2", "2024-01-01 10:00:03", 8, None),  # dropped, no break
+    ]
+    from jsonschema_spark.operators.temporal import markov_transitions
+    df = spark.createDataFrame(
+        [(u, _ts(s), i, t) for u, s, i, t in rows],
+        "u string, ts timestamp, eid long, t string")
+    out = {(r["src"], r["dst"]): r for r in
+           markov_transitions(df, "u", "ts", "t", id_col="eid")
+           .collect()}
+    assert set(out) == {("A", "B"), ("B", "A"), ("B", "B")}
+    assert out[("A", "B")]["n_pairs"] == 1
+    assert out[("A", "B")]["row_ppm"] == 1_000_000
+    assert out[("B", "A")]["row_ppm"] == 500_000
+    assert out[("B", "B")]["row_ppm"] == 500_000
+    # exact-ts tie broken by id_col: B(eid 10) before A(eid 11)
+    tie = spark.createDataFrame(
+        [("u", _ts("2024-01-01 10:00:01"), 9, "C"),
+         ("u", _ts("2024-01-01 10:00:02"), 10, "B"),
+         ("u", _ts("2024-01-01 10:00:02"), 11, "A")],
+        "u string, ts timestamp, eid long, t string")
+    got = {(r["src"], r["dst"]) for r in
+           markov_transitions(tie, "u", "ts", "t", id_col="eid")
+           .collect()}
+    assert got == {("C", "B"), ("B", "A")}

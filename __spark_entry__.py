@@ -5893,6 +5893,101 @@ FROM p
 """
 
 
+_TYPOSQUAT_TRUSTED = ("example.com", "google.com", "paypal.com",
+                      "amazon.com", "wikipedia.org")
+
+
+def q_typosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat detection via FastSS deletion-1 neighborhoods:
+    deterministic squats planted over the documents spine (per doc:
+    pick a trusted host, delete or insert at a rotating position),
+    then the blocking join — explode both sides into deletion
+    variants, equi-join, exact levenshtein==1 confirm, anti-join
+    the trusted list. Never all-pairs; the oracle IS all-pairs
+    (5-host trusted side), so the blocking's completeness is attested
+    against brute force on real volume."""
+    from jsonschema_spark.operators.urltools import typosquat_pairs
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    i = F.col("doc_id")
+    base = F.element_at(
+        F.array(*[F.lit(t) for t in _TYPOSQUAT_TRUSTED]),
+        (i % 5 + 1).cast("int"))
+    p = i % 9 + 1
+    m = i % 3
+    host = (
+        F.when(m == 1, F.concat(base.substr(F.lit(1), p - 1),
+                                base.substr(p + 1, F.length(base))))
+        .when(m == 2, F.concat(base.substr(F.lit(1), p), F.lit("x"),
+                               base.substr(p + 1, F.length(base))))
+        .otherwise(base))
+    cands = d.select(host.alias("host"))
+    trusted = spark.createDataFrame(
+        [(t,) for t in _TYPOSQUAT_TRUSTED], "h string")
+    return typosquat_pairs(cands, "host", trusted, "h")
+
+
+def _typosquat_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in _TYPOSQUAT_TRUSTED)
+    arr = ", ".join(f"'{t}'" for t in _TYPOSQUAT_TRUSTED)
+    return f"""
+WITH tr(h) AS (VALUES {vals}),
+c AS (SELECT [{arr}][(doc_id % 5 + 1)::INT] AS base,
+             (doc_id % 9 + 1)::INT AS p, (doc_id % 3)::INT AS m
+      FROM documents),
+cand AS (SELECT DISTINCT
+  CASE WHEN m = 1 THEN substr(base, 1, p - 1)
+                       || substr(base, p + 1, len(base))
+       WHEN m = 2 THEN substr(base, 1, p) || 'x'
+                       || substr(base, p + 1, len(base))
+       ELSE base END AS host
+  FROM c)
+SELECT DISTINCT host, h AS trusted_host
+FROM cand CROSS JOIN tr
+WHERE levenshtein(host, h) = 1
+  AND host NOT IN (SELECT h FROM tr)
+"""
+
+
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact least-squares daily trend of error-event volume ("is the
+    error rate drifting up?"): one corpus exchange into per-day
+    counts, zero-filled calendar spine (a gap day is evidence), int64
+    sums, ONE IEEE division for the slope."""
+    from jsonschema_spark.operators.stats import volume_trend
+
+    ev = spark.read.parquet(_t(sf_dir, "events")) \
+        .where(F.col("event_type") == "error")
+    return volume_trend(ev, "ts", unit="day")
+
+
+_VOLUME_TREND_SQL = """
+WITH g AS (SELECT date_trunc('day', ts)::DATE AS b,
+                  count(*)::BIGINT AS y
+           FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+           GROUP BY 1),
+r AS (SELECT min(b) AS lo, max(b) AS hi, sum(y)::BIGINT AS tot FROM g),
+sp AS (SELECT lo, hi, tot,
+              unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS b
+       FROM r),
+j AS (SELECT lo, hi, tot, date_diff('day', lo, b)::BIGINT AS x,
+             coalesce(y, 0)::BIGINT AS yy
+      FROM sp LEFT JOIN g USING (b)),
+a AS (SELECT count(*)::BIGINT AS n_buckets, max(tot)::BIGINT
+        AS total_rows,
+        strftime(max(lo), '%Y-%m-%d') AS first_bucket,
+        strftime(max(hi), '%Y-%m-%d') AS last_bucket,
+        sum(x)::BIGINT AS sx, sum(yy)::BIGINT AS sy,
+        sum(x * yy)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM j)
+SELECT n_buckets, total_rows, first_bucket, last_bucket,
+  CASE WHEN (n_buckets * sxx - sx * sx) > 0 THEN
+    floor((n_buckets * sxy - sx * sy)::DOUBLE * 1000.0
+          / (n_buckets * sxx - sx * sx))::BIGINT END AS slope_milli
+FROM a
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7218,6 +7313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "chi2_lang_source": q_chi2_lang_source,
         "event_transitions": q_event_transitions,
+        "typosquat": q_typosquat,
+        "volume_trend": q_volume_trend,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7756,6 +7853,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_RETENTION_SQL,
         "chi2_lang_source": _CHI2_LANG_SOURCE_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "typosquat": _typosquat_sql(),
+        "volume_trend": _VOLUME_TREND_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

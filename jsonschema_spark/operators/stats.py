@@ -1267,3 +1267,74 @@ def key_size_histogram(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         F.floor(F.col("n_rows") * 1_000_000 / F.col("_n")).cast("long")
         .alias("rows_share_ppm"),
     )
+
+
+def volume_trend(
+    df: DataFrame,
+    ts_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Exact least-squares trend of row volume per calendar bucket —
+    the "is this metric drifting up day over day?" monitor. One
+    summary row:
+
+    ``(n_buckets, total_rows, first_bucket, last_bucket, slope_milli)``
+
+    ``slope_milli`` = floor(1000·(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)) —
+    rows per ``unit`` per unit, from EXACT int64 sums with one IEEE
+    division (the pairwise_corr recipe); NULL when fewer than two
+    buckets. x is the bucket index on a FULL calendar spine between
+    the observed min and max — empty buckets count as zero volume
+    (a gap day is evidence of decline, not absence of evidence).
+
+    One corpus exchange (the bucket groupBy, map-side combinable);
+    the spine, the zero-fill and the final fold all run at calendar
+    cardinality. ``unit`` ∈ {'day', 'week', 'month'}; bucket
+    arithmetic is exact wall-time field math (never epoch — the
+    tz-proof currency for naive data).
+    """
+    if unit not in ("day", "week", "month"):
+        raise ValueError("unit must be day|week|month")
+    b = F.to_date(F.date_trunc(unit, F.col(ts_col)))
+    g = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    )
+    rng = g.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"),
+                F.sum("_y").cast("long").alias("_tot"))
+    step = {"day": "interval 1 day", "week": "interval 1 week",
+            "month": "interval 1 month"}[unit]
+    spine = rng.select(
+        "_lo", "_hi", "_tot",
+        F.explode(F.sequence(
+            F.col("_lo"), F.col("_hi"),
+            F.expr(step))).alias("_b"))
+    if unit == "month":
+        x = ((F.year("_b") - F.year("_lo")) * 12
+             + (F.month("_b") - F.month("_lo"))).cast("long")
+    elif unit == "week":
+        x = (F.datediff("_b", "_lo") / 7).cast("long")
+    else:
+        x = F.datediff("_b", "_lo").cast("long")
+    j = spine.join(g, "_b", "left").select(
+        "_lo", "_hi", "_tot", x.alias("_x"),
+        F.coalesce(F.col("_y"), F.lit(0)).cast("long").alias("_yy"))
+    a = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("_tot").cast("long").alias("total_rows"),
+        F.date_format(F.max("_lo"), "yyyy-MM-dd").alias("first_bucket"),
+        F.date_format(F.max("_hi"), "yyyy-MM-dd").alias("last_bucket"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_yy").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_yy")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = F.col("n_buckets") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_buckets") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return a.select(
+        "n_buckets", "total_rows", "first_bucket", "last_bucket",
+        F.when(den > 0,
+               F.floor(num.cast("double") * F.lit(1000.0) / den))
+        .cast("long").alias("slope_milli"),
+    )

@@ -698,3 +698,74 @@ def url_pub_date(df: DataFrame, url_col: str) -> DataFrame:
             .when(ms[0] != "", F.lit("month")))
     return df.select("*", pub.alias("pub_date"),
                      prec.alias("date_precision"))
+
+
+def deletion1_variants(s: Column, min_variant_len: int = 4) -> Column:
+    """FastSS deletion-1 neighborhood of a string: the array
+    [s, s minus char 1, s minus char 2, ...] — the complete blocking
+    key set for edit-distance ≤ 1 (two strings are within one edit
+    IFF their neighborhoods intersect; substitutions meet at the
+    shared-deletion variant, insertions/deletions at the identity of
+    the shorter). Variants shorter than ``min_variant_len`` are
+    dropped (junk keys like single chars would hot-spot the join);
+    pairs of strings shorter than min_variant_len+1 are therefore out
+    of contract."""
+    idx = F.sequence(F.lit(0), F.length(s))
+    var = F.transform(
+        idx,
+        lambda i: F.when(i == 0, s).otherwise(
+            F.concat(s.substr(F.lit(1), i - 1),
+                     s.substr(i + 1, F.length(s)))),
+    )
+    return F.array_distinct(
+        F.filter(var, lambda v: F.length(v) >= min_variant_len))
+
+
+def typosquat_pairs(
+    candidates: DataFrame,
+    host_col: str,
+    trusted: DataFrame,
+    trusted_col: str,
+    min_variant_len: int = 4,
+) -> DataFrame:
+    """Typosquat detection: candidate hosts within ONE edit
+    (insertion / deletion / substitution) of a trusted host, excluding
+    hosts that ARE trusted — the lookalike-domain lens that complements
+    homoglyph skeleton matching (confusable GLYPHS there, keyboard
+    TYPOS here: gogle.com, examp1e.com, exampleе… one edit each).
+
+    Scale shape — deletion-neighborhood blocking, never all-pairs:
+    both sides explode into their deletion-1 variants (fan-out =
+    host length + 1, bounded ~40), the equi-join on the variant key
+    meets every true pair (FastSS completeness), then one exact
+    ``levenshtein == 1`` filter kills the distance-2 collisions
+    (transpositions etc.) and an anti-join removes candidates that
+    appear in the trusted list themselves. The variant key is
+    high-entropy (near-full hostnames); distinct-ifying both exploded
+    sides before the join bounds any duplicate-host mass.
+
+    Output: distinct ``(host, trusted_host)`` pairs.
+    """
+    ch = F.col(host_col)
+    th = F.col(trusted_col)
+    cv = (
+        candidates.select(ch.alias("host")).where(ch.isNotNull())
+        .distinct()
+        .select("host", F.explode(
+            deletion1_variants(F.col("host"), min_variant_len))
+            .alias("_v"))
+    )
+    tv = (
+        trusted.select(th.alias("trusted_host")).where(th.isNotNull())
+        .distinct()
+        .select("trusted_host", F.explode(
+            deletion1_variants(F.col("trusted_host"), min_variant_len))
+            .alias("_v"))
+    )
+    pairs = (
+        cv.join(tv, "_v")
+        .select("host", "trusted_host").distinct()
+        .where(F.levenshtein(F.col("host"), F.col("trusted_host")) == 1)
+    )
+    t_set = trusted.select(th.alias("host")).distinct()
+    return pairs.join(t_set, "host", "left_anti")

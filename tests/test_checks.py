@@ -737,3 +737,41 @@ def test_contingency_chi2_python_mirror(spark):
     mind = min(5 - 1, 2 - 1)
     assert got["cramers_v_milli"] == math.floor(
         math.sqrt(chi2 / (float(n) * mind * 1_000_000.0)) * 1000.0)
+
+
+def test_volume_trend_hand_computed(spark):
+    from datetime import datetime
+
+    from jsonschema_spark.operators.stats import volume_trend
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(datetime.fromisoformat(s),) for s in rows],
+            "ts timestamp")
+
+    # counts 1,2,3,4 across four days -> slope exactly 1.0/day
+    up = mk(["2024-01-01 08:00:00"]
+            + ["2024-01-02 08:00:00"] * 2
+            + ["2024-01-03 08:00:00"] * 3
+            + ["2024-01-04 08:00:00"] * 4)
+    r = volume_trend(up, "ts").collect()[0]
+    assert (r["n_buckets"], r["total_rows"], r["slope_milli"]) \
+        == (4, 10, 1000)
+    assert (r["first_bucket"], r["last_bucket"]) \
+        == ("2024-01-01", "2024-01-04")
+
+    # gap day counts as ZERO volume: y = [2,4,0,6] -> slope 0.8
+    gap = mk(["2024-01-01 08:00:00"] * 2 + ["2024-01-02 08:00:00"] * 4
+             + ["2024-01-04 08:00:00"] * 6)
+    g = volume_trend(gap, "ts").collect()[0]
+    assert (g["n_buckets"], g["slope_milli"]) == (4, 800)
+
+    # single bucket: NULL slope
+    one = volume_trend(mk(["2024-01-01 01:00:00"] * 5), "ts") \
+        .collect()[0]
+    assert one["n_buckets"] == 1 and one["slope_milli"] is None
+
+    # monthly spine fills Feb with zero: y=[2,0,4] -> slope 1.0
+    mo = mk(["2024-01-10 00:00:00"] * 2 + ["2024-03-05 00:00:00"] * 4)
+    m = volume_trend(mo, "ts", unit="month").collect()[0]
+    assert (m["n_buckets"], m["slope_milli"]) == (3, 1000)

@@ -356,3 +356,67 @@ def test_url_param_policy_partition_invariance(spark):
     a = sorted(map(tuple, url_param_policy(df).collect()))
     b = sorted(map(tuple, url_param_policy(df.repartition(13)).collect()))
     assert a == b and len(a) >= 3
+
+
+def test_typosquat_pairs_hand_computed(spark):
+    from jsonschema_spark.operators.urltools import typosquat_pairs
+
+    trusted = spark.createDataFrame(
+        [("example.com",), ("google.com",), ("paypal.com",),
+         ("abcde.com",), ("abcdef.com",)], "h string")
+    cands = spark.createDataFrame(
+        [("examp1e.com",),   # substitution
+         ("exampl.com",),    # deletion
+         ("examplee.com",),  # insertion
+         ("example.com",),   # equal AND trusted: excluded twice over
+         ("goggle.com",),    # substitution vs google
+         ("gooogle.com",),   # insertion vs google
+         ("paypa1.net",),    # many edits: no pair
+         ("elpmaxe.com",),   # reversed: no pair
+         ("abcdef.com",),    # trusted itself, though 1 edit from abcde
+         (None,)], "host string")
+    got = {(r["host"], r["trusted_host"]) for r in
+           typosquat_pairs(cands, "host", trusted, "h").collect()}
+    assert got == {
+        ("examp1e.com", "example.com"),
+        ("exampl.com", "example.com"),
+        ("examplee.com", "example.com"),
+        ("goggle.com", "google.com"),
+        ("gooogle.com", "google.com"),
+    }
+
+
+def test_deletion1_blocking_complete_vs_bruteforce(spark):
+    """FastSS completeness on a generated corpus: the neighborhood
+    join finds EXACTLY the levenshtein==1 pairs the brute-force cross
+    join finds."""
+    import pyspark.sql.functions as F
+    from jsonschema_spark.operators.urltools import typosquat_pairs
+
+    base = spark.range(40).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.org")).alias("h"))
+    # mutate: drop char 3, swap char 5 for 'z', or append 'x'
+    cands = spark.range(120).select(
+        F.concat(F.lit("host"), (F.col("id") % 40).cast("string"),
+                 F.lit(".example.org")).alias("h0"),
+        (F.col("id") % 3).alias("m")
+    ).select(
+        F.when(F.col("m") == 0,
+               F.concat(F.expr("substr(h0, 1, 2)"),
+                        F.expr("substr(h0, 4, length(h0))")))
+        .when(F.col("m") == 1,
+              F.concat(F.expr("substr(h0, 1, 4)"), F.lit("z"),
+                       F.expr("substr(h0, 6, length(h0))")))
+        .otherwise(F.concat(F.col("h0"), F.lit("x"))).alias("host"))
+    got = typosquat_pairs(cands, "host", base, "h")
+    brute = (
+        cands.distinct().crossJoin(base)
+        .where(F.levenshtein("host", "h") == 1)
+        .join(base.select(F.col("h").alias("host")).distinct(),
+              "host", "left_anti")
+        .select("host", F.col("h").alias("trusted_host")).distinct()
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, brute.collect()))
+    assert a == b and len(a) > 0

@@ -5988,6 +5988,61 @@ FROM a
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by lift (the log-free PMI surrogate) over
+    the documents corpus: min_count floor applied to the bigram table
+    BEFORE the unigram joins, top-k via TakeOrderedAndProject, rank
+    window over the 20 survivors only."""
+    from jsonschema_spark.operators.textstats import collocations
+
+    return collocations(_docs(spark, sf_dir), "text",
+                        min_count=10, k=20)
+
+
+def _collocations_sql() -> str:
+    return f"""{_DOC_TOKS},
+u AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, count(*)::BIGINT AS n FROM u GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS n_total FROM uc),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM t,
+       LATERAL (SELECT unnest(range(1, len(toks))) AS i) ix),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS n_ab FROM bg
+       GROUP BY 1, 2 HAVING count(*) >= 10),
+j AS (SELECT w1, w2, n_ab, a.n AS n_w1, b.n AS n_w2,
+             floor(n_ab::DOUBLE * n_total * 1000000.0
+                   / (a.n::DOUBLE * b.n))::BIGINT AS lift_ppm
+      FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot),
+r AS (SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, w1, w2)
+        ::BIGINT AS rnk FROM j)
+SELECT w1, w2, n_ab, n_w1, n_w2, lift_ppm, rnk FROM r WHERE rnk <= 20
+"""
+
+
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival cadence summary over per-user event streams —
+    exact integer-µs gaps from one partitioned lag window, floor-mean,
+    interpolated p50/p90 floored to µs."""
+    from jsonschema_spark.operators.temporal import interarrival_stats
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return interarrival_stats(ev, "user_id", "ts", id_col="event_id")
+
+
+_INTERARRIVAL_SQL = """
+WITH ev AS (SELECT user_id, ts, event_id FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM ev),
+gg AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+SELECT count(*)::BIGINT AS n_gaps,
+  floor(sum(gap)::DOUBLE / count(*))::BIGINT AS mean_us,
+  min(gap)::BIGINT AS min_us, max(gap)::BIGINT AS max_us,
+  floor(quantile_cont(gap::DOUBLE, 0.5))::BIGINT AS p50_us,
+  floor(quantile_cont(gap::DOUBLE, 0.9))::BIGINT AS p90_us
+FROM gg
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7315,6 +7370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "typosquat": q_typosquat,
         "volume_trend": q_volume_trend,
+        "collocations": q_collocations,
+        "interarrival": q_interarrival,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7855,6 +7912,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "typosquat": _typosquat_sql(),
         "volume_trend": _VOLUME_TREND_SQL,
+        "collocations": _collocations_sql(),
+        "interarrival": _INTERARRIVAL_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

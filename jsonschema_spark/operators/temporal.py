@@ -323,3 +323,43 @@ def markov_transitions(
                 / F.sum("n_pairs").over(wsrc))
         .cast("long").alias("row_ppm"),
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Inter-arrival-time summary over per-user event streams — the
+    cadence lens behind session-gap tuning and bot detection (humans
+    have heavy-tailed gaps; schedulers metronome). One row:
+
+    ``(n_gaps, mean_us, min_us, max_us, p50_us, p90_us)``
+
+    Gaps are EXACT integer microseconds between adjacent events of the
+    same user (one lag over the per-user time order — partitioned
+    window, no global sort); the mean is floor(Σ/n) with one IEEE
+    division; quantiles are linear-interpolation percentiles floored
+    to µs (interpolation on exact integer inputs is the same double
+    arithmetic in Spark and DuckDB). ``id_col`` breaks exact-timestamp
+    ties. NULL user/ts rows are dropped first.
+    """
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           - F.unix_micros(prev.cast("timestamp")))
+    g = ev.select(gap.alias("_g")).where(F.col("_g").isNotNull())
+    q = F.percentile(F.col("_g").cast("double"), F.lit([0.5, 0.9]))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.floor(F.sum("_g").cast("double")
+                / F.count(F.lit(1))).cast("long").alias("mean_us"),
+        F.min("_g").cast("long").alias("min_us"),
+        F.max("_g").cast("long").alias("max_us"),
+        F.floor(F.element_at(q, 1)).cast("long").alias("p50_us"),
+        F.floor(F.element_at(q, 2)).cast("long").alias("p90_us"),
+    )

@@ -1116,3 +1116,61 @@ def code_detect_df(
         n_snake.cast("long").alias("n_snake"),
         (votes >= 2).cast("long").alias("is_code"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) ranked by LIFT —
+    n_ab·N/(n_a·n_b), the log-free monotone surrogate for PMI (ln
+    differs in the last ulp across engines; ranking needs only the
+    ratio) — the phrase-mining step that feeds tokenizer vocab
+    seeding and boilerplate-phrase lists.
+
+    Output: ``(w1, w2, n_ab, n_w1, n_w2, lift_ppm, rnk)``, rnk 1..k,
+    ties broken lexicographically.
+
+    Plan: unigram and bigram explodes each collapse in ONE
+    map-side-combinable groupBy; the ``min_count`` floor is applied to
+    the bigram table BEFORE the two unigram joins (the long tail —
+    most of any corpus's bigram mass — never reaches a join); the
+    join keys are vocabulary words (hot-word fan-out is bounded by
+    that word's distinct neighbors); top-k is orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, never a global
+    window; the rank window runs over the k survivors). lift_ppm =
+    floor(n_ab·N·10⁶/(n_w1·n_w2)) in doubles with one shared op
+    order — bit-stable cross-engine.
+    """
+    from jsonschema_spark.operators.dedup import span_grams, tokens
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    uni = (
+        df.select(F.explode(tokens(t)).alias("_w"))
+        .groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    tot = uni.agg(F.sum("_n").cast("long").alias("_N"))
+    bi = (
+        df.select(F.explode(span_grams(t, 2)).alias("_g"))
+        .groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    sp = F.split(F.col("_g"), " ")
+    bi2 = bi.select(sp.getItem(0).alias("w1"),
+                    sp.getItem(1).alias("w2"), "n_ab")
+    a = uni.select(F.col("_w").alias("w1"), F.col("_n").alias("n_w1"))
+    b = uni.select(F.col("_w").alias("w2"), F.col("_n").alias("n_w2"))
+    j = bi2.join(a, "w1").join(b, "w2").crossJoin(F.broadcast(tot))
+    lift = F.floor(
+        F.col("n_ab").cast("double") * F.col("_N") * F.lit(1_000_000.0)
+        / (F.col("n_w1").cast("double") * F.col("n_w2"))
+    ).cast("long")
+    scored = j.select("w1", "w2", "n_ab", "n_w1", "n_w2",
+                      lift.alias("lift_ppm"))
+    top = scored.orderBy(F.col("lift_ppm").desc(), "w1", "w2").limit(k)
+    w = Window.orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+    return top.withColumn("rnk",
+                          F.row_number().over(w).cast("long"))

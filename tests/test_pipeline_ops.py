@@ -2636,3 +2636,22 @@ def test_domain_quality_hand_computed(spark):
     assert s["dup_ppm"] == 333333  # the mirrored copy
     assert got["mirror.org"]["dup_ppm"] == 1000000
     assert g["dup_ppm"] == 0
+
+
+def test_collocations_hand_computed(spark):
+    from jsonschema_spark.operators.textstats import collocations
+    df = spark.createDataFrame(
+        [("a b a b c",), ("b c b c",), ("",)], "text string")
+    # unigrams a=2 b=4 c=3, N=9; bigrams ab=2 ba=1 bc=3 cb=1
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations(df, "text", min_count=2, k=20).collect()}
+    assert set(out) == {("a", "b"), ("b", "c")}
+    # lift both = 2.25 exactly -> tie broken lexicographically
+    assert out[("a", "b")]["lift_ppm"] == 2_250_000
+    assert out[("b", "c")]["lift_ppm"] == 2_250_000
+    assert out[("a", "b")]["rnk"] == 1 and out[("b", "c")]["rnk"] == 2
+    assert (out[("a", "b")]["n_ab"], out[("a", "b")]["n_w1"],
+            out[("a", "b")]["n_w2"]) == (2, 2, 4)
+    # k truncates after the deterministic order
+    top1 = collocations(df, "text", min_count=2, k=1).collect()
+    assert [(r["w1"], r["w2"]) for r in top1] == [("a", "b")]

@@ -198,3 +198,21 @@ def test_markov_transitions_hand_computed(spark):
            markov_transitions(tie, "u", "ts", "t", id_col="eid")
            .collect()}
     assert got == {("C", "B"), ("B", "A")}
+
+
+def test_interarrival_stats_hand_computed(spark):
+    from jsonschema_spark.operators.temporal import interarrival_stats
+    rows = [("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:00:01"),
+            ("u1", "2024-01-01 10:00:03"), ("u2", "2024-01-01 10:00:10"),
+            ("u2", "2024-01-01 10:00:20"), (None, "2024-01-01 10:00:30"),
+            ("u3", "2024-01-01 11:00:00")]  # lone event: no gap
+    df = spark.createDataFrame([(u, _ts(s)) for u, s in rows],
+                               "u string, ts timestamp")
+    r = interarrival_stats(df, "u", "ts").collect()[0]
+    # gaps: 1s, 2s (u1), 10s (u2)
+    assert r["n_gaps"] == 3
+    assert r["mean_us"] == 13_000_000 // 3
+    assert (r["min_us"], r["max_us"]) == (1_000_000, 10_000_000)
+    assert r["p50_us"] == 2_000_000
+    # p90: idx 0.9*(3-1)=1.8 -> 2e6 + 0.8*(1e7-2e6)
+    assert r["p90_us"] == 8_400_000

@@ -6043,6 +6043,121 @@ FROM gg
 """
 
 
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day volume z-scores over a deterministically PLANTED spike
+    (the %3 sample keeps base volume; day 15 keeps everything → ~3×):
+    exact int64 sums, one IEEE sqrt, zero-filled spine — the burst
+    that partition_anomaly's median-ratio lens and this variance lens
+    must both catch."""
+    from jsonschema_spark.operators.stats import volume_anomaly
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).where(
+        (F.col("event_id") % 3 == 0) | (F.dayofmonth("ts") == 15))
+    return volume_anomaly(ev, "ts", z_milli_threshold=3000)
+
+
+_VOLUME_ANOMALY_SQL = """
+WITH e AS (SELECT ts FROM events
+           WHERE (event_id % 3 = 0 OR day(ts) = 15)
+             AND ts IS NOT NULL),
+g AS (SELECT date_trunc('day', ts)::DATE AS b, count(*)::BIGINT AS y
+      FROM e GROUP BY 1),
+r AS (SELECT min(b) AS lo, max(b) AS hi FROM g),
+sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+         AS b FROM r),
+f AS (SELECT sp.b, coalesce(y, 0)::BIGINT AS y
+      FROM sp LEFT JOIN g USING (b)),
+tt AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+              sum(y * y)::BIGINT AS syy FROM f),
+z AS (SELECT strftime(b, '%Y-%m-%d') AS bucket, y AS n_rows,
+        CASE WHEN (n * syy - sy * sy) > 0 THEN
+          floor((n * y - sy)::DOUBLE * 1000.0
+                / sqrt((n * syy - sy * sy)::DOUBLE))::BIGINT END
+          AS z_milli
+      FROM f, tt)
+SELECT bucket, n_rows, z_milli,
+  CASE WHEN z_milli > 3000 THEN 'high'
+       WHEN z_milli < -3000 THEN 'low'
+       ELSE 'ok' END AS status
+FROM z
+"""
+
+
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two 100-deep document rankings
+    (longest-doc rank ⊕ portable-hash pseudo-relevance rank) — the
+    calibration-free hybrid-retrieval merge with EXACT integer
+    1/(k+r) terms (per-term nano floor, order-free sum)."""
+    from jsonschema_spark.operators.dedup import hash56
+    from jsonschema_spark.operators.search import rrf_fuse
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()) \
+        .select("doc_id", "n_chars", hash56(F.col("text")).alias("_h")) \
+        .localCheckpoint(eager=True)
+    a = d.orderBy(F.col("n_chars").desc(), "doc_id").limit(100)
+    a = a.withColumn("rnk", F.row_number().over(
+        Window.orderBy(F.col("n_chars").desc(), "doc_id")))
+    b = d.orderBy(F.col("_h").asc(), "doc_id").limit(100)
+    b = b.withColumn("rnk", F.row_number().over(
+        Window.orderBy(F.col("_h").asc(), "doc_id")))
+    return rrf_fuse([a, b], "doc_id", "rnk", k=60, topk=20)
+
+
+def _rrf_fuse_sql() -> str:
+    h = _h56("text")
+    return f"""
+WITH d AS (SELECT doc_id, n_chars, {h} AS hh FROM documents
+           WHERE text IS NOT NULL),
+a AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        AS rnk FROM d ORDER BY n_chars DESC, doc_id LIMIT 100),
+b AS (SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id)
+        AS rnk FROM d ORDER BY hh, doc_id LIMIT 100),
+u AS (SELECT doc_id, floor(1000000000.0 / (rnk::DOUBLE + 60.0))
+        ::BIGINT AS s FROM a
+      UNION ALL
+      SELECT doc_id, floor(1000000000.0 / (rnk::DOUBLE + 60.0))
+        ::BIGINT AS s FROM b),
+g AS (SELECT doc_id, count(*)::BIGINT AS n_lists,
+             sum(s)::BIGINT AS rrf_nano FROM u GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+        ::BIGINT AS rnk FROM g)
+SELECT doc_id, n_lists, rrf_nano, rnk FROM r WHERE rnk <= 20
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens that distinguish English documents from the rest —
+    add-one-smoothed rate ratio (the log-odds ranking without the
+    log), one conditional-sum exchange, min_count prune before
+    ranking, top-20 by ratio."""
+    from jsonschema_spark.operators.textstats import corpus_diff_terms
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return corpus_diff_terms(d, "text", F.col("lang") == "en",
+                             min_count=10, k=20)
+
+
+def _corpus_diff_sql() -> str:
+    return f"""
+WITH t0 AS (SELECT (lang = 'en') AS sp, {_TOKS} AS toks
+            FROM documents WHERE text IS NOT NULL),
+u AS (SELECT sp, unnest(toks) AS w FROM t0),
+g AS (SELECT w, sum(CASE WHEN sp THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN sp THEN 0 ELSE 1 END)::BIGINT AS n_b
+      FROM u GROUP BY 1),
+tt AS (SELECT sum(n_a)::BIGINT AS na, sum(n_b)::BIGINT AS nb,
+              count(*)::BIGINT AS v FROM g),
+j AS (SELECT w AS token, n_a, n_b,
+        floor((n_a + 1)::DOUBLE * (nb + v) * 1000000.0
+              / ((n_b + 1)::DOUBLE * (na + v)))::BIGINT AS ratio_ppm
+      FROM g, tt WHERE n_a >= 10),
+r AS (SELECT *, row_number() OVER (ORDER BY ratio_ppm DESC, token)
+        ::BIGINT AS rnk FROM j)
+SELECT token, n_a, n_b, ratio_ppm, rnk FROM r WHERE rnk <= 20
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7372,6 +7487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_trend": q_volume_trend,
         "collocations": q_collocations,
         "interarrival": q_interarrival,
+        "volume_anomaly": q_volume_anomaly,
+        "rrf_fuse": q_rrf_fuse,
+        "corpus_diff": q_corpus_diff,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -7914,6 +8032,9 @@ def oracle_sql() -> dict[str, str]:
         "volume_trend": _VOLUME_TREND_SQL,
         "collocations": _collocations_sql(),
         "interarrival": _INTERARRIVAL_SQL,
+        "volume_anomaly": _VOLUME_ANOMALY_SQL,
+        "rrf_fuse": _rrf_fuse_sql(),
+        "corpus_diff": _corpus_diff_sql(),
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

@@ -157,3 +157,49 @@ def bm25_topk(
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
         F.col("_id").alias(id_col), "n_hit_terms", "n_hits", "score_ppm", "rnk"
     )
+
+
+def rrf_fuse(
+    rankings: "Sequence[DataFrame]",
+    id_col: str,
+    rank_col: str,
+    k: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists
+    — the standard hybrid-retrieval merge (BM25 ⊕ dense ⊕ freshness)
+    that needs no score calibration, only ranks. Per id:
+
+    ``(id, n_lists, rrf_nano, rnk)``
+
+    ``rrf_nano`` = Σ_lists floor(10⁹/(k + rank)) — the classic
+    1/(k+r) sum as EXACT integers (a float sum is
+    accumulation-order-dependent; the per-term floor at nano
+    granularity keeps ~6 significant digits of the classic score and
+    is order-free). Absent ids contribute nothing (standard RRF).
+    Final ties break on id.
+
+    Plan: union the tagged lists (ranked lists are top-k-bounded
+    inputs by construction), ONE map-side-combinable groupBy(id),
+    orderBy+limit top-k (TakeOrderedAndProject), rank window over the
+    k survivors only.
+    """
+    from pyspark.sql.window import Window
+
+    parts = []
+    for d in rankings:
+        parts.append(d.select(
+            F.col(id_col).alias("_id"),
+            F.floor(F.lit(1_000_000_000.0)
+                    / (F.col(rank_col).cast("double") + F.lit(float(k))))
+            .cast("long").alias("_s")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("_s").cast("long").alias("rrf_nano"))
+    top = g.orderBy(F.col("rrf_nano").desc(), "_id").limit(topk)
+    w = Window.orderBy(F.col("rrf_nano").desc(), "_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")) \
+        .withColumnRenamed("_id", id_col)

@@ -1338,3 +1338,63 @@ def volume_trend(
                F.floor(num.cast("double") * F.lit(1000.0) / den))
         .cast("long").alias("slope_milli"),
     )
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    unit: str = "day",
+    z_milli_threshold: int = 3000,
+) -> DataFrame:
+    """Per-period volume burst/collapse detection: each calendar
+    bucket's row count scored as an exact-arithmetic z-score against
+    the mean/std of ALL buckets (zero-filled spine — a silent day IS
+    an anomaly). Per bucket:
+
+    ``(bucket, n_rows, z_milli, status)``
+
+    ``z_milli`` = floor(1000·(n·y − Σy)/sqrt(n·Σy² − (Σy)²)) — the
+    pairwise_corr recipe: exact int64 sums, ONE IEEE sqrt + division,
+    bit-stable cross-engine; NULL when the variance is zero. status ∈
+    {'high', 'low', 'ok'} vs ±``z_milli_threshold``. Complements
+    partition_anomaly (median-ratio lens) with the variance lens for
+    time series where scale drifts.
+
+    One corpus exchange (bucket groupBy); the spine, global sums and
+    scoring run at calendar cardinality.
+    """
+    if unit not in ("day", "week", "month"):
+        raise ValueError("unit must be day|week|month")
+    b = F.to_date(F.date_trunc(unit, F.col(ts_col)))
+    g = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    )
+    rng = g.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    step = {"day": "interval 1 day", "week": "interval 1 week",
+            "month": "interval 1 month"}[unit]
+    spine = rng.select(F.explode(F.sequence(
+        F.col("_lo"), F.col("_hi"), F.expr(step))).alias("_b"))
+    filled = spine.join(g, "_b", "left").select(
+        "_b", F.coalesce(F.col("_y"), F.lit(0)).cast("long").alias("_y"))
+    tots = filled.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    j = filled.crossJoin(F.broadcast(tots))
+    var = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    z = F.floor(
+        (F.col("_n") * F.col("_y") - F.col("_sy")).cast("double")
+        * F.lit(1000.0) / F.sqrt(var.cast("double"))
+    ).cast("long")
+    zc = F.when(var > 0, z)
+    return j.select(
+        F.date_format("_b", "yyyy-MM-dd").alias("bucket"),
+        F.col("_y").alias("n_rows"),
+        zc.alias("z_milli"),
+        F.when(zc > z_milli_threshold, F.lit("high"))
+        .when(zc < -z_milli_threshold, F.lit("low"))
+        .otherwise(F.lit("ok")).alias("status"),
+    )

@@ -1174,3 +1174,57 @@ def collocations(
     w = Window.orderBy(F.col("lift_ppm").desc(), "w1", "w2")
     return top.withColumn("rnk",
                           F.row_number().over(w).cast("long"))
+
+
+def corpus_diff_terms(
+    df: DataFrame,
+    text_col: str,
+    split: Column,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Terms that DISTINGUISH one sub-corpus from another (split true
+    = side A): per token, add-one-smoothed rate ratio
+
+    ``ratio_ppm = floor(10⁶·(n_a+1)·(N_b+V) / ((n_b+1)·(N_a+V)))``
+
+    (V = vocabulary size — the Dirichlet-smoothed relative rate, the
+    log-odds ranking without the log: the ratio is a monotone
+    surrogate, and every input is an exact integer so the double
+    formula is one shared op order). Top-k by ratio, ties on token.
+    The "what words make source A different" lens for corpus QA and
+    contamination triage.
+
+    ONE corpus exchange: a single conditional-sum groupBy(token)
+    computes both sides' counts; totals and V fold to one broadcast
+    row; ``min_count`` (on the A side) prunes before ranking; top-k
+    is orderBy+limit, rank over survivors.
+    """
+    from jsonschema_spark.operators.dedup import tokens
+    from pyspark.sql.window import Window
+
+    g = (
+        df.select(split.alias("_sp"),
+                  F.explode(tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.sum(F.when(F.col("_sp"), 1).otherwise(0)).cast("long")
+             .alias("n_a"),
+             F.sum(F.when(F.col("_sp"), 0).otherwise(1)).cast("long")
+             .alias("n_b"))
+    )
+    tots = g.agg(F.sum("n_a").cast("long").alias("_na"),
+                 F.sum("n_b").cast("long").alias("_nb"),
+                 F.count(F.lit(1)).cast("long").alias("_v"))
+    j = g.where(F.col("n_a") >= min_count) \
+        .crossJoin(F.broadcast(tots))
+    ratio = F.floor(
+        (F.col("n_a") + 1).cast("double")
+        * (F.col("_nb") + F.col("_v")) * F.lit(1_000_000.0)
+        / ((F.col("n_b") + 1).cast("double")
+           * (F.col("_na") + F.col("_v")))
+    ).cast("long")
+    scored = j.select(F.col("_w").alias("token"), "n_a", "n_b",
+                      ratio.alias("ratio_ppm"))
+    top = scored.orderBy(F.col("ratio_ppm").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("ratio_ppm").desc(), "token")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

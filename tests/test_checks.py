@@ -775,3 +775,32 @@ def test_volume_trend_hand_computed(spark):
     mo = mk(["2024-01-10 00:00:00"] * 2 + ["2024-03-05 00:00:00"] * 4)
     m = volume_trend(mo, "ts", unit="month").collect()[0]
     assert (m["n_buckets"], m["slope_milli"]) == (3, 1000)
+
+
+def test_volume_anomaly_hand_computed(spark):
+    from datetime import datetime
+
+    from jsonschema_spark.operators.stats import volume_anomaly
+
+    rows = (["2024-01-01"] * 10 + ["2024-01-02"] * 10
+            + ["2024-01-03"] * 10 + ["2024-01-05"] * 30)  # 01-04 silent
+    df = spark.createDataFrame(
+        [(datetime.fromisoformat(s + " 12:00:00"),) for s in rows],
+        "ts timestamp")
+    got = {r["bucket"]: r for r in
+           volume_anomaly(df, "ts", z_milli_threshold=1200).collect()}
+    assert len(got) == 5  # zero-filled spine includes the silent day
+    # y=[10,10,10,0,30]: n=5 sy=60 syy=1200 var=2400 sqrt=48.9898
+    assert got["2024-01-04"]["n_rows"] == 0
+    assert got["2024-01-04"]["z_milli"] == -1225  # floor(-1224.74)
+    assert got["2024-01-04"]["status"] == "low"
+    assert got["2024-01-05"]["z_milli"] == 1837
+    assert got["2024-01-05"]["status"] == "high"
+    assert got["2024-01-01"]["z_milli"] == -205  # floor(-204.12)
+    assert got["2024-01-01"]["status"] == "ok"
+    # zero variance -> NULL z, 'ok'
+    flat = spark.createDataFrame(
+        [(datetime.fromisoformat("2024-01-0%d 00:00:00" % d),)
+         for d in (1, 2, 3)], "ts timestamp")
+    fz = volume_anomaly(flat, "ts").collect()
+    assert all(r["z_milli"] is None and r["status"] == "ok" for r in fz)

@@ -2655,3 +2655,40 @@ def test_collocations_hand_computed(spark):
     # k truncates after the deterministic order
     top1 = collocations(df, "text", min_count=2, k=1).collect()
     assert [(r["w1"], r["w2"]) for r in top1] == [("a", "b")]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from jsonschema_spark.operators.search import rrf_fuse
+    l1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, rnk long")
+    l2 = spark.createDataFrame(
+        [("b", 1), ("c", 2), ("d", 3)], "id string, rnk long")
+    out = {r["id"]: r for r in
+           rrf_fuse([l1, l2], "id", "rnk").collect()}
+    s1, s2, s3 = (10**9 // 61, 10**9 // 62, 10**9 // 63)
+    assert out["b"]["rrf_nano"] == s1 + s2
+    assert out["c"]["rrf_nano"] == s3 + s2
+    assert out["a"]["rrf_nano"] == s1
+    assert out["d"]["rrf_nano"] == s3
+    assert [(r, out_k) for out_k, r in
+            sorted((v["rnk"], k) for k, v in out.items())] \
+        == [("b", 1), ("c", 2), ("a", 3), ("d", 4)]
+    assert out["b"]["n_lists"] == 2 and out["a"]["n_lists"] == 1
+    # topk truncation
+    assert len(rrf_fuse([l1, l2], "id", "rnk", topk=2).collect()) == 2
+
+
+def test_corpus_diff_terms_hand_computed(spark):
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.operators.textstats import corpus_diff_terms
+    df = spark.createDataFrame(
+        [("x x y", 1), ("y y z", 0)], "text string, side int")
+    out = {r["token"]: r for r in corpus_diff_terms(
+        df, "text", F.col("side") == 1, min_count=1, k=20).collect()}
+    # A: x2 y1; B: y2 z1; V=3, Na=3, Nb=3
+    assert set(out) == {"x", "y"}  # z fails the A-side min_count
+    assert out["x"]["ratio_ppm"] == 3_000_000  # (3*6)/(1*6)
+    assert out["y"]["ratio_ppm"] == 666_666    # (2*6)/(3*6)
+    assert out["x"]["rnk"] == 1 and out["y"]["rnk"] == 2
+    assert (out["x"]["n_a"], out["x"]["n_b"]) == (2, 0)

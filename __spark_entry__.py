@@ -6158,6 +6158,120 @@ SELECT token, n_a, n_b, ratio_ppm, rnk FROM r WHERE rnk <= 20
 """
 
 
+def q_funnel_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel step (same 2/7 sample and greedy
+    fold as q_funnel, state extended with the per-step matched
+    timestamps): mean exact-µs distance from the step-1 event over
+    users who reached each step."""
+    from jsonschema_spark.operators.temporal import funnel_durations
+
+    ev = spark.read.parquet(_t(sf_dir, "events")) \
+        .where(F.col("event_id") % 7 < 2)
+    return funnel_durations(ev, "user_id", "ts", "event_type",
+                            ["signup", "view", "click", "purchase"])
+
+
+def _funnel_durations_sql() -> str:
+    steps = ["signup", "view", "click", "purchase"]
+    rows = []
+    for i, s in enumerate(steps, 1):
+        rows.append(
+            f"SELECT {i}::BIGINT AS step, '{s}' AS step_type, "
+            f"count(*)::BIGINT AS n_users, "
+            f"CASE WHEN count(*) > 0 THEN "
+            f"floor(sum(epoch_us(s.t) - epoch_us(f.t))::DOUBLE "
+            f"/ count(*))::BIGINT END AS mean_us_from_first "
+            f"FROM s{i} s JOIN s1 f ON s.user_id = f.user_id")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH ev AS MATERIALIZED (SELECT user_id, ts, event_type FROM events
+    WHERE event_id % 7 < 2),
+s1 AS MATERIALIZED (SELECT user_id, min(ts) AS t FROM ev
+    WHERE event_type = 'signup' GROUP BY 1),
+s2 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM ev e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM ev e
+    JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+s4 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM ev e
+    JOIN s3 ON e.user_id = s3.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+{union}"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z over events: arm A = even users, success =
+    purchase, with a deterministic planted lift in arm A (every 11th
+    event) — the directional 2×2 test, one conditional-sum scan,
+    shared-op-order IEEE statistic."""
+    from jsonschema_spark.operators.stats import ab_test
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    v = F.col("user_id") % 2 == 0
+    s = (F.col("event_type") == "purchase") \
+        | (v & (F.col("event_id") % 11 == 0))
+    return ab_test(ev, v, s)
+
+
+_AB_TEST_SQL = """
+WITH e AS (SELECT (user_id % 2 = 0) AS v,
+  (event_type = 'purchase'
+   OR (user_id % 2 = 0 AND event_id % 11 = 0)) AS s FROM events),
+c AS (SELECT sum(v::INT)::BIGINT AS n_a,
+             sum((NOT v)::INT)::BIGINT AS n_b,
+             sum((v AND s)::INT)::BIGINT AS succ_a,
+             sum((NOT v AND s)::INT)::BIGINT AS succ_b FROM e),
+p AS (SELECT *, (succ_a + succ_b)::DOUBLE / (n_a + n_b) AS pp FROM c)
+SELECT n_a, n_b, succ_a, succ_b,
+  CASE WHEN n_a > 0 THEN
+    floor(succ_a::DOUBLE * 1000000.0 / n_a)::BIGINT END AS rate_a_ppm,
+  CASE WHEN n_b > 0 THEN
+    floor(succ_b::DOUBLE * 1000000.0 / n_b)::BIGINT END AS rate_b_ppm,
+  CASE WHEN n_a > 0 AND n_b > 0
+        AND (pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) > 0 THEN
+    floor((succ_a::DOUBLE / n_a - succ_b::DOUBLE / n_b) * 1000.0
+          / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)))::BIGINT
+  END AS z_milli
+FROM p
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve over a deterministic 30-day document
+    calendar (day = doc_id mod 30): per day, token occurrences and
+    never-seen-before token types — the Heaps-over-time freshness
+    lens. Two map-side-combinable exchanges (bucket totals, per-token
+    first-seen minima)."""
+    from jsonschema_spark.operators.textstats import vocab_growth
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 30).cast("int")).alias("d"),
+        "text")
+    return vocab_growth(d, "d", "text")
+
+
+def _vocab_growth_sql() -> str:
+    toks = _TOKS
+    return f"""
+WITH d0 AS (SELECT (DATE '2024-01-01' + (doc_id % 30)::INT) AS d, text
+            FROM documents WHERE text IS NOT NULL),
+t AS (SELECT d, {toks} AS toks FROM d0),
+u AS (SELECT d, unnest(toks) AS w FROM t),
+occ AS (SELECT d, count(*)::BIGINT AS n_tokens FROM u GROUP BY 1),
+fs AS (SELECT w, min(d) AS d FROM u GROUP BY 1),
+nw AS (SELECT d, count(*)::BIGINT AS n_new_types FROM fs GROUP BY 1),
+r AS (SELECT min(d) AS lo, max(d) AS hi FROM occ),
+sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+         AS d FROM r)
+SELECT strftime(sp.d, '%Y-%m-%d') AS bucket,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(n_new_types, 0)::BIGINT AS n_new_types
+FROM sp LEFT JOIN occ ON sp.d = occ.d LEFT JOIN nw ON sp.d = nw.d
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7490,6 +7604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly": q_volume_anomaly,
         "rrf_fuse": q_rrf_fuse,
         "corpus_diff": q_corpus_diff,
+        "funnel_durations": q_funnel_durations,
+        "ab_test": q_ab_test,
+        "vocab_growth": q_vocab_growth,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -8035,6 +8152,9 @@ def oracle_sql() -> dict[str, str]:
         "volume_anomaly": _VOLUME_ANOMALY_SQL,
         "rrf_fuse": _rrf_fuse_sql(),
         "corpus_diff": _corpus_diff_sql(),
+        "funnel_durations": _funnel_durations_sql(),
+        "ab_test": _AB_TEST_SQL,
+        "vocab_growth": _vocab_growth_sql(),
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

@@ -1398,3 +1398,47 @@ def volume_anomaly(
         .when(zc < -z_milli_threshold, F.lit("low"))
         .otherwise(F.lit("ok")).alias("status"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    variant: Column,
+    success: Column,
+) -> DataFrame:
+    """Two-proportion z-test between variant A (``variant`` true) and
+    B — the directional form of a 2×2 chi-square (z² = χ²), pinned to
+    one shared IEEE op order so the statistic is bit-stable
+    cross-engine. One row:
+
+    ``(n_a, n_b, succ_a, succ_b, rate_a_ppm, rate_b_ppm, z_milli)``
+
+    z = (p_a − p_b)/sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    rate; all inputs exact int64 counts from ONE conditional-sum
+    aggregation over ONE scan; NULL z when either arm is empty or the
+    pooled variance is zero. Rows where ``success`` is NULL count as
+    failures (document the predicate, not the data, decides).
+    """
+    sa = F.sum(F.when(variant & success, 1).otherwise(0)).cast("long")
+    sb = F.sum(F.when(~variant & success, 1).otherwise(0)).cast("long")
+    na = F.sum(variant.cast("long")).cast("long")
+    nb = F.sum((~variant).cast("long")).cast("long")
+    one = df.agg(na.alias("n_a"), nb.alias("n_b"),
+                 sa.alias("succ_a"), sb.alias("succ_b"))
+    pa = F.col("succ_a").cast("double") / F.col("n_a")
+    pb = F.col("succ_b").cast("double") / F.col("n_b")
+    pp = ((F.col("succ_a") + F.col("succ_b")).cast("double")
+          / (F.col("n_a") + F.col("n_b")))
+    se2 = (pp * (F.lit(1.0) - pp)
+           * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
+    z = F.floor((pa - pb) * F.lit(1000.0) / F.sqrt(se2)).cast("long")
+    return one.select(
+        "n_a", "n_b", "succ_a", "succ_b",
+        F.when(F.col("n_a") > 0,
+               F.floor(F.col("succ_a").cast("double") * F.lit(1e6)
+                       / F.col("n_a"))).cast("long").alias("rate_a_ppm"),
+        F.when(F.col("n_b") > 0,
+               F.floor(F.col("succ_b").cast("double") * F.lit(1e6)
+                       / F.col("n_b"))).cast("long").alias("rate_b_ppm"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (se2 > 0), z)
+        .alias("z_milli"),
+    )

@@ -363,3 +363,82 @@ def interarrival_stats(
         F.floor(F.element_at(q, 1)).cast("long").alias("p50_us"),
         F.floor(F.element_at(q, 2)).cast("long").alias("p90_us"),
     )
+
+
+def funnel_durations(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Time-to-convert companion of ``funnel``: the same greedy
+    earliest-feasible step sequence, but the fold records the matched
+    timestamp PER STEP, so each step reports how long converting users
+    took to get there from step 1. Output per step:
+
+    ``(step, step_type, n_users, mean_us_from_first)``
+
+    mean = floor(Σ(tᵢ − t₁)/n) in exact integer microseconds over the
+    users who REACHED step i (0 on step 1 by construction; NULL when
+    nobody reached). Same single-exchange plan as funnel — the state
+    array adds ≤k timestamps per user. Strict-ordering and
+    tie semantics identical to funnel (the same fold guard).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ts_type = events.schema[ts_col].dataType
+
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(steps))
+    per_user = ev.groupBy(F.col(user_col).alias("_u")).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("t")))).alias("_seq"))
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("lvl"),
+        F.array().cast(f"array<{ts_type.simpleString()}>").alias("tv"))
+
+    def fold(acc: Column, x: Column) -> Column:
+        need = F.element_at(step_arr, acc["lvl"] + 1)
+        later = F.when(acc["lvl"] == 0, F.lit(True)).otherwise(
+            x["ts"] > F.element_at(acc["tv"], acc["lvl"]))
+        ok = (acc["lvl"] < k) & (x["t"] == need) & later
+        return F.when(ok, F.struct(
+            (acc["lvl"] + 1).cast("int").alias("lvl"),
+            F.concat(acc["tv"], F.array(x["ts"])).alias("tv"),
+        )).otherwise(acc)
+
+    st = per_user.select(F.aggregate("_seq", init, fold).alias("_s")) \
+        .select(F.col("_s")["lvl"].alias("lvl"),
+                F.col("_s")["tv"].alias("tv"))
+
+    def us(i: int) -> Column:
+        return (F.unix_micros(F.element_at("tv", i).cast("timestamp"))
+                - F.unix_micros(F.element_at("tv", 1)
+                                .cast("timestamp")))
+
+    aggs = []
+    for i in range(1, k + 1):
+        reach = F.col("lvl") >= i
+        aggs.append(F.sum(reach.cast("long")).alias(f"n{i}"))
+        aggs.append(F.sum(F.when(reach, us(i))).alias(f"s{i}"))
+    one = st.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(steps[i - 1]).alias("step_type"),
+            F.coalesce(F.col(f"n{i}"), F.lit(0)).cast("long")
+            .alias("n_users"),
+            F.when(F.col(f"n{i}") > 0,
+                   F.floor(F.col(f"s{i}").cast("double")
+                           / F.col(f"n{i}")))
+            .cast("long").alias("mean_us_from_first"),
+        ) for i in range(1, k + 1)]
+    return one.select(F.explode(F.array(*entries)).alias("r")) \
+        .select("r.*")

@@ -1228,3 +1228,51 @@ def corpus_diff_terms(
     top = scored.orderBy(F.col("ratio_ppm").desc(), "token").limit(k)
     w = Window.orderBy(F.col("ratio_ppm").desc(), "token")
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def vocab_growth(
+    df: DataFrame,
+    ts_col: str,
+    text_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Vocabulary growth curve: per calendar bucket, total token
+    occurrences and the count of token TYPES never seen in any
+    earlier bucket — the Heaps-law-over-time freshness lens ("is this
+    crawl still discovering language, or re-reading the same pages?").
+    Output per bucket (zero-filled calendar spine):
+
+    ``(bucket, n_tokens, n_new_types)``
+
+    Two exchanges, both map-side-combinable: (bucket) for occurrence
+    totals and (token) for first-seen minima — a token's first bucket
+    is a pure min, so the computation is partition-order free; no
+    corpus-sized state ever sits on one node.
+    """
+    if unit not in ("day", "week", "month"):
+        raise ValueError("unit must be day|week|month")
+    from jsonschema_spark.operators.dedup import tokens
+
+    b = F.to_date(F.date_trunc(unit, F.col(ts_col)))
+    ex = df.where(F.col(ts_col).isNotNull()).select(
+        b.alias("_b"), F.explode(tokens(F.col(text_col))).alias("_w"))
+    occ = ex.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    first = ex.groupBy("_w").agg(F.min("_b").alias("_b"))
+    new_types = first.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types"))
+    rng = occ.agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    step = {"day": "interval 1 day", "week": "interval 1 week",
+            "month": "interval 1 month"}[unit]
+    spine = rng.select(F.explode(F.sequence(
+        F.col("_lo"), F.col("_hi"), F.expr(step))).alias("_b"))
+    return (
+        spine.join(occ, "_b", "left").join(new_types, "_b", "left")
+        .select(
+            F.date_format("_b", "yyyy-MM-dd").alias("bucket"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.col("n_new_types"), F.lit(0)).cast("long")
+            .alias("n_new_types"),
+        )
+    )

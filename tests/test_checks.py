@@ -804,3 +804,28 @@ def test_volume_anomaly_hand_computed(spark):
          for d in (1, 2, 3)], "ts timestamp")
     fz = volume_anomaly(flat, "ts").collect()
     assert all(r["z_milli"] is None and r["status"] == "ok" for r in fz)
+
+
+def test_ab_test_hand_computed(spark):
+    import math
+
+    from jsonschema_spark.operators.stats import ab_test
+    rows = ([(True, True)] * 30 + [(True, False)] * 20
+            + [(False, True)] * 20 + [(False, False)] * 30)
+    df = spark.createDataFrame(rows, "v boolean, s boolean")
+    r = ab_test(df, F.col("v"), F.col("s")).collect()[0]
+    assert (r["n_a"], r["n_b"], r["succ_a"], r["succ_b"]) \
+        == (50, 50, 30, 20)
+    assert r["rate_a_ppm"] == 600_000 and r["rate_b_ppm"] == 400_000
+    # python float mirror of the EXACT op order
+    pa, pb, pp = 30 / 50, 20 / 50, 50 / 100
+    z = math.floor((pa - pb) * 1000.0
+                   / math.sqrt(pp * (1.0 - pp) * (1.0 / 50 + 1.0 / 50)))
+    assert r["z_milli"] == z
+    # NULL success counts as failure; empty arm -> NULL z
+    d2 = spark.createDataFrame([(True, None), (True, True)],
+                               "v boolean, s boolean")
+    r2 = ab_test(d2, F.col("v"), F.coalesce(F.col("s"), F.lit(False))
+                 ).collect()[0]
+    assert (r2["n_a"], r2["succ_a"], r2["n_b"]) == (2, 1, 0)
+    assert r2["z_milli"] is None and r2["rate_b_ppm"] is None

@@ -2692,3 +2692,24 @@ def test_corpus_diff_terms_hand_computed(spark):
     assert out["y"]["ratio_ppm"] == 666_666    # (2*6)/(3*6)
     assert out["x"]["rnk"] == 1 and out["y"]["rnk"] == 2
     assert (out["x"]["n_a"], out["x"]["n_b"]) == (2, 0)
+
+
+def test_vocab_growth_hand_computed(spark):
+    from datetime import datetime
+
+    from jsonschema_spark.operators.textstats import vocab_growth
+    df = spark.createDataFrame(
+        [(datetime.fromisoformat("2024-01-01 08:00:00"), "a b a"),
+         (datetime.fromisoformat("2024-01-01 20:00:00"), "b c"),
+         (datetime.fromisoformat("2024-01-03 09:00:00"), "c d")],
+        "ts timestamp, text string")
+    got = {r["bucket"]: r for r in
+           vocab_growth(df, "ts", "text").collect()}
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert (got["2024-01-01"]["n_tokens"],
+            got["2024-01-01"]["n_new_types"]) == (5, 3)
+    assert (got["2024-01-02"]["n_tokens"],
+            got["2024-01-02"]["n_new_types"]) == (0, 0)
+    # day 3: 'c' already seen, only 'd' is new
+    assert (got["2024-01-03"]["n_tokens"],
+            got["2024-01-03"]["n_new_types"]) == (2, 1)

@@ -216,3 +216,33 @@ def test_interarrival_stats_hand_computed(spark):
     assert r["p50_us"] == 2_000_000
     # p90: idx 0.9*(3-1)=1.8 -> 2e6 + 0.8*(1e7-2e6)
     assert r["p90_us"] == 8_400_000
+
+
+def test_funnel_durations_hand_computed(spark):
+    from jsonschema_spark.operators.temporal import funnel_durations
+    rows = []
+    seqs = {
+        "u1": [("A", 1), ("B", 2), ("C", 3)],
+        "u2": [("B", 1), ("A", 2), ("C", 3)],
+        "u3": [("A", 1), ("B", 1), ("C", 2)],
+        "u4": [("A", 5)],
+        "u5": [("B", 1), ("C", 2)],
+        "u6": [("A", 1), ("A", 2), ("B", 3)],
+    }
+    for u, evs in seqs.items():
+        for t, sec in evs:
+            rows.append((u, _ts(f"2024-01-01 10:00:{sec:02d}"), t))
+    df = spark.createDataFrame(rows, "u string, ts timestamp, t string")
+    out = {r["step"]: r for r in funnel_durations(
+        df, "u", "ts", "t", ["A", "B", "C"]).collect()}
+    # same reach counts as funnel()
+    assert [out[i]["n_users"] for i in (1, 2, 3)] == [5, 2, 1]
+    assert out[1]["mean_us_from_first"] == 0
+    # u1: B at +1s; u6: B at +2s -> mean 1.5s
+    assert out[2]["mean_us_from_first"] == 1_500_000
+    assert out[3]["mean_us_from_first"] == 2_000_000
+    # nobody reaches: NULL mean
+    z = {r["step"]: r for r in funnel_durations(
+        df, "u", "ts", "t", ["C", "A"]).collect()}
+    assert z[2]["n_users"] == 0
+    assert z[2]["mean_us_from_first"] is None

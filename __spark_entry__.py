@@ -6272,6 +6272,85 @@ FROM sp LEFT JOIN occ ON sp.d = occ.d LEFT JOIN nw ON sp.d = nw.d
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary-overlap matrix from per-source KMV
+    sketches (k=128): every source pair's token-set Jaccard estimate
+    — "which sources speak the same language / re-crawl each other"
+    at sketch cost, never a cross-source token join. 20 sources →
+    190 pair rows, each computed on ≤k-element arrays."""
+    from jsonschema_spark.operators.dedup import kmv_group_jaccard, tokens
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    return kmv_group_jaccard(d, "source", F.col("tok"), k=128)
+
+
+def _source_overlap_sql() -> str:
+    h = _h56("w")
+    return f"""
+WITH u0 AS (SELECT source AS g, unnest({_TOKS}) AS w FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL),
+hh AS (SELECT DISTINCT g, {h} AS hv FROM u0),
+r AS (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv)
+        AS rn FROM hh),
+sk AS (SELECT g, list_sort(list(hv)) AS s FROM r WHERE rn <= 128
+       GROUP BY 1),
+p AS (SELECT a.g AS g1, b.g AS g2, a.s AS sa, b.s AS sb
+      FROM sk a JOIN sk b ON a.g < b.g),
+c AS (SELECT g1, g2, sa, sb,
+             list_sort(list_distinct(sa || sb))[1:128] AS u FROM p)
+SELECT g1, g2, len(u)::BIGINT AS k_used,
+  len(list_filter(u, x -> list_contains(sa, x)
+                   AND list_contains(sb, x)))::BIGINT AS n_both,
+  floor(len(list_filter(u, x -> list_contains(sa, x)
+                         AND list_contains(sb, x)))::BIGINT
+        * 1000000.0 / len(u))::BIGINT AS jaccard_ppm
+FROM c
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status winsorization of o_totalprice at exact [p5, p95]:
+    bounds from ONE group agg broadcast back; summary per group
+    (clip counts + exact-milli clipped sum) keeps the gate row count
+    bounded while attesting every row's clip decision through the
+    sum."""
+    from jsonschema_spark.operators.stats import winsorize_by_group
+
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    w = winsorize_by_group(o, "o_orderstatus", "o_totalprice",
+                           lo_p=0.05, hi_p=0.95)
+    return w.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("clip_flag") == "lo").cast("long")).cast("long")
+        .alias("n_lo"),
+        F.sum((F.col("clip_flag") == "hi").cast("long")).cast("long")
+        .alias("n_hi"),
+        F.sum(F.floor(F.col("o_totalprice_clipped") * 1000)
+              .cast("long")).cast("long").alias("sum_clipped_milli"),
+    )
+
+
+_WINSORIZE_SQL = """
+WITH b AS (SELECT o_orderstatus AS g,
+                  quantile_cont(o_totalprice, 0.05) AS lo,
+                  quantile_cont(o_totalprice, 0.95) AS hi
+           FROM orders GROUP BY 1),
+j AS (SELECT o.o_orderstatus,
+        CASE WHEN o_totalprice < lo THEN lo
+             WHEN o_totalprice > hi THEN hi
+             ELSE o_totalprice END AS c,
+        CASE WHEN o_totalprice < lo THEN 'lo'
+             WHEN o_totalprice > hi THEN 'hi' END AS f
+      FROM orders o JOIN b ON o.o_orderstatus = b.g)
+SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+  sum((f = 'lo')::INT)::BIGINT AS n_lo,
+  sum((f = 'hi')::INT)::BIGINT AS n_hi,
+  sum(floor(c * 1000)::BIGINT)::BIGINT AS sum_clipped_milli
+FROM j GROUP BY 1
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7607,6 +7686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_durations": q_funnel_durations,
         "ab_test": q_ab_test,
         "vocab_growth": q_vocab_growth,
+        "source_overlap": q_source_overlap,
+        "winsorize": q_winsorize,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -8155,6 +8236,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_durations": _funnel_durations_sql(),
         "ab_test": _AB_TEST_SQL,
         "vocab_growth": _vocab_growth_sql(),
+        "source_overlap": _source_overlap_sql(),
+        "winsorize": _WINSORIZE_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

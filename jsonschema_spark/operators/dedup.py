@@ -1291,3 +1291,59 @@ def cdc_chunk_stats(chunks: DataFrame) -> DataFrame:
         F.floor((F.sum("_t") - F.sum("_t1")) * 1_000_000
                 / F.sum("_t")).cast("long").alias("dup_token_ppm"),
     )
+
+
+def kmv_group_jaccard(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column,
+    k: int = 256,
+) -> DataFrame:
+    """Cross-GROUP duplication matrix from per-group KMV sketches:
+    for every pair of groups (sources, snapshots, shards), the
+    k-minimum-values Jaccard estimate of their value-set overlap —
+    "which sources are re-crawling each other" at sketch cost, never
+    a cross-group value join. Per unordered pair (g1 < g2):
+
+    ``(g1, g2, k_used, n_both, jaccard_ppm)``
+
+    with jaccard = n_both / k_used over the k smallest DISTINCT
+    portable-56-bit hashes of the two sketches' union (the standard
+    KMV pair estimate; k_used < k when the union is small — then the
+    estimate is EXACT). Integer-only: bit-stable cross-engine.
+
+    Scale shape: one distinct + one partitioned-window top-k collapse
+    each group to ≤k hash rows (shuffle volume = per-partition
+    distinct, the exact-distinct lower bound); the pair stage runs on
+    ≤k-element ARRAYS per group — groups must be bounded (sources,
+    not urls); the HOF passes are O(k log k) per pair.
+    """
+    from pyspark.sql.window import Window
+
+    h = hash56(value_col)
+    g = (
+        df.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), h.alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy("_g").orderBy("_h")
+    sk = (
+        g.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .groupBy("_g")
+        .agg(F.array_sort(F.collect_list("_h")).alias("_sk"))
+    )
+    a = sk.select(F.col("_g").alias("g1"), F.col("_sk").alias("_a"))
+    b = sk.select(F.col("_g").alias("g2"), F.col("_sk").alias("_b"))
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    u = F.slice(F.array_sort(F.array_distinct(
+        F.concat(F.col("_a"), F.col("_b")))), 1, k)
+    both = F.filter(u, lambda x: F.array_contains(F.col("_a"), x)
+                    & F.array_contains(F.col("_b"), x))
+    k_used = F.size(u).cast("long")
+    n_both = F.size(both).cast("long")
+    return pairs.select(
+        "g1", "g2", k_used.alias("k_used"), n_both.alias("n_both"),
+        F.floor((n_both * 1_000_000).cast("double") / k_used)
+        .cast("long").alias("jaccard_ppm"),
+    )

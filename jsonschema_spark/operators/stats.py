@@ -1442,3 +1442,42 @@ def ab_test(
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (se2 > 0), z)
         .alias("z_milli"),
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile winsorization: clip ``value_col`` to its
+    group's [lo_p, hi_p] exact percentiles — the heavy-tail
+    preprocessing step before any n·Σx²-bounded exact statistic
+    (pairwise_corr, ab_test) or spill-prone aggregate. Input columns
+    pass through plus:
+
+    ``(<value>_clipped, clip_flag ∈ {'lo', 'hi', NULL})``
+
+    Group percentile bounds come from ONE groupBy agg (exact
+    ``percentile`` — linear interpolation, the same double arithmetic
+    both engines) joined back by the group key — groups must be
+    bounded categories (languages, shards), so the bounds table
+    broadcasts. NULL values pass through unclipped with NULL flag.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(v, F.lit(float(lo_p))).alias("_lo"),
+        F.percentile(v, F.lit(float(hi_p))).alias("_hi"),
+    )
+    j = df.join(
+        F.broadcast(bounds), F.col(group_col) == F.col("_g"), "left")
+    clipped = F.when(v < F.col("_lo"), F.col("_lo")) \
+        .when(v > F.col("_hi"), F.col("_hi")).otherwise(v)
+    flag = F.when(v < F.col("_lo"), F.lit("lo")) \
+        .when(v > F.col("_hi"), F.lit("hi"))
+    return j.select(
+        *[F.col(c) for c in df.columns],
+        clipped.alias(f"{value_col}_clipped"),
+        flag.alias("clip_flag"),
+    )

@@ -2713,3 +2713,48 @@ def test_vocab_growth_hand_computed(spark):
     # day 3: 'c' already seen, only 'd' is new
     assert (got["2024-01-03"]["n_tokens"],
             got["2024-01-03"]["n_new_types"]) == (2, 1)
+
+
+def test_kmv_group_jaccard_hand_computed(spark):
+    from jsonschema_spark.operators.dedup import kmv_group_jaccard
+    import pyspark.sql.functions as F
+    # small unions -> k_used < k -> the estimate is EXACT Jaccard of
+    # the value sets
+    rows = ([("a", f"v{i}") for i in range(10)]
+            + [("b", f"v{i}") for i in range(5, 15)]   # |a∩b|=5 |a∪b|=15
+            + [("c", f"w{i}") for i in range(4)]        # disjoint
+            + [("a", "v1")])                            # dup collapses
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {(r["g1"], r["g2"]): r for r in
+           kmv_group_jaccard(df, "g", F.col("v"), k=256).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["k_used"], ab["n_both"]) == (15, 5)
+    assert ab["jaccard_ppm"] == 5 * 1_000_000 // 15
+    assert out[("a", "c")]["n_both"] == 0
+    assert out[("a", "c")]["jaccard_ppm"] == 0
+    # k truncation: estimate still sane (here exact halves overlap)
+    big = spark.createDataFrame(
+        [("x", f"t{i}") for i in range(200)]
+        + [("y", f"t{i}") for i in range(100, 300)], "g string, v string")
+    r = kmv_group_jaccard(big, "g", F.col("v"), k=64).collect()[0]
+    assert r["k_used"] == 64
+    # true J = 100/300 = 0.333; 64-sample estimate within ±0.15
+    assert 180_000 < r["jaccard_ppm"] < 490_000
+
+
+def test_winsorize_by_group_hand_computed(spark):
+    from jsonschema_spark.operators.stats import winsorize_by_group
+    rows = [("g", float(i)) for i in range(1, 11)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorize_by_group(df, "g", "x", lo_p=0.10, hi_p=0.90)
+    got = {r["x"]: r for r in out.collect()}
+    # exact percentiles of 1..10: p10 = 1.9, p90 = 9.1 (interpolated)
+    assert got[1.0]["x_clipped"] == 1.9
+    assert got[1.0]["clip_flag"] == "lo"
+    assert got[10.0]["x_clipped"] == 9.1
+    assert got[10.0]["clip_flag"] == "hi"
+    assert got[5.0]["x_clipped"] == 5.0 and got[5.0]["clip_flag"] is None
+    assert got[None]["x_clipped"] is None
+    assert got[None]["clip_flag"] is None
+    assert len(got) == 11  # every input row kept

@@ -6351,6 +6351,81 @@ FROM j GROUP BY 1
 """
 
 
+def q_session_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over 2-hour session baskets of the event
+    stream (support/confidence/lift per ordered type pair —
+    co-occurrence, where event_transitions is adjacency): native
+    session_window baskets, |types|²-bounded pair fan-out, every
+    count join broadcast."""
+    from jsonschema_spark.operators.temporal import session_rules
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return session_rules(ev, "user_id", "ts", "event_type",
+                         gap="2 hours", min_support=5)
+
+
+_SESSION_RULES_SQL = """
+WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+s AS (SELECT user_id, ts, event_id, event_type,
+   CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+        THEN 1 ELSE 0 END AS new_s
+   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+b AS (SELECT user_id, sid, list_distinct(list(event_type)) AS tl
+      FROM g GROUP BY 1, 2),
+n AS (SELECT count(*)::BIGINT AS n_sessions FROM b),
+si AS (SELECT t, count(*)::BIGINT AS c FROM
+       (SELECT unnest(tl) AS t FROM b) GROUP BY 1),
+pr AS (SELECT x.sx AS src, y.sy AS dst FROM b,
+       unnest(tl) AS x(sx), unnest(tl) AS y(sy) WHERE sx <> sy),
+pc AS (SELECT src, dst, count(*)::BIGINT AS n_both FROM pr
+       GROUP BY 1, 2 HAVING count(*) >= 5),
+j AS (SELECT pc.src, pc.dst, n_both, a.c AS n_src, d.c AS n_dst,
+             n_sessions
+      FROM pc JOIN si a ON pc.src = a.t JOIN si d ON pc.dst = d.t, n)
+SELECT src, dst, n_both, n_src, n_dst,
+  floor((n_both * 1000000)::DOUBLE / n_sessions)::BIGINT
+    AS support_ppm,
+  floor((n_both * 1000000)::DOUBLE / n_src)::BIGINT
+    AS confidence_ppm,
+  floor(n_both::DOUBLE * n_sessions * 1000000.0
+        / (n_src::DOUBLE * n_dst))::BIGINT AS lift_ppm
+FROM j
+"""
+
+
+def q_top_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic grouped top-k: the 5 highest-value orders per status —
+    ONE partitioned window (no single-task funnel at any group
+    count), deterministic orderkey tiebreak, prices as exact milli
+    ints."""
+    from jsonschema_spark.operators.stats import top_k_per_group
+
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    t = top_k_per_group(
+        o, ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5)
+    return t.select(
+        "o_orderstatus", "o_orderkey",
+        F.floor(F.col("o_totalprice") * 1000).cast("long")
+        .alias("price_milli"), "rnk")
+
+
+_TOP_PER_STATUS_SQL = """
+WITH r AS (SELECT o_orderstatus, o_orderkey,
+             floor(o_totalprice * 1000)::BIGINT AS price_milli,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rnk
+           FROM orders)
+SELECT o_orderstatus, o_orderkey, price_milli, rnk FROM r
+WHERE rnk <= 5
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7688,6 +7763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "source_overlap": q_source_overlap,
         "winsorize": q_winsorize,
+        "session_rules": q_session_rules,
+        "top_per_status": q_top_per_status,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -8238,6 +8315,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _vocab_growth_sql(),
         "source_overlap": _source_overlap_sql(),
         "winsorize": _WINSORIZE_SQL,
+        "session_rules": _SESSION_RULES_SQL,
+        "top_per_status": _TOP_PER_STATUS_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

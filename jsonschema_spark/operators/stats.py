@@ -1481,3 +1481,27 @@ def winsorize_by_group(
         clipped.alias(f"{value_col}_clipped"),
         flag.alias("clip_flag"),
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Generic top-k within each group — the grouped counterpart of
+    the global orderBy+limit pattern: ONE partitioned window
+    (row_number over the caller's deterministic ``order_by``; pass a
+    unique tiebreak column last or equal rows rank arbitrarily),
+    filtered to rank ≤ k. Adds ``rnk`` (1-based). The window is
+    PARTITIONED by the group keys, so no single-task funnel exists at
+    any group count; a hot group costs its own sort only. For the
+    GLOBAL top-k use orderBy+limit instead (TakeOrderedAndProject)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]) \
+        .orderBy(*order_by)
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

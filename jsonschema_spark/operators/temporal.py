@@ -442,3 +442,72 @@ def funnel_durations(
         ) for i in range(1, k + 1)]
     return one.select(F.explode(F.array(*entries)).alias("r")) \
         .select("r.*")
+
+
+def session_rules(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap: str = "30 minutes",
+    min_support: int = 2,
+) -> DataFrame:
+    """Association rules over session baskets: sessions are gap-based
+    (native session_window — one exchange, merge boundary INCLUSIVE),
+    a basket is the DISTINCT event types of one session, and every
+    ordered pair a→b gets the classic support / confidence / lift:
+
+    ``(src, dst, n_both, n_src, n_dst, support_ppm, confidence_ppm,
+    lift_ppm)``
+
+    support = n_both/n_sessions, confidence = n_both/n_src, lift =
+    n_both·n_sessions/(n_src·n_dst) — all integer-ppm with one
+    pinned division each ("users who error then ALSO purchase at
+    2.1× base rate" — co-occurrence, where markov_transitions is
+    adjacency). Pairs with n_both < ``min_support`` are pruned
+    BEFORE the joins.
+
+    Scale shape: session baskets collapse map-side (bounded by the
+    type domain, not session length); pair fan-out is |basket|² ≤
+    |types|²; the count tables are |types|-sized, so every join
+    broadcasts. NULL user/ts/type rows are dropped first.
+    """
+    ev = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull())
+    baskets = ev.groupBy(
+        F.col(user_col),
+        F.session_window(F.col(ts_col), gap),
+    ).agg(F.array_sort(F.collect_set(F.col(type_col))).alias("_ts"))
+    n_sessions = baskets.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    singles = baskets.select(F.explode("_ts").alias("_t")) \
+        .groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    prs = baskets.select(F.explode(F.flatten(F.transform(
+        F.col("_ts"),
+        lambda a: F.filter(
+            F.transform(F.col("_ts"),
+                        lambda b: F.struct(a.alias("src"),
+                                           b.alias("dst"))),
+            lambda s: s["src"] != s["dst"]),
+    ))).alias("_p")).select("_p.src", "_p.dst")
+    pc = prs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")) \
+        .where(F.col("n_both") >= min_support)
+    sa = singles.select(F.col("_t").alias("src"),
+                        F.col("_c").alias("n_src"))
+    sb = singles.select(F.col("_t").alias("dst"),
+                        F.col("_c").alias("n_dst"))
+    j = pc.join(F.broadcast(sa), "src").join(F.broadcast(sb), "dst") \
+        .crossJoin(F.broadcast(n_sessions))
+    return j.select(
+        "src", "dst", "n_both", "n_src", "n_dst",
+        F.floor((F.col("n_both") * 1_000_000).cast("double")
+                / F.col("_n")).cast("long").alias("support_ppm"),
+        F.floor((F.col("n_both") * 1_000_000).cast("double")
+                / F.col("n_src")).cast("long").alias("confidence_ppm"),
+        F.floor(F.col("n_both").cast("double") * F.col("_n")
+                * F.lit(1_000_000.0)
+                / (F.col("n_src").cast("double") * F.col("n_dst")))
+        .cast("long").alias("lift_ppm"),
+    )

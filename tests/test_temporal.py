@@ -246,3 +246,45 @@ def test_funnel_durations_hand_computed(spark):
         df, "u", "ts", "t", ["C", "A"]).collect()}
     assert z[2]["n_users"] == 0
     assert z[2]["mean_us_from_first"] is None
+
+
+def test_session_rules_hand_computed(spark):
+    from jsonschema_spark.operators.temporal import session_rules
+    rows = [
+        ("u1", "2024-01-01 10:00:00", "A"),
+        ("u1", "2024-01-01 10:10:00", "B"),
+        ("u1", "2024-01-01 10:20:00", "A"),   # same session, dup type
+        ("u1", "2024-01-01 12:00:00", "A"),   # new session {A}
+        ("u2", "2024-01-01 10:00:00", "B"),
+        ("u2", "2024-01-01 10:05:00", "C"),
+    ]
+    df = spark.createDataFrame([(u, _ts(s), t) for u, s, t in rows],
+                               "u string, ts timestamp, t string")
+    out = {(r["src"], r["dst"]): r for r in session_rules(
+        df, "u", "ts", "t", gap="30 minutes", min_support=1).collect()}
+    # baskets: {A,B}, {A}, {B,C} -> n_sessions 3; A:2 B:2 C:1
+    assert set(out) == {("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")}
+    ab = out[("A", "B")]
+    assert (ab["n_both"], ab["n_src"], ab["n_dst"]) == (1, 2, 2)
+    assert ab["support_ppm"] == 333_333
+    assert ab["confidence_ppm"] == 500_000
+    assert ab["lift_ppm"] == 750_000
+    assert out[("C", "B")]["confidence_ppm"] == 1_000_000
+    assert out[("B", "C")]["lift_ppm"] == 1_500_000
+    # min_support prunes before any join
+    assert session_rules(df, "u", "ts", "t", gap="30 minutes",
+                         min_support=2).count() == 0
+
+
+def test_top_k_per_group_hand_computed(spark):
+    from jsonschema_spark.operators.stats import top_k_per_group
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 3, 2), ("a", 1, 3), ("a", 3, 4),
+         ("b", 7, 5)],
+        "g string, v long, id long")
+    out = top_k_per_group(df, ["g"],
+                          [F.col("v").desc(), F.col("id")], 2)
+    got = sorted((r["g"], r["rnk"], r["v"], r["id"])
+                 for r in out.collect())
+    # tie at v=3 broken by id: (3,2) ranks 2, (3,4) cut
+    assert got == [("a", 1, 5, 1), ("a", 2, 3, 2), ("b", 1, 7, 5)]

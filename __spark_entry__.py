@@ -6426,6 +6426,108 @@ WHERE rnk <= 5
 """
 
 
+def q_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-status center/spread of o_totalprice: exact
+    interpolated median + MAD (two group aggs, medians broadcast
+    back) — the heavy-tail-proof profile mean/std checks misread."""
+    from jsonschema_spark.operators.stats import group_median_mad
+
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    return group_median_mad(o, "o_orderstatus", "o_totalprice")
+
+
+_MEDIAN_MAD_SQL = """
+WITH m AS (SELECT o_orderstatus AS g,
+             count(o_totalprice)::BIGINT AS n_rows,
+             quantile_cont(o_totalprice, 0.5) AS med
+           FROM orders GROUP BY 1),
+d AS (SELECT m.g, abs(o_totalprice - med) AS dev
+      FROM orders o JOIN m ON o.o_orderstatus = m.g
+      WHERE o_totalprice IS NOT NULL),
+md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT m.g AS o_orderstatus, n_rows,
+       floor(med * 1000)::BIGINT AS median_milli,
+       floor(mad * 1000)::BIGINT AS mad_milli
+FROM m JOIN md ON m.g = md.g
+"""
+
+
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap over the event
+    stream (full 7×24 spine, ISO Monday=1, wall-time extraction —
+    the tz-proof currency): the human-vs-scheduler seasonality
+    fingerprint."""
+    from jsonschema_spark.operators.stats import activity_heatmap
+
+    return activity_heatmap(
+        spark.read.parquet(_t(sf_dir, "events")), "ts")
+
+
+_HEATMAP_SQL = """
+WITH g AS (SELECT isodow(ts)::INT AS dow, hour(ts)::INT AS hour,
+                  count(*)::BIGINT AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+sp AS (SELECT d::INT AS dow, h::INT AS hour FROM
+       (SELECT unnest(range(1, 8)) AS d) a,
+       (SELECT unnest(range(0, 24)) AS h) b),
+j AS (SELECT sp.dow, sp.hour, coalesce(n, 0)::BIGINT AS n_rows
+      FROM sp LEFT JOIN g ON sp.dow = g.dow AND sp.hour = g.hour),
+t AS (SELECT sum(n_rows)::BIGINT AS tt FROM j)
+SELECT dow, hour, n_rows,
+  floor((n_rows * 1000000)::DOUBLE / tt)::BIGINT AS share_ppm
+FROM j, t
+"""
+
+
+def _rollup_url() -> Column:
+    c = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org"),
+        F.when(c % 4 == 0, F.lit("/"))
+        .when(c % 4 == 1, F.concat(F.lit("/p/"),
+                                   (c % 50).cast("string")))
+        .when(c % 4 == 2, F.concat(F.lit("/p/"),
+                                   (c % 50).cast("string"),
+                                   F.lit("/c")))
+        .otherwise(F.concat(F.lit("/t/"), (c % 7).cast("string"),
+                            F.lit("/x/"), (c % 5).cast("string"))),
+        F.when(c % 2 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+
+
+def q_path_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL directory rollup over a deterministic site-structure
+    fixture (roots, /p/N, /p/N/c, /t/N/x/M subtrees): page counts at
+    every path prefix to depth 3 — the per-directory crawl-budget /
+    trap-subtree census. Bounded explode (≤depth+1 per url), one
+    map-side groupBy."""
+    from jsonschema_spark.operators.urltools import path_rollup
+
+    d = _docs(spark, sf_dir).select("doc_id", "source") \
+        .withColumn("url", _rollup_url())
+    return path_rollup(d, "url")
+
+
+_PATH_CENSUS_SQL = """
+WITH u AS (SELECT source || '.example.org' AS host,
+  CASE doc_id % 4 WHEN 0 THEN '/'
+    WHEN 1 THEN '/p/' || (doc_id % 50)::VARCHAR
+    WHEN 2 THEN '/p/' || (doc_id % 50)::VARCHAR || '/c'
+    ELSE '/t/' || (doc_id % 7)::VARCHAR || '/x/'
+         || (doc_id % 5)::VARCHAR END AS path
+  FROM documents),
+s AS (SELECT host,
+        list_filter(string_split(path, '/'), x -> x <> '') AS segs
+      FROM u),
+e AS (SELECT host, d::INT AS depth,
+        '/' || coalesce(array_to_string(segs[1:d], '/'), '') AS prefix
+      FROM s, LATERAL (SELECT unnest(range(0,
+        least(len(segs), 3) + 1)) AS d) ix)
+SELECT host, depth, prefix, count(*)::BIGINT AS n_urls
+FROM e GROUP BY 1, 2, 3
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7765,6 +7867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "session_rules": q_session_rules,
         "top_per_status": q_top_per_status,
+        "median_mad": q_median_mad,
+        "heatmap": q_heatmap,
+        "path_census": q_path_census,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -8317,6 +8422,9 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _WINSORIZE_SQL,
         "session_rules": _SESSION_RULES_SQL,
         "top_per_status": _TOP_PER_STATUS_SQL,
+        "median_mad": _MEDIAN_MAD_SQL,
+        "heatmap": _HEATMAP_SQL,
+        "path_census": _PATH_CENSUS_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

@@ -1505,3 +1505,79 @@ def top_k_per_group(
         df.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def group_median_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Robust per-group center/spread: exact interpolated median and
+    MAD (median absolute deviation) — the outlier-proof profile that
+    mean/std checks misread on heavy-tailed web data ("the median doc
+    is 2.1 KB with MAD 0.9 KB" survives one 2 GB page; the mean does
+    not). Per group:
+
+    ``(group, n_rows, median_milli, mad_milli)``
+
+    Two passes by construction (MAD needs the median first), each ONE
+    group agg — never a per-group collect: exact ``percentile``
+    (linear interpolation, identical double arithmetic both engines)
+    computes the median; the group medians broadcast back and a
+    second agg takes the median of |x − med|. Values floored to
+    milli for bit-stable hashes. NULLs drop (SQL aggregate
+    semantics).
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(v).cast("long").alias("n_rows"),
+        F.percentile(v, F.lit(0.5)).alias("_med"),
+    )
+    j = df.join(F.broadcast(med),
+                F.col(group_col) == F.col("_g"))
+    mad = j.groupBy("_g").agg(
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad"))
+    out = med.join(mad, "_g")
+    return out.select(
+        F.col("_g").alias(group_col), "n_rows",
+        F.floor(F.col("_med") * 1000).cast("long")
+        .alias("median_milli"),
+        F.floor(F.col("_mad") * 1000).cast("long").alias("mad_milli"),
+    )
+
+
+def activity_heatmap(df: DataFrame, ts_col: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap over a full 7×24
+    spine (absent cells at zero) — the seasonality fingerprint that
+    separates human traffic (diurnal, weekday-heavy) from schedulers
+    (flat or metronomic). Per cell:
+
+    ``(dow, hour, n_rows, share_ppm)``
+
+    dow 1=Monday..7=Sunday (ISO — ``dayofweek`` is locale-shifted in
+    some engines, so weekday is computed from the tz-proof DATE field
+    arithmetic both engines share); wall-time extraction is the
+    portable currency for naive timestamps. One corpus exchange into
+    ≤168 cells; the spine cross-join is literal-sized.
+    """
+    # Monday=1: DuckDB isodow == Spark (dayofweek + 5) % 7 + 1
+    dow = ((F.dayofweek(F.col(ts_col)) + 5) % 7 + 1).cast("int")
+    hr = F.hour(F.col(ts_col)).cast("int")
+    g = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(dow.alias("dow"), hr.alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1, 8).select(
+        F.col("id").cast("int").alias("dow")).crossJoin(
+        spark.range(0, 24).select(F.col("id").cast("int")
+                                  .alias("hour")))
+    j = spine.join(g, ["dow", "hour"], "left")
+    n = F.coalesce(F.col("n_rows"), F.lit(0)).cast("long")
+    tot = j.agg(F.sum(n).alias("_t"))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour", n.alias("n_rows"),
+        F.floor((n * 1_000_000).cast("double") / F.col("_t"))
+        .cast("long").alias("share_ppm"),
+    )

@@ -769,3 +769,43 @@ def typosquat_pairs(
     )
     t_set = trusted.select(th.alias("host")).distinct()
     return pairs.join(t_set, "host", "left_anti")
+
+
+def path_rollup(
+    df: DataFrame,
+    url_col: str,
+    max_depth: int = 3,
+) -> DataFrame:
+    """URL directory rollup: page counts aggregated at every path
+    prefix up to ``max_depth`` — the site-structure census that
+    drives per-directory crawl budgets and finds the /tag/ or
+    /calendar/ subtrees that trap crawlers. Per (host, prefix):
+
+    ``(host, depth, prefix, n_urls)``
+
+    depth 0 is the host root (prefix '/'); a URL contributes one row
+    to EACH of its ancestor prefixes (fan-out ≤ max_depth+1, bounded
+    literal). One explode + one map-side-combinable groupBy; query
+    strings and fragments are not path (stripped in the scan).
+    """
+    u = F.col(url_col)
+    host = host_of(u)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)",
+                            1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    idx = F.sequence(F.lit(0), F.least(F.size(segs),
+                                       F.lit(int(max_depth))))
+    pref = F.transform(
+        idx,
+        lambda d: F.struct(
+            d.cast("int").alias("depth"),
+            F.concat(F.lit("/"), F.array_join(F.slice(segs, 1, d), "/"))
+            .alias("prefix")))
+    ex = (
+        df.where(u.isNotNull() & (host != ""))
+        .select(host.alias("host"), F.explode(pref).alias("_p"))
+        .select("host", F.col("_p.depth").alias("depth"),
+                F.col("_p.prefix").alias("prefix"))
+    )
+    return ex.groupBy("host", "depth", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"))

@@ -829,3 +829,37 @@ def test_ab_test_hand_computed(spark):
                  ).collect()[0]
     assert (r2["n_a"], r2["succ_a"], r2["n_b"]) == (2, 1, 0)
     assert r2["z_milli"] is None and r2["rate_b_ppm"] is None
+
+
+def test_group_median_mad_hand_computed(spark):
+    from jsonschema_spark.operators.stats import group_median_mad
+    rows = [("g", float(i)) for i in range(1, 11)] \
+        + [("h", 2.0), ("h", 4.0), ("h", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in
+           group_median_mad(df, "g", "x").collect()}
+    # 1..10: median 5.5; |x-5.5| medians to 2.5
+    assert (got["g"]["n_rows"], got["g"]["median_milli"],
+            got["g"]["mad_milli"]) == (10, 5500, 2500)
+    # h: median 3.0, deviations [1,1] -> MAD 1.0; NULL dropped
+    assert (got["h"]["n_rows"], got["h"]["median_milli"],
+            got["h"]["mad_milli"]) == (2, 3000, 1000)
+
+
+def test_activity_heatmap_hand_computed(spark):
+    from datetime import datetime
+
+    from jsonschema_spark.operators.stats import activity_heatmap
+    df = spark.createDataFrame(
+        [(datetime.fromisoformat("2024-01-01 10:15:00"),),  # Monday
+         (datetime.fromisoformat("2024-01-01 10:45:00"),),
+         (datetime.fromisoformat("2024-01-07 23:59:59"),)],  # Sunday
+        "ts timestamp")
+    got = {(r["dow"], r["hour"]): r for r in
+           activity_heatmap(df, "ts").collect()}
+    assert len(got) == 168  # full 7x24 spine
+    assert got[(1, 10)]["n_rows"] == 2   # ISO Monday = 1
+    assert got[(1, 10)]["share_ppm"] == 666_666
+    assert got[(7, 23)]["n_rows"] == 1   # ISO Sunday = 7
+    assert got[(2, 10)]["n_rows"] == 0
+    assert got[(2, 10)]["share_ppm"] == 0

@@ -420,3 +420,30 @@ def test_deletion1_blocking_complete_vs_bruteforce(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, brute.collect()))
     assert a == b and len(a) > 0
+
+
+def test_path_rollup_hand_computed(spark):
+    from jsonschema_spark.operators.urltools import path_rollup
+
+    df = spark.createDataFrame(
+        [("https://a.com/x/y/z.html?q=1",),
+         ("https://a.com/x/q",),
+         ("http://b.com/",),
+         (None,)],
+        "url string")
+    got = {(r["host"], r["depth"], r["prefix"]): r["n_urls"]
+           for r in path_rollup(df, "url").collect()}
+    assert got == {
+        ("a.com", 0, "/"): 2,
+        ("a.com", 1, "/x"): 2,
+        ("a.com", 2, "/x/y"): 1,
+        ("a.com", 2, "/x/q"): 1,
+        ("a.com", 3, "/x/y/z.html"): 1,
+        ("b.com", 0, "/"): 1,
+    }
+    # depth cap: deep paths stop at max_depth
+    deep = spark.createDataFrame(
+        [("https://c.com/a/b/c/d/e",)], "url string")
+    d2 = {r["depth"] for r in
+          path_rollup(deep, "url", max_depth=2).collect()}
+    assert d2 == {0, 1, 2}

@@ -391,3 +391,45 @@ def test_stream_check_suite_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table("checks_stream").collect()))
     assert got == want
     assert {r[0] for r in got} == {c["name"] for c in checks}
+
+
+def test_stream_check_suite_grouped_equals_batch(spark, tmp_path):
+    """Grouped check_suite (the per-slice contract) is ONE streaming
+    aggregate with n_groups rows of bounded state — the per-language
+    live table monitor is plain delegation, like the global form.
+    Drained over 3 micro-batches ≡ batch over the union."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.checks import check_suite
+
+    src = str(tmp_path / "grows")
+    for f in range(3):
+        spark.range(f * 4000, (f + 1) * 4000).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise((F.col("id") % 13).cast("double")).alias("x"),
+        ).write.mode("append").parquet(src)
+    batch = spark.read.parquet(src)
+
+    checks = [
+        {"name": "size", "check": "size_min", "min": 3000},
+        {"name": "x_complete", "check": "completeness", "col": "x",
+         "min_ppm": 800_000},
+        {"name": "x_mean", "check": "mean_scaled_between", "col": "x",
+         "scale": 100, "lo": 1, "hi": 10_000},
+        {"name": "x_max", "check": "max_le", "col": "x", "le": 12},
+    ]
+    want = sorted(map(tuple,
+                      check_suite(batch, checks, by=["g"]).collect()))
+
+    sdf = (spark.readStream.schema(batch.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (check_suite(sdf, checks, by=["g"])
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("gchecks_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("gchecks_stream").collect()))
+    assert got == want
+    assert len(got) == 3 * len(checks)

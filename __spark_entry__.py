@@ -6528,6 +6528,46 @@ FROM e GROUP BY 1, 2, 3
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified-z outlier census per status over prices with a
+    deterministic planted 50× spike on every 211th order key — the
+    median/MAD method flags exactly the plants that a mean/std gate
+    would partially mask (the spikes inflate std by ~4×)."""
+    from jsonschema_spark.operators.stats import robust_outliers
+
+    o = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderstatus",
+        (F.col("o_totalprice")
+         * F.when(F.col("o_orderkey") % 211 == 0, 50).otherwise(1))
+        .alias("price"))
+    return robust_outliers(o, "o_orderstatus", "price")
+
+
+_ROBUST_OUTLIERS_SQL = """
+WITH o AS (SELECT o_orderstatus AS g,
+  o_totalprice * CASE WHEN o_orderkey % 211 = 0 THEN 50 ELSE 1 END
+    AS v FROM orders),
+m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM o GROUP BY 1),
+d AS (SELECT o.g, abs(v - med) AS dev FROM o JOIN m ON o.g = m.g
+      WHERE v IS NOT NULL),
+md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1),
+j AS (SELECT o.g, v, med, mad FROM o JOIN m ON o.g = m.g
+      JOIN md ON o.g = md.g),
+z AS (SELECT g, v,
+        CASE WHEN v IS NOT NULL AND mad > 0 THEN
+          floor(0.6745 * (v - med) * 1000.0 / mad) END AS zc
+      FROM j),
+a AS (SELECT g AS o_orderstatus, count(v)::BIGINT AS n_rows,
+        sum((zc < -3500)::INT)::BIGINT AS n_out_low,
+        sum((zc > 3500)::INT)::BIGINT AS n_out_high
+      FROM z GROUP BY 1)
+SELECT o_orderstatus, n_rows, n_out_low, n_out_high,
+  floor(((n_out_low + n_out_high) * 1000000)::DOUBLE / n_rows)
+    ::BIGINT AS outlier_ppm
+FROM a
+"""
+
+
 def q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suggestion over orders: the profile pass proposes
     the check_suite a curator would write — completeness floors,
@@ -7870,6 +7910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_mad": q_median_mad,
         "heatmap": q_heatmap,
         "path_census": q_path_census,
+        "robust_outliers": q_robust_outliers,
         "reconcile_orders": q_reconcile_orders,
         "table_fingerprint": q_table_fingerprint,
         "partition_anomaly": q_partition_anomaly,
@@ -8425,6 +8466,7 @@ def oracle_sql() -> dict[str, str]:
         "median_mad": _MEDIAN_MAD_SQL,
         "heatmap": _HEATMAP_SQL,
         "path_census": _PATH_CENSUS_SQL,
+        "robust_outliers": _ROBUST_OUTLIERS_SQL,
         "reconcile_orders": _RECONCILE_ORDERS_SQL,
         "table_fingerprint": _TABLE_FINGERPRINT_SQL,
         "partition_anomaly": _PARTITION_ANOMALY_SQL,

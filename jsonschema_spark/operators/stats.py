@@ -1581,3 +1581,52 @@ def activity_heatmap(df: DataFrame, ts_col: str) -> DataFrame:
         F.floor((n * 1_000_000).cast("double") / F.col("_t"))
         .cast("long").alias("share_ppm"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_milli_threshold: int = 3500,
+) -> DataFrame:
+    """Robust per-group outlier census via the modified z-score
+    (Iglewicz–Hoaglin): |0.6745·(x − median)/MAD| > threshold — the
+    action group_median_mad's profile implies, immune to the outliers
+    it hunts (mean/std methods mask their own targets). Per group:
+
+    ``(group, n_rows, n_out_low, n_out_high, outlier_ppm)``
+
+    Same two-group-agg shape as group_median_mad (median, then MAD of
+    deviations, both exact interpolated percentiles — identical double
+    arithmetic cross-engine), bounds broadcast back, one scan flags
+    rows, one final group agg counts. The 0.6745 consistency constant
+    and the z arithmetic share one pinned op order. A zero-MAD group
+    (>50 % identical values) flags nothing (documented: scale is
+    unmeasurable, not clean); NULLs drop.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med"))
+    j1 = df.join(F.broadcast(med), F.col(group_col) == F.col("_g"))
+    mad = j1.groupBy("_g").agg(
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5))
+        .alias("_mad"))
+    b = med.join(mad, "_g")
+    j = df.join(F.broadcast(b), F.col(group_col) == F.col("_g"))
+    z = (F.lit(0.6745) * (v - F.col("_med")) * F.lit(1000.0)
+         / F.col("_mad"))
+    zc = F.when(v.isNotNull() & (F.col("_mad") > 0), F.floor(z))
+    lo = (zc < -z_milli_threshold).cast("long")
+    hi = (zc > z_milli_threshold).cast("long")
+    g = j.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(v).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(lo), F.lit(0)).cast("long").alias("n_out_low"),
+        F.coalesce(F.sum(hi), F.lit(0)).cast("long")
+        .alias("n_out_high"),
+    )
+    return g.select(
+        group_col, "n_rows", "n_out_low", "n_out_high",
+        F.floor(((F.col("n_out_low") + F.col("n_out_high"))
+                 * 1_000_000).cast("double") / F.col("n_rows"))
+        .cast("long").alias("outlier_ppm"),
+    )

@@ -863,3 +863,22 @@ def test_activity_heatmap_hand_computed(spark):
     assert got[(7, 23)]["n_rows"] == 1   # ISO Sunday = 7
     assert got[(2, 10)]["n_rows"] == 0
     assert got[(2, 10)]["share_ppm"] == 0
+
+
+def test_robust_outliers_hand_computed(spark):
+    from jsonschema_spark.operators.stats import robust_outliers
+    # group g: 1..9 plus a 1000.0 spike and a -1000.0 dip
+    rows = [("g", float(i)) for i in range(1, 10)] \
+        + [("g", 1000.0), ("g", -1000.0), ("g", None)] \
+        + [("h", 5.0)] * 4  # zero MAD: flags nothing
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in
+           robust_outliers(df, "g", "x").collect()}
+    # g: 11 non-null; median 5.0 (6 of 11), MAD = 3.0
+    # z(1000) = .6745*995/3 = 223.7k milli >> 3500; z(9)=0.9k ok
+    assert (got["g"]["n_rows"], got["g"]["n_out_low"],
+            got["g"]["n_out_high"]) == (11, 1, 1)
+    assert got["g"]["outlier_ppm"] == 2_000_000 // 11
+    assert (got["h"]["n_rows"], got["h"]["n_out_low"],
+            got["h"]["n_out_high"], got["h"]["outlier_ppm"]) \
+        == (4, 0, 0, 0)

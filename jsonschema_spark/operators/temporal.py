@@ -144,6 +144,7 @@ def funnel(
     ts_col: str,
     type_col: str,
     steps: Sequence[str],
+    strategy: str = "fold",
 ) -> DataFrame:
     """Ordered-funnel conversion: a user reaches step k iff events of
     types steps[0..k-1] exist at STRICTLY increasing timestamps (the
@@ -165,11 +166,59 @@ def funnel(
     interpreted per-element cost; corpus size only adds tasks.
     Repeated step types are allowed (view→view funnels): the cursor
     just needs a LATER event of the same type.
+
+    ``strategy``: 'fold' (default — ONE exchange, per-user sorted
+    array + greedy cursor; the interpreted fold costs ~3× a window
+    pass in CPU, measured 1.08× of linear at 16M rows) or 'passes'
+    (k narrow min-after-previous aggregations — exactly the SQL
+    oracle's shape: k shuffles of SHRINKING user sets, each map-side
+    combinable, no arrays; wins when the per-user streams are long or
+    k is small). Row-identical output, equality test-pinned.
     """
     steps = list(steps)
     if not steps:
         raise ValueError("steps must be non-empty")
+    if strategy not in ("fold", "passes"):
+        raise ValueError("strategy must be fold|passes")
     k = len(steps)
+    if strategy == "passes":
+        ev = events.where(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+            & F.col(type_col).isin(steps)).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"),
+            F.col(type_col).alias("_t"))
+        cur = ev.where(F.col("_t") == steps[0]) \
+            .groupBy("_u").agg(F.min("_ts").alias("_mt"))
+        ones = [cur.agg(F.count(F.lit(1)).cast("long").alias("n1"))]
+        for i in range(2, k + 1):
+            nxt = (
+                ev.where(F.col("_t") == steps[i - 1])
+                .join(cur.select("_u", F.col("_mt").alias("_pt")),
+                      "_u")
+                .where(F.col("_ts") > F.col("_pt"))
+                .groupBy("_u").agg(F.min("_ts").alias("_mt"))
+            )
+            ones.append(nxt.agg(
+                F.count(F.lit(1)).cast("long").alias(f"n{i}")))
+            cur = nxt
+        one = ones[0]
+        for o in ones[1:]:
+            one = one.crossJoin(F.broadcast(o))
+        entries = [
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(steps[i - 1]).alias("step_type"),
+                F.coalesce(F.col(f"n{i}"), F.lit(0)).cast("long")
+                .alias("n_users"),
+                F.when(
+                    F.col("n1") > 0,
+                    F.floor((F.coalesce(F.col(f"n{i}"), F.lit(0))
+                             * 1_000_000).cast("double")
+                            / F.col("n1")))
+                .cast("long").alias("conversion_ppm"),
+            ) for i in range(1, k + 1)]
+        return one.select(F.explode(F.array(*entries)).alias("r")) \
+            .select("r.*")
     step_arr = F.array(*[F.lit(s) for s in steps])
 
     ev = events.where(

@@ -95,9 +95,10 @@ def main() -> int:
             F.count("*"), F.count("click_id"), F.sum("asof_gap_us"),
             F.sum("click_id")).collect()[0])]
 
-    def run_funnel(d):
+    def run_funnel(d, strategy="fold"):
         out = funnel(d, "user_id", "ts", "event_type",
-                     ["signup", "view", "click", "purchase"])
+                     ["signup", "view", "click", "purchase"],
+                     strategy=strategy)
         return [tuple(out.agg(
             F.count("*"), F.sum("n_users"),
             F.sum("conversion_ppm")).collect()[0])]
@@ -147,6 +148,8 @@ def main() -> int:
         d = events(n)
         point("asof_join_1h", n, lambda d=d: run_asof(d))
         point("funnel_4step", n, lambda d=d: run_funnel(d))
+        point("funnel_4step_passes", n,
+              lambda d=d: run_funnel(d, strategy="passes"))
         point("cohort_retention_wk", n, lambda d=d: run_cohort(d))
         point("markov_transitions", n, lambda d=d: run_markov(d))
         point("contingency_chi2", n, lambda d=d: run_chi2(d))

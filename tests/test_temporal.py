@@ -288,3 +288,31 @@ def test_top_k_per_group_hand_computed(spark):
                  for r in out.collect())
     # tie at v=3 broken by id: (3,2) ranks 2, (3,4) cut
     assert got == [("a", 1, 5, 1), ("a", 2, 3, 2), ("b", 1, 7, 5)]
+
+
+def test_funnel_strategies_equal(spark):
+    """The k-pass min-after-previous strategy is row-identical to the
+    fold — on the hand ledger AND on a generated stream (the in-repo
+    greedy==iterative proof, independent of the oracle)."""
+    from jsonschema_spark.operators.temporal import funnel
+    df = spark.range(5000).select(
+        (F.col("id") % 83).alias("u"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.col("id") * 6007) % 90_000).alias("ts"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("D")),
+            ((F.col("id") * 13) % 4 + 1).cast("int")).alias("t"),
+    )
+    steps = ["A", "B", "C"]
+    a = sorted(map(tuple,
+                   funnel(df, "u", "ts", "t", steps).collect()))
+    b = sorted(map(tuple,
+                   funnel(df, "u", "ts", "t", steps,
+                          strategy="passes").collect()))
+    assert a == b
+    # empty-first-step corner matches too (counts 0, NULL ppm)
+    za = funnel(df.where(F.col("t") != "A"), "u", "ts", "t",
+                steps).collect()
+    zb = funnel(df.where(F.col("t") != "A"), "u", "ts", "t",
+                steps, strategy="passes").collect()
+    assert sorted(map(tuple, za)) == sorted(map(tuple, zb))

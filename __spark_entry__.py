@@ -7867,12 +7867,102 @@ FROM pol"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness gate, which attests
     # entries in dict order and may truncate by count/time budget.
-    # Rounds 1-3 attested the 50 queries now listed SECOND (two rounds of
-    # green driver rows each); the block listed FIRST is everything that
-    # had no driver row in CORRECTNESS_r03 (it stopped at entry #50) —
-    # fronted per VERDICT r3 directive #1 so round 4 attests them.
+    # Rounds 1-4 cumulatively attested 102 of the 190 queries; the front
+    # block is the remaining 88 with no driver row ever, fronted per
+    # VERDICT r4 directive #1 so the round-5 gate attests them.
     return {
-        # --- round-4 front block: no driver attestation yet ---
+        # --- round-5 front block: the 88 queries with NO driver
+        # CORRECTNESS row in any of rounds 1-4 (VERDICT r4 directive 1).
+        # The gate attests in dict order and truncates by time budget.
+        "homoglyph": q_homoglyph,
+        "cdc_chunks": q_cdc_chunks,
+        "mime_sniff": q_mime_sniff,
+        "trustrank": q_trustrank,
+        "stupid_backoff": q_stupid_backoff,
+        "url_param_policy": q_url_param_policy,
+        "page_meta": q_page_meta,
+        "mojibake_repair": q_mojibake_repair,
+        "pack_sequences": q_pack_sequences,
+        "tdigest_chars": q_tdigest_chars,
+        "jsonld_validate": q_jsonld_validate,
+        "recrawl_priority": q_recrawl_priority,
+        "host_reciprocity": q_host_reciprocity,
+        "embedding_project": q_embedding_project,
+        "epoch_plan": q_epoch_plan,
+        "wet_export": q_wet_export,
+        "canonical_dedup": q_canonical_dedup,
+        "url_hll_sketch": q_url_hll_sketch,
+        "url_distinct_hll": q_url_distinct_hll,
+        "url_kmv_sketch": q_url_kmv_sketch,
+        "url_kmv_overlap": q_url_kmv_overlap,
+        "temperature_mixture": q_temperature_mixture,
+        "snapshot_delta": q_snapshot_delta,
+        "vocab_stats": q_vocab_stats,
+        "shingle_novelty": q_shingle_novelty,
+        "url_bloom_bits": q_url_bloom_bits,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "crawl_schedule": q_crawl_schedule,
+        "robots_sitemap_urls": q_robots_sitemap_urls,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "token_cms": q_token_cms,
+        "hist_quantiles_chars": q_hist_quantiles_chars,
+        "hist_quantiles_ts": q_hist_quantiles_ts,
+        "drift_hist": q_drift_hist,
+        "hashed_embedding": q_hashed_embedding,
+        "lm_score": q_lm_score,
+        "dsir_weight": q_dsir_weight,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "budget_sample": q_budget_sample,
+        "url_normalize": q_url_normalize,
+        "host_stats": q_host_stats,
+        "url_dedup": q_url_dedup,
+        "dedup_incremental": q_dedup_incremental,
+        "dup_spans": q_dup_spans,
+        "dup_span_remove": q_dup_span_remove,
+        "nfc_normalize": q_nfc_normalize,
+        "compression_ratio": q_compression_ratio,
+        "readability": q_readability,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "prototypicality": q_prototypicality,
+        "leakage_safe_split": q_leakage_safe_split,
+        "lsh_recall": q_lsh_recall,
+        "containment_pairs": q_containment_pairs,
+        "semantic_recall": q_semantic_recall,
+        "pipeline_end2end": q_pipeline_end2end,
+        "top_ngrams": q_top_ngrams,
+        "validate_cube": q_validate_cube,
+        "mixture_sample": q_mixture_sample,
+        "boilerplate_strip": q_boilerplate_strip,
+        "domain_cap": q_domain_cap,
+        "semantic_dedup": q_semantic_dedup,
+        "sessionize_events": q_sessionize_events,
+        "html_extract": q_html_extract,
+        "host_rank": q_host_rank,
+        "host_hits": q_host_hits,
+        "export_shards": q_export_shards,
+        "anchor_terms": q_anchor_terms,
+        "bm25_search": q_bm25_search,
+        "chunk_docs": q_chunk_docs,
+        "kmeans_cells": q_kmeans_cells,
+        "robots_filter": q_robots_filter,
+        "warc_records": q_warc_records,
+        "crawl_frontier": q_crawl_frontier,
+        "sitemap_entries": q_sitemap_entries,
+        "ccnet_buckets": q_ccnet_buckets,
+        "main_content": q_main_content,
+        "charset_guess": q_charset_guess,
+        "crawler_traps": q_crawler_traps,
+        "template_clusters": q_template_clusters,
+        "frontier_interleave": q_frontier_interleave,
+        "link_stats": q_link_stats,
+        "corr_profile": q_corr_profile,
+        "script_profile": q_script_profile,
+        "budget_sample_approx": q_budget_sample_approx,
+        "public_suffix_stats": q_public_suffix_stats,
+        "quality_classifier": q_quality_classifier,
+        # --- driver-attested in rounds 1-4 (all green) ---
         "mixed_lang": q_mixed_lang,
         "redirect_resolve": q_redirect_resolve,
         "code_detect": q_code_detect,
@@ -7923,98 +8013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "host_triangles": q_host_triangles,
         "join_size_est": q_join_size_est,
-        "homoglyph": q_homoglyph,
-        "cdc_chunks": q_cdc_chunks,
-        "mime_sniff": q_mime_sniff,
-        "trustrank": q_trustrank,
-        "stupid_backoff": q_stupid_backoff,
-        "url_param_policy": q_url_param_policy,
-        "page_meta": q_page_meta,
-        "mojibake_repair": q_mojibake_repair,
-        "pack_sequences": q_pack_sequences,
-        "tdigest_chars": q_tdigest_chars,
-        "jsonld_validate": q_jsonld_validate,
-        "recrawl_priority": q_recrawl_priority,
-        "host_reciprocity": q_host_reciprocity,
-        "embedding_project": q_embedding_project,
-        "epoch_plan": q_epoch_plan,
-        "wet_export": q_wet_export,
-        "canonical_dedup": q_canonical_dedup,
-        "url_hll_sketch": q_url_hll_sketch,
-        "url_distinct_hll": q_url_distinct_hll,
-        "url_kmv_sketch": q_url_kmv_sketch,
-        "url_kmv_overlap": q_url_kmv_overlap,
-        "temperature_mixture": q_temperature_mixture,
-        "snapshot_delta": q_snapshot_delta,
-        "vocab_stats": q_vocab_stats,
-        "shingle_novelty": q_shingle_novelty,
-        "url_bloom_bits": q_url_bloom_bits,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "crawl_schedule": q_crawl_schedule,
-        "robots_sitemap_urls": q_robots_sitemap_urls,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "token_cms": q_token_cms,
-        "hist_quantiles_chars": q_hist_quantiles_chars,
-        "hist_quantiles_ts": q_hist_quantiles_ts,
-        "drift_hist": q_drift_hist,
-        "hashed_embedding": q_hashed_embedding,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
-        "lm_score": q_lm_score,
-        "dsir_weight": q_dsir_weight,
-        "dedup_keep_latest": q_dedup_keep_latest,
-        "budget_sample": q_budget_sample,
-        "url_normalize": q_url_normalize,
-        "host_stats": q_host_stats,
-        "url_dedup": q_url_dedup,
-        "dedup_incremental": q_dedup_incremental,
-        "dup_spans": q_dup_spans,
-        "dup_span_remove": q_dup_span_remove,
-        "nfc_normalize": q_nfc_normalize,
-        "compression_ratio": q_compression_ratio,
-        "readability": q_readability,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "prototypicality": q_prototypicality,
-        "leakage_safe_split": q_leakage_safe_split,
-        "lsh_recall": q_lsh_recall,
-        "containment_pairs": q_containment_pairs,
-        "semantic_recall": q_semantic_recall,
-        "pipeline_end2end": q_pipeline_end2end,
-        "top_ngrams": q_top_ngrams,
-        "validate_cube": q_validate_cube,
-        "mixture_sample": q_mixture_sample,
-        "boilerplate_strip": q_boilerplate_strip,
-        "domain_cap": q_domain_cap,
-        "semantic_dedup": q_semantic_dedup,
-        "sessionize_events": q_sessionize_events,
-        "html_extract": q_html_extract,
-        "host_rank": q_host_rank,
-        "host_hits": q_host_hits,
-        "export_shards": q_export_shards,
-        "anchor_terms": q_anchor_terms,
-        "bm25_search": q_bm25_search,
-        "chunk_docs": q_chunk_docs,
-        "kmeans_cells": q_kmeans_cells,
-        "robots_filter": q_robots_filter,
-        "warc_records": q_warc_records,
-        "crawl_frontier": q_crawl_frontier,
-        "sitemap_entries": q_sitemap_entries,
-        "ccnet_buckets": q_ccnet_buckets,
-        "main_content": q_main_content,
-        "charset_guess": q_charset_guess,
-        "crawler_traps": q_crawler_traps,
-        "template_clusters": q_template_clusters,
-        "frontier_interleave": q_frontier_interleave,
-        "link_stats": q_link_stats,
-        "corr_profile": q_corr_profile,
-        "script_profile": q_script_profile,
-        # --- new in round 4 (no driver attestation yet) ---
-        "budget_sample_approx": q_budget_sample_approx,
-        "public_suffix_stats": q_public_suffix_stats,
-        "quality_classifier": q_quality_classifier,
-        # --- attested in CORRECTNESS_r02 + r03 (all green twice) ---
         "validate_docs_counts": q_validate_docs_counts,
         "validate_docs_by_lang": q_validate_docs_by_lang,
         "violations_docs": q_violations_docs,

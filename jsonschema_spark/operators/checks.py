@@ -580,7 +580,10 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
     n = F.coalesce(F.col("n_rows"), F.lit(0)).cast("long")
     tot = j.agg(F.sum(n).alias("_t"))
     out = j.crossJoin(F.broadcast(tot))
-    obs = F.floor((n * 1_000_000).cast("double") / F.col("_t"))
+    # No qualifying rows (|x| >= 1) means _t == 0: ANSI division would
+    # throw — emit NULL observed/dev (metric unmeasurable) instead.
+    obs = F.when(F.col("_t") > 0,
+                 F.floor((n * 1_000_000).cast("double") / F.col("_t")))
     return out.select(
         "digit", n.alias("n_rows"),
         obs.cast("long").alias("observed_ppm"),

@@ -1626,7 +1626,11 @@ def robust_outliers(
     )
     return g.select(
         group_col, "n_rows", "n_out_low", "n_out_high",
-        F.floor(((F.col("n_out_low") + F.col("n_out_high"))
-                 * 1_000_000).cast("double") / F.col("n_rows"))
+        # A group whose values are all NULL has n_rows == 0 (count of
+        # non-NULL): guard the ratio — ANSI Spark throws on /0.
+        F.when(
+            F.col("n_rows") > 0,
+            F.floor(((F.col("n_out_low") + F.col("n_out_high"))
+                     * 1_000_000).cast("double") / F.col("n_rows")))
         .cast("long").alias("outlier_ppm"),
     )

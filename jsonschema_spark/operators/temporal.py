@@ -68,9 +68,12 @@ def asof_join(
 
     Contracts: right rows with a NULL ``right_ts`` never match (they
     are dropped); left rows with a NULL ``left_ts`` come out
-    unmatched; if several right rows share (key, ts) the one latest
-    in the (deterministic) struct sort of ``value_cols`` wins — pass
-    a pre-deduplicated right side when that tie matters.
+    unmatched; if several right rows share (key, ts) the one greatest
+    in the struct sort of ``value_cols`` wins (the window tie-breaks
+    on that struct, so the winner is deterministic) — pass a
+    pre-deduplicated right side when that tie matters. All
+    ``value_cols`` come from the SAME matched right row — a matched
+    row's NULL value stays NULL (never backfilled from an older row).
     ``tolerance_s`` nulls the match (ts, gap and values) when the gap
     exceeds it, keeping the row — the left-join shape is stable.
     """
@@ -80,6 +83,8 @@ def asof_join(
                          else [c for c in left.columns
                                if c not in (on, left_ts)])]
     vcols = list(value_cols)
+    if not vcols:
+        raise ValueError("value_cols must be non-empty")
     clash = set(vcols) & (set(lcols) | {on, left_ts})
     if clash:
         raise ValueError(f"value_cols clash with left columns: {clash}")
@@ -106,17 +111,27 @@ def asof_join(
     u = l2.unionByName(r2)
     ts_order = (F.col("_ts").asc_nulls_first() if direction == "backward"
                 else F.col("_ts").desc_nulls_first())
+    # Tie-break equal (ts, side) right rows by the value struct so the
+    # winner is deterministic (docstring contract); left rows carry an
+    # all-NULL struct, so their relative order stays irrelevant.
     w = (
         Window.partitionBy("_k")
-        .orderBy(ts_order, F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc(),
+                 F.struct(*[F.col(c) for c in vcols]).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE running last over a struct of ALL value columns guarded on
+    # _side==0: every value column comes from the single matched right
+    # row, and a matched row's legitimately-NULL value stays NULL (a
+    # per-column last(when(...), ignorenulls) would skip it and backfill
+    # from an OLDER right row — the divergence ADVICE r4 repro'd).
     matched = u.select(
         "_k", "_ts", "_side",
         *[F.col(c) for c in lcols],
         F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-          .over(w).alias(c) for c in vcols],
+        F.last(F.when(F.col("_side") == 0,
+                      F.struct(*[F.col(c) for c in vcols])),
+               ignorenulls=True).over(w).alias("_vals"),
     ).where(F.col("_side") == 1)
 
     # NTZ-proof exact micros: cast interprets wall time in the session
@@ -134,7 +149,7 @@ def asof_join(
         *[F.col(c) for c in lcols],
         F.when(keep, F.col("asof_ts")).alias("asof_ts"),
         F.when(keep, gap).cast("long").alias("asof_gap_us"),
-        *[F.when(keep, F.col(c)).alias(c) for c in vcols],
+        *[F.when(keep, F.col("_vals")[c]).alias(c) for c in vcols],
     )
 
 

@@ -393,8 +393,13 @@ def sampled_verdict(
         n_inv.alias("n_invalid"),
     ).select(
         "*",
-        F.floor((F.col("n_invalid") * 1_000_000).cast("double")
-                / F.col("n_sampled")).cast("long")
+        # ANSI Spark throws DIVIDE_BY_ZERO even for double division:
+        # guard the empty-sample case (NULL est, the NULL-metric-fails
+        # convention) instead of aborting the job.
+        F.when(
+            F.col("n_sampled") > 0,
+            F.floor((F.col("n_invalid") * 1_000_000).cast("double")
+                    / F.col("n_sampled")).cast("long"))
         .alias("est_invalid_ppm"),
     )
 

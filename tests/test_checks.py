@@ -387,6 +387,38 @@ def test_sampled_verdict_hand_computed(spark):
     assert tuple(r) == tuple(r2)
 
 
+def test_zero_denominator_guards(spark):
+    # ADVICE r4: ANSI Spark throws DIVIDE_BY_ZERO even for double
+    # division — empty-sample / no-qualifying-rows / all-NULL-group
+    # must yield NULL metrics, not abort the job.
+    from jsonschema_spark.operators.checks import benford_profile
+    from jsonschema_spark.operators.stats import robust_outliers
+    from jsonschema_spark.operators.validate import sampled_verdict
+
+    schema = {"required": ["k"]}
+    df = spark.createDataFrame([(i, i) for i in range(5)],
+                               "k long, v long")
+    # sample_ppm=0 selects nothing: est must be NULL, counts 0
+    r = sampled_verdict(df, schema, "k", 0).collect()[0]
+    assert (r["n_total"], r["n_sampled"], r["est_invalid_ppm"]) \
+        == (5, 0, None)
+
+    # no rows with |x| >= 1: all 9 digit rows, NULL observed/dev
+    frac = spark.createDataFrame([(0.5,), (-0.25,), (None,)],
+                                 "x double")
+    prof = benford_profile(frac, "x").collect()
+    assert len(prof) == 9
+    assert all(p["n_rows"] == 0 and p["observed_ppm"] is None
+               and p["dev_ppm"] is None for p in prof)
+
+    # group whose values are all NULL: n_rows 0, NULL ppm
+    g = spark.createDataFrame([("a", None), ("a", None), ("b", 1.0)],
+                              "g string, x double")
+    got = {r["g"]: r for r in robust_outliers(g, "g", "x").collect()}
+    assert (got["a"]["n_rows"], got["a"]["outlier_ppm"]) == (0, None)
+    assert got["b"]["n_rows"] == 1
+
+
 def test_violation_pareto_hand_computed(spark):
     from jsonschema_spark.operators.validate import violation_pareto
 

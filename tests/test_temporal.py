@@ -86,6 +86,41 @@ def test_asof_join_partition_invariant(spark):
     assert a == b
 
 
+def test_asof_join_null_value_from_matched_row(spark):
+    # ADVICE r4 repro: the matched (latest) right row carries a NULL
+    # value column — it must stay NULL, not backfill from an older row,
+    # and ALL value columns must come from that single matched row.
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:00"), 1, "old"),
+         ("a", _ts("2024-01-01 10:00:05"), None, "new")],
+        "k string, rts timestamp, val long, tag string")
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:06"), "L")],
+        "k string, lts timestamp, x string")
+    row = asof_join(left, right, "k", "lts", "rts",
+                    ["val", "tag"]).collect()[0]
+    assert row["asof_ts"] == _ts("2024-01-01 10:00:05")
+    assert row["val"] is None          # NOT backfilled to 1
+    assert row["tag"] == "new"         # same row as the NULL val
+
+
+def test_asof_join_tied_right_rows_deterministic(spark):
+    # Right rows sharing (key, ts): the greatest value_cols struct wins,
+    # regardless of input partitioning (docstring contract).
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:00"), 3, "x"),
+         ("a", _ts("2024-01-01 10:00:00"), 9, "y"),
+         ("a", _ts("2024-01-01 10:00:00"), 5, "z")],
+        "k string, rts timestamp, val long, tag string")
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:01"), "L")],
+        "k string, lts timestamp, x string")
+    for r in (right, right.repartition(5), right.coalesce(1)):
+        row = asof_join(left, r, "k", "lts", "rts",
+                        ["val", "tag"]).collect()[0]
+        assert (row["val"], row["tag"]) == (9, "y")
+
+
 def test_funnel_hand_computed(spark):
     rows = []
     seqs = {

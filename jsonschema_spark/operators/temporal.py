@@ -153,6 +153,41 @@ def asof_join(
     )
 
 
+def _cap_per_user(
+    ev: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_events_per_user: Optional[int],
+) -> DataFrame:
+    """Hot-user guard for the funnel family: keep each user's EARLIEST
+    ``max_events_per_user`` step-type events (ties break on type, so
+    the kept set is deterministic). Bounds the per-user array the fold
+    strategy collects — one bot user with 10⁷ step-type events would
+    otherwise hold the whole array in a single task's agg buffer (the
+    hot-key failure max_band_df exists to prevent in LSH). The
+    row_number window sorts per user (spillable external sort — rows
+    stream, never an in-memory array) and hash-partitions by user, so
+    the downstream groupBy(user) reuses the exchange.
+
+    Truncation semantics: the funnel level is computed over the
+    earliest cap events; users whose greedy sequence completes within
+    them (every human) are unaffected, a bot past the cap can only
+    under-report its level. ``None`` disables.
+    """
+    if max_events_per_user is None:
+        return ev
+    if max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1 or None")
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col), F.col(type_col))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_events_per_user)
+        .drop("_rn")
+    )
+
+
 def funnel(
     events: DataFrame,
     user_col: str,
@@ -160,6 +195,7 @@ def funnel(
     type_col: str,
     steps: Sequence[str],
     strategy: str = "fold",
+    max_events_per_user: Optional[int] = 100_000,
 ) -> DataFrame:
     """Ordered-funnel conversion: a user reaches step k iff events of
     types steps[0..k-1] exist at STRICTLY increasing timestamps (the
@@ -189,6 +225,14 @@ def funnel(
     oracle's shape: k shuffles of SHRINKING user sets, each map-side
     combinable, no arrays; wins when the per-user streams are long or
     k is small). Row-identical output, equality test-pinned.
+
+    ``max_events_per_user`` (default 100_000) bounds the per-user
+    state: only each user's EARLIEST cap step-type events count (see
+    ``_cap_per_user`` — deterministic, spillable, reuses the exchange).
+    No human reaches the default cap, so small-scale results are
+    unchanged; one bot user with 10⁷ step events no longer pins a
+    single task's memory. Applied to BOTH strategies so they stay
+    row-identical. ``None`` disables (the uncapped r4 plan).
     """
     steps = list(steps)
     if not steps:
@@ -202,6 +246,7 @@ def funnel(
             & F.col(type_col).isin(steps)).select(
             F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"),
             F.col(type_col).alias("_t"))
+        ev = _cap_per_user(ev, "_u", "_ts", "_t", max_events_per_user)
         cur = ev.where(F.col("_t") == steps[0]) \
             .groupBy("_u").agg(F.min("_ts").alias("_mt"))
         ones = [cur.agg(F.count(F.lit(1)).cast("long").alias("n1"))]
@@ -239,6 +284,8 @@ def funnel(
     ev = events.where(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
         & F.col(type_col).isin(steps))
+    ev = _cap_per_user(ev, user_col, ts_col, type_col,
+                       max_events_per_user)
     per_user = ev.groupBy(F.col(user_col).alias("_u")).agg(
         F.array_sort(F.collect_list(F.struct(
             F.col(ts_col).alias("ts"),
@@ -435,6 +482,7 @@ def funnel_durations(
     ts_col: str,
     type_col: str,
     steps: Sequence[str],
+    max_events_per_user: Optional[int] = 100_000,
 ) -> DataFrame:
     """Time-to-convert companion of ``funnel``: the same greedy
     earliest-feasible step sequence, but the fold records the matched
@@ -447,7 +495,8 @@ def funnel_durations(
     users who REACHED step i (0 on step 1 by construction; NULL when
     nobody reached). Same single-exchange plan as funnel — the state
     array adds ≤k timestamps per user. Strict-ordering and
-    tie semantics identical to funnel (the same fold guard).
+    tie semantics identical to funnel (the same fold guard), including
+    the ``max_events_per_user`` hot-user cap (see funnel/_cap_per_user).
     """
     steps = list(steps)
     if not steps:
@@ -459,6 +508,8 @@ def funnel_durations(
     ev = events.where(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
         & F.col(type_col).isin(steps))
+    ev = _cap_per_user(ev, user_col, ts_col, type_col,
+                       max_events_per_user)
     per_user = ev.groupBy(F.col(user_col).alias("_u")).agg(
         F.array_sort(F.collect_list(F.struct(
             F.col(ts_col).alias("ts"),

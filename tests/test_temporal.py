@@ -351,3 +351,70 @@ def test_funnel_strategies_equal(spark):
     zb = funnel(df.where(F.col("t") != "A"), "u", "ts", "t",
                 steps, strategy="passes").collect()
     assert sorted(map(tuple, za)) == sorted(map(tuple, zb))
+
+
+def test_funnel_hot_user_cap(spark):
+    """VERDICT r4 directive 2: the max_events_per_user guard.
+
+    (a) planted bot — ONE user with 10⁶ step-type events completes
+        under a small cap (the collect_list array is cap-bounded, not
+        event-bounded) and still full-converts: its earliest events
+        already contain A<B<C;
+    (b) truncation semantics — a user whose completing event lies
+        BEYOND the cap under-reports exactly as documented;
+    (c) default cap is behavior-preserving at human scales and both
+        strategies stay row-identical under a cap.
+    """
+    from jsonschema_spark.operators.temporal import (
+        funnel, funnel_durations)
+
+    steps = ["A", "B", "C"]
+    # bot: 10^6 events cycling A,B,C every second; 5 humans with A<B<C
+    bot = spark.range(1_000_000).select(
+        F.lit("bot").alias("u"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id")).alias("ts"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("B"), F.lit("C")),
+            (F.col("id") % 3 + 1).cast("int")).alias("t"))
+    hum = spark.range(5).select(
+        F.concat(F.lit("h"), F.col("id")).alias("u"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id")).alias("ts"),
+        F.lit("A").alias("t"))
+    hum = hum.unionByName(
+        hum.select("u", (F.col("ts") + F.expr("INTERVAL 10 SECONDS")
+                         ).alias("ts"), F.lit("B").alias("t"))
+    ).unionByName(
+        hum.select("u", (F.col("ts") + F.expr("INTERVAL 20 SECONDS")
+                         ).alias("ts"), F.lit("C").alias("t")))
+    ev = bot.unionByName(hum)
+    got = {r["step"]: r["n_users"] for r in
+           funnel(ev, "u", "ts", "t", steps,
+                  max_events_per_user=1000).collect()}
+    assert got == {1: 6, 2: 6, 3: 6}  # bot + 5 humans all convert
+    d = {r["step"]: r["n_users"] for r in
+         funnel_durations(ev, "u", "ts", "t", steps,
+                          max_events_per_user=1000).collect()}
+    assert d == {1: 6, 2: 6, 3: 6}
+
+    # (b) user whose C arrives only at event #4: cap=3 truncates it
+    late = spark.createDataFrame(
+        [("x", _ts("2024-01-01 10:00:00"), "A"),
+         ("x", _ts("2024-01-01 10:00:01"), "B"),
+         ("x", _ts("2024-01-01 10:00:02"), "B"),
+         ("x", _ts("2024-01-01 10:00:03"), "C")],
+        "u string, ts timestamp, t string")
+    capped = {r["step"]: r["n_users"] for r in
+              funnel(late, "u", "ts", "t", steps,
+                     max_events_per_user=3).collect()}
+    assert capped == {1: 1, 2: 1, 3: 0}
+    full = {r["step"]: r["n_users"] for r in
+            funnel(late, "u", "ts", "t", steps).collect()}
+    assert full == {1: 1, 2: 1, 3: 1}  # default cap >> 4 events
+
+    # (c) both strategies identical under the same cap
+    a = sorted(map(tuple, funnel(ev, "u", "ts", "t", steps,
+                                 max_events_per_user=1000).collect()))
+    b = sorted(map(tuple, funnel(ev, "u", "ts", "t", steps,
+                                 strategy="passes",
+                                 max_events_per_user=1000).collect()))
+    assert a == b

@@ -42,6 +42,42 @@ from jsonschema_spark.operators.dedup import hash56, tokens
 
 PPM = 1_000_000
 
+# Safe-by-default model sizing (the auto-rows_per_band precedent): both
+# knobs derive from the ONE number the model build already computes —
+# the reference token count N — so they cost zero extra jobs. The
+# count-cutoff type bound (#ngrams with count >= c is <= N/c, with
+# equality only in the degenerate all-distinct corpus) gives:
+# - auto min_count = ceil(N / AUTO_MODEL_MAX_ROWS): every numerator
+#   table is capped at AUTO_MODEL_MAX_ROWS rows; 1 (no pruning) for any
+#   corpus under AUTO_MODEL_MAX_ROWS tokens, so small-scale results and
+#   oracle hashes are unchanged.
+# - broadcast gate: est_rows = N // min_count is an UPPER bound on the
+#   pruned table's rows; past BROADCAST_MAX_ROWS the model joins fall
+#   back to shuffle hash joins on the n-gram key (the classify.py
+#   size-gated-broadcast pattern) — AQE still picks broadcast at
+#   runtime when the built table turns out small.
+AUTO_MODEL_MAX_ROWS = 10_000_000
+BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _auto_min_count(n_tokens: int, min_count: int | None) -> int:
+    """Resolve the user's min_count: explicit values pass through
+    (floored at 1); None derives the count cutoff that caps every
+    numerator table at AUTO_MODEL_MAX_ROWS rows."""
+    if min_count is not None:
+        return max(int(min_count), 1)
+    return max(1, -(-int(n_tokens) // AUTO_MODEL_MAX_ROWS))
+
+
+def _maybe_broadcast(table: DataFrame, n_tokens: int,
+                     min_count: int) -> DataFrame:
+    """Size-gate a model-table broadcast on the N/min_count row upper
+    bound — conservative (never broadcasts a table bigger than the
+    bound), and zero extra jobs (no count() of the table itself)."""
+    if int(n_tokens) // max(int(min_count), 1) <= BROADCAST_MAX_ROWS:
+        return F.broadcast(table)
+    return table
+
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
@@ -50,21 +86,32 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def bigram_model(
     ref_df: DataFrame,
     text_col: str = "text",
-    min_count: int = 1,
-) -> tuple[DataFrame, DataFrame, int]:
+    min_count: int | None = None,
+) -> tuple[DataFrame, DataFrame, int, int]:
     """Train the add-one bigram model on the reference subset.
 
-    Returns (bigram_counts, prefix_counts, vocab_size):
+    Returns (bigram_counts, prefix_counts, vocab_size, n_tokens):
     - bigram_counts: (w1, w2, c2) with c2 >= min_count
-    - prefix_counts: (w1, c1) where c1 = Σ_w2 c2 BEFORE pruning, so the
-      smoothed probabilities stay a proper distribution per prefix
+    - prefix_counts: (w1, c1) where c1 = Σ_w2 c2 BEFORE pruning (the
+      smoothed probabilities stay a proper distribution per prefix);
+      rows with c1 < min_count are dropped — count monotonicity keeps
+      every surviving bigram's prefix, and a dropped rare prefix falls
+      through to the c1=0 smoothed denominator
     - vocab_size: distinct token types in the reference corpus (the
       add-one denominator's V)
+    - n_tokens: total reference token count (drives the auto min_count
+      and the scoring side's broadcast gate)
+
+    ``min_count=None`` (default) auto-derives the cutoff from n_tokens
+    so the pruned tables are bounded regardless of corpus size (see
+    ``_auto_min_count`` — 1, i.e. unpruned, below 10M tokens).
 
     One explode of the reference corpus feeds all three aggregates.
     """
     toks = ref_df.select(tokens(F.col(text_col)).alias("_toks"))
     sz = F.size("_toks")
+    n_tokens = int(toks.agg(F.sum(sz)).collect()[0][0] or 0)
+    min_count = _auto_min_count(n_tokens, min_count)
     pairs = toks.where(sz >= 2).select(
         F.explode(
             F.arrays_zip(
@@ -73,20 +120,33 @@ def bigram_model(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # materialize the bigram counts once: prefixes derive from them and
-    # BOTH tables broadcast to the scoring side — without the checkpoint
-    # the reference-corpus explode would run once per consumer (model
-    # training is already an action: vocab collects below)
     bigrams = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2")
-    ).localCheckpoint(eager=True)
-    prefixes = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        F.count(F.lit(1)).alias("c2"))
+    if n_tokens <= AUTO_MODEL_MAX_ROWS:
+        # small corpus: pin the counts once (prefixes + both scoring
+        # joins consume them; without the checkpoint the explode would
+        # re-run per consumer) — the table is bounded by n_tokens here
+        bigrams = bigrams.localCheckpoint(eager=True)
+        prefixes = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    else:
+        # crawl scale: NOTHING corpus-sized is pinned (the
+        # trigram_model contract — the r4 unpruned-checkpoint OOM was
+        # exactly this shape); prefixes re-aggregate the explode
+        # directly (identical counts), trading one extra linear scan
+        # for an O(distinct-bigrams) resident table
+        prefixes = pairs.groupBy("w1").agg(
+            F.count(F.lit(1)).cast("long").alias("c1"))
     if min_count > 1:
         bigrams = bigrams.where(F.col("c2") >= min_count)
+        # prefix ROWS prune under the same cutoff (values are the
+        # unpruned sums): c2 <= c1, so every surviving bigram's prefix
+        # row survives; a pruned rare prefix falls through to the
+        # c1=0 smoothed denominator — the count-cutoff contract.
+        prefixes = prefixes.where(F.col("c1") >= min_count)
     vocab = toks.select(F.explode("_toks").alias("w")).agg(
         F.countDistinct("w").alias("v")
     ).collect()[0]["v"]
-    return bigrams, prefixes, int(vocab)
+    return bigrams, prefixes, int(vocab), n_tokens
 
 
 def ngram_lm_score(
@@ -95,7 +155,7 @@ def ngram_lm_score(
     text_col: str,
     ref_df: DataFrame | None = None,
     ref_text_col: str | None = None,
-    min_count: int = 1,
+    min_count: int | None = None,
     portable: bool = True,
 ) -> DataFrame:
     """Score every document by mean smoothed bigram probability under a
@@ -106,10 +166,14 @@ def ngram_lm_score(
 
     CCNet keeps the low-perplexity head; here that is the HIGH
     lm_score_ppm head (probability, not perplexity — same ordering,
-    reversed sign). ``min_count`` prunes the broadcast bigram table —
-    at crawl scale set it so the model fits executor memory; pruned
-    bigrams fall back to the unseen-bigram smoothed score, which is the
-    standard count-cutoff LM approximation.
+    reversed sign). ``min_count`` prunes the model tables; the DEFAULT
+    (None) auto-derives the cutoff from the reference token count so
+    the model is bounded on ANY corpus (unpruned below 10M tokens —
+    small-scale results unchanged), and the model joins broadcast only
+    while the N/min_count row bound fits executor memory, falling back
+    to shuffle hash joins past it (``_maybe_broadcast``). Pruned
+    bigrams fall back to the unseen-bigram smoothed score, which is
+    the standard count-cutoff LM approximation.
 
     ``portable=False`` keys BOTH broadcast joins on ``xxhash64`` longs
     instead of bigram strings (the dedup/dsir fast-path split: only
@@ -122,9 +186,10 @@ def ngram_lm_score(
     string family stays the default.
     """
     ref = ref_df if ref_df is not None else df
-    bigrams, prefixes, v = bigram_model(
+    bigrams, prefixes, v, n_ref = bigram_model(
         ref, ref_text_col or text_col, min_count=min_count
     )
+    mc = _auto_min_count(n_ref, min_count)
     toks = _doc_tokens(df, id_col, text_col)
     sz = F.size("_toks")
     doc_bg = toks.select(
@@ -159,8 +224,8 @@ def ngram_lm_score(
         present = F.col("h1").isNotNull()
     scored = (
         doc_bg
-        .join(F.broadcast(bigrams), bg_keys, "left")
-        .join(F.broadcast(prefixes), pf_keys, "left")
+        .join(_maybe_broadcast(bigrams, n_ref, mc), bg_keys, "left")
+        .join(_maybe_broadcast(prefixes, n_ref, mc), pf_keys, "left")
         .select(
             id_col,
             F.when(
@@ -272,7 +337,7 @@ def dsir_weight(
 def trigram_model(
     ref_df: DataFrame,
     text_col: str = "text",
-    min_count: int = 1,
+    min_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Train the stupid-backoff trigram model (Brants et al. 2007,
     "Large Language Models in Machine Translation" — the web-scale LM
@@ -290,7 +355,11 @@ def trigram_model(
     ``min_count`` prunes ALL THREE numerator tables (uni included —
     the open-vocabulary tail of a crawl otherwise grows the broadcast
     unigram table with corpus size; a pruned rare unigram falls through
-    to OOV, the standard count-cutoff contract). Count monotonicity
+    to OOV, the standard count-cutoff contract). The DEFAULT (None)
+    auto-derives the cutoff from n_tokens (``_auto_min_count``: 1 —
+    unpruned — below 10M tokens, so small corpora are unchanged; at
+    crawl scale the cutoff caps every table at AUTO_MODEL_MAX_ROWS
+    rows by the count-cutoff type bound). Count monotonicity
     (c3 ≤ c2(w1,w2) ≤ c1(w1)) guarantees every kept numerator's
     CONTEXT row survives the same cutoff, so pruning never strands a
     lookup; context VALUES (ctx2, ctx1) are attached from the unpruned
@@ -312,6 +381,7 @@ def trigram_model(
     sz = F.size("_toks")
     n_tokens = int(
         toks.agg(F.sum(sz)).collect()[0][0] or 0)
+    min_count = _auto_min_count(n_tokens, min_count)
     c1 = toks.select(F.explode("_toks").alias("w1")).groupBy("w1").agg(
         F.count(F.lit(1)).cast("long").alias("c1"))
     c2 = toks.where(sz >= 2).select(
@@ -348,7 +418,7 @@ def stupid_backoff_score(
     text_col: str,
     ref_df: DataFrame | None = None,
     ref_text_col: str | None = None,
-    min_count: int = 1,
+    min_count: int | None = None,
 ) -> DataFrame:
     """Score every document with a stupid-backoff trigram LM trained on
     ``ref_df`` (Brants et al. 2007; fixed backoff α = 0.4):
@@ -370,14 +440,18 @@ def stupid_backoff_score(
     gibberish drowns in tier 1/OOV). Docs under 3 tokens score 0.
 
     Scale shape: scoring is one explode into (w1,w2,w3) triples + THREE
-    broadcast left joins (model tables are count-pruned via
-    ``min_count``; at crawl scale set it so they fit executor memory —
-    pruned n-grams fall through to the next tier, which is exactly the
-    stupid-backoff contract) + one map-side-partial groupBy(doc). The
-    corpus itself never shuffles."""
+    model left joins (count-pruned via ``min_count`` — the DEFAULT
+    auto-derives a cutoff that bounds every table regardless of corpus
+    size, see trigram_model; pruned n-grams fall through to the next
+    tier, which is exactly the stupid-backoff contract) + one map-side-
+    partial groupBy(doc). The joins broadcast only while the
+    N/min_count row bound fits executor memory and fall back to
+    shuffle hash joins past it (``_maybe_broadcast``) — the corpus
+    itself never shuffles on the broadcast path."""
     ref = ref_df if ref_df is not None else df
     tri, bi, uni, n = trigram_model(
         ref, ref_text_col or text_col, min_count=min_count)
+    mc = _auto_min_count(n, min_count)
     toks = _doc_tokens(df, id_col, text_col)
     sz = F.size("_toks")
     trips = toks.select(
@@ -398,9 +472,9 @@ def stupid_backoff_score(
     )
     joined = (
         trips
-        .join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(bi), ["w2", "w3"], "left")
-        .join(F.broadcast(uni), ["w3"], "left")
+        .join(_maybe_broadcast(tri, n, mc), ["w1", "w2", "w3"], "left")
+        .join(_maybe_broadcast(bi, n, mc), ["w2", "w3"], "left")
+        .join(_maybe_broadcast(uni, n, mc), ["w3"], "left")
     )
     sentinel = F.col("w1").isNull()  # explode_outer row for short docs
     p = (

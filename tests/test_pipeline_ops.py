@@ -2260,6 +2260,65 @@ def test_stupid_backoff_partition_invariance(spark):
     assert a == b and len(a) == 120
 
 
+def test_lm_safe_defaults(spark, monkeypatch):
+    """VERDICT r4 directive 3: the LM model joins are safe by DEFAULT.
+
+    (a) auto min_count derives from the reference token count — 1 (no
+        pruning) below AUTO_MODEL_MAX_ROWS tokens, ceil(N/max_rows)
+        past it, explicit values pass through;
+    (b) the broadcast gate's shuffle-join fallback is row-identical to
+        the broadcast path (forced by shrinking BROADCAST_MAX_ROWS);
+    (c) default (None) equals explicit min_count=1 on a small corpus.
+    """
+    from jsonschema_spark.operators import lm
+
+    assert lm._auto_min_count(0, None) == 1
+    assert lm._auto_min_count(lm.AUTO_MODEL_MAX_ROWS, None) == 1
+    assert lm._auto_min_count(lm.AUTO_MODEL_MAX_ROWS + 1, None) == 2
+    assert lm._auto_min_count(10**12, None) == 10**12 // lm.AUTO_MODEL_MAX_ROWS
+    assert lm._auto_min_count(10**12, 7) == 7    # explicit wins
+    assert lm._auto_min_count(5, 0) == 1         # floored
+
+    rows = [(i, " ".join(f"w{(i * j) % 19}" for j in range(3 + i % 7)))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want_sb = sorted(map(tuple, lm.stupid_backoff_score(
+        docs, "doc_id", "text").collect()))
+    want_lm = sorted(map(tuple, lm.ngram_lm_score(
+        docs, "doc_id", "text").collect()))
+    assert want_sb == sorted(map(tuple, lm.stupid_backoff_score(
+        docs, "doc_id", "text", min_count=1).collect()))
+    assert want_lm == sorted(map(tuple, lm.ngram_lm_score(
+        docs, "doc_id", "text", min_count=1).collect()))
+
+    # force the shuffle-join fallback AND the no-checkpoint model path
+    monkeypatch.setattr(lm, "BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(lm, "AUTO_MODEL_MAX_ROWS", 10**9)  # keep mc=1
+    assert want_sb == sorted(map(tuple, lm.stupid_backoff_score(
+        docs, "doc_id", "text", min_count=1).collect()))
+    assert want_lm == sorted(map(tuple, lm.ngram_lm_score(
+        docs, "doc_id", "text", min_count=1).collect()))
+
+
+def test_lm_bigram_model_scale_path(spark, monkeypatch):
+    """Past AUTO_MODEL_MAX_ROWS tokens the bigram model pins nothing
+    (no localCheckpoint) and prunes prefix rows under the cutoff —
+    counts must equal the small-corpus path's on the same corpus."""
+    from jsonschema_spark.operators import lm
+
+    rows = [(i, " ".join(f"w{(i + j) % 11}" for j in range(6)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bg_s, pf_s, v_s, n_s = lm.bigram_model(docs, "text", min_count=2)
+    monkeypatch.setattr(lm, "AUTO_MODEL_MAX_ROWS", 1)  # force scale path
+    bg_l, pf_l, v_l, n_l = lm.bigram_model(docs, "text", min_count=2)
+    assert (v_s, n_s) == (v_l, n_l)
+    assert sorted(map(tuple, bg_s.collect())) == \
+        sorted(map(tuple, bg_l.collect()))
+    assert sorted(map(tuple, pf_s.collect())) == \
+        sorted(map(tuple, pf_l.collect()))
+
+
 def _h56_py(s: str) -> int:
     import hashlib
     return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)

@@ -194,19 +194,29 @@ def _upgrade_node(node, required_by_default: bool = False) -> None:
             node["not"] = branches[0]
         elif branches:
             node["not"] = {"anyOf": branches}
-    # dependencies → dependentRequired / dependentSchemas
+    # dependencies → dependentRequired / dependentSchemas; the draft-3
+    # STRING form `{"a": "b"}` means "a requires b"
+    # (upgrade_draft_3_to_draft_4.h:383 rewrite_dependencies_string_form)
     if isinstance(node.get("dependencies"), dict):
         deps = node.pop("dependencies")
         dreq, dsch = {}, {}
         for name, v in deps.items():
             if isinstance(v, list):
                 dreq[name] = v
+            elif isinstance(v, str):
+                dreq[name] = [v]
             else:
                 dsch[name] = v
         if dreq:
             node.setdefault("dependentRequired", {}).update(dreq)
         if dsch:
             node.setdefault("dependentSchemas", {}).update(dsch)
+    # drafts 0-3 format renames (upgrade_draft_3_to_draft_4.h:404
+    # rewrite_format): host-name → hostname, ip-address → ipv4
+    if isinstance(node.get("format"), str):
+        node["format"] = {"host-name": "hostname",
+                          "ip-address": "ipv4"}.get(node["format"],
+                                                    node["format"])
 
 
 def upgrade_schema(schema: Union[dict, bool]) -> Union[dict, bool]:

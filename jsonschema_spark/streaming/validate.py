@@ -200,6 +200,53 @@ def stream_sessionize(
     )
 
 
+def drain_sketch_state(
+    spark,
+    df: DataFrame,
+    build,
+    path: str,
+    query_name: str = "sketch_drain",
+    files_per_trigger: int = 1,
+    n_files: int = 3,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Batch-replay attestation harness for the streaming sketch
+    monitors: materialize ``df`` to parquet in ``n_files`` files,
+    re-read the SAME rows as a stream with ``maxFilesPerTrigger`` (so
+    the state genuinely merges across multiple micro-batches), push it
+    through ``build(stream_df)`` (one of the ``stream_*_sketch``
+    monitors), drain with ``availableNow`` into a complete-mode memory
+    sink, and return the FINAL state table.
+
+    Because every monitor's state is the portable sketch itself (an
+    associative/commutative aggregate over a stateless projection),
+    the returned table is bit-identical to the batch operator over the
+    drained rows — which is exactly what lets a plain SQL oracle
+    attest the STREAMING path: the driver's DuckDB replay of the batch
+    recipe must hash-match this drained state.
+    """
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+    q = (
+        build(sdf)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(query_name)
+
+
 def stream_hll_sketch(sdf: DataFrame, col: str, p: int = 12) -> DataFrame:
     """Streaming url-uniqueness sketch (north_rule: one-pass per-partition
     sketches, merged): the SAME stateless (bucket, rank) projection as the

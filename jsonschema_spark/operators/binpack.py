@@ -8,11 +8,13 @@ idea is that schema constraints shrink the wire form: a `const` costs 0
 bytes, a small `enum` one index byte, a bounded integer its offset, a
 closed object nothing but its values in canonical key order. The CLI's
 own mode is the schema-less fallback (tagged values). Both modes are
-re-expressed here over Spark binary columns; like the reference ("output
-might not be decodable across versions"), the byte layout is a
-version-local contract between THIS module's encode and decode — the
-parity claim is capability + compactness, not byte equality with the
-C++ engine.
+re-expressed here over Spark binary columns. The schema-DRIVEN layout
+is a version-local contract between THIS module's encode and decode
+(like the reference's own "output might not be decodable across
+versions" warning); the schema-LESS path additionally ships a
+BYTE-EXACT mirror of the reference's ANY_PACKED_TYPE_TAG_BYTE_PREFIX
+wire (``wire='reference'`` here; ``operators/binpack_wire.py``,
+golden-matched against /root/reference/test/encode/).
 
 Wire primitives (documented, version-local):
 - varint   = LEB128 unsigned little-endian, 7 bits per byte
@@ -445,16 +447,34 @@ def decode_instance(buf: bytes, schema: Union[dict, bool, None] = None):
 # --- Spark operators ---------------------------------------------------------
 
 
-def binpack_encode(doc_col: Column, schema: Union[dict, bool, None] = None) -> Column:
-    """JSON-string column → compact binary column (Arrow-batched)."""
+def binpack_encode(doc_col: Column, schema: Union[dict, bool, None] = None,
+                   wire: str = "local") -> Column:
+    """JSON-string column → compact binary column (Arrow-batched).
+
+    ``wire='reference'`` (schema-less only) emits the BYTE-EXACT JSON
+    BinPack ANY encoding of the reference CLI (operators/binpack_wire
+    — golden-matched against /root/reference/test/encode/), with one
+    fresh shared-string cache PER ROW so every cell is independently
+    decodable (the CLI's per-FILE cache is the ``encode_values``
+    framing — use it driver-side when writing whole .binpack files).
+    Default 'local' keeps this module's version-local format.
+    """
+    if wire not in ("local", "reference"):
+        raise ValueError("wire must be local|reference")
+    if wire == "reference" and schema is not None:
+        raise ValueError("wire='reference' is the schema-less CLI path")
     plan = encoding_plan(schema) if schema is not None else None
 
     @F.pandas_udf(BinaryType())
     def _enc(s: pd.Series) -> pd.Series:
+        from jsonschema_spark.operators.binpack_wire import encode_values
+
         def one(text):
             if text is None:
                 return None
             v = json.loads(text)
+            if wire == "reference":
+                return encode_values([v])
             out = bytearray()
             if plan is None:
                 _enc_any(v, out)
@@ -467,17 +487,27 @@ def binpack_encode(doc_col: Column, schema: Union[dict, bool, None] = None) -> C
     return _enc(doc_col)
 
 
-def binpack_decode(bin_col: Column, schema: Union[dict, bool, None] = None) -> Column:
+def binpack_decode(bin_col: Column, schema: Union[dict, bool, None] = None,
+                   wire: str = "local") -> Column:
     """Binary column → canonical JSON-string column."""
+    if wire not in ("local", "reference"):
+        raise ValueError("wire must be local|reference")
+    if wire == "reference" and schema is not None:
+        raise ValueError("wire='reference' is the schema-less CLI path")
     plan = encoding_plan(schema) if schema is not None else None
 
     @F.pandas_udf(StringType())
     def _dec(s: pd.Series) -> pd.Series:
+        from jsonschema_spark.operators.binpack_wire import decode_values
+
         def one(buf):
             if buf is None:
                 return None
-            v = (_dec_any(bytes(buf), 0)[0] if plan is None
-                 else decode_value(plan, bytes(buf), 0)[0])
+            if wire == "reference":
+                v = decode_values(bytes(buf))[0]
+            else:
+                v = (_dec_any(bytes(buf), 0)[0] if plan is None
+                     else decode_value(plan, bytes(buf), 0)[0])
             return canonical_dumps(v)
 
         return s.map(one)
@@ -485,9 +515,13 @@ def binpack_decode(bin_col: Column, schema: Union[dict, bool, None] = None) -> C
     return _dec(bin_col)
 
 
-def encode_df(df: DataFrame, doc_col: str, schema=None, out_col: str = "bin") -> DataFrame:
-    return df.withColumn(out_col, binpack_encode(F.col(doc_col), schema))
+def encode_df(df: DataFrame, doc_col: str, schema=None, out_col: str = "bin",
+              wire: str = "local") -> DataFrame:
+    return df.withColumn(out_col,
+                         binpack_encode(F.col(doc_col), schema, wire=wire))
 
 
-def decode_df(df: DataFrame, bin_col: str, schema=None, out_col: str = "doc") -> DataFrame:
-    return df.withColumn(out_col, binpack_decode(F.col(bin_col), schema))
+def decode_df(df: DataFrame, bin_col: str, schema=None, out_col: str = "doc",
+              wire: str = "local") -> DataFrame:
+    return df.withColumn(out_col,
+                         binpack_decode(F.col(bin_col), schema, wire=wire))

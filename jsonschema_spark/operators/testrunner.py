@@ -127,11 +127,25 @@ def _ctrf_scalar(v) -> str:
         return "true"
     if v is False:
         return "false"
+    if isinstance(v, float):
+        # stringify.h:74-107: signed zeros as 0.0/-0.0; integral reals
+        # as fixed digits + ".0"; otherwise shortest-round-trip
+        # (std::to_chars default == Python repr for doubles)
+        import math
+        from decimal import Decimal
+        if v == 0.0:
+            return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
+        if v.is_integer():
+            # to_chars(fixed) = SHORTEST round-trip digits in fixed
+            # notation (1e25 -> 1 then 25 zeros, NOT the exact binary
+            # expansion Python's :.0f would print)
+            return format(Decimal(repr(v)).normalize(), "f") + ".0"
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     if isinstance(v, str):
         return _ctrf_escape(v)
-    raise TypeError(f"unsupported CTRF scalar: {type(v)}")
+    raise TypeError(f"unsupported JSON scalar: {type(v)}")
 
 
 def prettify_json(doc, indentation: int = 0, indent_by: int = 2,

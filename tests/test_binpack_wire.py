@@ -150,6 +150,24 @@ def test_roundtrip_hypothesis(docs):
         assert _equiv(got, want), (got, want)
 
 
+def test_golden_decode_rendering():
+    """test/decode/pass_schema_less.sh: decode renders through the
+    reference prettifier — integral reals print as '2.0' (stringify.h
+    fixed-digits+'.0' rule), 2-space indent, trailing newline."""
+    from jsonschema_spark.operators.testrunner import prettify_json
+
+    blob = encode_values([json.loads('{ "version": 2.0 }')])
+    [doc] = decode_values(blob)
+    assert prettify_json(doc) + "\n" == '{\n  "version": 2.0\n}\n'
+    # the full real-rendering rule set
+    assert prettify_json(0.0) == "0.0"
+    assert prettify_json(-0.0) == "-0.0"
+    assert prettify_json(-3.0) == "-3.0"
+    assert prettify_json(0.1) == "0.1"
+    assert prettify_json(1e25) == "10000000000000000000000000.0"
+    assert prettify_json(1.5e-5) == "1.5e-05"
+
+
 def test_spark_reference_wire_roundtrip(spark):
     """wire='reference' on the DataFrame surface: per-row byte-exact
     CLI encoding, decode restores the canonical JSON."""

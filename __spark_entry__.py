@@ -7894,95 +7894,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 front block: the 88 queries with NO driver
         # CORRECTNESS row in any of rounds 1-4 (VERDICT r4 directive 1).
-        # The gate attests in dict order and truncates by time budget.
-        "streaming_hll_state": q_streaming_hll_state,
-        "homoglyph": q_homoglyph,
-        "cdc_chunks": q_cdc_chunks,
-        "mime_sniff": q_mime_sniff,
-        "trustrank": q_trustrank,
-        "stupid_backoff": q_stupid_backoff,
-        "url_param_policy": q_url_param_policy,
-        "page_meta": q_page_meta,
-        "mojibake_repair": q_mojibake_repair,
-        "pack_sequences": q_pack_sequences,
-        "tdigest_chars": q_tdigest_chars,
-        "jsonld_validate": q_jsonld_validate,
-        "recrawl_priority": q_recrawl_priority,
-        "host_reciprocity": q_host_reciprocity,
-        "embedding_project": q_embedding_project,
-        "epoch_plan": q_epoch_plan,
-        "wet_export": q_wet_export,
-        "canonical_dedup": q_canonical_dedup,
-        "url_hll_sketch": q_url_hll_sketch,
-        "url_distinct_hll": q_url_distinct_hll,
-        "url_kmv_sketch": q_url_kmv_sketch,
-        "url_kmv_overlap": q_url_kmv_overlap,
-        "temperature_mixture": q_temperature_mixture,
-        "snapshot_delta": q_snapshot_delta,
-        "vocab_stats": q_vocab_stats,
-        "shingle_novelty": q_shingle_novelty,
-        "url_bloom_bits": q_url_bloom_bits,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "crawl_schedule": q_crawl_schedule,
-        "robots_sitemap_urls": q_robots_sitemap_urls,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "token_cms": q_token_cms,
-        "hist_quantiles_chars": q_hist_quantiles_chars,
-        "hist_quantiles_ts": q_hist_quantiles_ts,
-        "drift_hist": q_drift_hist,
-        "hashed_embedding": q_hashed_embedding,
-        "lm_score": q_lm_score,
-        "dsir_weight": q_dsir_weight,
-        "dedup_keep_latest": q_dedup_keep_latest,
+        # The gate attests in dict order and truncates by TIME budget,
+        # so the block is ordered cheapest-first by measured sf0.01 gate
+        # wall (ORACLE_SELFCHECK_r05.md): 50 rows cost 37.6s vs 61.7s
+        # under the family grouping — the same budget attests ~20 more
+        # rows. streaming_hll_state (the directive-6 streaming-path
+        # attestation, ~12s of stream machinery) is pinned at position
+        # 25 so it lands safely inside any budget that reached 50 rows
+        # in round 4.
+        "leakage_safe_split": q_leakage_safe_split,
+        "readability": q_readability,
         "budget_sample": q_budget_sample,
-        "url_normalize": q_url_normalize,
-        "host_stats": q_host_stats,
-        "url_dedup": q_url_dedup,
-        "dedup_incremental": q_dedup_incremental,
-        "dup_spans": q_dup_spans,
-        "dup_span_remove": q_dup_span_remove,
+        "charset_guess": q_charset_guess,
+        "link_stats": q_link_stats,
+        "html_extract": q_html_extract,
+        "dedup_keep_latest": q_dedup_keep_latest,
+        "corr_profile": q_corr_profile,
+        "chunk_docs": q_chunk_docs,
         "nfc_normalize": q_nfc_normalize,
         "compression_ratio": q_compression_ratio,
-        "readability": q_readability,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "prototypicality": q_prototypicality,
-        "leakage_safe_split": q_leakage_safe_split,
-        "lsh_recall": q_lsh_recall,
-        "containment_pairs": q_containment_pairs,
-        "semantic_recall": q_semantic_recall,
-        "pipeline_end2end": q_pipeline_end2end,
-        "top_ngrams": q_top_ngrams,
-        "validate_cube": q_validate_cube,
-        "mixture_sample": q_mixture_sample,
-        "boilerplate_strip": q_boilerplate_strip,
         "domain_cap": q_domain_cap,
-        "semantic_dedup": q_semantic_dedup,
-        "sessionize_events": q_sessionize_events,
-        "html_extract": q_html_extract,
-        "host_rank": q_host_rank,
-        "host_hits": q_host_hits,
-        "export_shards": q_export_shards,
-        "anchor_terms": q_anchor_terms,
-        "bm25_search": q_bm25_search,
-        "chunk_docs": q_chunk_docs,
-        "kmeans_cells": q_kmeans_cells,
-        "robots_filter": q_robots_filter,
-        "warc_records": q_warc_records,
-        "crawl_frontier": q_crawl_frontier,
         "sitemap_entries": q_sitemap_entries,
-        "ccnet_buckets": q_ccnet_buckets,
-        "main_content": q_main_content,
-        "charset_guess": q_charset_guess,
+        "mojibake_repair": q_mojibake_repair,
+        "bpe_token_counts": q_bpe_token_counts,
+        "drift_hist": q_drift_hist,
+        "validate_cube": q_validate_cube,
+        "export_shards": q_export_shards,
+        "warc_records": q_warc_records,
+        "snapshot_delta": q_snapshot_delta,
+        "url_kmv_sketch": q_url_kmv_sketch,
+        "url_bloom_bits": q_url_bloom_bits,
+        "robots_sitemap_urls": q_robots_sitemap_urls,
         "crawler_traps": q_crawler_traps,
-        "template_clusters": q_template_clusters,
-        "frontier_interleave": q_frontier_interleave,
-        "link_stats": q_link_stats,
-        "corr_profile": q_corr_profile,
+        "streaming_hll_state": q_streaming_hll_state,
+        "sessionize_events": q_sessionize_events,
+        "recrawl_priority": q_recrawl_priority,
+        "hist_quantiles_chars": q_hist_quantiles_chars,
+        "hist_quantiles_ts": q_hist_quantiles_ts,
+        "anchor_terms": q_anchor_terms,
+        "page_meta": q_page_meta,
+        "boilerplate_strip": q_boilerplate_strip,
+        "embedding_project": q_embedding_project,
+        "url_dedup": q_url_dedup,
+        "url_hll_sketch": q_url_hll_sketch,
         "script_profile": q_script_profile,
+        "host_reciprocity": q_host_reciprocity,
+        "top_ngrams": q_top_ngrams,
+        "homoglyph": q_homoglyph,
+        "epoch_plan": q_epoch_plan,
+        "vocab_stats": q_vocab_stats,
+        "mixture_sample": q_mixture_sample,
+        "url_distinct_hll": q_url_distinct_hll,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "hashed_embedding": q_hashed_embedding,
+        "canonical_dedup": q_canonical_dedup,
+        "main_content": q_main_content,
+        "wet_export": q_wet_export,
+        "bm25_search": q_bm25_search,
+        "containment_pairs": q_containment_pairs,
+        "token_cms": q_token_cms,
+        "frontier_interleave": q_frontier_interleave,
         "budget_sample_approx": q_budget_sample_approx,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "dup_spans": q_dup_spans,
+        "jsonld_validate": q_jsonld_validate,
+        "temperature_mixture": q_temperature_mixture,
+        "lm_score": q_lm_score,
+        "url_normalize": q_url_normalize,
+        "dsir_weight": q_dsir_weight,
+        "prototypicality": q_prototypicality,
+        "pack_sequences": q_pack_sequences,
+        "shingle_novelty": q_shingle_novelty,
+        "url_param_policy": q_url_param_policy,
+        "tdigest_chars": q_tdigest_chars,
+        "dup_span_remove": q_dup_span_remove,
+        "robots_filter": q_robots_filter,
+        "ccnet_buckets": q_ccnet_buckets,
+        "host_stats": q_host_stats,
+        "kmeans_cells": q_kmeans_cells,
+        "url_kmv_overlap": q_url_kmv_overlap,
+        "host_rank": q_host_rank,
+        "template_clusters": q_template_clusters,
+        "cdc_chunks": q_cdc_chunks,
+        "crawl_schedule": q_crawl_schedule,
+        "stupid_backoff": q_stupid_backoff,
+        "mime_sniff": q_mime_sniff,
+        "semantic_dedup": q_semantic_dedup,
+        "host_hits": q_host_hits,
+        "semantic_recall": q_semantic_recall,
+        "dedup_incremental": q_dedup_incremental,
+        "crawl_frontier": q_crawl_frontier,
         "public_suffix_stats": q_public_suffix_stats,
+        "trustrank": q_trustrank,
+        "lsh_recall": q_lsh_recall,
+        "pipeline_end2end": q_pipeline_end2end,
+        "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
         # --- driver-attested in rounds 1-4 (all green) ---
         "mixed_lang": q_mixed_lang,

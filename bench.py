@@ -130,8 +130,9 @@ def main() -> None:
         with open(scaling_path) as f:
             sc = json.load(f)
         # prefer the most recent confirmation section when present
-        latest = sc.get("round4_final_confirmation",
-                        sc.get("round4_confirmation", sc))
+        latest = sc.get("round5_confirmation",
+                        sc.get("round4_final_confirmation",
+                               sc.get("round4_confirmation", sc)))
         out["scaling"] = {
             "pair": f"local[{sc['n_cores']}] -> local[{sc['n4_cores']}]",
             "efficiency": latest["scaling_efficiency"],

@@ -49,11 +49,18 @@ def measure_one(cores: int) -> dict:
     }
     out = {"cores": cores, "pages_rows": PAGES_ROWS, "timings": {}}
     for name, fn in jobs.items():
-        fn()
-        fn()  # two warm runs: codegen, OS page cache, JVM heap expansion
-        t0 = time.perf_counter()
-        fn()
-        out["timings"][name] = round(time.perf_counter() - t0, 3)
+        fn()  # warm run: codegen, OS page cache, JVM heap expansion
+        # median of 3 timed runs per JVM: a single timed run is hostage to
+        # one noisy-neighbor minute (observed 14.1-30.4 s spread on the
+        # identical violations job within a day); the intra-JVM median
+        # rejects a transient that hits one run without biasing the level
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(round(time.perf_counter() - t0, 3))
+        out["timings"][name] = sorted(ts)[1]
+        out.setdefault("raw", {})[name] = ts
     spark.stop()
     return out
 
@@ -72,7 +79,7 @@ def main() -> None:
         for cores in (n, n4):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", str(cores)],
-                capture_output=True, text=True, env=env, timeout=900,
+                capture_output=True, text=True, env=env, timeout=1800,
             )
             line = p.stdout.strip().splitlines()[-1]
             res = json.loads(line)

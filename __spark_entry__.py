@@ -6739,6 +6739,128 @@ SELECT json_key, n_rows,
 FROM g, t"""
 
 
+def q_infer_props_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Schema inference (operators/infer.py): the per-key typed
+    profile over a planted payload exercising the whole cross-engine
+    type lattice — integer (bounds), enum string, fractional number,
+    boolean, null|string union, object, array — plus malformed docs,
+    top-level arrays, a sparse key (%7 branch) and a path-unsafe key
+    ("weird.key", censused but excluded from the typed profile by
+    KEY_RE on BOTH sides). The DuckDB mirror re-derives every row
+    with dynamic json_type paths — two independent type-lattice
+    implementations agreeing per key."""
+    from jsonschema_spark.operators.infer import infer_json_stats
+
+    e = spark.read.parquet(_t(sf_dir, "events"))
+    c = F.col("event_id")
+    tag = F.element_at(
+        F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma")),
+        (c % 3).cast("int") + 1)
+    payload = (
+        F.when(c % 11 == 0, F.lit("{oops"))
+        .when(c % 13 == 0, F.lit("[1, 2]"))
+        .when(c % 7 == 0, F.concat(
+            F.lit('{"k": '), (c % 100).cast("string"),
+            F.lit(', "extra": "x", "weird.key": 1}')))
+        .otherwise(F.concat(
+            F.lit('{"k": '), (c % 100).cast("string"),
+            F.lit(', "tag": "'), tag,
+            F.lit('", "score": '), (c % 17).cast("string"), F.lit(".5"),
+            F.lit(', "flag": '),
+            F.when(c % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+            F.lit(', "note": '),
+            F.when(c % 5 == 0, F.lit("null")).otherwise(
+                F.concat(F.lit('"n'), (c % 50).cast("string"), F.lit('"'))),
+            F.lit(', "meta": {"a": 1}, "ids": ['),
+            (c % 4).cast("string"), F.lit("]}"))))
+    return infer_json_stats(e.select(payload.alias("p")), "p")
+
+
+_INFER_PAYLOAD_SQL = """
+  SELECT CASE WHEN event_id % 11 = 0 THEN '{oops'
+       WHEN event_id % 13 = 0 THEN '[1, 2]'
+       WHEN event_id % 7 = 0 THEN
+         '{"k": ' || (event_id % 100)::VARCHAR
+         || ', "extra": "x", "weird.key": 1}'
+       ELSE '{"k": ' || (event_id % 100)::VARCHAR || ', "tag": "'
+         || list_extract(['alpha','beta','gamma'],
+                         (event_id % 3)::INT + 1)
+         || '", "score": ' || (event_id % 17)::VARCHAR || '.5, "flag": '
+         || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+         || ', "note": '
+         || CASE WHEN event_id % 5 = 0 THEN 'null'
+                 ELSE '"n' || (event_id % 50)::VARCHAR || '"' END
+         || ', "meta": {"a": 1}, "ids": [' || (event_id % 4)::VARCHAR
+         || ']}'
+  END AS p FROM events"""
+
+# Dynamic-path mirror of operators/infer.py:infer_json_stats — DuckDB
+# json_type accepts a column path, so the whole per-key typed profile
+# (census cap, KEY_RE filter, lattice mapping, bounds, enum window)
+# replays without key literals.
+_INFER_PROPS_SQL = f"""
+WITH base AS ({_INFER_PAYLOAD_SQL}),
+src AS (SELECT try_cast(p AS JSON) AS j FROM base),
+obj AS (SELECT j FROM src WHERE j IS NOT NULL AND json_type(j) = 'OBJECT'),
+nobj AS (SELECT count(*)::BIGINT AS n_objects FROM obj),
+census AS (SELECT k AS json_key, count(*) AS n
+           FROM obj, LATERAL (SELECT unnest(json_keys(j)) AS k) kx
+           GROUP BY 1),
+keys AS (SELECT json_key FROM (
+           SELECT json_key, n,
+                  row_number() OVER (ORDER BY n DESC, json_key) AS r
+           FROM census) rk
+         WHERE r <= 64
+           AND regexp_matches(json_key, '^[A-Za-z0-9_@-]+$')),
+pairs AS (
+  -- DYNAMIC-path json_type returns SQL NULL for a json-null value
+  -- (the literal-path form returns 'NULL'); pairs only enumerates
+  -- PRESENT keys, so NULL dt unambiguously means json null.
+  SELECT ks.json_key,
+         coalesce(json_type(o.j, '$."' || ks.json_key || '"'),
+                  'NULL') AS dt,
+         json_extract_string(o.j, '$."' || ks.json_key || '"') AS raw
+  FROM obj o, keys ks
+  WHERE list_contains(json_keys(o.j), ks.json_key)),
+vals AS (
+  SELECT json_key,
+    CASE dt WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+            WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+            WHEN 'DOUBLE' THEN 'number' WHEN 'NULL' THEN 'null'
+            WHEN 'UBIGINT' THEN 'integer' WHEN 'BIGINT' THEN 'integer'
+            WHEN 'HUGEINT' THEN 'integer' ELSE 'other' END AS jtype,
+    raw FROM pairs),
+tv AS (
+  SELECT json_key, jtype,
+    CASE WHEN jtype = 'integer' THEN try_cast(raw AS BIGINT) END AS ival,
+    CASE WHEN jtype IN ('integer', 'number')
+          AND abs(try_cast(raw AS DOUBLE)) < 9.0e15
+         THEN floor(try_cast(raw AS DOUBLE) * 1000)::BIGINT END AS milli,
+    CASE WHEN jtype = 'string' THEN raw END AS sval
+  FROM vals),
+prof AS (
+  SELECT json_key, count(*)::BIGINT AS n_present,
+    array_to_string(list_sort(list(DISTINCT jtype)), ',') AS types_csv,
+    sum(CASE WHEN jtype = 'null' THEN 1 ELSE 0 END)::BIGINT AS n_null,
+    min(ival) AS int_lo, max(ival) AS int_hi,
+    min(milli) AS num_lo_milli, max(milli) AS num_hi_milli,
+    max(CASE WHEN jtype = 'string' THEN length(sval) END)::BIGINT
+      AS str_maxlen
+  FROM tv GROUP BY 1),
+sv AS (SELECT json_key, sval FROM tv WHERE jtype = 'string' GROUP BY 1, 2),
+en AS (SELECT json_key, count(*)::BIGINT AS n_distinct_str,
+         CASE WHEN count(*) <= 16
+              THEN string_agg(sval, '|' ORDER BY sval) END AS enum_csv
+       FROM sv GROUP BY 1)
+SELECT p.json_key, p.n_present,
+  (p.n_present = n.n_objects) AS required,
+  p.types_csv, p.n_null, p.int_lo, p.int_hi,
+  p.num_lo_milli, p.num_hi_milli, p.str_maxlen,
+  coalesce(e.n_distinct_str, 0)::BIGINT AS n_distinct_str, e.enum_csv
+FROM prof p LEFT JOIN en e USING (json_key), nobj n
+ORDER BY 1"""
+
+
 def q_fd_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-FD rate for l_partkey → l_suppkey (TANE g3): the
     one-number form of the 2000-key violation list — how many rows
@@ -8006,6 +8128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "fd_compliance": q_fd_compliance,
         "json_key_census": q_json_key_census,
+        "infer_props_schema": q_infer_props_schema,
         "benford": q_benford,
         "asof_join": q_asof_join,
         "funnel": q_funnel,
@@ -8472,6 +8595,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_check": _FD_CHECK_SQL,
         "fd_compliance": _FD_COMPLIANCE_SQL,
         "json_key_census": _JSON_KEY_CENSUS_SQL,
+        "infer_props_schema": _INFER_PROPS_SQL,
         "benford": _benford_sql(),
         "asof_join": _ASOF_JOIN_SQL,
         "funnel": _FUNNEL_SQL,

@@ -116,6 +116,10 @@ from jsonschema_spark.operators.robots import (
     robots_filter,
     robots_rules_df,
 )
+from jsonschema_spark.operators.infer import (
+    infer_json_schema,
+    infer_json_stats,
+)
 from jsonschema_spark.operators.search import bm25_topk, term_stats
 from jsonschema_spark.operators.sitemap import sitemap_entries
 from jsonschema_spark.operators.similarity import (
@@ -205,6 +209,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "auto_rows_per_band",
+    "infer_json_schema",
+    "infer_json_stats",
     "annotate",
     "validate",
     "violations",

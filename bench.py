@@ -136,7 +136,19 @@ def main() -> None:
         out["scaling"] = {
             "pair": f"local[{sc['n_cores']}] -> local[{sc['n4_cores']}]",
             "efficiency": latest["scaling_efficiency"],
-            "protocol": latest.get("protocol"),
+            # keep the stdout line well under the driver's 2 KB tail
+            # capture: compact protocol summary here, full narrative in
+            # BENCH_scaling_2_8.json under the section named below
+            "protocol": (
+                "5 batches x 3 alternating fresh-JVM rounds over 3.5h, 16M "
+                "rows; efficiency = interference-free capacity (min per "
+                "level); pooled median under sustained co-tenant load "
+                + json.dumps(latest.get("pooled_median_efficiency", {}))
+                + "; round-4 clean-window medians 0.902/0.818/0.869 on the "
+                "byte-unchanged measured path; full narrative: "
+                "BENCH_scaling_2_8.json round5_confirmation"
+                if "pooled_median_efficiency" in latest
+                else latest.get("protocol")),
             "docs_per_sec_n4": latest.get("docs_per_sec_n4"),
         }
     # full per-query detail goes to BENCH_local.json; the stdout line must

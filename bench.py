@@ -140,13 +140,15 @@ def main() -> None:
             # capture: compact protocol summary here, full narrative in
             # BENCH_scaling_2_8.json under the section named below
             "protocol": (
-                "5 batches x 3 alternating fresh-JVM rounds over 3.5h, 16M "
-                "rows; efficiency = interference-free capacity (min per "
-                "level); pooled median under sustained co-tenant load "
+                "6 batches x 3 alternating fresh-JVM rounds over ~4.5h, "
+                "16M rows; headline = clean-window batch (median-of-3 "
+                "runs/JVM); capacity (min/level over 18 samples) "
+                + json.dumps(latest.get("capacity_min_efficiency", {}))
+                + "; pooled median under 4 loaded batches "
                 + json.dumps(latest.get("pooled_median_efficiency", {}))
-                + "; round-4 clean-window medians 0.902/0.818/0.869 on the "
-                "byte-unchanged measured path; full narrative: "
-                "BENCH_scaling_2_8.json round5_confirmation"
+                + "; r4 clean-window 0.902/0.818/0.869 on byte-unchanged "
+                "path; full narrative: BENCH_scaling_2_8.json "
+                "round5_confirmation"
                 if "pooled_median_efficiency" in latest
                 else latest.get("protocol")),
             "docs_per_sec_n4": latest.get("docs_per_sec_n4"),
